@@ -1,0 +1,61 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is collected to the driver (count only) to force full execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lichess_event_stream_watcher_spark import queries as q  # noqa: E402
+from lichess_event_stream_watcher_spark.session import get_spark  # noqa: E402
+
+# The headline set: the rule-engine hot path + representative heavy operators.
+HEADLINE = [
+    "rule_scan",
+    "rule_scan_actions",
+    "would_fire_counts",
+    "crit_code_predicate",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("lesw-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = q.all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # warm the JVM + parquet footer cache once so timings measure the query
+    registry[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Canonical fixture rule set over the derived ``signups`` view.
+
+One rule per Criterion kind (FIXTURES.md §A2's checklist: plus a disabled
+rule, an expired rule, a susp_ip-gated rule, a notify-only rule, and a
+multi-action rule). ``SQL_PREDICATES`` carries, for every SQL-expressible
+rule, the DuckDB-dialect WHERE clause that mirrors the compiled Column
+semantics EXACTLY (case-insensitivity via upper(), search-semantics regex,
+NULL->false) — these build the driver-oracle UNION queries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from .rules.model import UTC, Action, Criterion, CriterionKind, Rule
+
+_PAST = dt.datetime(2020, 1, 1, tzinfo=UTC)
+
+
+def reference_ruleset() -> list[Rule]:
+    K, A = CriterionKind, Action
+    return [
+        Rule("r_ip_exact", Criterion(K.IP_MATCH, "10.8.0.0"), [A.IP_BAN, A.CLOSE]),
+        Rule("r_fp_exact", Criterion(K.PRINT_MATCH, "fp_7"), [A.SHADOWBAN]),
+        Rule("r_email_gmail", Criterion(K.EMAIL_CONTAINS, "gmail"), [A.NOTIFY_ZULIP]),
+        Rule("r_email_re", Criterion(K.EMAIL_REGEX, "user1[0-9]@proton"), [A.ALT]),
+        Rule("r_uname_sub", Criterion(K.USERNAME_CONTAINS, "SER_4"), [A.ENGINE_MARK]),
+        Rule("r_uname_re", Criterion(K.USERNAME_REGEX, "(?i)^USER_1.$"), [A.BOOST_MARK]),
+        Rule("r_ua_short", Criterion(K.USERAGENT_LENGTH_LTE, "12"), [A.NOTIFY_ZULIP], no_delay=True),
+        Rule(
+            "r_susp_proton",
+            Criterion(K.EMAIL_CONTAINS, "proton"),
+            [A.CLOSE, A.ENGINE_MARK, A.NOTIFY_ZULIP],
+            susp_ip=True,
+        ),
+        Rule("r_disabled", Criterion(K.USERNAME_CONTAINS, "user"), [A.CLOSE], enabled=False),
+        Rule("r_expired", Criterion(K.USERNAME_CONTAINS, "user"), [A.CLOSE], expiry=_PAST),
+    ]
+
+
+def code_rule() -> Rule:
+    """The CODE-criterion rule (non-SQL-expressible; differential-tested)."""
+    return Rule(
+        "r_code",
+        Criterion(
+            CriterionKind.CODE,
+            'regex(user.email(), "@proton") and user.fp() != "<NO PRINT>"',
+        ),
+        [Action.NOTIFY_ZULIP],
+    )
+
+
+# DuckDB-dialect WHERE clauses mirroring rule_predicate() for each ACTIVE rule.
+SQL_PREDICATES: dict[str, str] = {
+    "r_ip_exact": "ip = '10.8.0.0'",
+    "r_fp_exact": "finger_print = 'fp_7'",
+    "r_email_gmail": "instr(upper(email), 'GMAIL') > 0",
+    "r_email_re": "regexp_matches(email, 'user1[0-9]@proton')",
+    "r_uname_sub": "instr(upper(username), 'SER_4') > 0",
+    "r_uname_re": "regexp_matches(username, '(?i)^USER_1.$')",
+    "r_ua_short": "length(user_agent) <= 12",
+    "r_susp_proton": "susp_ip AND instr(upper(email), 'PROTON') > 0",
+}
+
+
+def oracle_union_sql(with_actions: bool = False) -> str:
+    """UNION ALL oracle for the full rule scan (active rules only)."""
+    rules = {r.name: r for r in reference_ruleset()}
+    parts = []
+    for name, where in SQL_PREDICATES.items():
+        if with_actions:
+            for a in rules[name].actions:
+                parts.append(
+                    f"SELECT event_id, username, '{name}' AS rule_name, '{a.value}' AS action "
+                    f"FROM signups WHERE {where}"
+                )
+        else:
+            parts.append(
+                f"SELECT event_id, username, '{name}' AS rule_name FROM signups WHERE {where}"
+            )
+    return "\nUNION ALL\n".join(parts)

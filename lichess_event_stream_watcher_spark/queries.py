@@ -1,0 +1,134 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracle SQL.
+
+Every operator from SURVEY.md §2 that is SQL-expressible registers BOTH a
+Spark callable ``(spark, sf_dir) -> DataFrame`` and the equivalent DuckDB SQL
+over the same parquet tables. Non-SQL-expressible ops (CODE predicates,
+custom stateful streaming) register Spark-only (rows-only check) and are
+covered by differential pytest oracles instead.
+
+Column names are aliased identically on both sides — the driver's compare
+sorts columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures, testdata
+from .plans.compile import compile_matches, would_fire
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return testdata.signups_df(spark, sf_dir)
+
+
+_CTE = testdata.signups_cte("duckdb")
+
+
+# ---------------------------------------------------------------------------
+# J1 — the flagship broadcast rule scan (SURVEY.md §2.4 J1, §3.1 step 5)
+# ---------------------------------------------------------------------------
+@query(
+    "rule_scan",
+    f"{_CTE}\n{fixtures.oracle_union_sql(with_actions=False)}",
+)
+def rule_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events x rules -> (event_id, username, rule_name). One map-side
+    projection; disabled/expired rules pruned at plan time."""
+    df = _signups(spark, sf_dir)
+    m = compile_matches(df, fixtures.reference_ruleset())
+    return m.select("event_id", "username", "rule_name")
+
+
+@query(
+    "rule_scan_actions",
+    f"{_CTE}\n{fixtures.oracle_union_sql(with_actions=True)}",
+)
+def rule_scan_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule scan exploded to one row per (event, rule, action) —
+    the action-dispatch input (src/eventhandler.rs:147-256)."""
+    df = _signups(spark, sf_dir)
+    m = compile_matches(df, fixtures.reference_ruleset(), with_actions=True)
+    return m.select("event_id", "username", "rule_name", "action")
+
+
+@query(
+    "would_fire_counts",
+    f"""{_CTE},
+matches AS ({fixtures.oracle_union_sql(with_actions=False)})
+SELECT s.event_id, COALESCE(m.n, 0) AS n_would_fire
+FROM signups s
+LEFT JOIN (SELECT event_id, COUNT(*) AS n FROM matches GROUP BY event_id) m
+  ON s.event_id = m.event_id""",
+)
+def would_fire_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run path (src/eventhandler.rs:128-145): per event, how many rules
+    WOULD fire — no explosion, no side effects."""
+    df = _signups(spark, sf_dir)
+    wf = would_fire(df, fixtures.reference_ruleset())
+    return wf.select("event_id", F.size("would_fire").cast("bigint").alias("n_would_fire"))
+
+
+# ---------------------------------------------------------------------------
+# F1-F7 — each criterion as a standalone filter (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+def _register_single_criterion_queries() -> None:
+    rules = {r.name: r for r in fixtures.reference_ruleset()}
+    for rule_name, where in fixtures.SQL_PREDICATES.items():
+        rule = rules[rule_name]
+        qname = f"crit_{rule.criterion.kind.name.lower()}"
+        oracle = f"{_CTE}\nSELECT event_id, username FROM signups WHERE {where}"
+        if rule_name == "r_susp_proton":
+            qname = "crit_susp_ip_gate"
+
+        def make(rule=rule):
+            def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+                df = _signups(spark, sf_dir)
+                return compile_matches(df, [rule]).select("event_id", "username")
+
+            fn.__doc__ = f"Criterion {rule.criterion.kind.value}: {rule.criterion.friendly()}"
+            return fn
+
+        query(qname, oracle)(make())
+
+
+_register_single_criterion_queries()
+
+
+# F8 — CODE predicate (non-SQL-expressible -> rows-only driver check;
+# exact differential oracle lives in tests/test_lua_compat.py)
+@query("crit_code_predicate")
+def crit_code_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _signups(spark, sf_dir)
+    return compile_matches(df, [fixtures.code_rule()]).select("event_id", "username")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Import registers the extended query families on first use.
+    from . import queries_analytics  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
+
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    from . import queries_analytics  # noqa: F401
+    from . import queries_pipeline  # noqa: F401
+
+    return dict(ORACLES)

@@ -1,0 +1,147 @@
+"""Rule store: load/save/CRUD/uniqueness/expiry lifecycle.
+
+Parity target: SignupRulesManager (src/signup/rules.rs:21-161) and the
+expiry sweep (src/signup/rules.rs:323-334, src/eventhandler.rs:432-487).
+
+The store is a tiny driver-side dimension table (dozens of rules): plain
+Python list + JSON file, broadcast into each micro-batch as compiled Column
+predicates (see plans.compile). All mutations are serialized through one
+lock, preserving the reference's single-handler-thread semantics
+(src/eventhandler.rs:60-61).
+
+Scale note: the rules table never shuffles — it compiles into the event
+scan's projection, so rule evaluation is embarrassingly parallel over event
+partitions regardless of cluster size.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import tempfile
+import threading
+from collections.abc import Iterator
+
+from .model import UTC, Rule
+
+DEFAULT_TTL = dt.timedelta(days=182)  # src/zulip/command.rs:149,152
+EXPIRY_WARN_BEFORE = dt.timedelta(days=1)  # src/eventhandler.rs:433
+EXPIRY_DELETE_AFTER = dt.timedelta(days=3)  # src/eventhandler.rs:459
+SWEEP_PERIOD_S = 15 * 60  # src/signup/rules.rs:327
+
+
+class SignupRulesManager:
+    def __init__(self, rules_path: str | None = None):
+        self.rules_path = rules_path
+        self._lock = threading.RLock()
+        self.rules: list[Rule] = []
+        if rules_path and os.path.exists(rules_path):
+            self.load()
+
+    # -- persistence (src/signup/rules.rs:27-47) ---------------------------
+    def load(self) -> None:
+        with self._lock, open(self.rules_path) as f:
+            self.rules = [Rule.from_json_obj(o) for o in json.load(f)]
+
+    def save(self) -> None:
+        """Full rewrite on every mutation, as the reference does — but we do
+        it atomically (tmp+rename) and, in streaming, once per micro-batch
+        rather than once per match (SURVEY.md §4's noted improvement)."""
+        if not self.rules_path:
+            return
+        with self._lock:
+            payload = json.dumps([r.to_json_obj() for r in self.rules], indent=1)
+            d = os.path.dirname(os.path.abspath(self.rules_path))
+            fd, tmp = tempfile.mkstemp(dir=d, prefix=".rules.")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, self.rules_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
+    # -- CRUD (src/signup/rules.rs:49-126) ---------------------------------
+    def find_rule(self, name: str) -> Rule | None:
+        with self._lock:
+            return next((r for r in self.rules if r.name == name), None)
+
+    def add_rule(self, rule: Rule) -> None:
+        with self._lock:
+            if self.find_rule(rule.name) is not None:  # uniqueness (:49-55)
+                raise ValueError(f"a rule with name {rule.name!r} already exists")
+            self.rules.append(rule)
+            self.save()
+
+    def remove_rule(self, name: str) -> Rule:
+        with self._lock:
+            rule = self._require(name)
+            self.rules.remove(rule)
+            self.save()
+            return rule
+
+    def set_enabled(self, name: str, enabled: bool) -> Rule:
+        with self._lock:
+            rule = self._require(name)
+            rule.enabled = enabled
+            self.save()
+            return rule
+
+    def renew(self, name: str, extend: dt.timedelta, now: dt.datetime | None = None) -> Rule:
+        """``renew Nd|Nw`` — new expiry = now + extend, latch reset
+        (src/zulip/command.rs:245-261, src/eventhandler.rs:489-501)."""
+        with self._lock:
+            rule = self._require(name)
+            rule.expiry = (now or dt.datetime.now(UTC)) + extend
+            rule.exp_notification = 0
+            self.save()
+            return rule
+
+    def list_names(self) -> list[str]:
+        with self._lock:
+            return [r.name for r in self.rules]
+
+    def active_rules(self, now: dt.datetime | None = None) -> list[Rule]:
+        """Plan-time pruning: disabled/expired rules never reach the compiled
+        scan (cheaper than the reference's per-event gate check,
+        src/eventhandler.rs:120-126)."""
+        with self._lock:
+            return [r for r in self.rules if r.is_active(now)]
+
+    def caught(self, name: str, username: str, event_time: dt.datetime | None = None) -> None:
+        with self._lock:
+            rule = self._require(name)
+            if rule.caught(username, event_time):
+                self.save()
+
+    # -- expiry lifecycle (src/eventhandler.rs:432-487) --------------------
+    def expiry_sweep(self, now: dt.datetime | None = None) -> Iterator[tuple[str, Rule]]:
+        """One sweep pass. Yields ("warn"|"expired"|"deleted", rule) events:
+        warn <1 d before expiry (latch 0->1), announce at expiry (latch ->2),
+        auto-delete 3 d after. Pure batch logic on rule timestamps."""
+        now = now or dt.datetime.now(UTC)
+        out: list[tuple[str, Rule]] = []
+        with self._lock:
+            for rule in list(self.rules):
+                if rule.expiry is None:
+                    continue
+                if rule.has_expired(now):
+                    if now >= rule.expiry + EXPIRY_DELETE_AFTER:
+                        self.rules.remove(rule)
+                        out.append(("deleted", rule))
+                    elif rule.exp_notification < 2:
+                        rule.exp_notification = 2
+                        out.append(("expired", rule))
+                elif now >= rule.expiry - EXPIRY_WARN_BEFORE and rule.exp_notification < 1:
+                    rule.exp_notification = 1
+                    out.append(("warn", rule))
+            if out:
+                self.save()
+        yield from out
+
+    def _require(self, name: str) -> Rule:
+        rule = self.find_rule(name)
+        if rule is None:
+            raise KeyError(f"no rule named {name!r}")
+        return rule

@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from lichess_event_stream_watcher_spark.rules import (
+    Action,
+    Criterion,
+    CriterionKind,
+    Rule,
+    SignupRulesManager,
+)
+from lichess_event_stream_watcher_spark.rules.model import UTC
+
+NOW = dt.datetime(2026, 8, 13, tzinfo=UTC)
+
+
+def mk(name="r1", **kw) -> Rule:
+    return Rule(name, Criterion(CriterionKind.EMAIL_CONTAINS, "x"), [Action.NOTIFY_ZULIP], **kw)
+
+
+def test_action_endpoints():
+    # src/signup/rules.rs:302-321
+    assert Action.SHADOWBAN.endpoint("bob") == "/mod/bob/troll/true"
+    assert Action.ENGINE_MARK.endpoint("bob") == "/mod/bob/engine/true"
+    assert Action.BOOST_MARK.endpoint("bob") == "/mod/bob/booster/true"
+    assert Action.IP_BAN.endpoint("bob") == "/mod/bob/ban/true"
+    assert Action.CLOSE.endpoint("bob") == "/mod/bob/close"
+    assert Action.ALT.endpoint("bob") == "/mod/bob/alt/true"
+    assert Action.ENABLE_CHAT_PANIC.endpoint() == "/mod/chat-panic"
+    assert Action.NOTIFY_ZULIP.endpoint("bob") is None
+    # jitter policy (src/eventhandler.rs:167-178)
+    assert Action.CLOSE.delayed and Action.CLOSE.extra_delay_ms == 1500
+    assert not Action.SHADOWBAN.delayed
+    assert Action.from_dsl("engine") is Action.ENGINE_MARK
+
+
+def test_rule_expiry_and_active():
+    r = mk(expiry=NOW - dt.timedelta(seconds=1))
+    assert r.has_expired(NOW) and not r.is_active(NOW)
+    assert not mk(expiry=None).has_expired(NOW)
+    assert not mk(enabled=False).is_active(NOW)
+
+
+def test_caught_last3_dedup_semantics():
+    # src/signup/rules.rs:128-161: dup username short-circuits count AND list
+    r = mk()
+    for u in ["a", "b", "a", "c", "d"]:
+        r.caught(u, NOW)
+    assert r.match_count == 4
+    assert r.most_recent_caught == ["b", "c", "d"]  # last-3 FIFO evict
+    assert r.latest_match_date == NOW
+
+
+def test_json_roundtrip_epoch_millis():
+    r = mk(expiry=NOW, creation_date=NOW)
+    obj = json.loads(r.to_json())
+    assert obj["expiry"] == int(NOW.timestamp() * 1000)
+    back = Rule.from_json_obj(obj)
+    assert back.expiry == NOW and back.criterion == r.criterion and back.actions == r.actions
+
+
+def test_store_crud_persistence(tmp_path):
+    path = str(tmp_path / "rules.json")
+    mgr = SignupRulesManager(path)
+    mgr.add_rule(mk("a"))
+    with pytest.raises(ValueError):
+        mgr.add_rule(mk("a"))  # uniqueness (src/signup/rules.rs:49-55)
+    mgr.add_rule(mk("b", enabled=False))
+    mgr2 = SignupRulesManager(path)
+    assert mgr2.list_names() == ["a", "b"]
+    assert [r.name for r in mgr2.active_rules(NOW)] == ["a"]
+    mgr2.set_enabled("b", True)
+    assert len(mgr2.active_rules(NOW)) == 2
+    mgr2.remove_rule("a")
+    assert SignupRulesManager(path).list_names() == ["b"]
+
+
+def test_expiry_sweep_lifecycle(tmp_path):
+    # warn <1d (latch 0->1), announce at expiry (->2), delete +3d
+    # (src/eventhandler.rs:432-487)
+    path = str(tmp_path / "rules.json")
+    mgr = SignupRulesManager(path)
+    exp = NOW + dt.timedelta(hours=12)
+    mgr.add_rule(mk("r", expiry=exp))
+    assert [k for k, _ in mgr.expiry_sweep(NOW)] == ["warn"]
+    assert mgr.find_rule("r").exp_notification == 1
+    assert list(mgr.expiry_sweep(NOW)) == []  # latched
+    assert [k for k, _ in mgr.expiry_sweep(exp + dt.timedelta(minutes=1))] == ["expired"]
+    assert mgr.find_rule("r").exp_notification == 2
+    assert [k for k, _ in mgr.expiry_sweep(exp + dt.timedelta(days=3, minutes=1))] == ["deleted"]
+    assert mgr.list_names() == []
+
+
+def test_renew_resets_latch(tmp_path):
+    mgr = SignupRulesManager(str(tmp_path / "rules.json"))
+    mgr.add_rule(mk("r", expiry=NOW, exp_notification=2))
+    mgr.renew("r", dt.timedelta(weeks=2), now=NOW)
+    r = mgr.find_rule("r")
+    assert r.expiry == NOW + dt.timedelta(weeks=2) and r.exp_notification == 0
