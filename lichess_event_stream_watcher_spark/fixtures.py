@@ -63,6 +63,48 @@ SQL_PREDICATES: dict[str, str] = {
 }
 
 
+def geoip_ranges() -> list[tuple[int, int, str, str, list[str]]]:
+    """Deterministic ip-range dimension for the GeoIP range join (J2).
+
+    Covers 10.0.0.0-13.255.255.255 in /10-quarter blocks, with the
+    (12, 128-191) block deliberately absent so the no-covering-range ->
+    NULL-geoip path (src/eventhandler.rs:79-83) is exercised by real rows.
+    """
+    out = []
+    for a in (10, 11, 12, 13):
+        for idx, (blo, bhi) in enumerate([(0, 63), (64, 127), (128, 191), (192, 255)]):
+            if (a, idx) == (12, 2):
+                continue  # the coverage gap
+            lo = a * 16777216 + blo * 65536
+            hi = a * 16777216 + bhi * 65536 + 65535
+            country = f"C{a - 10}{idx}"
+            out.append((lo, hi, country, f"city_{a - 10}_{idx}", [f"{country}-s1"]))
+    return out
+
+
+def geoip_ranges_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("lo", T.LongType(), False),
+            T.StructField("hi", T.LongType(), False),
+            T.StructField("country", T.StringType(), False),
+            T.StructField("city", T.StringType(), False),
+            T.StructField("subdivisions", T.ArrayType(T.StringType()), False),
+        ]
+    )
+    return spark.createDataFrame(geoip_ranges(), schema)
+
+
+def geoip_ranges_values_sql() -> str:
+    """The same dimension as a SQL VALUES list (DuckDB oracle side)."""
+    rows = ", ".join(
+        f"({lo}, {hi}, '{country}', '{city}')" for lo, hi, country, city, _ in geoip_ranges()
+    )
+    return f"(VALUES {rows}) AS ranges(lo, hi, country, city)"
+
+
 def oracle_union_sql(with_actions: bool = False) -> str:
     """UNION ALL oracle for the full rule scan (active rules only)."""
     rules = {r.name: r for r in reference_ruleset()}

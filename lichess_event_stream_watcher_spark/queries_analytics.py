@@ -1,5 +1,446 @@
-"""Analytics query family: state/window/agg/join analogs (SURVEY.md §2.4-2.6)
-plus TPC-H-style headline queries on the driver tables. Populated in stages;
-see queries.py for the registry contract."""
+"""Analytics query family (SURVEY.md §2.2/2.4/2.5/2.6): enrichment,
+stateful-aggregation batch twins, joins, windows, scalar-function suite, and
+TPC-H-style headline queries over the driver tables.
+
+Every query here registers a DuckDB oracle. Floating-point aggregates go
+through DECIMAL so both engines sum exactly, then round+cast back to DOUBLE —
+value hashes must be bit-identical.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import fixtures, testdata
+from .operators.enrich import enrich_device, enrich_geoip
+from .queries import _signups, query
+
+_CTE = testdata.signups_cte("duckdb")
+
+
+# ---------------------------------------------------------------------------
+# P1/J2 — GeoIP enrichment as a broadcast range join
+# ---------------------------------------------------------------------------
+@query(
+    "geoip_enrich",
+    f"""{_CTE}
+SELECT s.event_id, ranges.country, ranges.city
+FROM (
+  SELECT event_id,
+         CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+       + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+       + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+       + CAST(split_part(ip, '.', 4) AS BIGINT) AS ipn
+  FROM signups
+) s
+LEFT JOIN {fixtures.geoip_ranges_values_sql()}
+  ON s.ipn BETWEEN ranges.lo AND ranges.hi""",
+)
+def geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: ip -> geoip struct via broadcast point-in-range join; rows with no
+    covering range keep geoip NULL (src/eventhandler.rs:79-83)."""
+    df = _signups(spark, sf_dir)
+    out = enrich_geoip(df, fixtures.geoip_ranges_df(spark))
+    return out.select(
+        "event_id",
+        F.col("geoip.country").alias("country"),
+        F.col("geoip.city").alias("city"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — device/user-agent enrichment (regex fast paths + generic fallback)
+# ---------------------------------------------------------------------------
+_MOB = r"(?i)lichess mobile/(\S+)(?: \(\d*\))? as:(\S+) sri:(\S+) os:(Android|iOS)/(\S+) dev:(.*)"
+_TRIM = r"LM/(\S+) (Android|iOS)/(\S+) (.*)"
+
+_DEVICE_ORACLE = f"""{_CTE}
+SELECT event_id,
+  CASE WHEN user_agent IS NULL THEN NULL
+       WHEN starts_with(user_agent, 'lichess-bot/') THEN 'Computer'
+       WHEN regexp_matches(user_agent, '{_MOB}') THEN regexp_extract(user_agent, '{_MOB}', 6)
+       WHEN regexp_matches(user_agent, '{_TRIM}') THEN regexp_extract(user_agent, '{_TRIM}', 4)
+       ELSE 'Computer' END AS device,
+  CASE WHEN user_agent IS NULL THEN NULL
+       WHEN starts_with(user_agent, 'lichess-bot/') THEN 'Other'
+       WHEN regexp_matches(user_agent, '{_MOB}')
+         THEN regexp_extract(user_agent, '{_MOB}', 4) || ' ' || regexp_extract(user_agent, '{_MOB}', 5)
+       WHEN regexp_matches(user_agent, '{_TRIM}')
+         THEN regexp_extract(user_agent, '{_TRIM}', 2) || ' ' || regexp_extract(user_agent, '{_TRIM}', 3)
+       WHEN regexp_matches(user_agent, 'Windows NT (\\d+)')
+         THEN 'Windows ' || regexp_extract(user_agent, 'Windows NT (\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'Mac OS X (\\d+)')
+         THEN 'Mac OS X ' || regexp_extract(user_agent, 'Mac OS X (\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'Android (\\d+)')
+         THEN 'Android ' || regexp_extract(user_agent, 'Android (\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'iPhone OS (\\d+)')
+         THEN 'iOS ' || regexp_extract(user_agent, 'iPhone OS (\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'Linux') THEN 'Linux'
+       ELSE 'Other' END AS os,
+  CASE WHEN user_agent IS NULL THEN NULL
+       WHEN starts_with(user_agent, 'lichess-bot/')
+         THEN 'lichess-bot ' || split_part(substr(user_agent, 13), ' ', 1)
+       WHEN regexp_matches(user_agent, '{_MOB}')
+         THEN 'Lichess Mobile ' || regexp_extract(user_agent, '{_MOB}', 1)
+       WHEN regexp_matches(user_agent, '{_TRIM}')
+         THEN 'Lichess Mobile ' || regexp_extract(user_agent, '{_TRIM}', 1)
+       WHEN regexp_matches(user_agent, 'Firefox/(\\d+)')
+         THEN 'Firefox ' || regexp_extract(user_agent, 'Firefox/(\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'Edg/(\\d+)')
+         THEN 'Edge ' || regexp_extract(user_agent, 'Edg/(\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'Chrome/(\\d+)')
+         THEN 'Chrome ' || regexp_extract(user_agent, 'Chrome/(\\d+)', 1)
+       WHEN regexp_matches(user_agent, 'Version/(\\d+).*Safari')
+         THEN 'Safari ' || regexp_extract(user_agent, 'Version/(\\d+).*Safari', 1)
+       WHEN regexp_matches(user_agent, 'curl/(\\d+)')
+         THEN 'curl ' || regexp_extract(user_agent, 'curl/(\\d+)', 1)
+       ELSE 'Other' END AS client
+FROM signups"""
+
+
+@query("device_enrich", _DEVICE_ORACLE)
+def device_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: UA -> DeviceInfo via the fast-path-then-fallback when/otherwise
+    chain (src/event.rs:104-177); NULL UA -> NULL fields."""
+    df = _signups(spark, sf_dir)
+    out = enrich_device(df)
+    return out.select(
+        "event_id",
+        F.col("device.device").alias("device"),
+        F.col("device.os").alias("os"),
+        F.col("device.client").alias("client"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — per-rule lifetime stats as a grouped aggregation batch twin
+# ---------------------------------------------------------------------------
+@query(
+    "match_stats",
+    """SELECT event_type AS rule_name, COUNT(*) AS match_count, MAX(ts) AS latest_match_date
+FROM events GROUP BY event_type""",
+)
+def match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 (src/signup/rules.rs:151-152): lifetime count + max event-time
+    per key. Partial aggregation (map-side combine) makes this one shuffle of
+    pre-aggregated partials — constant-size state per key at any scale."""
+    ev = testdata.load(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("rule_name")).agg(
+        F.count("*").alias("match_count"),
+        F.max("ts").alias("latest_match_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/W3 — bounded top-k by recency (last-3 distinct users per key)
+# ---------------------------------------------------------------------------
+@query(
+    "last3_caught",
+    """SELECT event_type, user_id FROM (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY last_ts DESC, user_id DESC) AS rn
+  FROM (SELECT event_type, user_id, MAX(ts) AS last_ts FROM events GROUP BY event_type, user_id)
+) WHERE rn <= 3""",
+)
+def last3_caught(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (src/signup/rules.rs:153-158): last-3 DISTINCT users per rule by
+    recency. Batch twin: per-(key,user) max(ts), then windowed top-3.
+    Dedup-before-rank mirrors the reference's duplicate short-circuit."""
+    ev = testdata.load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.max("ts").alias("last_ts"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("last_ts"), F.desc("user_id"))
+    return (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id")
+    )
+
+
+@query(
+    "topk_recent_events",
+    """SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3""",
+)
+def topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: bounded top-k by recency per user (rank <= 3)."""
+    ev = testdata.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/A4/A5 — the 10K sliding count window + per-user history (batch twin)
+# ---------------------------------------------------------------------------
+@query(
+    "seen_window_counts",
+    """SELECT user_id, COUNT(*) AS n_seen, MAX(event_id) AS last_event_id
+FROM events
+WHERE event_id > (SELECT MAX(event_id) - 10000 FROM events)
+GROUP BY user_id""",
+)
+def seen_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+A4+A5 (src/eventhandler.rs:92-113,418): the last-10,000-events
+    window grouped per user. Batch twin of the count-based sliding window;
+    the streaming form lives in streaming/state.py."""
+    ev = testdata.load(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max("event_id").alias("mx")).select((F.col("mx") - 10000).alias("cut"))
+    return (
+        ev.join(F.broadcast(cutoff), on=ev["event_id"] > cutoff["cut"])
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_seen"), F.max("event_id").alias("last_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — notification dedup as a left-anti join
+# ---------------------------------------------------------------------------
+@query(
+    "notify_dedup_anti",
+    f"""{_CTE},
+matches AS (SELECT event_id, username FROM signups
+            WHERE instr(upper(email), 'GMAIL') > 0),
+notified AS (SELECT DISTINCT username FROM signups WHERE event_id % 13 = 0)
+SELECT m.event_id, m.username FROM matches m
+WHERE NOT EXISTS (SELECT 1 FROM notified n WHERE n.username = m.username)""",
+)
+def notify_dedup_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/W2 (src/eventhandler.rs:196-214): suppress notifications for users
+    already in the notified set — a broadcast left-ANTI join (the notified
+    set is bounded at 2,000 keys, so it always broadcasts)."""
+    s = _signups(spark, sf_dir)
+    matches = s.filter(F.upper("email").contains("GMAIL")).select("event_id", "username")
+    notified = s.filter(F.col("event_id") % 13 == 0).select("username").distinct()
+    return matches.join(F.broadcast(notified), "username", "left_anti").select(
+        "event_id", "username"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — `seen` lookup: left-semi existence + row retrieval
+# ---------------------------------------------------------------------------
+@query(
+    "seen_lookup_semi",
+    f"""{_CTE},
+wanted AS (SELECT DISTINCT username FROM signups WHERE event_id % 97 = 0)
+SELECT s.event_id, s.username, s.ip FROM signups s
+WHERE EXISTS (SELECT 1 FROM wanted w WHERE w.username = s.username)""",
+)
+def seen_lookup_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (src/eventhandler.rs:407-427): 'has user X been seen?' — semi-join
+    the event window against the queried names, returning their rows."""
+    s = _signups(spark, sf_dir)
+    wanted = s.filter(F.col("event_id") % 97 == 0).select("username").distinct()
+    return s.join(F.broadcast(wanted), "username", "left_semi").select(
+        "event_id", "username", "ip"
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — keyed dedup, deterministic dropDuplicates twin
+# ---------------------------------------------------------------------------
+@query(
+    "first_event_per_user",
+    """SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1""",
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: keyed dedup keeping the FIRST row per key — the deterministic twin
+    of dropDuplicates (which keeps an arbitrary row)."""
+    ev = testdata.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function suite (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_suite",
+    """SELECT c_custkey,
+  lower(c_name) AS lname, upper(c_mktsegment) AS useg,
+  length(c_name) AS name_len,
+  split_part(c_name, '#', 2) AS name_num,
+  trim('  ' || c_name || ' ') AS trimmed,
+  c_name || '/' || c_mktsegment AS joined,
+  starts_with(c_name, 'Customer') AS is_cust,
+  CAST(split_part(c_name, '#', 2) AS BIGINT) AS parsed_num,
+  contains(c_name, '9') AS has_nine
+FROM customer""",
+)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar function inventory (§2.9): lower/upper/length/
+    split/trim/concat/startswith/int-parse/contains — all JVM builtins."""
+    c = testdata.load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("joined"),
+        F.col("c_name").startswith("Customer").alias("is_cust"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("bigint").alias("parsed_num"),
+        F.col("c_name").contains("9").alias("has_nine"),
+    )
+
+
+@query(
+    "date_functions",
+    """SELECT event_id,
+  strftime(ts, '%d/%m/%Y %H:%M:%S') AS formatted,
+  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+  CAST(dayofmonth(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+  ts + INTERVAL 3 DAY AS plus3d,
+  ts + INTERVAL 2 WEEK AS plus2w
+FROM events WHERE event_id % 101 = 0""",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface (§2.9): the reference's %d/%m/%Y %T format
+    (src/eventhandler.rs:399), day/week interval arithmetic
+    (src/zulip/command.rs:256-259)."""
+    ev = testdata.load(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "dd/MM/yyyy HH:mm:ss").alias("formatted"),
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("plus3d"),
+        (F.col("ts") + F.expr("INTERVAL 2 WEEK")).alias("plus2w"),
+    )
+
+
+@query(
+    "json_extract_props",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_type = 'signup'""",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse surface (§2.9: from_json/get_json_object): extract the
+    props payload — the filter pushes to the parquet scan, the JSON parse
+    happens post-filter only."""
+    ev = testdata.load(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline aggregations/joins (free-in-Spark rows of §2.4/2.5)
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q1_pricing",
+    """SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: partial-agg shuffle on 2 low-cardinality
+    keys; decimal-exact sums rounded to double for cross-engine hashing."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_revenue",
+    """SELECT c.c_mktsegment,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_mktsegment""",
+)
+def tpch_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-style star join: customer (tiny) broadcasts into orders, the
+    orders->lineitem join shuffles on orderkey; revenue decimal-exact."""
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = testdata.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    """SELECT r.r_name, n.n_name,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name""",
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style snowflake: region->nation->customer all broadcast (dims), so
+    the only shuffle is orders<->lineitem on orderkey."""
+    r = testdata.load(spark, sf_dir, "region")
+    n = testdata.load(spark, sf_dir, "nation")
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders")
+    li = testdata.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+    )

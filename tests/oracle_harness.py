@@ -28,7 +28,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         return v
 
     rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    return sorted(rows)
+    return sorted(rows, key=repr)
 
 
 def compare(spark_df, duck_con, oracle_sql: str) -> None:
