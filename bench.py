@@ -24,6 +24,20 @@ HEADLINE = [
     "rule_scan_actions",
     "would_fire_counts",
     "crit_code_predicate",
+    "geoip_enrich",
+    "device_enrich",
+    "match_stats",
+    "last3_caught",
+    "seen_window_counts",
+    "tpch_q1_pricing",
+    "tpch_q3_revenue",
+    "tpch_q5_region_revenue",
+    "text_profile",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine_topk",
+    "embedding_near_dup",
 ]
 
 
@@ -40,9 +54,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: strip first-touch JIT/codegen noise
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

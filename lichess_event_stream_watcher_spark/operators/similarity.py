@@ -1,0 +1,157 @@
+"""Embedding similarity search: brute-force cosine top-k (the baseline) and
+random-hyperplane LSH bucketing (the scale path).
+
+Determinism contract (for the DuckDB oracle): dot products are computed as a
+LEFT-ASSOCIATIVE sum of per-element double products in array order —
+``F.aggregate(zip_with(...))`` folds exactly like the oracle's generated
+``t1 + t2 + ... + t64`` chain, so the doubles are bit-identical and rounded
+values hash-match.
+
+Scale: brute-force is O(n_queries x corpus) — fine for a broadcast query
+set (the queries broadcast, the corpus streams; no shuffle of the corpus).
+For corpus-x-corpus search, LSH buckets (or an IVF coarse quantizer) bound
+the candidate set; the bucket id is a map-side projection and the join is
+bucket-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold sum of elementwise double products (deterministic order)."""
+    prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def knn_brute_force(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query id.
+
+    The query set broadcasts; ranking uses the ROUNDED cosine with id
+    tie-break so ordering is engine-portable. Output:
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Vectorized blocked all-pairs: the (normalized) reference matrix
+    broadcasts, each partition's block multiplies against it with one BLAS
+    matmul in float64 — ~100x over per-element expression folds. Output
+    cosines round to 6 (float64 summation-order noise is ~1e-15, far below
+    the rounding grid, so values stay oracle-stable).
+
+    This is the O(n^2) baseline; past broadcast size, shard the reference
+    matrix (this map runs once per shard) or bound candidates with
+    ``hyperplane_buckets``."""
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat))
+
+    def block(batches):
+        ref_ids, ref = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ ref.T, 6)
+            aid = pdf[id_col].to_numpy(dtype=np.int64)
+            # keep id_a < id_b and sim >= threshold
+            mask = (aid[:, None] < ref_ids[None, :]) & (sims >= threshold)
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": aid[ai], "id_b": ref_ids[bj], "cos_sim": sims[ai, bj]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, "id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of dots with anchor
+    vectors (anchors: (anchor_id, anchor_vec), small -> broadcast).
+
+    Output: (vec_id, bucket). Map-side after the broadcast; the bucket join
+    then bounds ANN candidate sets at any corpus size."""
+    a = F.broadcast(anchors)
+    bit = F.when(dot(F.col(vec_col), F.col("anchor_vec")) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    per_anchor = emb.crossJoin(a).select(
+        F.col(id_col), F.col("anchor_id"), bit.alias("bit")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("anchor_id", "bit"))), lambda s: s["bit"]
+    )
+    return per_anchor.groupBy(id_col).agg(F.array_join(ordered, "").alias("bucket"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's LSH
+    bucket. Recall trades with bucket count (anchor bits)."""
+    buckets = hyperplane_buckets(emb, anchors, id_col, vec_col)
+    with_bucket = emb.join(buckets, id_col)
+    q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), F.col("bucket")
+    )
+    scored = c.join(F.broadcast(q), ["bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

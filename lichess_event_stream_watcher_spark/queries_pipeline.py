@@ -1,5 +1,297 @@
-"""Beyond-reference training-data-pipeline query family: dedup, similarity
-search, text analysis over documents/embeddings (SURVEY.md §7 stage 7).
-Populated in stages; see queries.py for the registry contract."""
+"""Beyond-reference training-data-pipeline queries: text analysis, dedup
+(exact / n-gram Jaccard / MinHash-LSH / SimHash), embedding similarity
+search, and multimodal manifest plumbing — each with an exact DuckDB oracle
+(md5-based hashing + deterministic fold-order arithmetic make every stage
+bit-reproducible across engines).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import testdata
+from .operators import dedup as D
+from .operators import multimodal as M
+from .operators import similarity as S
+from .operators import text as X
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE fragments
+# ---------------------------------------------------------------------------
+_NORM = r"""norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+)"""
+_TOKS = r"""toks AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm)"""
+_SHINGLES = r"""sh AS (
+  SELECT id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS shingle
+  FROM toks
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+_TEXT_PROFILE_ORACLE = rf"""WITH {_NORM}, {_TOKS},
+base AS (
+  SELECT d.doc_id, d.text, n.t, tk,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+         ' ' || n.t || ' ' AS p
+  FROM documents d JOIN norm n ON n.id = d.doc_id JOIN toks USING (id)
+),
+scored AS (
+  SELECT *,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+       + (length(p) - length(replace(p, ' a ', ''))) / 3
+       + (length(p) - length(replace(p, ' of ', ''))) / 4 AS BIGINT) AS en_score,
+    CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+       + (length(p) - length(replace(p, ' die ', ''))) / 5
+       + (length(p) - length(replace(p, ' und ', ''))) / 5 AS BIGINT) AS de_score,
+    CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+       + (length(p) - length(replace(p, ' la ', ''))) / 4
+       + (length(p) - length(replace(p, ' los ', ''))) / 5 AS BIGINT) AS es_score,
+    CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+       + (length(p) - length(replace(p, ' les ', ''))) / 5
+       + (length(p) - length(replace(p, ' et ', ''))) / 4 AS BIGINT) AS fr_score
+  FROM base
+)
+SELECT doc_id,
+  n_tokens,
+  n_distinct_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  md5(t) AS fingerprint,
+  md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS bow_fingerprint,
+  CASE WHEN en_score = greatest(en_score, de_score, es_score, fr_score) AND en_score > 0 THEN 'en'
+       WHEN de_score = greatest(en_score, de_score, es_score, fr_score) AND de_score > 0 THEN 'de'
+       WHEN es_score = greatest(en_score, de_score, es_score, fr_score) AND es_score > 0 THEN 'es'
+       WHEN fr_score = greatest(en_score, de_score, es_score, fr_score) AND fr_score > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  floor((0.4 * least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+      + 0.3 * CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      + 0.3 * least(CAST(en_score AS DOUBLE) * 5.0 / CAST(n_tokens AS DOUBLE), 1.0)) * 10000.0) / 10000.0 AS quality
+FROM scored"""
+
+
+@query("text_profile", _TEXT_PROFILE_ORACLE)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass text profile: token counts, punctuation, fingerprints,
+    language-ID heuristic, quality score — all map-side Catalyst."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.analyze(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "n_bpe_tokens", "n_punct",
+        "fingerprint", "bow_fingerprint", "lang_pred", "quality",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    r"""WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents
+)
+SELECT md5(t) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM norm GROUP BY md5(t)""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint;
+    keeps the minimum doc_id per group."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs)
+
+
+@query(
+    "dedup_jaccard_pairs",
+    rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-shingle Jaccard near-dup pairs (J >= 0.5) via an
+    inverted-index join — recovers the corpus's planted near-duplicates."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, n=2, threshold=0.5)
+
+
+_MINHASH_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+seeded AS (
+  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+),
+sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+bands AS (
+  SELECT id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM sigs GROUP BY id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+),
+est AS (
+  SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS n_eq
+  FROM sigs sa JOIN sigs sb
+    ON sa.seed = sb.seed AND sa.id < sb.id AND sa.minhash = sb.minhash
+  GROUP BY sa.id, sb.id
+)
+SELECT c.id_a, c.id_b, ROUND(e.n_eq / 16.0, 6) AS est_jaccard
+FROM cand c JOIN est e ON e.id_a = c.id_a AND e.id_b = c.id_b"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=16) + LSH (4 bands x 4 rows) candidate pairs with
+    estimated Jaccard — the sub-quadratic scale path for corpus dedup."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(docs, k=16, bands=4, n=2)
+
+
+_SIMHASH_ORACLE = rf"""WITH {_NORM}, {_TOKS},
+tok AS (SELECT id, unnest(list_distinct(tk)) AS tok FROM toks),
+th AS (SELECT id, md5(tok) AS h FROM tok),
+pos AS (
+  SELECT CAST(j AS INT) AS j, CAST(j // 4 + 1 AS INT) AS nib_pos,
+         CASE CAST(j % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS divisor
+  FROM (SELECT unnest(range(64)) AS j)
+),
+bits AS (
+  SELECT id, j,
+         CAST(((instr('0123456789abcdef', substr(h, nib_pos, 1)) - 1) // divisor) % 2 AS INT) AS bit
+  FROM th CROSS JOIN pos
+),
+sums AS (SELECT id, j, SUM(bit * 2 - 1) AS s FROM bits GROUP BY id, j),
+sbits AS (SELECT id, j, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sbit FROM sums),
+nibbles AS (
+  SELECT id, CAST(j // 4 AS INT) AS nib,
+         SUM(sbit * (CASE CAST(j % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS v
+  FROM sbits GROUP BY id, j // 4
+)
+SELECT id AS doc_id, string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY nib) AS simhash
+FROM nibbles GROUP BY id"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (hex string); near-dup pairs =
+    low Hamming distance between signatures."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.simhash64(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+def _dot_sql(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    return f"({terms})"
+
+
+_COS_SQL = (
+    f"{_dot_sql('a', 'b')} / sqrt({_dot_sql('a', 'a')} * {_dot_sql('b', 'b')})"
+)
+
+_KNN_ORACLE = f"""WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+
+@query("knn_cosine_topk", _KNN_ORACLE)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 5 query vectors — the ANN
+    correctness baseline (broadcast queries, corpus streams)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.knn_brute_force(emb, [0, 1, 2, 3, 4], k=5)
+
+
+@query(
+    "embedding_near_dup",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL}, 6) >= 0.3""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.3 on this corpus)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, 0.3)
+
+
+_BUCKET_ORACLE = f"""SELECT a.vec_id,
+  string_agg(CASE WHEN {_dot_sql('a', 'b')} >= 0 THEN '1' ELSE '0' END, '' ORDER BY b.vec_id) AS bucket
+FROM embeddings a JOIN embeddings b ON b.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)
+GROUP BY a.vec_id"""
+
+
+@query("ann_lsh_buckets", _BUCKET_ORACLE)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (8 anchor vectors -> 8-bit bucket id)
+    — the map-side half of bucketed ANN."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    return S.hyperplane_buckets(emb, anchors)
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k within LSH buckets (rows-only check: recall vs the
+    exact baseline is asserted in tests/test_pipeline_ops.py)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    return S.lsh_ann_topk(emb, anchors, [0, 1, 2, 3, 4], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_manifest",
+    """SELECT doc_id, 'text/plain' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5
+FROM documents""",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media table manifest: typed metadata over opaque payloads."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    m = M.to_media_table(docs)
+    return m.select(
+        "doc_id", "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (rows-only: byte
+    stats are asserted against Python in tests)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return M.extract_features(M.to_media_table(docs)).drop("byte_histogram_head")

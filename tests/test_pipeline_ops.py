@@ -1,0 +1,96 @@
+"""Differential checks for the pipeline operators that have no SQL oracle
+(ANN top-k, multimodal features) plus recall assertions for the approximate
+dedup paths against their exact counterparts."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from lichess_event_stream_watcher_spark import testdata
+from lichess_event_stream_watcher_spark.operators import dedup as D
+from lichess_event_stream_watcher_spark.operators import multimodal as M
+from lichess_event_stream_watcher_spark.operators import similarity as S
+
+
+def test_lsh_dedup_recovers_planted_near_dups(spark, sf_dir):
+    """Every exact-Jaccard pair >= 0.9 (the planted near-dups) must surface
+    as a MinHash-LSH candidate at b=4, r=4 (s-curve threshold ~0.71)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, n=2, threshold=0.9).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b) for r in D.lsh_candidate_pairs(docs, k=16, bands=4, n=2).collect()
+    }
+    assert exact, "corpus should contain planted near-duplicates"
+    missed = exact - cand
+    assert not missed, f"LSH missed high-similarity pairs: {sorted(missed)[:5]}"
+
+
+def test_simhash_near_dups_have_low_hamming(spark, sf_dir):
+    docs = testdata.load(spark, sf_dir, "documents")
+    sig = {r.id: r.simhash for r in D.simhash64(docs).collect()}
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.9).collect()
+
+    def hamming(a: str, b: str) -> int:
+        return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+    assert all(len(s) == 16 for s in sig.values())
+    # near-dup pairs must be markedly closer in Hamming space than the
+    # background: the corpus vocabulary is tiny (~30 words), so per-bit sums
+    # sit near zero and even similar docs flip some bits — compare means,
+    # not a hard per-pair bound.
+    near = [hamming(sig[p.id_a], sig[p.id_b]) for p in pairs]
+    ids = sorted(sig)
+    background = [
+        hamming(sig[ids[i]], sig[ids[i + 1]]) for i in range(0, len(ids) - 1, 2)
+    ]
+    assert near, "corpus should contain planted near-duplicates"
+    assert sum(near) / len(near) < 0.6 * (sum(background) / len(background))
+
+
+def test_ann_lsh_matches_exact_within_bucket(spark, sf_dir):
+    """Bucketed ANN returns the same ranking as brute force restricted to
+    the bucket — and self-bucket membership guarantees >=0 candidates."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    approx = S.lsh_ann_topk(emb, anchors, [0, 1, 2], k=3).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in S.knn_brute_force(emb, [0, 1, 2], k=200).collect()
+    }
+    buckets = {r.vec_id: r.bucket for r in S.hyperplane_buckets(emb, anchors).collect()}
+    for r in approx:
+        # every approx neighbor shares the query's bucket and appears in the
+        # exact ranking (ANN is a subset, never an invention)
+        assert buckets[r.neighbor_id] == buckets[r.query_id]
+        assert (r.query_id, r.neighbor_id) in exact
+
+
+def test_multimodal_features_match_python(spark, sf_dir):
+    docs = testdata.load(spark, sf_dir, "documents").limit(20)
+    media = M.to_media_table(docs)
+    feats = {r.doc_id: r for r in M.extract_features(media).collect()}
+    for row in docs.collect():
+        b = row.text.encode("utf-8")
+        f = feats[row.doc_id]
+        assert f.n_bytes == len(b)
+        assert abs(f.byte_mean - round(sum(b) / len(b), 6)) < 1e-9
+        hist = [0] * 8
+        for byte in b:
+            if byte < 128:
+                hist[byte // 16] += 1
+        assert list(f.byte_histogram_head) == hist
+
+
+def test_media_manifest_md5_matches_hashlib(spark, sf_dir):
+    docs = testdata.load(spark, sf_dir, "documents").limit(5)
+    m = {r.doc_id: r for r in M.to_media_table(docs).collect()}
+    for row in docs.collect():
+        assert m[row.doc_id].meta.content_md5 == hashlib.md5(row.text.encode()).hexdigest()
+        assert bytes(m[row.doc_id].payload) == row.text.encode()
