@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, normalize_text, tokens
+from .util import spread
 
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
@@ -47,6 +48,7 @@ def shingles(
 
     Built with transform over a token-index sequence — pure Catalyst, no UDF.
     """
+    df = spread(df)
     toks = tokens(normalize_text(F.col(text_col)))
     # guard: sequence(0, negative) would produce a DESCENDING range
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
@@ -68,41 +70,158 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    dense_vocab_limit: int = 1 << 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
-    Inverted-index join: |pairs| is bounded by sum over shingles of df^2 —
-    ``max_shingle_df`` drops stop-shingles to keep skew bounded at scale.
+    Adaptive physical strategy (both exact, same output):
+
+    - **dense vocabulary** (distinct shingles <= ``dense_vocab_limit``): each
+      doc's shingle set packs into a V-bit bitset; intersections are blocked
+      NumPy AND+popcount against a broadcast bitset matrix. An inverted-index
+      join on a dense vocab degenerates to ~all-pairs fanout (sum of df^2 ~
+      N^2 rows through a shuffle); bit-parallel set intersection does the
+      same work at 64 set-members/word with zero shuffle.
+    - **sparse vocabulary** (the realistic web-corpus case): inverted-index
+      self-join on shingle with a length filter (J>=t implies
+      t*|a| <= |b| <= |a|/t), so pairs materialize only for docs sharing a
+      shingle AND of compatible sizes. ``max_shingle_df`` additionally drops
+      stop-shingles to bound skew at scale.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # cache: the shingle table feeds both sides of the self-join AND the
-    # size aggregate — without it the normalize/shingle chain runs 3x
+    # cache: the shingle table feeds the vocab probe, the size aggregate and
+    # both sides of the pair search — without it the shingle chain runs 3x
     sh = shingles(df, n, text_col, id_col).cache()
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
         sh = sh.join(rare.select("shingle"), "shingle")
+    n_vocab = sh.select("shingle").distinct().count()
+    if n_vocab <= dense_vocab_limit:
+        return _jaccard_pairs_dense(sh, threshold)
+    return _jaccard_pairs_inverted(sh, threshold)
+
+
+def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index exact Jaccard: self-join on shingle + length filter.
+
+    The length filter uses a 1e-6 slack so pairs whose true Jaccard rounds up
+    to the threshold at 6 decimals are never pruned.
+    """
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    szd = sh.join(F.broadcast(sizes), "id")
+    t = threshold - 1e-6
+    a, b = szd.alias("a"), szd.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.n_sh") >= t * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t * F.col("b.n_sh")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+    j = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
     return j.filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_pairs_dense(sh: DataFrame, threshold: float) -> DataFrame:
+    """Bit-parallel exact Jaccard for small vocabularies.
+
+    The full corpus's bitset matrix broadcasts (N x V bits; 64 MB covers 1M
+    docs x 512-shingle vocab); each partition ANDs its block against it with
+    a LUT popcount — one distributed map, no shuffle. Past broadcast size,
+    shard the reference matrix and run the map once per shard.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docsets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
+    rows = docsets.collect()
+    if not rows:
+        return docsets.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, jaccard double"
+        )
+    vocab: dict[str, int] = {}
+    for r in rows:
+        for s in r["sh_set"]:
+            if s not in vocab:
+                vocab[s] = len(vocab)
+    n_words = (len(vocab) + 63) // 64
+    ids_all = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.zeros((len(rows), n_words), dtype=np.uint64)
+    for i, r in enumerate(rows):
+        for s in r["sh_set"]:
+            v = vocab[s]
+            mat[i, v >> 6] |= np.uint64(1 << (v & 63))
+    # SWAR popcount: ~6 vectorized uint64 ops/word, no LUT gather
+    m1, m2, m4, h01 = (
+        np.uint64(0x5555555555555555),
+        np.uint64(0x3333333333333333),
+        np.uint64(0x0F0F0F0F0F0F0F0F),
+        np.uint64(0x0101010101010101),
+    )
+
+    def popcount64(v):
+        v = v - ((v >> np.uint64(1)) & m1)
+        v = (v & m2) + ((v >> np.uint64(2)) & m2)
+        v = (v + (v >> np.uint64(4))) & m4
+        return (v * h01) >> np.uint64(56)
+
+    sizes_all = popcount64(mat).sum(axis=1).astype(np.int64)
+    bc = sh.sparkSession.sparkContext.broadcast((ids_all, mat, sizes_all, vocab))
+    n_cpus = sh.sparkSession.sparkContext.defaultParallelism
+
+    def block(batches):
+        ref_ids, ref, ref_sz, voc = bc.value
+        n_words = ref.shape[1]
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            a = np.zeros((m, n_words), dtype=np.uint64)
+            for i, sset in enumerate(pdf["sh_set"]):
+                for s in sset:
+                    v = voc[s]
+                    a[i, v >> 6] |= np.uint64(1 << (v & 63))
+            aid = pdf["id"].to_numpy(dtype=np.int64)
+            asz = popcount64(a).sum(axis=1).astype(np.int64)
+            # chunk the (rows x corpus x words) AND to bound peak memory
+            step = max(1, (1 << 22) // max(1, ref.shape[0] * n_words))
+            for lo in range(0, m, step):
+                ab = a[lo : lo + step]
+                inter = (
+                    popcount64(ab[:, None, :] & ref[None, :, :]).sum(axis=2).astype(np.int64)
+                )
+                jacc = np.round(inter / (asz[lo : lo + step, None] + ref_sz[None, :] - inter), 6)
+                mask = (
+                    (aid[lo : lo + step, None] < ref_ids[None, :])
+                    & (jacc >= threshold)
+                    & (inter > 0)
+                )
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {"id_a": aid[lo + ai], "id_b": ref_ids[bj], "jaccard": jacc[ai, bj]}
+                    )
+
+    return docsets.repartition(n_cpus).mapInPandas(
+        block, "id_a bigint, id_b bigint, jaccard double"
+    )
 
 
 def minhash_signatures(
@@ -195,6 +314,7 @@ def simhash64(
     iff the sum of (2*bit-1) over DISTINCT tokens is > 0. md5-nibble bit
     extraction keeps it engine-portable (exact DuckDB twin).
     """
+    df = spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("tok"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Left-fold sum of elementwise double products (deterministic order)."""
@@ -101,7 +103,7 @@ def cosine_near_dup_pairs(
                 {"id_a": aid[ai], "id_b": ref_ids[bj], "cos_sim": sims[ai, bj]}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
         block, "id_a bigint, id_b bigint, cos_sim double"
     )
 
