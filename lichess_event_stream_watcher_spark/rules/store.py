@@ -19,6 +19,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 import os
+import re
 import tempfile
 import threading
 from collections.abc import Iterator
@@ -74,12 +75,14 @@ class SignupRulesManager:
             self.rules.append(rule)
             self.save()
 
-    def remove_rule(self, name: str) -> Rule:
+    def remove_rule(self, name: str) -> bool:
+        """retain-by-name; True iff something was removed
+        (src/signup/rules.rs:60-66)."""
         with self._lock:
-            rule = self._require(name)
-            self.rules.remove(rule)
+            before = len(self.rules)
+            self.rules = [r for r in self.rules if r.name != name]
             self.save()
-            return rule
+            return len(self.rules) != before
 
     def set_enabled(self, name: str, enabled: bool) -> Rule:
         with self._lock:
@@ -88,19 +91,45 @@ class SignupRulesManager:
             self.save()
             return rule
 
-    def renew(self, name: str, extend: dt.timedelta, now: dt.datetime | None = None) -> Rule:
-        """``renew Nd|Nw`` — new expiry = now + extend, latch reset
-        (src/zulip/command.rs:245-261, src/eventhandler.rs:489-501)."""
+    def disable_rules(self, pattern: str) -> int:
+        """Regex over rule NAMES; returns match count
+        (src/signup/rules.rs:68-94). Invalid regex -> ValueError."""
+        return self._enable_disable(pattern, False)
+
+    def enable_rules(self, pattern: str) -> int:
+        return self._enable_disable(pattern, True)
+
+    def _enable_disable(self, pattern: str, enabled: bool) -> int:
+        try:
+            rx = re.compile(pattern)
+        except re.error:
+            raise ValueError("Invalid regex.") from None
         with self._lock:
-            rule = self._require(name)
-            rule.expiry = (now or dt.datetime.now(UTC)) + extend
-            rule.exp_notification = 0
+            count = 0
+            for rule in self.rules:
+                if rx.search(rule.name):
+                    count += 1
+                    rule.enabled = enabled
             self.save()
-            return rule
+            return count
+
+    def renew(self, name: str, extend: dt.timedelta, now: dt.datetime | None = None) -> None:
+        """``renew Nd|Nw`` — new expiry = now + extend
+        (src/zulip/command.rs:245-261, src/signup/rules.rs:100-113).
+        Reference parity: silently a no-op for unknown names, and the
+        exp_notification latch is NOT reset (the reference leaves it, so a
+        once-expired rule never re-warns after renewal)."""
+        with self._lock:
+            for rule in self.rules:
+                if rule.name == name:
+                    rule.expiry = (now or dt.datetime.now(UTC)) + extend
+                    break
+            self.save()
 
     def list_names(self) -> list[str]:
+        """Disabled rules render parenthesized (src/signup/rules.rs:115-126)."""
         with self._lock:
-            return [r.name for r in self.rules]
+            return [r.name if r.enabled else f"({r.name})" for r in self.rules]
 
     def active_rules(self, now: dt.datetime | None = None) -> list[Rule]:
         """Plan-time pruning: disabled/expired rules never reach the compiled
@@ -119,23 +148,31 @@ class SignupRulesManager:
     def expiry_sweep(self, now: dt.datetime | None = None) -> Iterator[tuple[str, Rule]]:
         """One sweep pass. Yields ("warn"|"expired"|"deleted", rule) events:
         warn <1 d before expiry (latch 0->1), announce at expiry (latch ->2),
-        auto-delete 3 d after. Pure batch logic on rule timestamps."""
+        auto-delete 3 d after. Pure batch logic on rule timestamps.
+
+        Branch order mirrors src/eventhandler.rs:428-487 exactly: the warn
+        branch wins whenever the latch is 0 (even if already past expiry),
+        and deletion is an independent check — a long-expired latch-0 rule
+        yields BOTH "warn" and "deleted" in one pass, as the reference does.
+        """
         now = now or dt.datetime.now(UTC)
         out: list[tuple[str, Rule]] = []
         with self._lock:
-            for rule in list(self.rules):
+            to_remove: list[Rule] = []
+            for rule in self.rules:
                 if rule.expiry is None:
                     continue
-                if rule.has_expired(now):
-                    if now >= rule.expiry + EXPIRY_DELETE_AFTER:
-                        self.rules.remove(rule)
-                        out.append(("deleted", rule))
-                    elif rule.exp_notification < 2:
-                        rule.exp_notification = 2
-                        out.append(("expired", rule))
-                elif now >= rule.expiry - EXPIRY_WARN_BEFORE and rule.exp_notification < 1:
+                if rule.expiry < now + EXPIRY_WARN_BEFORE and rule.exp_notification == 0:
                     rule.exp_notification = 1
                     out.append(("warn", rule))
+                elif rule.expiry < now and rule.exp_notification <= 1:
+                    rule.exp_notification = 2
+                    out.append(("expired", rule))
+                if now > rule.expiry + EXPIRY_DELETE_AFTER:
+                    to_remove.append(rule)
+            for rule in to_remove:
+                self.rules.remove(rule)
+                out.append(("deleted", rule))
             if out:
                 self.save()
         yield from out

@@ -70,12 +70,22 @@ def test_store_crud_persistence(tmp_path):
         mgr.add_rule(mk("a"))  # uniqueness (src/signup/rules.rs:49-55)
     mgr.add_rule(mk("b", enabled=False))
     mgr2 = SignupRulesManager(path)
-    assert mgr2.list_names() == ["a", "b"]
+    # disabled rules render parenthesized (src/signup/rules.rs:115-126)
+    assert mgr2.list_names() == ["a", "(b)"]
     assert [r.name for r in mgr2.active_rules(NOW)] == ["a"]
     mgr2.set_enabled("b", True)
     assert len(mgr2.active_rules(NOW)) == 2
-    mgr2.remove_rule("a")
+    assert mgr2.remove_rule("a") is True
+    assert mgr2.remove_rule("nope") is False  # src/signup/rules.rs:60-66
     assert SignupRulesManager(path).list_names() == ["b"]
+    # regex enable/disable over names (src/signup/rules.rs:68-98)
+    mgr2.add_rule(mk("bot-1"))
+    mgr2.add_rule(mk("bot-2"))
+    assert mgr2.disable_rules("^bot-") == 2
+    assert SignupRulesManager(path).list_names() == ["b", "(bot-1)", "(bot-2)"]
+    assert mgr2.enable_rules("bot") == 2
+    with pytest.raises(ValueError):
+        mgr2.disable_rules("(unclosed")
 
 
 def test_expiry_sweep_lifecycle(tmp_path):
@@ -94,9 +104,21 @@ def test_expiry_sweep_lifecycle(tmp_path):
     assert mgr.list_names() == []
 
 
-def test_renew_resets_latch(tmp_path):
+def test_renew_keeps_latch(tmp_path):
+    # reference parity: renew sets expiry only — the exp_notification latch
+    # is NOT reset (src/signup/rules.rs:100-113, src/eventhandler.rs:489-501)
     mgr = SignupRulesManager(str(tmp_path / "rules.json"))
     mgr.add_rule(mk("r", expiry=NOW, exp_notification=2))
     mgr.renew("r", dt.timedelta(weeks=2), now=NOW)
     r = mgr.find_rule("r")
-    assert r.expiry == NOW + dt.timedelta(weeks=2) and r.exp_notification == 0
+    assert r.expiry == NOW + dt.timedelta(weeks=2) and r.exp_notification == 2
+    mgr.renew("ghost", dt.timedelta(days=1), now=NOW)  # silent no-op (:105-110)
+
+
+def test_expiry_sweep_warn_and_delete_same_pass(tmp_path):
+    # a long-expired latch-0 rule warns AND deletes in one sweep, mirroring
+    # the reference's independent branch order (src/eventhandler.rs:431-487)
+    mgr = SignupRulesManager(str(tmp_path / "rules.json"))
+    mgr.add_rule(mk("old", expiry=NOW - dt.timedelta(days=10)))
+    assert [k for k, _ in mgr.expiry_sweep(NOW)] == ["warn", "deleted"]
+    assert mgr.list_names() == []
