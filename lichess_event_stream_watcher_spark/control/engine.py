@@ -1,0 +1,340 @@
+"""The engine facade — the micro-batch twin of the reference's handler loop
+(src/eventhandler.rs:50-504).
+
+One ``process_batch`` call = one pass of the reference's per-event loop over
+a whole micro-batch:
+
+    enrich (P1/P2) -> rule scan (J1, compiled Catalyst predicates) ->
+    side effects (K1-K3 via pluggable sinks) -> stats commit (A1-A3) ->
+    seen-window state update (A4/W1)
+
+Scale contract: the distributed part (enrich + rule scan) is a map-only
+projection over event partitions — no shuffle, no state, linear in cluster
+size. Only two things ever reach the driver:
+
+- **matched rows** (bounded by match rate, not event rate), for side
+  effects and stats — the reference does the same work single-threaded;
+- **the batch's tail-10K rows** for the `seen` window (W1 is a GLOBAL
+  last-10,000-events window, so rows before the tail are evicted
+  immediately by construction — collecting them would be wasted work).
+
+Control events (rule CRUD, status, seen, dry-run) are driver API calls,
+not stream rows (SURVEY.md §1.1): ``handle_command`` parses the DSL and
+executes against the store, posting the reference's exact reply strings.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import random
+from collections import deque
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import enrich_device, enrich_geoip
+from ..plans.compile import compile_matches
+from ..rules.model import UTC, MIN_UTC, Action, Rule
+from ..rules.store import SignupRulesManager
+from ..schemas import USER_SCHEMA
+from .command import (
+    AddRuleCmd,
+    Command,
+    DisableRulesCmd,
+    EnableRulesCmd,
+    HypotheticalSignupCmd,
+    ListRulesCmd,
+    ParseError,
+    RemoveRuleCmd,
+    RenewRuleCmd,
+    SeenCmd,
+    ShowRuleCmd,
+    StatusCmd,
+    parse_command,
+)
+from .sinks import CollectingSink, MessageSink, ModApiSink
+
+RECENTLY_CHECKED_CAP = 10_000  # src/eventhandler.rs:102
+RECENTLY_NOTIFIED_CAP = 2_000  # src/eventhandler.rs:212
+
+
+def _user_wire_json(row: dict[str, Any]) -> str:
+    """Serialize a user row back to the camelCase wire shape
+    (src/eventhandler.rs:415, P4)."""
+    return json.dumps(
+        {
+            "username": row.get("username"),
+            "email": row.get("email"),
+            "ip": row.get("ip"),
+            "userAgent": row.get("user_agent"),
+            "fingerPrint": row.get("finger_print"),
+            "suspIp": bool(row.get("susp_ip") or False),
+            "geoip": row.get("geoip"),
+            "device": row.get("device"),
+        },
+        separators=(",", ":"),
+    )
+
+
+def _fmt_ts(ts: dt.datetime | None) -> str:
+    """Rust DateTime<Utc> Display form, e.g. '2026-08-13 04:00:00 UTC'."""
+    if ts is None:
+        return "Never"
+    return ts.strftime("%Y-%m-%d %H:%M:%S UTC")
+
+
+def _fmt_actions(actions: list[Action]) -> str:
+    """Rust Debug form of Vec<Action>: '[NotifyZulip, Close]'."""
+    return "[" + ", ".join(a.value for a in actions) + "]"
+
+
+class Engine:
+    """Driver-side engine state + the batch pipeline.
+
+    All mutation is driver-side and single-threaded per batch, preserving
+    the reference's one-handler-thread ordering (src/eventhandler.rs:60-61).
+    """
+
+    def __init__(
+        self,
+        store: SignupRulesManager,
+        messages: MessageSink | None = None,
+        mod_api: ModApiSink | None = None,
+        geoip_ranges: DataFrame | None = None,
+        rng: random.Random | None = None,
+        now_fn=None,
+    ):
+        self.store = store
+        self.messages = messages or CollectingSink()
+        self.mod_api = mod_api or CollectingSink()
+        self.geoip_ranges = geoip_ranges
+        self.rng = rng or random.Random()
+        self.now_fn = now_fn or (lambda: dt.datetime.now(UTC))
+        # bounded state (SURVEY.md §1.1.4); caps are instance attrs so tests
+        # can exercise eviction without 10K-row fixtures
+        self.checked_cap = RECENTLY_CHECKED_CAP
+        self.notified_cap = RECENTLY_NOTIFIED_CAP
+        self.recently_checked: deque[str] = deque()
+        self.recently_checked_info: dict[str, list[str]] = {}
+        self.recently_notified: deque[str] = deque()
+        self.latest_event_utc: dt.datetime = MIN_UTC
+
+    # -- the data path (src/eventhandler.rs:60-283) ------------------------
+
+    def enrich(self, df: DataFrame) -> DataFrame:
+        """P1 + P2; geoip stays NULL when no range table is wired."""
+        out = enrich_device(df)
+        if self.geoip_ranges is not None:
+            out = enrich_geoip(out, self.geoip_ranges)
+        else:
+            out = out.withColumn(
+                "geoip",
+                F.lit(None).cast(
+                    "struct<country:string,city:string,subdivisions:array<string>>"
+                ),
+            )
+        return out
+
+    def process_batch(self, df: DataFrame, hypothetical: bool = False) -> None:
+        """One micro-batch through the full pipeline."""
+        now = self.now_fn()
+        ordered = df.select(
+            F.monotonically_increasing_id().alias("_row_id"), "*"
+        )
+        enriched = self.enrich(ordered).cache()
+        try:
+            active = self.store.active_rules(now)
+            matched = (
+                compile_matches(enriched, active, now=now)
+                .select("_row_id", "username", "rule_name")
+                .collect()
+            )
+            batch_count = enriched.count()
+            tail = enriched.tail(min(batch_count, self.checked_cap))
+        finally:
+            enriched.unpersist()
+
+        # -- seen-window state update (src/eventhandler.rs:91-113) ---------
+        if batch_count >= self.checked_cap:
+            # every pre-existing entry would be evicted by this batch
+            self.recently_checked.clear()
+            self.recently_checked_info.clear()
+        for row in tail:
+            d = row.asDict(recursive=True)
+            user_id = (d.get("username") or "").lower()
+            self.recently_checked.append(user_id)
+            self.recently_checked_info.setdefault(user_id, []).append(_user_wire_json(d))
+            if len(self.recently_checked) > self.checked_cap:
+                popped = self.recently_checked.popleft()
+                infos = self.recently_checked_info.get(popped)
+                if infos:
+                    infos.pop(0)
+                    if not infos:
+                        del self.recently_checked_info[popped]
+
+        if not hypothetical and batch_count:
+            self.latest_event_utc = now
+
+        # -- side effects + stats, in arrival order -------------------------
+        matched.sort(key=lambda r: r["_row_id"])
+        by_event: dict[int, list] = {}
+        order: list[int] = []
+        for m in matched:
+            if m["_row_id"] not in by_event:
+                order.append(m["_row_id"])
+            by_event.setdefault(m["_row_id"], []).append(m)
+        for rid in order:
+            rows = by_event[rid]
+            username = rows[0]["username"]
+            # one jitter draw per event (src/eventhandler.rs:115)
+            delay_ms_if_needed = self.rng.randrange(30, 100) * 1000
+            fired: list[str] = []
+            for m in rows:
+                rule = self.store.find_rule(m["rule_name"])
+                if rule is None:  # removed mid-batch
+                    continue
+                if hypothetical:
+                    # src/eventhandler.rs:128-140
+                    self.messages.post(
+                        "command",
+                        f"Rule {rule.name} would take these actions: "
+                        f"{_fmt_actions(rule.actions)}",
+                    )
+                    continue
+                fired.append(rule.name)
+                self._dispatch_actions(rule, username, delay_ms_if_needed)
+            # stats commit after the event's rule loop (src/eventhandler.rs:276-283)
+            for name in fired:
+                self.store.caught(name, username, self.now_fn())
+
+    def _dispatch_actions(self, rule: Rule, username: str, delay_ms_if_needed: int) -> None:
+        """src/eventhandler.rs:147-255."""
+        user_id = username.lower()
+        for action in rule.actions:
+            endpoint = action.endpoint(username)
+            if endpoint is not None:
+                delay = not rule.no_delay and action.delayed
+                extra = action.extra_delay_ms if not rule.no_delay else 0
+                self.mod_api.post(endpoint, delay_ms_if_needed + extra if delay else 0)
+            elif action is Action.NOTIFY_ZULIP and user_id not in self.recently_notified:
+                # notification dedup W2/J3 (src/eventhandler.rs:196-215)
+                self.messages.post(
+                    "notify",
+                    f"Rule {rule.name} match: "
+                    f"[{username}](https://lichess.org/@/{user_id}?mod)",
+                )
+                self.recently_notified.append(user_id)
+                if len(self.recently_notified) > self.notified_cap:
+                    self.recently_notified.popleft()
+        # detailed log unless the rule is notify-only (src/eventhandler.rs:220-255)
+        if len(rule.actions) > 1 or (rule.actions[:1] != [Action.NOTIFY_ZULIP]):
+            recent = (
+                "None"
+                if not rule.most_recent_caught
+                else ", ".join(
+                    f"[{u}](https://lichess.org/@/{u}?mod)" for u in rule.most_recent_caught
+                )
+            )
+            self.messages.post(
+                "log",
+                f"Rule {rule.name} match: {rule.criterion.friendly()} on "
+                f"[{username}](https://lichess.org/@/{username}?mod). "
+                f"{rule.match_count} previous matches. Recent matches: {recent}",
+            )
+
+    def process_user(
+        self, spark: SparkSession, user: dict[str, Any], hypothetical: bool = True
+    ) -> None:
+        """The dry-run keystone (§3.3): the SAME pipeline on a 1-row batch."""
+        row = {f.name: user.get(f.name) for f in USER_SCHEMA.fields if f.name not in ("geoip", "device")}
+        schema = "username string, email string, ip string, user_agent string, finger_print string, susp_ip boolean"
+        df = spark.createDataFrame([row], schema)
+        self.process_batch(df, hypothetical=hypothetical)
+
+    # -- the control path (src/eventhandler.rs:285-501) ---------------------
+
+    def handle_command(self, text: str, spark: SparkSession | None = None) -> None:
+        """Parse + execute one DSL command; replies go to the command channel
+        (parse errors reply with the error message, src/zulip/rtm.rs:136-155)."""
+        try:
+            cmd = parse_command(text, now=self.now_fn())
+        except ParseError as e:
+            self.messages.post("command", e.message)
+            return
+        self.execute(cmd, spark)
+
+    def execute(self, cmd: Command, spark: SparkSession | None = None) -> None:
+        post = lambda t: self.messages.post("command", t)  # noqa: E731
+        if isinstance(cmd, StatusCmd):  # src/eventhandler.rs:396-406
+            post(
+                "I am alive! Latest event: (UTC) "
+                + self.latest_event_utc.strftime("%d/%m/%Y %H:%M:%S")
+            )
+        elif isinstance(cmd, SeenCmd):  # src/eventhandler.rs:407-427
+            post(self._seen_report(cmd.username))
+        elif isinstance(cmd, HypotheticalSignupCmd):
+            if spark is None:
+                raise ValueError("dry-run commands need a SparkSession")
+            self.process_user(spark, cmd.user, hypothetical=True)
+        elif isinstance(cmd, AddRuleCmd):  # src/eventhandler.rs:285-307
+            try:
+                self.store.add_rule(cmd.rule)
+                post("Rule added!")
+            except ValueError as e:
+                post(f"Error on adding rule: {e}")
+        elif isinstance(cmd, ShowRuleCmd):  # src/eventhandler.rs:308-335
+            rule = self.store.find_rule(cmd.name)
+            if rule is None:
+                post("No such rule found.")
+            else:
+                post(
+                    f"Created at: {_fmt_ts(rule.creation_date)}. "
+                    f"Latest match: {_fmt_ts(rule.latest_match_date)}.\n"
+                    f"Criterion: {rule.criterion.friendly()}.\n"
+                    f"Actions: {_fmt_actions(rule.actions)}"
+                    + (". No delay" if rule.no_delay else "")
+                    + (f". Expires: {_fmt_ts(rule.expiry)}" if rule.expiry else "")
+                )
+        elif isinstance(cmd, RemoveRuleCmd):  # src/eventhandler.rs:336-358
+            post("Rule removed!" if self.store.remove_rule(cmd.name) else "No such rule found.")
+        elif isinstance(cmd, DisableRulesCmd):  # src/eventhandler.rs:359-372
+            try:
+                post(f"{self.store.disable_rules(cmd.pattern)} rules disabled.")
+            except ValueError as e:
+                post(f"Error on disabling rules: {e}")
+        elif isinstance(cmd, EnableRulesCmd):
+            try:
+                post(f"{self.store.enable_rules(cmd.pattern)} rules enabled.")
+            except ValueError as e:
+                post(f"Error on enabling rules: {e}")
+        elif isinstance(cmd, RenewRuleCmd):  # src/eventhandler.rs:489-501
+            self.store.renew(cmd.name, cmd.extend, now=self.now_fn())
+            post("Rule renewed!")
+        elif isinstance(cmd, ListRulesCmd):  # src/eventhandler.rs:387-394
+            post("Current rules: " + ", ".join(self.store.list_names()))
+        else:  # pragma: no cover
+            raise TypeError(f"unknown command: {cmd!r}")
+
+    def _seen_report(self, username: str) -> str:
+        user_id = username.lower()
+        if user_id in self.recently_checked:
+            infos = self.recently_checked_info.get(user_id, [])
+            info_string = "\n".join("`" + j + "`" for j in infos)
+            return (
+                f"Yes, that user has been seen in the latest 10K sign-ins. "
+                f"Seen {len(infos)} times:\n{info_string}"
+            )
+        return "No, that user has not been seen in the latest 10K sign-ins."
+
+    def expiry_sweep(self) -> None:
+        """The 15-min sweep job (src/signup/rules.rs:323-334,
+        src/eventhandler.rs:428-487): notices go to the notify channel."""
+        for kind, rule in self.store.expiry_sweep(self.now_fn()):
+            if kind == "warn":
+                self.messages.post(
+                    "notify", f"Notice: rule `{rule.name}` is expiring in less than a day"
+                )
+            elif kind == "expired":
+                self.messages.post("notify", f"Notice: rule `{rule.name}` has expired")

@@ -1,0 +1,118 @@
+"""Streaming ingestion — the NDJSON signup stream as Structured Streaming.
+
+Parity target: src/eventstream.rs:13-73 (S1/S2). The reference GETs an HTTP
+chunked body, splits chunks on newlines, JSON-parses each line and drops
+malformed ones with a log (:51-58). Spark-first form:
+
+- the LINE TRANSPORT is a pluggable landing zone: a directory of NDJSON
+  files (file source — used in tests and by the HTTP poller below), a
+  socket, or Kafka. All feed the same parser.
+- the PARSE stage is ``from_json`` with the explicit wire schema
+  (schema-on-read with defaults, SURVEY.md §1.2) and DROPMALFORMED
+  semantics: unparseable lines and rows missing required fields are
+  filtered out, exactly like Event::from_json failures (:53-58).
+- an ``ingest_time`` column is stamped per row — the reference has no
+  event-time field; arrival time IS event time (src/eventhandler.rs:52,395;
+  SURVEY.md §2.10).
+
+The same parser runs batch (``read_ndjson_batch``) and streaming
+(``read_ndjson_stream``) — every streaming op has a batch twin on the same
+DataFrame code (SURVEY.md §7).
+
+Scale: parsing is a map-side projection (no shuffle); the file source
+scales by partitioning the landing files; malformed-row filtering pushes
+into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SIGNUP_WIRE_SCHEMA
+
+
+def parse_signup_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """NDJSON lines -> engine-schema signup rows (DROPMALFORMED).
+
+    Drops: blank lines (src/eventstream.rs:51-52), malformed JSON (:53-58),
+    non-signup events (tag dispatch on "t", src/event.rs:11-14), and rows
+    missing serde-required fields (username/email/ip, src/event.rs:42-52).
+    ``susp_ip`` defaults false (src/event.rs:48-49,60-62).
+    """
+    parsed = lines.select(
+        F.from_json(F.trim(F.col(value_col)), SIGNUP_WIRE_SCHEMA).alias("e")
+    )
+    return (
+        parsed.filter(F.col("e").isNotNull() & (F.col("e.t") == "signup"))
+        .filter(
+            F.col("e.username").isNotNull()
+            & F.col("e.email").isNotNull()
+            & F.col("e.ip").isNotNull()
+        )
+        .select(
+            F.col("e.username").alias("username"),
+            F.col("e.email").alias("email"),
+            F.col("e.ip").alias("ip"),
+            F.col("e.userAgent").alias("user_agent"),
+            F.col("e.fingerPrint").alias("finger_print"),
+            F.coalesce(F.col("e.suspIp"), F.lit(False)).alias("susp_ip"),
+            F.current_timestamp().alias("ingest_time"),
+        )
+    )
+
+
+def read_ndjson_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming scan over an NDJSON landing directory."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_signup_lines(reader.load(landing_dir))
+
+
+def read_ndjson_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch twin of the streaming scan (same parse code)."""
+    return parse_signup_lines(spark.read.format("text").load(path))
+
+
+class HttpNdjsonPoller:  # pragma: no cover - network not available in tests
+    """Production S1/S2: a driver-side thread GETs the chunked NDJSON stream
+    and appends complete lines to the landing directory in rotating files;
+    on stream end/error it sleeps 7 s and reconnects forever
+    (src/eventstream.rs:64-71). The streaming query then tails the landing
+    dir — decoupling transport restarts from query restarts.
+
+    (A Spark 4 Python streaming data source is the zero-landing-zone
+    alternative; the landing-dir form is kept primary because it preserves
+    replayability and exactly-once file-source semantics.)
+    """
+
+    RECONNECT_BACKOFF_S = 7  # src/eventstream.rs:68-69
+
+    def __init__(self, url: str, token: str, landing_dir: str):
+        self.url, self.token, self.landing_dir = url, token, landing_dir
+
+    def run_forever(self) -> None:
+        import time
+        import urllib.request
+
+        n = 0
+        while True:
+            try:
+                req = urllib.request.Request(
+                    self.url, headers={"Authorization": f"Bearer {self.token}"}
+                )
+                with urllib.request.urlopen(req) as resp:
+                    buf = b""
+                    for chunk in iter(lambda: resp.read(8192), b""):
+                        buf += chunk
+                        *lines, buf = buf.split(b"\n")
+                        if lines:
+                            n += 1
+                            with open(f"{self.landing_dir}/poll-{n:08d}.ndjson", "wb") as f:
+                                f.write(b"\n".join(lines))
+            except Exception as e:
+                print(f"stream error, reconnecting in {self.RECONNECT_BACKOFF_S}s: {e}")
+            time.sleep(self.RECONNECT_BACKOFF_S)
