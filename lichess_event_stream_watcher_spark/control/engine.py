@@ -34,7 +34,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.enrich import enrich_device, enrich_geoip
+from ..operators.enrich import enrich_device, enrich_geoip_banded
 from ..plans.compile import compile_matches
 from ..rules.model import UTC, MIN_UTC, Action, Rule
 from ..rules.store import SignupRulesManager
@@ -127,7 +127,7 @@ class Engine:
         """P1 + P2; geoip stays NULL when no range table is wired."""
         out = enrich_device(df)
         if self.geoip_ranges is not None:
-            out = enrich_geoip(out, self.geoip_ranges)
+            out = enrich_geoip_banded(out, self.geoip_ranges)
         else:
             out = out.withColumn(
                 "geoip",

@@ -136,6 +136,50 @@ def enrich_geoip(df: DataFrame, ranges: DataFrame, ip_col: str = "ip") -> DataFr
     return joined.withColumn("geoip", geoip).drop("lo", "hi", "country", "city", "subdivisions", "_ipn")
 
 
+def enrich_geoip_banded(
+    df: DataFrame, ranges: DataFrame, ip_col: str = "ip", band_bits: int = 16
+) -> DataFrame:
+    """P1/J2, the scale path: banded range join.
+
+    BroadcastNestedLoopJoin probes every range per row — O(|ranges|) per
+    event. Banding makes it a broadcast HASH join: each range explodes into
+    the /``band_bits`` buckets it covers (a one-time, tiny dim-side blowup),
+    events join on the bucket equi-key, and a residual BETWEEN filters
+    within the bucket — O(1) hash probe + a few residual comparisons per
+    event. Identical output to ``enrich_geoip`` for non-overlapping ranges.
+    """
+    shift = 32 - band_bits
+    banded = ranges.withColumn(
+        "band",
+        F.explode(
+            F.sequence(
+                F.shiftrightunsigned(F.col("lo"), shift),
+                F.shiftrightunsigned(F.col("hi"), shift),
+            )
+        ),
+    )
+    ipn = ip_to_num(F.col(ip_col))
+    b = F.broadcast(banded)
+    joined = df.withColumn("_ipn", ipn).join(
+        b,
+        on=(F.shiftrightunsigned(F.col("_ipn"), shift) == b["band"])
+        & (F.col("_ipn") >= b["lo"])
+        & (F.col("_ipn") <= b["hi"]),
+        how="left",
+    )
+    geoip = F.when(
+        b["country"].isNotNull() | b["city"].isNotNull(),
+        F.struct(
+            b["country"].alias("country"),
+            b["city"].alias("city"),
+            b["subdivisions"].alias("subdivisions"),
+        ),
+    )
+    return joined.withColumn("geoip", geoip).drop(
+        "lo", "hi", "country", "city", "subdivisions", "band", "_ipn"
+    )
+
+
 def normalize_user_id(df: DataFrame, username_col: str = "username") -> DataFrame:
     """P3: lower(username) as the dedup/group key (src/eventhandler.rs:91)."""
     return df.withColumn("user_id_norm", F.lower(F.col(username_col)))

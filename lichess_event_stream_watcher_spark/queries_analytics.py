@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import fixtures, testdata
-from .operators.enrich import enrich_device, enrich_geoip
+from .operators.enrich import enrich_device, enrich_geoip_banded
 from .queries import _signups, query
 
 _CTE = testdata.signups_cte("duckdb")
@@ -41,7 +41,7 @@ def geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: ip -> geoip struct via broadcast point-in-range join; rows with no
     covering range keep geoip NULL (src/eventhandler.rs:79-83)."""
     df = _signups(spark, sf_dir)
-    out = enrich_geoip(df, fixtures.geoip_ranges_df(spark))
+    out = enrich_geoip_banded(df, fixtures.geoip_ranges_df(spark))
     return out.select(
         "event_id",
         F.col("geoip.country").alias("country"),

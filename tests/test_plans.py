@@ -1,0 +1,68 @@
+"""Physical-plan shape tests — the scale contract, pinned.
+
+These assert the properties that make the engine survive a 100x scale-up:
+the rule scan stays a shuffle-free map projection, dimension joins stay
+broadcast-hash (never nested-loop or sort-merge), and parquet scans prune
+columns and push filters.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from lichess_event_stream_watcher_spark import fixtures, testdata
+from lichess_event_stream_watcher_spark.operators.enrich import (
+    enrich_geoip,
+    enrich_geoip_banded,
+)
+from lichess_event_stream_watcher_spark.plans.compile import compile_matches
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rule_scan_is_shuffle_free(spark, sf_dir):
+    signups = testdata.signups_df(spark, sf_dir)
+    df = compile_matches(signups, fixtures.reference_ruleset())
+    p = plan_str(df)
+    assert "Exchange" not in p  # no shuffle: rules fold into the projection
+    assert "Join" not in p  # the J1 "join" compiles away entirely
+
+
+def test_geoip_banded_is_broadcast_hash_join(spark, sf_dir):
+    events = testdata.signups_df(spark, sf_dir)
+    ranges = fixtures.geoip_ranges_df(spark)
+    p = plan_str(enrich_geoip_banded(events, ranges))
+    assert "BroadcastHashJoin" in p  # O(1) probe per event
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    # the naive range join IS nested-loop — the banded form is the fix
+    p_naive = plan_str(enrich_geoip(events, ranges))
+    assert "BroadcastNestedLoopJoin" in p_naive
+
+
+def test_parquet_column_pruning_and_pushdown(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = testdata.load(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_returnflag", "l_quantity")
+    p = plan_str(df)
+    scan = p[p.index("FileScan"):]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m, p
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    # only the projected + filter columns reach the scan
+    assert read_cols == {"l_returnflag", "l_quantity", "l_shipdate"}
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan or "LessThanOrEqual(l_shipdate" in scan
+
+
+def test_tpch_q5_dim_joins_broadcast(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_q5_region_revenue"](spark, sf_dir)
+    p = plan_str(df)
+    assert p.count("BroadcastHashJoin") >= 3  # region/nation/customer/supplier dims
+    assert "SortMergeJoin" not in p
