@@ -1,0 +1,122 @@
+"""Distributed stateful streaming twins of the bounded in-memory windows.
+
+The reference's state (SURVEY.md §1.1.4) is a GLOBAL count-based window:
+the last 10,000 events + per-user row lists (src/eventhandler.rs:91-113)
+and a 2,000-id notification dedup deque (:211-214). A global COUNT-based
+window is inherently sequential — it cannot shard without a total order.
+The engine facade keeps the exact semantics driver-side (bounded, tiny);
+this module provides the DISTRIBUTED twins that scale to any event rate by
+trading the count bound for a TIME bound (the documented divergence,
+SURVEY.md §2.5 A4 / §7 stage 3):
+
+- ``seen_window_stream``: per-user running state via
+  ``applyInPandasWithState`` — count, first/last seen, last-k rows —
+  with processing-time TTL eviction replacing count-based eviction.
+  State shards by user key; each micro-batch touches only updated keys.
+- ``notify_dedup_stream``: first-occurrence-only emission via watermarked
+  ``dropDuplicates`` — the W2/J3 suppression with watermark-bounded state.
+
+Both operate on the parsed signup stream (streaming.source) and run
+identically under ``availableNow`` replay for tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SEEN_OUTPUT_SCHEMA = (
+    "user_id string, seen_count bigint, first_seen timestamp, "
+    "last_seen timestamp, recent_json array<string>"
+)
+SEEN_STATE_SCHEMA = (
+    "seen_count bigint, first_seen timestamp, last_seen timestamp, "
+    "recent_json array<string>"
+)
+RECENT_K = 3  # last-k retained rows per user (the A3-style bound)
+
+
+def seen_window_stream(
+    events: DataFrame,
+    ttl_minutes: int | None = None,
+    recent_k: int = RECENT_K,
+) -> DataFrame:
+    """Per-user `seen` state (A4/J4/A5), sharded by user key.
+
+    Emits one update row per user per micro-batch in which that user
+    appeared. With ``ttl_minutes`` set (the production continuous-trigger
+    mode), idle users evict after that much processing time — the
+    time-based stand-in for "fell out of the last 10K events". Leave it
+    None for bounded ``availableNow`` replays: a processing-time timeout
+    makes Spark schedule timer-check batches forever, so an availableNow
+    query would never terminate.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            count, first_seen, last_seen, recent = state.get
+            recent = list(recent)
+        else:
+            count, first_seen, last_seen, recent = 0, None, None, []
+        count += len(rows)
+        ts = rows["ingest_time"]
+        batch_min, batch_max = ts.min(), ts.max()
+        first_seen = batch_min if first_seen is None else min(first_seen, batch_min)
+        last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+        recent = (recent + list(rows["user_json"]))[-recent_k:]
+        state.update((count, first_seen, last_seen, recent))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seen_count": [count],
+                "first_seen": [first_seen],
+                "last_seen": [last_seen],
+                "recent_json": [recent],
+            }
+        )
+
+    keyed = events.select(
+        F.lower(F.col("username")).alias("user_id"),
+        F.col("ingest_time"),
+        F.to_json(
+            F.struct("username", "email", "ip", "user_agent", "finger_print", "susp_ip")
+        ).alias("user_json"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SEEN_OUTPUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def notify_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """W2/J3 as a stream: emit only the FIRST signup per user id within the
+    watermark horizon; duplicates are suppressed by keyed dedup state that
+    the watermark garbage-collects (the 2,000-id deque, time-bounded)."""
+    return (
+        events.withColumn("user_id", F.lower(F.col("username")))
+        .withWatermark("ingest_time", watermark)
+        .dropDuplicates(["user_id"])
+    )
