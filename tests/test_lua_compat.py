@@ -1,0 +1,128 @@
+"""Code-predicate runtime tests (SURVEY.md §2.8, §5.5).
+
+Unit tests pin the sentinel semantics of src/lua.rs:8-70 (the code never
+sees NULLs — nullable fields surface as sentinel STRINGS, so e.g.
+``regex(user.fp(), "x")`` on a NULL fingerprint matches against
+"<NO PRINT>", not NULL). The differential test runs random rows through the
+Spark pandas-UDF path AND the pure-Python interpreter and requires
+identical verdicts — the §5.5 property-based oracle for the one operator
+DuckDB can't check.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from lichess_event_stream_watcher_spark.lua_compat import (
+    NO_CITY,
+    NO_COUNTRY,
+    NO_PRINT,
+    NO_UA,
+    UserRow,
+    compile_predicate,
+    code_predicate_column,
+    is_in_ip_range,
+    regex,
+)
+
+
+def test_sentinels_on_null_fields():
+    r = UserRow({"username": "Bob", "email": "b@x.y", "ip": "1.2.3.4"})
+    assert r.ua() == NO_UA and r.fp() == NO_PRINT
+    assert r.country() == NO_COUNTRY and r.city() == NO_CITY
+    assert r.subdivisions() == [] and not r.has_subdivision("A")
+    # the reference's Lua sees sentinels, never nulls: a regex on a missing
+    # fingerprint runs against "<NO PRINT>"
+    assert compile_predicate('regex(user.fp(), "NO PRINT")')(
+        {"username": "x", "email": "e", "ip": "i"}
+    )
+
+
+def test_geoip_device_bindings():
+    row = {
+        "username": "x", "email": "e", "ip": "i",
+        "geoip": {"country": "DE", "city": None, "subdivisions": ["BY", "BW"]},
+        "device": {"device": "Computer", "os": None, "client": "Firefox 128"},
+    }
+    r = UserRow(row)
+    assert r.country() == "DE" and r.city() == NO_CITY
+    assert r.has_subdivision("BY") and not r.has_subdivision("HH")
+    assert r.os() == "<NO OS>" and r.client() == "Firefox 128"
+
+
+def test_regex_search_semantics():
+    assert regex("hello world", "o w")  # unanchored search (src/lua.rs:80)
+    assert not regex("hello", "^world")
+
+
+def test_ip_range_inclusive_bounds():
+    # src/lua.rs:98 — inclusive on BOTH ends
+    assert is_in_ip_range("10.0.0.0", "10.0.0.0", "10.0.0.255")
+    assert is_in_ip_range("10.0.0.255", "10.0.0.0", "10.0.0.255")
+    assert not is_in_ip_range("10.0.1.0", "10.0.0.0", "10.0.0.255")
+    assert not is_in_ip_range("bogus", "10.0.0.0", "10.0.0.255")
+
+
+def test_error_isolation():
+    # a raising predicate evaluates False, never crashes the scan
+    # (src/eventhandler.rs:258-272)
+    bad = compile_predicate('int(user.email()) > 0')
+    try:
+        result = bad({"username": "x", "email": "not-a-number", "ip": "i"})
+    except ValueError:
+        result = "raised"
+    assert result == "raised"  # the raw fn raises; the UDF wrapper catches
+
+
+PREDICATES = [
+    'regex(user.email(), "@(gmail|proton)")',
+    'user.fp() != "<NO PRINT>"',
+    'len(user.ua()) <= 20',
+    'isInIpRange(user.ip(), "10.0.0.0", "10.127.255.255")',
+    'user.susp_ip() and regex(user.name(), "(?i)bot")',
+    'user.name().lower() == user.email().split("@")[0]',
+]
+
+
+def _random_rows(n: int, seed: int) -> list[dict]:
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        name = "".join(rng.choices(string.ascii_letters, k=rng.randint(3, 10)))
+        if rng.random() < 0.3:
+            name += rng.choice(["Bot", "bOt", "bot"])
+        rows.append(
+            {
+                "username": name,
+                "email": f"{name.lower() if rng.random() < 0.3 else 'u' + str(i)}@"
+                + rng.choice(["gmail.com", "proton.me", "x.org"]),
+                "ip": f"10.{rng.randint(0, 255)}.{rng.randint(0, 255)}.{rng.randint(0, 255)}",
+                "user_agent": None if rng.random() < 0.3 else "M" * rng.randint(1, 40),
+                "finger_print": None if rng.random() < 0.5 else f"fp{i}",
+                "susp_ip": rng.random() < 0.2,
+            }
+        )
+    return rows
+
+
+def test_differential_spark_vs_python(spark):
+    rows = _random_rows(300, seed=20260813)
+    df = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "username string, email string, ip string, user_agent string, "
+        "finger_print string, susp_ip boolean",
+    )
+    cols = [
+        code_predicate_column(p).alias(f"p{i}") for i, p in enumerate(PREDICATES)
+    ]
+    got = df.select(*cols).collect()
+    for i, p in enumerate(PREDICATES):
+        fn = compile_predicate(p)
+        expected = [bool(fn(r)) for r in rows]
+        actual = [bool(row[f"p{i}"]) for row in got]
+        assert actual == expected, f"divergence on predicate: {p}"
+        assert any(expected), f"predicate never true (weak test): {p}"
+        assert not all(expected), f"predicate always true (weak test): {p}"
