@@ -41,6 +41,33 @@ HEADLINE = [
 ]
 
 
+def bench_engine_batch(spark, sf_dir: str) -> float:
+    """End-to-end engine pass (enrich + rule scan + side effects + state)
+    over the full signup batch — the reference's whole hot path as one
+    micro-batch."""
+    import random
+
+    from lichess_event_stream_watcher_spark import fixtures, testdata
+    from lichess_event_stream_watcher_spark.control.engine import Engine
+    from lichess_event_stream_watcher_spark.control.sinks import CollectingSink
+    from lichess_event_stream_watcher_spark.rules.store import SignupRulesManager
+
+    store = SignupRulesManager()
+    for r in fixtures.reference_ruleset():
+        store.rules.append(r)
+    engine = Engine(
+        store,
+        messages=CollectingSink(),
+        mod_api=CollectingSink(),
+        geoip_ranges=fixtures.geoip_ranges_df(spark),
+        rng=random.Random(0),
+    )
+    batch = testdata.signups_df(spark, sf_dir)
+    t0 = time.perf_counter()
+    engine.process_batch(batch)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -60,6 +87,9 @@ def main() -> None:
             registry[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    timings["engine_batch"] = round(
+        min(bench_engine_batch(spark, sf_dir) for _ in range(2)), 3
+    )
 
     print(
         json.dumps(

@@ -139,9 +139,13 @@ class Engine:
 
     def process_batch(self, df: DataFrame, hypothetical: bool = False) -> None:
         """One micro-batch through the full pipeline."""
+        from ..operators.util import spread
+
         now = self.now_fn()
-        ordered = df.select(
-            F.monotonically_increasing_id().alias("_row_id"), "*"
+        # _row_id stamps arrival order BEFORE the repartition so ordering
+        # semantics survive the parallelism widening
+        ordered = spread(
+            df.select(F.monotonically_increasing_id().alias("_row_id"), "*")
         )
         enriched = self.enrich(ordered).cache()
         try:
@@ -152,7 +156,12 @@ class Engine:
                 .collect()
             )
             batch_count = enriched.count()
-            tail = enriched.tail(min(batch_count, self.checked_cap))
+            # last-N by arrival order as a distributed top-k (TakeOrdered),
+            # not a partition-order tail
+            tail = enriched.orderBy(F.desc("_row_id")).limit(
+                min(batch_count, self.checked_cap)
+            ).collect()
+            tail.reverse()
         finally:
             enriched.unpersist()
 

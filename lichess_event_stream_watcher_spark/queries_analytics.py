@@ -301,6 +301,29 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_encoding",
+    f"""{_CTE}
+SELECT event_id,
+  base64(encode(email)) AS email_b64,
+  replace(email, '@', '%40') AS email_urlenc,
+  md5(email) AS email_md5
+FROM signups WHERE event_id % 7 = 0""",
+)
+def scalar_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding scalar surface (§2.9): base64 (src/zulip/rtm.rs:43,87),
+    url-encode (src/zulip/web.rs:41-45), md5. Spark's url_encode is
+    form-encoding; the fixture email charset (letters/digits/@/.) makes the
+    oracle a single %40 replace."""
+    s = _signups(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    return s.select(
+        "event_id",
+        F.base64(F.encode(F.col("email"), "UTF-8")).alias("email_b64"),
+        F.url_encode(F.col("email")).alias("email_urlenc"),
+        F.md5(F.col("email")).alias("email_md5"),
+    )
+
+
+@query(
     "date_functions",
     """SELECT event_id,
   strftime(ts, '%d/%m/%Y %H:%M:%S') AS formatted,
