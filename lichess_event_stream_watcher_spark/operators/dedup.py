@@ -305,6 +305,67 @@ def lsh_candidate_pairs(
 _HEX = "0123456789abcdef"
 
 
+def hamming_hex_sql(a: str, b: str, n_hex: int = 16, xor_fn: str = "spark") -> str:
+    """Hamming distance between two n_hex-char hex strings as a statically
+    unrolled SQL expression (per-nibble XOR popcount) — dialect-portable:
+    Spark spells xor ``^``, DuckDB spells it ``xor()``."""
+    terms = []
+    for i in range(1, n_hex + 1):
+        va = f"(instr('{_HEX}', substr({a}, {i}, 1)) - 1)"
+        vb = f"(instr('{_HEX}', substr({b}, {i}, 1)) - 1)"
+        x = f"({va} ^ {vb})" if xor_fn == "spark" else f"xor({va}, {vb})"
+        terms.append(f"bit_count({x})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming(sig_a, sig_b) <= max_hamming.
+
+    Pigeonhole banding: a 64-bit signature splits into ``bands`` equal hex
+    bands; any pair within ``bands - 1`` bit flips shares at least one
+    band verbatim, so the candidate join is an EQUI-join on (band index,
+    band value) — bucket-local fanout, no all-pairs scan — and EXACT for
+    ``max_hamming <= bands - 1``. Hamming verification is a codegen'd
+    nibble-XOR-popcount expression.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("banding is only exact for max_hamming <= bands - 1")
+    sigs = simhash64(df, text_col, id_col).cache()
+    band_len = 16 // bands
+    banded = sigs.withColumn(
+        "band", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
+    ).withColumn(
+        "band_val", F.expr(f"substr(simhash, band * {band_len} + 1, {band_len})")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr(hamming_hex_sql("sim_a", "sim_b"))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -351,6 +351,29 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_ops",
+    f"""{_CTE},
+susp AS (SELECT DISTINCT split_part(email, '@', 2) AS domain FROM signups WHERE susp_ip),
+clean AS (SELECT DISTINCT split_part(email, '@', 2) AS domain FROM signups WHERE NOT susp_ip)
+SELECT domain, 'both' AS tag FROM (SELECT domain FROM susp INTERSECT SELECT domain FROM clean)
+UNION ALL
+SELECT domain, 'susp_only' AS tag FROM (SELECT domain FROM susp EXCEPT SELECT domain FROM clean)""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (§2.6 — absent in the reference, built-in here):
+    email domains of suspicious vs clean signups via INTERSECT / EXCEPT."""
+    s = _signups(spark, sf_dir)
+    domain = F.split_part(F.col("email"), F.lit("@"), F.lit(2)).alias("domain")
+    susp = s.filter(F.col("susp_ip")).select(domain).distinct()
+    clean = s.filter(~F.col("susp_ip")).select(domain).distinct()
+    both = susp.intersect(clean).select("domain", F.lit("both").alias("tag"))
+    only = susp.exceptAll(clean).distinct().select(
+        "domain", F.lit("susp_only").alias("tag")
+    )
+    return both.unionAll(only)
+
+
+@query(
     "json_extract_props",
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events WHERE event_type = 'signup'""",

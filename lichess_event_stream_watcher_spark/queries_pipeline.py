@@ -192,6 +192,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(docs).select(F.col("id").alias("doc_id"), "simhash")
 
 
+_SIMHASH_PAIRS_ORACLE = rf"""WITH sigs AS ({_SIMHASH_ORACLE.replace("SELECT id AS doc_id", "SELECT id")}),
+banded AS (
+  SELECT id, simhash, band, substr(simhash, band * 4 + 1, 4) AS band_val
+  FROM sigs CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT id_a, id_b, {D.hamming_hex_sql("sim_a", "sim_b", xor_fn="duckdb")} AS hamming
+FROM cand
+WHERE {D.hamming_hex_sql("sim_a", "sim_b", xor_fn="duckdb")} <= 3"""
+
+
+@query("dedup_simhash_pairs", _SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole banding: pairs
+    within 3 bit flips share one of 4 verbatim 16-bit bands, so candidates
+    come from a bucket-local equi-join, verified by a codegen'd
+    nibble-XOR-popcount expression."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, max_hamming=3, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------
