@@ -111,6 +111,45 @@ def _register_single_criterion_queries() -> None:
 _register_single_criterion_queries()
 
 
+# K2 — the jitter/delay policy as data (src/eventhandler.rs:167-178):
+# per (event, rule, action), whether delivery is delayed and the fixed extra.
+# The random 30-99s draw itself is per-event at dispatch time (Engine);
+# the POLICY columns are deterministic and oracle-checked here.
+_DELAYED = "('EngineMark', 'BoostMark', 'IpBan', 'Close')"
+_NODELAY_RULES = [r.name for r in fixtures.reference_ruleset() if r.no_delay]
+_NODELAY_SQL = "('" + "', '".join(_NODELAY_RULES) + "')"
+
+
+@query(
+    "action_schedule",
+    f"""{_CTE},
+matches AS ({fixtures.oracle_union_sql(with_actions=True)})
+SELECT event_id, username, rule_name, action,
+  action IN {_DELAYED} AND rule_name NOT IN {_NODELAY_SQL} AS delayed,
+  CASE WHEN action = 'Close' AND rule_name NOT IN {_NODELAY_SQL}
+       THEN 1500 ELSE 0 END AS extra_delay_ms
+FROM matches""",
+)
+def action_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 delay policy columns over the exploded action dispatch: the
+    delay-queue-table form of jittered delivery (executors never sleep)."""
+    df = _signups(spark, sf_dir)
+    m = compile_matches(df, fixtures.reference_ruleset(), with_actions=True)
+    no_delay = F.col("rule_name").isin(_NODELAY_RULES)
+    delayed = F.col("action").isin("EngineMark", "BoostMark", "IpBan", "Close") & ~no_delay
+    extra = F.when((F.col("action") == "Close") & ~no_delay, F.lit(1500)).otherwise(
+        F.lit(0)
+    )
+    return m.select(
+        "event_id",
+        "username",
+        "rule_name",
+        "action",
+        delayed.alias("delayed"),
+        extra.cast("int").alias("extra_delay_ms"),
+    )
+
+
 # F8 — CODE predicate (non-SQL-expressible -> rows-only driver check;
 # exact differential oracle lives in tests/test_lua_compat.py)
 @query("crit_code_predicate")

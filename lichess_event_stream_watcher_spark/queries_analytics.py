@@ -427,6 +427,38 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_pricing",
+    """SELECT
+  COALESCE(l_returnflag, 'ALL') AS rflag,
+  COALESCE(l_linestatus, 'ALL') AS lstatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets surface (§2.5 — absent in the reference, built-in
+    here): ROLLUP over (returnflag, linestatus) with subtotal and grand
+    total rows; one shuffle, grouping-set expansion map-side."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
     "tpch_q3_revenue",
     """SELECT c.c_mktsegment,
   CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,

@@ -156,3 +156,18 @@ def test_error_paths():
         with pytest.raises(ParseError) as e:
             parse(bad)
         assert e.value.message == "Could not parse user command"
+
+
+def test_rtm_dispatch_filter():
+    # mention/stream/topic filter (src/zulip/rtm.rs:126-142)
+    from lichess_event_stream_watcher_spark.control.rtm import dispatch_message
+
+    seen = []
+    msg = {"display_recipient": "mod-log", "subject": "signups"}
+    ok = dispatch_message("@**bot** status", "bot", "mod-log", "signups", msg, seen.append)
+    assert ok and seen == ["status"]
+    # wrong stream / wrong topic / no mention -> filtered
+    assert not dispatch_message("@**bot** status", "bot", "other", "signups", msg, seen.append)
+    assert not dispatch_message("@**bot** status", "bot", "mod-log", "other", msg, seen.append)
+    assert not dispatch_message("status", "bot", "mod-log", "signups", msg, seen.append)
+    assert seen == ["status"]
