@@ -73,6 +73,90 @@ def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
     raise NotImplementedError("media decode libs not available in this environment")
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType(), False),
+                    T.StructField("width", T.IntegerType(), False),
+                    T.StructField("height", T.IntegerType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize step: binary -> binary with updated typed metadata.
+
+    The pixel transform is a deterministic fake (decode is stubbed — see
+    ``decode_image``): output bytes are the payload truncated/cycled to
+    width*height, standing in for a real thumbnail. Partitioning, Arrow
+    batch flow, and the metadata contract are exactly what a PIL-backed
+    implementation would use — swap the body, keep the plumbing."""
+    n_out = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                out = (b * (n_out // max(1, len(b)) + 1))[:n_out] if b else b"\x00" * n_out
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": out,
+                        "meta": {"n_bytes": len(out), "width": width, "height": height},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 256, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling: one input row -> many frame rows (a flatMap).
+
+    The payload splits into fixed-size pseudo-frames and every n-th is
+    kept — the video-decode stand-in. The 1->N row expansion via
+    mapInPandas is the real shape of a frame extractor; frames stay with
+    their source partition (no shuffle)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, every_n):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_payload": b[idx * frame_bytes:(idx + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Deterministic fake feature extractor over the binary payload via
     mapInPandas: byte statistics stand in for real decoded features, with

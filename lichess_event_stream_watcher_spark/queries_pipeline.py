@@ -320,3 +320,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are asserted against Python in tests)."""
     docs = testdata.load(spark, sf_dir, "documents")
     return M.extract_features(M.to_media_table(docs)).drop("byte_histogram_head")
+
+
+@query(
+    "multimodal_frames",
+    """WITH f AS (
+  SELECT doc_id,
+         (CAST(octet_length(encode(text)) AS BIGINT) + 99) // 100 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+  (n_frames + 1) // 2 AS n_sampled,
+  2 * ((n_frames - 1) // 2) AS max_frame_idx
+FROM f""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1->N mapInPandas flatMap) summarized per doc; the
+    oracle derives the sampled-frame arithmetic from payload lengths."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    frames = M.sample_frames(M.to_media_table(docs), frame_bytes=100, every_n=2)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )

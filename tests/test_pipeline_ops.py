@@ -94,3 +94,30 @@ def test_media_manifest_md5_matches_hashlib(spark, sf_dir):
     for row in docs.collect():
         assert m[row.doc_id].meta.content_md5 == hashlib.md5(row.text.encode()).hexdigest()
         assert bytes(m[row.doc_id].payload) == row.text.encode()
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import multimodal as M
+
+    docs = testdata.load(spark, sf_dir, "documents").limit(20)
+    media = M.to_media_table(docs)
+
+    resized = M.resize_media(media, width=8, height=8).collect()
+    assert len(resized) == 20
+    for r in resized:
+        assert len(r["payload"]) == 64
+        assert r["meta"]["n_bytes"] == 64
+        assert (r["meta"]["width"], r["meta"]["height"]) == (8, 8)
+
+    frames = M.sample_frames(media, frame_bytes=100, every_n=2).collect()
+    by_doc = {}
+    for f in frames:
+        by_doc.setdefault(f["doc_id"], []).append(f)
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for doc_id, fs in by_doc.items():
+        idxs = sorted(f["frame_idx"] for f in fs)
+        assert idxs == list(range(0, (len(src[doc_id]) + 99) // 100, 2))
+        for f in fs:
+            lo = f["frame_idx"] * 100
+            assert bytes(f["frame_payload"]) == src[doc_id][lo:lo + 100]
