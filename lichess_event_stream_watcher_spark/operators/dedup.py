@@ -290,15 +290,26 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    est = (
-        sa.join(sb, (F.col("sa.seed") == F.col("sb.seed")) & (F.col("sa.id") < F.col("sb.id")))
-        .filter(F.col("sa.minhash") == F.col("sb.minhash"))
-        .groupBy(F.col("sa.id").alias("id_a"), F.col("sb.id").alias("id_b"))
-        .agg((F.count("*") / F.lit(float(k))).alias("est_jaccard"))
+    # estimate ONLY for candidate pairs: fold each signature into a
+    # seed-ordered array, join the (small) candidate set against it twice,
+    # and count equal positions with zip_with — never the corpus-wide
+    # (seed, minhash) self-join, whose fanout tracks global near-dup mass
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda s: s["minhash"]
     )
-    return cand.join(est, ["id_a", "id_b"], "left").fillna({"est_jaccard": 0.0}).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    sig_arr = sigs.groupBy("id").agg(ordered.alias("sig"))
+    est_col = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k))
+    )
+    return (
+        cand.join(sig_arr.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sig_arr.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+        .select("id_a", "id_b", F.round(est_col, 6).alias("est_jaccard"))
     )
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -17,3 +18,26 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: semantics-identical to ``big.join(small, key)``.
+
+    A hot key concentrates its rows in one shuffle partition; salting
+    spreads them over ``salt`` sub-keys (round-robin on the big side via
+    the arrival id, NOT hash-of-key — hashing the key would send every row
+    of the hot key to the same salt again), while the small side replicates
+    each key x salt. Use when AQE's runtime skew-join split isn't available
+    (e.g. the join feeds a co-partitioned downstream op).
+    """
+    big_s = big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")

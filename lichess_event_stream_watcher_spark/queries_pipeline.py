@@ -323,6 +323,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_event_type_counts",
+    """WITH dim AS (
+  SELECT DISTINCT event_type, upper(event_type) AS type_label FROM events
+)
+SELECT d.type_label, COUNT(*) AS n, CAST(ROUND(SUM(e.value), 2) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY d.type_label""",
+)
+def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join demo: event_type is a pathologically hot key (a
+    handful of values over the whole fact table); the salted join spreads
+    each hot key over 16 sub-keys. Oracle = the plain join, proving salting
+    is semantics-free."""
+    from .operators.util import salted_join
+
+    ev = testdata.load(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_label", F.upper("event_type")
+    )
+    joined = salted_join(ev, dim, "event_type")
+    return joined.groupBy("type_label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).cast("double").alias("total_value"),
+    )
+
+
+@query("sketch_stats")
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ approx-distinct, GK approx-quantiles) next
+    to their exact values — one partial-agg pass, no extra shuffle.
+    Rows-only driver check (estimates are engine-specific); the error
+    bounds are pytest-asserted against exact values."""
+    ev = testdata.load(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.expr("percentile(value, 0.5)").alias("exact_median_value"),
+    )
+
+
+@query(
     "multimodal_frames",
     """WITH f AS (
   SELECT doc_id,

@@ -121,3 +121,15 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
         for f in fs:
             lo = f["frame_idx"] * 100
             assert bytes(f["frame_payload"]) == src[doc_id][lo:lo + 100]
+
+
+def test_sketch_error_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    row = entry.queries()["sketch_stats"](spark, sf_dir).collect()[0]
+    # HLL++ at rsd=0.02: generous 5% assertion bound
+    assert abs(row["approx_users"] - row["exact_users"]) <= max(2, 0.05 * row["exact_users"])
+    # GK quantile sketch with accuracy 10000 on this cardinality: near-exact
+    assert abs(row["approx_median_value"] - row["exact_median_value"]) <= max(
+        1e-6, 0.02 * abs(row["exact_median_value"])
+    )
