@@ -130,6 +130,75 @@ def hyperplane_buckets(
     return per_anchor.groupBy(id_col).agg(F.array_join(ordered, "").alias("bucket"))
 
 
+def nearest_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: rank broadcast centroids (cent_id, cent_vec) by
+    rounded cosine against each vector; keep the top-``n`` cells.
+
+    Map-side after the centroid broadcast (the crossJoin is
+    BroadcastNestedLoopJoin — no shuffle of the corpus); the window is
+    partitioned by vector id so ranking is corpus-partition-local.
+    Output: (<id_col>, cent_id, cell_rank)."""
+    c = F.broadcast(centroids)
+    scored = emb.crossJoin(c).withColumn(
+        "cell_sim", F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cell_rank") <= n)
+        .select(id_col, vec_col, "cent_id", "cell_rank")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: each corpus vector lives in its single
+    nearest cell; a query probes its ``nprobe`` nearest cells and ranks
+    exactly within them.
+
+    Scale shape: cell assignment is a broadcast map (no corpus shuffle),
+    the candidate join is cell-local with the tiny probe side broadcast,
+    and the final ranking window partitions by query — the corpus is never
+    shuffled and never compared all-pairs. Recall trades with centroid
+    count x nprobe. Output: (query_id, neighbor_id, cos_sim, rank)."""
+    cells = nearest_cells(emb, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = nearest_cells(
+        emb.filter(F.col(id_col).isin(query_ids)), centroids, nprobe, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("cent_id").alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     anchors: DataFrame,

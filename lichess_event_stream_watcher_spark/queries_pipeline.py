@@ -282,6 +282,52 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hyperplane_buckets(emb, anchors)
 
 
+_IVF_ORACLE = f"""WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+),
+assign AS (
+  SELECT a.vec_id, b.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_COS_SQL}, 6) DESC, b.cent_id ASC
+         ) AS rnk
+  FROM embeddings a CROSS JOIN cents b
+),
+cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM assign WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= 2
+),
+cand AS (
+  SELECT p.query_id, c.neighbor_id FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 8 coarse centroids (vec_ids 8-15), each vector in its
+    nearest cell, queries probe their 2 nearest cells and rank exactly
+    within them — the cell-local scale path next to the LSH variant."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2)
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k within LSH buckets (rows-only check: recall vs the

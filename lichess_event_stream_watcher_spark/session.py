@@ -15,6 +15,12 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "lesw-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # one BLAS thread per Python worker: mapInPandas runs `cpus` workers
+    # concurrently, so per-worker BLAS threading would oversubscribe `cpus`^2
+    # threads (workers inherit the driver env in local mode; on a cluster set
+    # spark.executorEnv.* to the same effect)
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     shuffle = str(shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
     return (
