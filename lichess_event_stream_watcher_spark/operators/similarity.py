@@ -108,6 +108,10 @@ def cosine_near_dup_pairs(
     )
 
 
+def _lit_vec(vec) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     anchors: DataFrame,
@@ -115,19 +119,18 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string of dots with anchor
-    vectors (anchors: (anchor_id, anchor_vec), small -> broadcast).
+    vectors (anchors: (anchor_id, anchor_vec), tiny -> collected and inlined
+    as literal arrays).
 
-    Output: (vec_id, bucket). Map-side after the broadcast; the bucket join
-    then bounds ANN candidate sets at any corpus size."""
-    a = F.broadcast(anchors)
-    bit = F.when(dot(F.col(vec_col), F.col("anchor_vec")) >= 0, F.lit("1")).otherwise(F.lit("0"))
-    per_anchor = emb.crossJoin(a).select(
-        F.col(id_col), F.col("anchor_id"), bit.alias("bit")
-    )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("anchor_id", "bit"))), lambda s: s["bit"]
-    )
-    return per_anchor.groupBy(id_col).agg(F.array_join(ordered, "").alias("bucket"))
+    Output: (vec_id, bucket), bits in anchor_id order. The bucket id is a
+    pure per-row projection — zero shuffle, zero join at ANY corpus size;
+    only the later bucket-local candidate join moves data."""
+    avecs = sorted(anchors.collect(), key=lambda r: r[0])
+    bits = [
+        F.when(dot(F.col(vec_col), _lit_vec(r[1])) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for r in avecs
+    ]
+    return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
 def nearest_cells(
@@ -140,19 +143,39 @@ def nearest_cells(
     """IVF coarse quantizer: rank broadcast centroids (cent_id, cent_vec) by
     rounded cosine against each vector; keep the top-``n`` cells.
 
-    Map-side after the centroid broadcast (the crossJoin is
-    BroadcastNestedLoopJoin — no shuffle of the corpus); the window is
-    partitioned by vector id so ranking is corpus-partition-local.
-    Output: (<id_col>, cent_id, cell_rank)."""
-    c = F.broadcast(centroids)
-    scored = emb.crossJoin(c).withColumn(
-        "cell_sim", F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6)
+    The centroid set is tiny, so it collects to the driver and inlines as
+    literal arrays: scoring + ranking is a pure per-row projection (an
+    array_sort over ~|centroids| struct elements) — zero shuffle, zero join
+    of the corpus. Output: (<id_col>, <vec_col>, cent_id, cell_rank)."""
+    cvecs = sorted(centroids.collect(), key=lambda r: r[0])
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col(vec_col), _lit_vec(cv)), 6).alias("cell_sim"),
+                F.lit(int(cid)).cast("bigint").alias("cent_id"),
+            )
+            for cid, cv in [(r[0], r[1]) for r in cvecs]
+        ]
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cent_id"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("cell_rank") <= n)
-        .select(id_col, vec_col, "cent_id", "cell_rank")
+    # desc by similarity, asc by cent_id on ties — comparator keeps the
+    # rounded-double ordering identical to the SQL ORDER BY
+    ranked = F.slice(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["cell_sim"] > b["cell_sim"], F.lit(-1))
+            .when(a["cell_sim"] < b["cell_sim"], F.lit(1))
+            .otherwise((a["cent_id"] - b["cent_id"]).cast("int")),
+        ),
+        1,
+        n,
+    )
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(ranked).alias("_pos", "_cell")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("_cell.cent_id").alias("cent_id"),
+        (F.col("_pos") + 1).cast("bigint").alias("cell_rank"),
     )
 
 

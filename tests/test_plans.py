@@ -66,3 +66,41 @@ def test_tpch_q5_dim_joins_broadcast(spark, sf_dir):
     p = plan_str(df)
     assert p.count("BroadcastHashJoin") >= 3  # region/nation/customer/supplier dims
     assert "SortMergeJoin" not in p
+
+
+def test_ann_primitives_are_map_side(spark, sf_dir):
+    """LSH bucketing and IVF cell assignment must be pure projections:
+    anchors/centroids inline as literals, so no shuffle and no join ever
+    touches the corpus regardless of its size."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    p = plan_str(S.hyperplane_buckets(emb, anchors))
+    assert "Exchange" not in p and "Join" not in p
+
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    p = plan_str(S.nearest_cells(emb, cents, 2))
+    assert "Exchange" not in p and "Join" not in p
+
+
+def test_ivf_candidate_join_is_broadcast(spark, sf_dir):
+    """The IVF probe join must broadcast the tiny probe side; the corpus
+    side must not be exchanged for the join itself."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    p = plan_str(S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
