@@ -32,6 +32,8 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_revenue",
     "tpch_q5_region_revenue",
+    "sessionize",
+    "asof_join_orders",
     "text_profile",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

@@ -158,6 +158,126 @@ def last3_caught(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sessionize",
+    """WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM gaps
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_no""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag + cumulative-sum
+    session numbering, then per-session aggregates. One shuffle on user_id
+    serves the lag window, the numbering window AND the final group-by (all
+    three share the partitioning, so Catalyst reuses the exchange); at scale
+    this is the standard sessionization shape for clickstream/training-log
+    data. Streaming twin: ``F.session_window(ts, '30 minutes')``."""
+    ev = testdata.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "asof_join_orders",
+    """WITH ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts,
+       o_orderkey AS asof_orderkey, o_totalprice AS asof_totalprice
+FROM ranked WHERE rn = 1""",
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest order of the same key at or
+    before its timestamp (ties on o_orderdate broken by highest o_orderkey).
+
+    Implemented as the single-shuffle union-and-window as-of join: tag both
+    inputs, sort within key by (time, side, orderkey), carry the last order
+    struct forward with last(ignorenulls) — ONE exchange on the key, no
+    join fan-out (a join+filter+rank shape would materialize every
+    (event x earlier-order) pair before pruning; this never does)."""
+    ev = testdata.load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),  # events sort AFTER orders at equal t (<=)
+        "event_id",
+        "ts",
+        F.lit(None).cast(
+            "struct<asof_orderkey:bigint,asof_totalprice:double>"
+        ).alias("ostruct"),
+    )
+    orders = testdata.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.struct(
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_totalprice").alias("asof_totalprice"),
+        ).alias("ostruct"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", F.col("ostruct.asof_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.unionByName(orders)
+        .select(
+            "side",
+            "event_id",
+            F.col("k").alias("user_id"),
+            "ts",
+            F.last("ostruct", ignorenulls=True).over(w).alias("o"),
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o.asof_orderkey").alias("asof_orderkey"),
+            F.col("o.asof_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
+@query(
     "topk_recent_events",
     """SELECT user_id, event_id, rn FROM (
   SELECT user_id, event_id,
