@@ -77,6 +77,97 @@ def read_ndjson_batch(spark: SparkSession, path: str) -> DataFrame:
     return parse_signup_lines(spark.read.format("text").load(path))
 
 
+class NdjsonTailDataSource:
+    """Spark 4 Python streaming data source: tail a growing NDJSON file with
+    byte-offset tracking — the zero-landing-zone form of S1
+    (src/eventstream.rs:13-73).
+
+    The transport thread (``HttpNdjsonPoller`` in append mode, or anything
+    else) appends lines to one file; this source's offsets are byte
+    positions, so every micro-batch is an exact, REPLAYABLE line range:
+    ``readBetweenOffsets`` re-reads any committed range verbatim, giving
+    Spark-side exactly-once over an at-least-once transport (SURVEY.md
+    §2.10). Only complete (newline-terminated) lines are emitted; a partial
+    trailing line stays un-consumed until its newline arrives — mirroring
+    the reference's chunk-buffering split (:41-51).
+
+    Usage::
+
+        spark.dataSource.register(ndjson_tail_source())
+        lines = spark.readStream.format("ndjson_tail").option("path", p).load()
+        signups = parse_signup_lines(lines)
+    """
+
+    @staticmethod
+    def build():
+        from pyspark.sql.datasource import (
+            DataSource,
+            SimpleDataSourceStreamReader,
+        )
+
+        class _Reader(SimpleDataSourceStreamReader):
+            def __init__(self, options):
+                self.path = options.get("path")
+                if not self.path:
+                    raise ValueError("ndjson_tail requires .option('path', ...)")
+
+            def initialOffset(self) -> dict:
+                return {"pos": 0}
+
+            def _read_range(self, start_pos: int, end_pos: int | None):
+                import os
+
+                try:
+                    size = os.path.getsize(self.path)
+                except OSError:
+                    return [], start_pos
+                stop = size if end_pos is None else min(end_pos, size)
+                if stop <= start_pos:
+                    return [], start_pos
+                with open(self.path, "rb") as f:
+                    f.seek(start_pos)
+                    data = f.read(stop - start_pos)
+                # only complete lines advance the offset (partial tail waits)
+                last_nl = data.rfind(b"\n")
+                if end_pos is None and last_nl < 0:
+                    return [], start_pos
+                if end_pos is None:
+                    data = data[: last_nl + 1]
+                rows = [
+                    (ln.decode("utf-8", errors="replace"),)
+                    for ln in data.split(b"\n")
+                    if ln.strip()
+                ]
+                return rows, start_pos + len(data)
+
+            def read(self, start: dict):
+                rows, new_pos = self._read_range(start["pos"], None)
+                return iter(rows), {"pos": new_pos}
+
+            def readBetweenOffsets(self, start: dict, end: dict):
+                rows, _ = self._read_range(start["pos"], end["pos"])
+                return iter(rows)
+
+        class NdjsonTail(DataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "ndjson_tail"
+
+            def schema(self) -> str:
+                return "value string"
+
+            def simpleStreamReader(self, schema):
+                return _Reader(self.options)
+
+        return NdjsonTail
+
+
+def ndjson_tail_source():
+    """The registerable DataSource class (factory keeps the pyspark.datasource
+    import lazy so batch-only callers never pay it)."""
+    return NdjsonTailDataSource.build()
+
+
 class HttpNdjsonPoller:  # pragma: no cover - network not available in tests
     """Production S1/S2: a driver-side thread GETs the chunked NDJSON stream
     and appends complete lines to the landing directory in rotating files;

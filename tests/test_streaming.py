@@ -100,3 +100,57 @@ def test_stream_engine_end_to_end_with_restart(spark, tmp_path, landing):
     assert engine.store.find_rule("spam").most_recent_caught == ["U1", "U3"]
     # U1/U2 not re-processed: still exactly one notification for u1
     assert len(engine.messages.channel("notify")) == 2
+
+
+def test_ndjson_tail_data_source(spark, tmp_path):
+    """The Spark 4 Python streaming source: byte-offset tailing emits only
+    complete lines, holds back a partial tail, replays committed ranges
+    identically (exactly-once), and never re-emits consumed lines."""
+    import time
+
+    from lichess_event_stream_watcher_spark.streaming.source import (
+        ndjson_tail_source,
+        parse_signup_lines,
+    )
+
+    p = str(tmp_path / "stream.ndjson")
+    with open(p, "w") as f:
+        f.write(
+            '{"t":"signup","username":"Alice","email":"a@x.com","ip":"1.1.1.1"}\n'
+            "not json\n"
+            '{"t":"signup","username":"Bob","email":"b@x.com","ip":"2.2.2.2","suspIp":true}\n'
+            '{"t":"signup","username":"Carol","email":"c@x.com","ip":"3.3.3.3"}'  # partial
+        )
+
+    # offset mechanics, driver-side (no query needed)
+    reader = ndjson_tail_source()({"path": p}).simpleStreamReader("value string")
+    rows, off = reader.read(reader.initialOffset())
+    lines = [r[0] for r in rows]
+    assert len(lines) == 3 and "Carol" not in "".join(lines)  # partial held back
+    replay = [r[0] for r in reader.readBetweenOffsets({"pos": 0}, off)]
+    assert replay == lines  # committed range replays verbatim
+    rows2, off2 = reader.read(off)
+    assert list(rows2) == [] and off2 == off  # nothing new -> no progress
+
+    with open(p, "a") as f:
+        f.write('\n{"t":"signup","username":"Dave","email":"d@x.com","ip":"4.4.4.4"}\n')
+    rows3, _ = reader.read(off)
+    got = [r[0] for r in rows3]
+    assert "Carol" in got[0] and "Dave" in got[1]  # completed tail + new line
+
+    # end-to-end through a streaming query + the DROPMALFORMED parser
+    spark.dataSource.register(ndjson_tail_source())
+    stream = spark.readStream.format("ndjson_tail").option("path", p).load()
+    q = (
+        parse_signup_lines(stream)
+        .writeStream.format("memory")
+        .queryName("tail_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    names = sorted(
+        r["username"] for r in spark.sql("SELECT username FROM tail_sink").collect()
+    )
+    assert names == ["Alice", "Bob", "Carol", "Dave"]
