@@ -197,6 +197,31 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def minhash_signature_arrays(
+    df: DataFrame,
+    k: int = DEFAULT_MINHASH_K,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures as one row per doc: (id, sig array<string>[k]).
+
+    hash_i(shingle) = md5(i || '|' || shingle); the per-seed minimum is taken
+    LEXICOGRAPHICALLY on the hex digest — identical in any engine, no
+    integer conversion needed. ONE wide aggregation: k min-columns with
+    map-side partial aggregation, so exactly one shuffle of one row per
+    (partition, id) — not k exploded rows per shingle — carries the corpus.
+    """
+    sh = shingles(df, n, text_col, id_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*mins).select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = DEFAULT_MINHASH_K,
@@ -204,35 +229,37 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature rows: (id, seed, minhash) for seed in [0, k).
-
-    hash_i(shingle) = md5(i || '|' || shingle); the per-seed minimum is taken
-    LEXICOGRAPHICALLY on the hex digest — identical in any engine, no
-    integer conversion needed. One explode (x k) + one partial min-agg.
-    """
-    sh = shingles(df, n, text_col, id_col)
-    seeded = sh.withColumn("seed", F.explode(F.array(*[F.lit(i) for i in range(k)])))
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """Long-form MinHash rows (id, seed, minhash) — a projection off the
+    wide form."""
+    return minhash_signature_arrays(df, k, n, text_col, id_col).select(
+        "id", F.posexplode("sig").alias("seed", "minhash")
     )
 
 
-def lsh_bands(sigs: DataFrame, k: int = DEFAULT_MINHASH_K, bands: int = DEFAULT_BANDS) -> DataFrame:
-    """Fold signatures into band buckets: (id, band, band_sig).
+def lsh_bands(
+    sigs_wide: DataFrame, k: int = DEFAULT_MINHASH_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band buckets from wide signatures: (id, band, band_sig).
 
-    band_sig = md5 of the band's r minhashes concatenated in seed order.
+    band_sig = md5 of the band's r minhashes joined in seed order — a pure
+    per-row projection (explode of `bands` structs), no shuffle.
     """
     r = k // bands
-    with_band = sigs.withColumn("band", (F.col("seed") / r).cast("int"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda s: s["minhash"]
+    bucket = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    F.md5(F.array_join(F.slice("sig", b * r + 1, r), ",")).alias(
+                        "band_sig"
+                    ),
+                )
+                for b in range(bands)
+            ]
+        )
     )
-    return (
-        with_band.groupBy("id", "band")
-        .agg(F.md5(F.array_join(ordered, ",")).alias("band_sig"))
+    return sigs_wide.select("id", bucket.alias("bb")).select(
+        "id", "bb.band", "bb.band_sig"
     )
 
 
@@ -249,8 +276,10 @@ def lsh_candidate_pairs(
     Pairs collide iff they share any (band, band_sig) bucket; the estimate
     is the fraction of equal minhash seeds. Bucket join keeps the pair
     explosion local to buckets — the scale path for corpus-level dedup.
+    Whole pipeline: one aggregation shuffle builds signatures, banding is a
+    projection, then the bucket self-join and the pair-local estimate joins.
     """
-    sigs = minhash_signatures(df, k, n, text_col, id_col).cache()
+    sigs = minhash_signature_arrays(df, k, n, text_col, id_col).cache()
     bnd = lsh_bands(sigs, k, bands)
     a, b = bnd.alias("a"), bnd.alias("b")
     cand = (
@@ -263,14 +292,10 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # estimate ONLY for candidate pairs: fold each signature into a
-    # seed-ordered array, join the (small) candidate set against it twice,
-    # and count equal positions with zip_with — never the corpus-wide
-    # (seed, minhash) self-join, whose fanout tracks global near-dup mass
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda s: s["minhash"]
-    )
-    sig_arr = sigs.groupBy("id").agg(ordered.alias("sig"))
+    # estimate ONLY for candidate pairs: join the (small) candidate set
+    # against the signature arrays twice and count equal positions with
+    # zip_with — never the corpus-wide (seed, minhash) self-join, whose
+    # fanout tracks global near-dup mass
     est_col = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -280,8 +305,8 @@ def lsh_candidate_pairs(
         / F.lit(float(k))
     )
     return (
-        cand.join(sig_arr.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-        .join(sig_arr.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+        cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
         .select("id_a", "id_b", F.round(est_col, 6).alias("est_jaccard"))
     )
 
