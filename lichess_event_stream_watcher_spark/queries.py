@@ -150,10 +150,21 @@ def action_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# F8 — CODE predicate (non-SQL-expressible -> rows-only driver check;
-# exact differential oracle lives in tests/test_lua_compat.py)
-@query("crit_code_predicate")
+# F8 — CODE predicate. Arbitrary user code is non-SQL-expressible in
+# general (covered by the differential oracle in tests/test_lua_compat.py),
+# but THIS fixture instance translates exactly: regex() is re.search and
+# fp() substitutes the "<NO PRINT>" sentinel for NULL (src/lua.rs:17-20),
+# so the whole Python-UDF runtime path gets a hash-checked SQL oracle too.
+@query(
+    "crit_code_predicate",
+    f"""{_CTE}
+SELECT event_id, username FROM signups
+WHERE regexp_matches(email, '@proton')
+  AND COALESCE(finger_print, '<NO PRINT>') <> '<NO PRINT>'""",
+)
 def crit_code_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: `regex(user.email(), "@proton") and user.fp() != "<NO PRINT>"`
+    through the code-predicate runtime (sentinel null semantics)."""
     df = _signups(spark, sf_dir)
     return compile_matches(df, [fixtures.code_rule()]).select("event_id", "username")
 
