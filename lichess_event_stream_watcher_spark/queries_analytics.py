@@ -642,3 +642,84 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
     )
+
+
+@query(
+    "cube_pricing",
+    """SELECT
+  COALESCE(l_returnflag, 'ALL') AS rflag,
+  COALESCE(l_linestatus, 'ALL') AS lstatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with the grouping id exposed —
+    all four grouping sets in one shuffle (set expansion is map-side, so
+    partial aggregation still combines before the exchange)."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.count("*").alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "gid",
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@query(
+    "window_suite",
+    """SELECT event_id, user_id,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+  CAST(RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank,
+  CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_dense_rank,
+  LAG(event_id) OVER w AS prev_event_id,
+  LEAD(event_id) OVER w AS next_event_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ), 2) AS DOUBLE) AS running_value,
+  CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one query: row_number / rank /
+    dense_rank / lag / lead / running DECIMAL sum / partition count, all
+    sharing one user_id exchange (Catalyst collapses same-partitioning
+    window specs into one shuffle + sorts)."""
+    ev = testdata.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(wt).cast("bigint").alias("type_rank"),
+        F.dense_rank().over(wt).cast("bigint").alias("type_dense_rank"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("running_value"),
+        F.count("*")
+        .over(Window.partitionBy("user_id"))
+        .cast("bigint")
+        .alias("user_n"),
+    )
