@@ -723,3 +723,24 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("user_n"),
     )
+
+
+@query(
+    "percentiles_exact",
+    """SELECT event_type,
+  CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+  CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90,
+  CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
+FROM events GROUP BY event_type""",
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the ORDER-STATISTIC agg;
+    both engines use the standard p*(n-1) linear interpolation). Exact
+    percentile buffers all group values — the scale path is the GK sketch
+    in `sketch_stats` (percentile_approx); this pins their agreement."""
+    ev = testdata.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+    )

@@ -104,3 +104,40 @@ def test_ivf_candidate_join_is_broadcast(spark, sf_dir):
     p = plan_str(S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """The co-located fact-fact join technique for 100 TB: both sides
+    written bucketBy the join key with equal bucket counts -> the
+    sort-merge join reads bucket-aligned splits and needs NO Exchange.
+    The same join over plain parquet shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    li = testdata.load(spark, sf_dir, "lineitem")
+    orders = testdata.load(spark, sf_dir, "orders")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # baseline: plain join shuffles both sides
+        p_plain = plan_str(
+            li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+                "o_orderpriority"
+            ).agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert "Exchange hashpartitioning" in p_plain
+
+        for name, df, key in (
+            ("li_bkt", li, "l_orderkey"),
+            ("ord_bkt", orders, "o_orderkey"),
+        ):
+            df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+        a, b = spark.table("li_bkt"), spark.table("ord_bkt")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p
+        # bucket alignment replaces both shuffles
+        assert "Exchange hashpartitioning" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
