@@ -155,13 +155,13 @@ class Engine:
                 .select("_row_id", "username", "rule_name")
                 .collect()
             )
-            batch_count = enriched.count()
             # last-N by arrival order as a distributed top-k (TakeOrdered),
-            # not a partition-order tail
-            tail = enriched.orderBy(F.desc("_row_id")).limit(
-                min(batch_count, self.checked_cap)
-            ).collect()
+            # not a partition-order tail. len(tail) doubles as the batch
+            # count: it is exact below the cap, and hitting the cap is the
+            # only fact the eviction branch needs — no separate count() job.
+            tail = enriched.orderBy(F.desc("_row_id")).limit(self.checked_cap).collect()
             tail.reverse()
+            batch_count = len(tail)
         finally:
             enriched.unpersist()
 
