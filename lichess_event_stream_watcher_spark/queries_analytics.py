@@ -744,3 +744,19 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
         F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
     )
+
+
+_MAX_ORDER_SQL = """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice = (
+  SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)"""
+
+
+@query("max_order_per_cust_subquery", _MAX_ORDER_SQL)
+def max_order_per_cust_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL front end — Catalyst
+    decorrelates it into an aggregate + join (one shuffle on o_custkey),
+    not a per-row re-scan; the identical text runs on both engines."""
+    testdata.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MAX_ORDER_SQL)
