@@ -328,10 +328,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2)
 
 
-@query("ann_lsh_topk")
+_LSH_TOPK_ORACLE = f"""WITH buckets AS ({_BUCKET_ORACLE}),
+q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_lsh_topk", _LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k within LSH buckets (rows-only check: recall vs the
-    exact baseline is asserted in tests/test_pipeline_ops.py)."""
+    """Approximate top-k within LSH buckets — exact ranking restricted to
+    the query's bucket (recall vs the exact baseline is additionally
+    asserted in tests/test_pipeline_ops.py)."""
     emb = testdata.load(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") <= 7).select(
         F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
