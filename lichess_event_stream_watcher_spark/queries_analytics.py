@@ -760,3 +760,28 @@ def max_order_per_cust_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a per-row re-scan; the identical text runs on both engines."""
     testdata.load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MAX_ORDER_SQL)
+
+
+@query(
+    "unpivot_measures",
+    """SELECT l_orderkey, l_linenumber, measure,
+       CAST(ROUND(CAST(val AS DECIMAL(18,2)), 2) AS DOUBLE) AS val
+FROM lineitem
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT of the lineitem measures — a per-row generator
+    (3 output rows per input, no shuffle); the long form feeds generic
+    per-measure aggregation downstream."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "raw_val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round(F.col("raw_val").cast("decimal(18,2)"), 2).cast("double").alias("val"),
+    )

@@ -141,3 +141,15 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_analytic_queries_share_one_exchange(spark, sf_dir):
+    """sessionize / asof_join_orders / window_suite each promise exactly ONE
+    hash exchange: every window spec and the final aggregation share the
+    same key partitioning, so Catalyst reuses a single shuffle."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("sessionize", "asof_join_orders", "window_suite"):
+        p = plan_str(qs[name](spark, sf_dir))
+        assert p.count("Exchange hashpartitioning") == 1, (name, p)
