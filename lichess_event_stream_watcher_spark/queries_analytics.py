@@ -785,3 +785,28 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         F.round(F.col("raw_val").cast("decimal(18,2)"), 2).cast("double").alias("val"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_counts",
+    "SELECT user_id,\n"
+    + ",\n".join(
+        f"  COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY user_id",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide PIVOT: per-user counts by event type. With the pivot
+    values enumerated, Spark plans it as ONE aggregation with five
+    conditional counts (same shape as the CASE oracle) — no second pass to
+    discover values, one shuffle with map-side combine."""
+    ev = testdata.load(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
