@@ -71,6 +71,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
     dense_vocab_limit: int = 1 << 16,
+    collect_limit: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -90,15 +91,47 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    # cache: the shingle table feeds the vocab probe, the size aggregate and
-    # both sides of the pair search — without it the shingle chain runs 3x
+    spark = df.sparkSession
+    n_docs = df.count()  # parquet metadata count — the cheap path probe
+    if n_docs <= collect_limit:
+        # small corpus: ONE distributed job (shingle -> per-doc set agg ->
+        # collect); vocabulary and the frequent-shingle filter derive
+        # driver-side from the collected sets — no cache, no probe jobs
+        docsets = (
+            shingles(df, n, text_col, id_col)
+            .groupBy("id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+            .collect()
+        )
+        if max_shingle_df is not None:
+            from collections import Counter
+
+            freq = Counter(s for r in docsets for s in r["sh_set"])
+            docsets = [
+                (r["id"], [s for s in r["sh_set"] if freq[s] <= max_shingle_df])
+                for r in docsets
+            ]
+        else:
+            docsets = [(r["id"], list(r["sh_set"])) for r in docsets]
+        vocab: dict[str, int] = {}
+        for _, sset in docsets:
+            for s in sset:
+                if s not in vocab:
+                    vocab[s] = len(vocab)
+        if len(vocab) <= dense_vocab_limit:
+            return _jaccard_pairs_dense(spark, docsets, vocab, threshold)
+        # dense won't fit: rebuild the (id, shingle) table from the rows
+        # already in hand (no re-shingling) and run the inverted index
+        sh = spark.createDataFrame(
+            docsets, "id bigint, sh_set array<string>"
+        ).select("id", F.explode("sh_set").alias("shingle"))
+        return _jaccard_pairs_inverted(sh, threshold)
+    # at-scale default: inverted index, shingle table cached across its
+    # three consumers (sizes, both join sides)
     sh = shingles(df, n, text_col, id_col).cache()
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
         sh = sh.join(rare.select("shingle"), "shingle")
-    n_vocab = sh.select("shingle").distinct().count()
-    if n_vocab <= dense_vocab_limit:
-        return _jaccard_pairs_dense(sh, threshold)
     return _jaccard_pairs_inverted(sh, threshold)
 
 
@@ -139,8 +172,9 @@ def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _jaccard_pairs_dense(sh: DataFrame, threshold: float) -> DataFrame:
-    """BLAS exact Jaccard for small vocabularies.
+def _jaccard_pairs_dense(spark, docsets, vocab: dict[str, int], threshold: float) -> DataFrame:
+    """BLAS exact Jaccard for small vocabularies, from driver-held
+    ``docsets`` [(id, [shingle, ...]), ...].
 
     The corpus's 0/1 incidence matrix (N x V float32) broadcasts; each
     partition computes its block's intersection counts against it with ONE
@@ -153,36 +187,26 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docsets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
-    rows = docsets.collect()
-    if not rows:
-        return docsets.sparkSession.createDataFrame(
-            [], "id_a bigint, id_b bigint, jaccard double"
-        )
-    vocab: dict[str, int] = {}
-    for r in rows:
-        for s in r["sh_set"]:
-            if s not in vocab:
-                vocab[s] = len(vocab)
-    ids_all = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.zeros((len(rows), len(vocab)), dtype=np.float32)
-    for i, r in enumerate(rows):
-        mat[i, [vocab[s] for s in r["sh_set"]]] = 1.0
+    if not docsets:
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, jaccard double")
+    ids_all = np.array([i for i, _ in docsets], dtype=np.int64)
+    mat = np.zeros((len(docsets), len(vocab)), dtype=np.float32)
+    for i, (_, sset) in enumerate(docsets):
+        mat[i, [vocab[s] for s in sset]] = 1.0
     sizes_all = mat.sum(axis=1).astype(np.int64)
-    bc = sh.sparkSession.sparkContext.broadcast((ids_all, mat, sizes_all, vocab))
-    n_cpus = sh.sparkSession.sparkContext.defaultParallelism
+    bc = spark.sparkContext.broadcast((ids_all, mat, sizes_all))
+    n_cpus = spark.sparkContext.defaultParallelism
 
+    # the docsets are already collected, so workers get ROW INDICES and
+    # slice their block out of the broadcast matrix — the execute phase
+    # never recomputes the shingle chain and ships no strings at all
     def block(batches):
-        ref_ids, ref, ref_sz, voc = bc.value
+        ref_ids, ref, ref_sz = bc.value
         for pdf in batches:
-            m = len(pdf)
-            if m == 0:
+            if len(pdf) == 0:
                 continue
-            a = np.zeros((m, ref.shape[1]), dtype=np.float32)
-            for i, sset in enumerate(pdf["sh_set"]):
-                a[i, [voc[s] for s in sset]] = 1.0
-            aid = pdf["id"].to_numpy(dtype=np.int64)
-            asz = a.sum(axis=1).astype(np.int64)
+            idx = pdf["i"].to_numpy(dtype=np.int64)
+            a, aid, asz = ref[idx], ref_ids[idx], ref_sz[idx]
             inter = (a @ ref.T).astype(np.int64)
             jacc = np.round(inter / (asz[:, None] + ref_sz[None, :] - inter), 6)
             mask = (aid[:, None] < ref_ids[None, :]) & (jacc >= threshold) & (inter > 0)
@@ -192,7 +216,8 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float) -> DataFrame:
                     {"id_a": aid[ai], "id_b": ref_ids[bj], "jaccard": jacc[ai, bj]}
                 )
 
-    return docsets.repartition(n_cpus).mapInPandas(
+    idx_df = spark.range(len(docsets)).select(F.col("id").cast("int").alias("i"))
+    return idx_df.repartition(n_cpus).mapInPandas(
         block, "id_a bigint, id_b bigint, jaccard double"
     )
 

@@ -133,3 +133,24 @@ def test_sketch_error_bounds(spark, sf_dir):
     assert abs(row["approx_median_value"] - row["exact_median_value"]) <= max(
         1e-6, 0.02 * abs(row["exact_median_value"])
     )
+
+
+def test_jaccard_physical_paths_agree(spark, sf_dir):
+    """dense-BLAS, small-corpus inverted rebuild, and at-scale inverted are
+    three physical strategies for the same operator — identical output,
+    with and without the frequent-shingle filter."""
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+
+    docs = testdata.load(spark, sf_dir, "documents")
+
+    def run(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard) for r in D.jaccard_pairs(docs, **kw).collect()
+        )
+
+    base = run()
+    assert base == run(dense_vocab_limit=1)  # force inverted on collected sets
+    assert base == run(collect_limit=0)  # force the at-scale inverted path
+    filt = run(max_shingle_df=50)
+    assert filt == run(max_shingle_df=50, collect_limit=0)
