@@ -136,11 +136,17 @@ _SAFE_BUILTINS = {
 def compile_predicate(code: str):
     """Compile a predicate expression once; returns fn(row_dict) -> bool.
 
-    The environment deliberately mirrors src/lua.rs:72-107: ``user`` plus the
-    two helper functions, nothing else (no imports, no builtins beyond the
-    safe arithmetic/logic set).
+    Accepts BOTH surface syntaxes: reference-exported Lua (``user:email()``,
+    ``~=``, ``..``, ``function(user) return ... end`` wrappers —
+    src/lua.rs:109-119) and native Python expressions; the Lua->Python
+    rewrite (lua_translate.py) is idempotent on the Python surface, so it
+    runs unconditionally. The environment deliberately mirrors
+    src/lua.rs:72-107: ``user`` plus the two helper functions, nothing else
+    (no imports, no builtins beyond the safe arithmetic/logic set).
     """
-    compiled = compile(code, "<rule-predicate>", "eval")
+    from .lua_translate import lua_to_python
+
+    compiled = compile(lua_to_python(code), "<rule-predicate>", "eval")
     env_globals = {
         "__builtins__": _SAFE_BUILTINS,
         "regex": regex,

@@ -1,0 +1,148 @@
+"""Lua-expression -> Python-expression translator for the CODE criterion.
+
+The reference evaluates a rule's code by wrapping it as
+``function(user) return <expr> end`` and calling it with the user bound as a
+Lua userdata (src/lua.rs:109-119). Rules exported from a reference
+deployment therefore arrive in LUA surface syntax:
+
+    user:email() ~= "x" and regex(user:name(), "^ab") and not user:susp_ip()
+
+The runtime here executes PYTHON expressions (lua_compat.py), whose operator
+set is nearly a superset; this module closes the syntax gap with a small
+tokenizer + token-level rewrite covering the reference's actual rule surface
+(src/lua.rs:8-107):
+
+- ``obj:method(...)``     -> ``obj.method(...)`` (Lua method-call sugar)
+- ``~=``                  -> ``!=``
+- ``..``                  -> ``+``   (string concat; operands are strings)
+- ``true / false / nil``  -> ``True / False / None``
+- ``#expr``               -> ``len(expr)`` (length of a primary expression)
+- ``and / or / not``      -> unchanged (same keywords in Python)
+- string literals (single or double quoted) pass through verbatim
+- ``regex(...)`` / ``isInIpRange(...)`` are provided by the runtime env
+
+The rewrite is IDEMPOTENT on expressions already in Python surface syntax
+(none of the rewritten tokens are produced by the Python surface), so the
+predicate compiler can run it unconditionally: reference-exported Lua and
+native Python expressions both work, byte-identical semantics for the
+translated subset. An optional ``function(user) return ... end`` wrapper is
+stripped first, so a fully-wrapped reference chunk is accepted too.
+
+Deliberately out of scope (raise at compile, not silently mis-evaluate):
+Lua statements (``if``/``local``), the ``string.*`` / ``table.*`` stdlib,
+and multi-line chunks — none appear in the reference's rule surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WRAPPER = re.compile(
+    r"^\s*function\s*\(\s*user\s*\)\s*return\s+(?P<body>.*?)\s*end\s*$",
+    re.DOTALL,
+)
+
+_TOKEN = re.compile(
+    r"""
+      (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+    | (?P<number>\d+\.\d+|\d+)
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>~=|!=|==|<=|>=|\.\.|[-+*/%<>=(),:\#\.\[\]])
+    | (?P<ws>\s+)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORD_MAP = {"true": "True", "false": "False", "nil": "None"}
+_UNSUPPORTED = {"if", "then", "else", "elseif", "local", "for", "while", "do", "end", "function", "return"}
+
+
+def _tokenize(expr: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(expr):
+        m = _TOKEN.match(expr, pos)
+        if not m:
+            raise ValueError(f"untranslatable Lua expression at {expr[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    return out
+
+
+def _primary_span(toks: list[tuple[str, str]], i: int) -> int:
+    """End index (exclusive) of the primary expression starting at ``i`` —
+    the operand of a ``#`` length operator: name/string/( ... ) followed by
+    any chain of .name / :name / (...) / [...]."""
+    if i >= len(toks):
+        raise ValueError("dangling '#' length operator")
+    kind, val = toks[i]
+    if kind in ("name", "string", "number"):
+        i += 1
+    elif val == "(":
+        depth, i = 1, i + 1
+        while i < len(toks) and depth:
+            if toks[i][1] == "(":
+                depth += 1
+            elif toks[i][1] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError("unbalanced parentheses after '#'")
+    else:
+        raise ValueError(f"unsupported '#' operand {val!r}")
+    while i < len(toks) and toks[i][1] in (".", ":", "(", "["):
+        if toks[i][1] in (".", ":"):
+            i += 2  # member name
+        else:
+            open_, close = toks[i][1], ")" if toks[i][1] == "(" else "]"
+            depth, i = 1, i + 1
+            while i < len(toks) and depth:
+                if toks[i][1] == open_:
+                    depth += 1
+                elif toks[i][1] == close:
+                    depth -= 1
+                i += 1
+    return i
+
+
+def lua_to_python(code: str) -> str:
+    """Translate a reference-surface Lua expression (optionally wrapped in
+    ``function(user) return ... end``) to the equivalent Python expression."""
+    m = _WRAPPER.match(code)
+    if m:
+        code = m.group("body")
+    toks = _tokenize(code)
+    for kind, val in toks:
+        if kind == "name" and val in _UNSUPPORTED:
+            raise ValueError(
+                f"Lua keyword {val!r} is outside the translatable rule "
+                "surface (expressions only, src/lua.rs:109-119)"
+            )
+
+    def emit(toks: list[tuple[str, str]]) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(toks):
+            kind, val = toks[i]
+            if val == "#":
+                end = _primary_span(toks, i + 1)
+                out += ["len", "("] + emit(toks[i + 1 : end]) + [")"]
+                i = end
+                continue
+            if val == ":" and i + 1 < len(toks) and toks[i + 1][0] == "name":
+                out.append(".")
+            elif val == "~=":
+                out.append("!=")
+            elif val == "..":
+                out.append("+")
+            elif kind == "name" and val in _KEYWORD_MAP:
+                out.append(_KEYWORD_MAP[val])
+            else:
+                out.append(val)
+            i += 1
+        return out
+
+    # Python's grammar allows whitespace around '.', '(' and every operator
+    # inside an expression, so a plain space-join is already valid Python.
+    return " ".join(emit(toks))

@@ -71,67 +71,41 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
     dense_vocab_limit: int = 1 << 16,
-    collect_limit: int = 100_000,
+    dense_bytes_limit: int = 1 << 30,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     Adaptive physical strategy (both exact, same output):
 
-    - **dense vocabulary** (distinct shingles <= ``dense_vocab_limit``): each
-      doc's shingle set packs into a V-bit bitset; intersections are blocked
-      NumPy AND+popcount against a broadcast bitset matrix. An inverted-index
-      join on a dense vocab degenerates to ~all-pairs fanout (sum of df^2 ~
-      N^2 rows through a shuffle); bit-parallel set intersection does the
-      same work at 64 set-members/word with zero shuffle.
+    - **dense vocabulary** (N x V float32 incidence fits ``dense_bytes_limit``
+      AND distinct shingles <= ``dense_vocab_limit``): intersections are
+      chunked BLAS matmuls against a broadcast 0/1 incidence matrix. An
+      inverted-index join on a dense vocab degenerates to ~all-pairs fanout
+      (sum of df^2 ~ N^2 rows through a shuffle); matmul set intersection
+      does the same work with zero shuffle. The gate is on ESTIMATED MATRIX
+      BYTES (probed distributedly with approx_count_distinct, never by
+      collecting the corpus), so the broadcast is bounded by construction.
     - **sparse vocabulary** (the realistic web-corpus case): inverted-index
       self-join on shingle with a length filter (J>=t implies
       t*|a| <= |b| <= |a|/t), so pairs materialize only for docs sharing a
       shingle AND of compatible sizes. ``max_shingle_df`` additionally drops
-      stop-shingles to bound skew at scale.
+      stop-shingles to bound skew at scale. No driver collect on this path.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    spark = df.sparkSession
-    n_docs = df.count()  # parquet metadata count — the cheap path probe
-    if n_docs <= collect_limit:
-        # small corpus: ONE distributed job (shingle -> per-doc set agg ->
-        # collect); vocabulary and the frequent-shingle filter derive
-        # driver-side from the collected sets — no cache, no probe jobs
-        docsets = (
-            shingles(df, n, text_col, id_col)
-            .groupBy("id")
-            .agg(F.collect_set("shingle").alias("sh_set"))
-            .collect()
-        )
-        if max_shingle_df is not None:
-            from collections import Counter
-
-            freq = Counter(s for r in docsets for s in r["sh_set"])
-            docsets = [
-                (r["id"], [s for s in r["sh_set"] if freq[s] <= max_shingle_df])
-                for r in docsets
-            ]
-        else:
-            docsets = [(r["id"], list(r["sh_set"])) for r in docsets]
-        vocab: dict[str, int] = {}
-        for _, sset in docsets:
-            for s in sset:
-                if s not in vocab:
-                    vocab[s] = len(vocab)
-        if len(vocab) <= dense_vocab_limit:
-            return _jaccard_pairs_dense(spark, docsets, vocab, threshold)
-        # dense won't fit: rebuild the (id, shingle) table from the rows
-        # already in hand (no re-shingling) and run the inverted index
-        sh = spark.createDataFrame(
-            docsets, "id bigint, sh_set array<string>"
-        ).select("id", F.explode("sh_set").alias("shingle"))
-        return _jaccard_pairs_inverted(sh, threshold)
-    # at-scale default: inverted index, shingle table cached across its
-    # three consumers (sizes, both join sides)
-    sh = shingles(df, n, text_col, id_col).cache()
+    sh = shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
         sh = sh.join(rare.select("shingle"), "shingle")
+    # distributed probe: one map-side-partial agg job, ~1.05x-accurate HLL
+    probe = sh.agg(
+        F.approx_count_distinct("shingle").alias("v"),
+        F.approx_count_distinct("id").alias("nd"),
+    ).first()
+    est_bytes = int(probe["nd"]) * int(probe["v"]) * 4
+    if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
+        id_type = df.schema[id_col].dataType.simpleString()
+        return _jaccard_pairs_dense(sh, threshold, id_type)
     return _jaccard_pairs_inverted(sh, threshold)
 
 
@@ -172,54 +146,82 @@ def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _jaccard_pairs_dense(spark, docsets, vocab: dict[str, int], threshold: float) -> DataFrame:
-    """BLAS exact Jaccard for small vocabularies, from driver-held
-    ``docsets`` [(id, [shingle, ...]), ...].
+def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataFrame:
+    """BLAS exact Jaccard for small (byte-gated) corpora.
 
-    The corpus's 0/1 incidence matrix (N x V float32) broadcasts; each
-    partition computes its block's intersection counts against it with ONE
-    matmul (0/1 entries make ``A @ ref.T`` the exact set-intersection count;
-    float32 sums of ones are exact below 2^24, and V <= the vocab limit
-    keeps every count far under that). One distributed map, no shuffle,
-    ~20x over bitset AND+popcount (BLAS vs memory-bound SWAR). Past
-    broadcast size, shard the reference matrix and run the map per shard.
+    Vocabulary indices are assigned distributedly (distinct shingles +
+    row_number — at most ``dense_vocab_limit`` rows through the tiny sort);
+    only the COMPACT per-doc int32 index lists come to the driver, bounded
+    above by the same byte gate that admitted this path. The 0/1 incidence
+    matrix (N x V float32) broadcasts; each partition computes its rows'
+    intersection counts in CHUNKED matmuls (0/1 entries make ``A @ ref.T``
+    the exact set-intersection count; float32 sums of ones are exact below
+    2^24). Rows are pre-sorted by id so the id_a < id_b constraint is an
+    index comparison — ids keep their source type (int, string, ...).
+    One distributed map, no shuffle, ~20x over bitset AND+popcount.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import Window
 
-    if not docsets:
-        return spark.createDataFrame([], "id_a bigint, id_b bigint, jaccard double")
-    ids_all = np.array([i for i, _ in docsets], dtype=np.int64)
-    mat = np.zeros((len(docsets), len(vocab)), dtype=np.float32)
-    for i, (_, sset) in enumerate(docsets):
-        mat[i, [vocab[s] for s in sset]] = 1.0
-    sizes_all = mat.sum(axis=1).astype(np.int64)
+    spark = sh.sparkSession
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
+        )
+    )
+    doc_rows = (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
+        .collect()
+    )
+    if not doc_rows:
+        return spark.createDataFrame([], out_schema)
+    doc_rows.sort(key=lambda r: r["id"])
+    n_vocab = 1 + max(max(r["vs"]) for r in doc_rows)
+    ids_all = np.array([r["id"] for r in doc_rows])  # dtype inferred; object ok
+    mat = np.zeros((len(doc_rows), n_vocab), dtype=np.float32)
+    for i, r in enumerate(doc_rows):
+        mat[i, r["vs"]] = 1.0
+    sizes_all = np.array([r["nv"] for r in doc_rows], dtype=np.int64)
     bc = spark.sparkContext.broadcast((ids_all, mat, sizes_all))
     n_cpus = spark.sparkContext.defaultParallelism
+    n_docs = len(doc_rows)
+    # chunk so each task's chunk x N intermediates stay ~<=256 MB
+    chunk = max(1, (1 << 25) // max(n_docs, 1))
 
-    # the docsets are already collected, so workers get ROW INDICES and
-    # slice their block out of the broadcast matrix — the execute phase
-    # never recomputes the shingle chain and ships no strings at all
     def block(batches):
         ref_ids, ref, ref_sz = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            idx = pdf["i"].to_numpy(dtype=np.int64)
-            a, aid, asz = ref[idx], ref_ids[idx], ref_sz[idx]
-            inter = (a @ ref.T).astype(np.int64)
-            jacc = np.round(inter / (asz[:, None] + ref_sz[None, :] - inter), 6)
-            mask = (aid[:, None] < ref_ids[None, :]) & (jacc >= threshold) & (inter > 0)
-            ai, bj = np.nonzero(mask)
-            if len(ai):
-                yield pd.DataFrame(
-                    {"id_a": aid[ai], "id_b": ref_ids[bj], "jaccard": jacc[ai, bj]}
-                )
+            rows = pdf["i"].to_numpy(dtype=np.int64)
+            for s in range(0, len(rows), chunk):
+                idx = rows[s : s + chunk]
+                a, asz = ref[idx], ref_sz[idx]
+                inter = (a @ ref.T).astype(np.int64)
+                jacc = np.round(inter / (asz[:, None] + ref_sz[None, :] - inter), 6)
+                # rows are id-sorted: index order IS id order
+                mask = (idx[:, None] < np.arange(len(ref_ids))[None, :]) & (
+                    jacc >= threshold
+                ) & (inter > 0)
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ref_ids[idx[ai]],
+                            "id_b": ref_ids[bj],
+                            "jaccard": jacc[ai, bj],
+                        }
+                    )
 
-    idx_df = spark.range(len(docsets)).select(F.col("id").cast("int").alias("i"))
-    return idx_df.repartition(n_cpus).mapInPandas(
-        block, "id_a bigint, id_b bigint, jaccard double"
-    )
+    idx_df = spark.range(n_docs).select(F.col("id").cast("int").alias("i"))
+    return idx_df.repartition(n_cpus).mapInPandas(block, out_schema)
 
 
 def minhash_signature_arrays(
@@ -267,19 +269,22 @@ def lsh_bands(
     """Band buckets from wide signatures: (id, band, band_sig).
 
     band_sig = md5 of the band's r minhashes joined in seed order — a pure
-    per-row projection (explode of `bands` structs), no shuffle.
+    per-row projection (explode of `bands` structs), no shuffle. When bands
+    does not divide k, the final band absorbs the k % bands remainder seeds
+    so every seed contributes to exactly one band.
     """
     r = k // bands
+    widths = [r] * (bands - 1) + [k - (bands - 1) * r]
     bucket = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(b).cast("int").alias("band"),
-                    F.md5(F.array_join(F.slice("sig", b * r + 1, r), ",")).alias(
+                    F.md5(F.array_join(F.slice("sig", b * r + 1, w), ",")).alias(
                         "band_sig"
                     ),
                 )
-                for b in range(bands)
+                for b, w in enumerate(widths)
             ]
         )
     )
@@ -303,8 +308,11 @@ def lsh_candidate_pairs(
     explosion local to buckets — the scale path for corpus-level dedup.
     Whole pipeline: one aggregation shuffle builds signatures, banding is a
     projection, then the bucket self-join and the pair-local estimate joins.
+    No cache: the three signature consumers share one aggregation exchange
+    (physical-plan ReusedExchange), so nothing leaks storage memory across
+    calls in a long-lived session.
     """
-    sigs = minhash_signature_arrays(df, k, n, text_col, id_col).cache()
+    sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
     bnd = lsh_bands(sigs, k, bands)
     a, b = bnd.alias("a"), bnd.alias("b")
     cand = (
@@ -370,7 +378,7 @@ def simhash_near_dup_pairs(
     """
     if max_hamming > bands - 1:
         raise ValueError("banding is only exact for max_hamming <= bands - 1")
-    sigs = simhash64(df, text_col, id_col).cache()
+    sigs = simhash64(df, text_col, id_col)
     band_len = 16 // bands
     banded = sigs.withColumn(
         "band", F.explode(F.array(*[F.lit(i) for i in range(bands)]))
@@ -408,43 +416,35 @@ def simhash64(
     bit_j(token) = bit (j%4) of md5-hex nibble (j/4); the signature bit is 1
     iff the sum of (2*bit-1) over DISTINCT tokens is > 0. md5-nibble bit
     extraction keeps it engine-portable (exact DuckDB twin).
+
+    ONE shuffle: the 64 bit positions fold as 64 conditional-sum aggregates
+    in a single groupBy(id) (map-side partial aggregation carries one
+    64-column row per (partition, id)) — not a 64x row explosion through a
+    (id, bit) shuffle. Hex assembly from the 64 sums is a pure projection.
     """
     df = spread(df)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("tok"),
     ).withColumn("th", F.md5(F.col("tok")))
-    positions = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(j // 4 + 1).alias("nib_pos"),
-                F.lit(2 ** (j % 4)).alias("divisor"),
+
+    def bit(j: int) -> Column:
+        nibble_val = F.expr(f"instr('{_HEX}', substr(th, {j // 4 + 1}, 1))") - 1
+        return F.floor(nibble_val / F.lit(2 ** (j % 4))).cast("int") % 2
+
+    sums = toks.groupBy("id").agg(
+        *[F.sum(bit(j) * 2 - 1).alias(f"_s{j}") for j in range(64)]
+    )
+    nib_chars = [
+        F.expr(
+            "substr('{hex}', {v} + 1, 1)".format(
+                hex=_HEX,
+                v=" + ".join(
+                    f"(CASE WHEN _s{nib * 4 + jj} > 0 THEN {2 ** jj} ELSE 0 END)"
+                    for jj in range(4)
+                ),
             )
-            for j in range(64)
-        ]
-    )
-    nibble_val = F.expr(f"instr('{_HEX}', substr(th, p.nib_pos, 1))") - 1
-    bits = (
-        toks.withColumn("p", F.explode(positions))
-        .select(
-            "id",
-            F.col("p.j").alias("j"),
-            (F.floor(nibble_val / F.col("p.divisor")).cast("int") % 2).alias("bit"),
         )
-    )
-    sums = bits.groupBy("id", "j").agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
-    sig_bits = sums.select(
-        "id", "j", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("sbit")
-    )
-    nibbles = (
-        sig_bits.withColumn("nib", F.floor(F.col("j") / 4).cast("int"))
-        .withColumn("weight", F.pow(F.lit(2.0), (F.col("j") % 4).cast("double")).cast("int"))
-        .groupBy("id", "nib")
-        .agg(F.sum(F.col("sbit") * F.col("weight")).alias("v"))
-        .withColumn("c", F.expr(f"substr('{_HEX}', v + 1, 1)"))
-    )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("nib", "c"))), lambda s: s["c"]
-    )
-    return nibbles.groupBy("id").agg(F.array_join(ordered, "").alias("simhash"))
+        for nib in range(16)
+    ]
+    return sums.select("id", F.concat(*nib_chars).alias("simhash"))

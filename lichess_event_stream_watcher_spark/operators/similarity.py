@@ -66,46 +66,75 @@ def cosine_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shard_bytes: int = 256 << 20,
+    max_corpus_bytes: int = 4 << 30,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
 
-    Vectorized blocked all-pairs: the (normalized) reference matrix
-    broadcasts, each partition's block multiplies against it with one BLAS
-    matmul in float64 — ~100x over per-element expression folds. Output
-    cosines round to 6 (float64 summation-order noise is ~1e-15, far below
-    the rounding grid, so values stay oracle-stable).
+    Vectorized blocked all-pairs with a SHARDED reference: the corpus splits
+    into row shards of at most ``shard_bytes`` of normalized float64 matrix;
+    each shard broadcasts separately and the corpus streams against it with
+    one BLAS matmul per (partition, shard) — the union over shards is the
+    full pair set. No single broadcast, task intermediate, or Arrow batch
+    ever scales with the whole corpus, only with one shard. Output cosines
+    round to 6 (float64 summation-order noise is ~1e-15, far below the
+    rounding grid, so values stay oracle-stable).
 
-    This is the O(n^2) baseline; past broadcast size, shard the reference
-    matrix (this map runs once per shard) or bound candidates with
-    ``hyperplane_buckets``."""
+    This is still the exact O(n^2) baseline: total compute is all-pairs by
+    construction. Above ``max_corpus_bytes`` the function refuses with a
+    pointer to ``hyperplane_buckets``/``ivf_ann_topk`` — at that size an
+    exact all-pairs scan is the wrong operator, not a tuning problem.
+    """
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(id_col, vec_col).collect()
-    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = emb.sparkSession.sparkContext.broadcast((ids_all, mat))
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    n = emb.count()
+    if n * dim * 8 > max_corpus_bytes:
+        raise ValueError(
+            f"corpus matrix ~{n * dim * 8 >> 20} MiB exceeds max_corpus_bytes; "
+            "exact all-pairs is the wrong operator at this size — bound "
+            "candidates with hyperplane_buckets / ivf_ann_topk instead"
+        )
+    rows_per_shard = max(1, shard_bytes // (dim * 8))
+    n_shards = (n + rows_per_shard - 1) // rows_per_shard
+    src = emb.select(id_col, vec_col)
 
-    def block(batches):
-        ref_ids, ref = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ ref.T, 6)
-            aid = pdf[id_col].to_numpy(dtype=np.int64)
-            # keep id_a < id_b and sim >= threshold
-            mask = (aid[:, None] < ref_ids[None, :]) & (sims >= threshold)
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"id_a": aid[ai], "id_b": ref_ids[bj], "cos_sim": sims[ai, bj]}
-            )
+    def shard_pairs(shard_idx: int) -> DataFrame:
+        rows = src.filter(F.pmod(F.col(id_col), n_shards) == shard_idx).collect()
+        if not rows:
+            return None
+        ref_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        ref = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((ref_ids, ref))
 
-    return spread(emb.select(id_col, vec_col)).mapInPandas(
-        block, "id_a bigint, id_b bigint, cos_sim double"
-    )
+        def block(batches):
+            rids, rmat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+                a /= np.linalg.norm(a, axis=1, keepdims=True)
+                sims = np.round(a @ rmat.T, 6)
+                aid = pdf[id_col].to_numpy(dtype=np.int64)
+                mask = (aid[:, None] < rids[None, :]) & (sims >= threshold)
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {"id_a": aid[ai], "id_b": rids[bj], "cos_sim": sims[ai, bj]}
+                    )
+
+        return spread(src).mapInPandas(block, "id_a bigint, id_b bigint, cos_sim double")
+
+    parts = [p for p in (shard_pairs(s) for s in range(int(n_shards))) if p is not None]
+    if not parts:
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, cos_sim double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def _lit_vec(vec) -> Column:
@@ -124,8 +153,13 @@ def hyperplane_buckets(
 
     Output: (vec_id, bucket), bits in anchor_id order. The bucket id is a
     pure per-row projection — zero shuffle, zero join at ANY corpus size;
-    only the later bucket-local candidate join moves data."""
+    only the later bucket-local candidate join moves data.
+
+    NOTE: composing this plan runs ``anchors.collect()`` eagerly — a driver
+    action at DataFrame-build time (the anchor set is assumed tiny)."""
     avecs = sorted(anchors.collect(), key=lambda r: r[0])
+    if not avecs:
+        raise ValueError("hyperplane_buckets needs >=1 anchor vector")
     bits = [
         F.when(dot(F.col(vec_col), _lit_vec(r[1])) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for r in avecs
@@ -146,8 +180,14 @@ def nearest_cells(
     The centroid set is tiny, so it collects to the driver and inlines as
     literal arrays: scoring + ranking is a pure per-row projection (an
     array_sort over ~|centroids| struct elements) — zero shuffle, zero join
-    of the corpus. Output: (<id_col>, <vec_col>, cent_id, cell_rank)."""
+    of the corpus. Output: (<id_col>, <vec_col>, cent_id, cell_rank).
+
+    NOTE: composing this plan runs ``centroids.collect()`` eagerly — a
+    driver action at DataFrame-build time (the centroid set is assumed
+    tiny)."""
     cvecs = sorted(centroids.collect(), key=lambda r: r[0])
+    if not cvecs:
+        raise ValueError("nearest_cells needs >=1 centroid vector")
     scored = F.array(
         *[
             F.struct(

@@ -145,6 +145,19 @@ class NdjsonTailDataSource:
                 return iter(rows), {"pos": new_pos}
 
             def readBetweenOffsets(self, start: dict, end: dict):
+                # replay of a COMMITTED range: the bytes must still exist.
+                # A shrunken file means truncation/rotation corrupted the
+                # replay contract — surface it, never silently return less.
+                import os
+
+                size = os.path.getsize(self.path)
+                if size < end["pos"]:
+                    raise RuntimeError(
+                        f"ndjson_tail replay corruption: {self.path} is "
+                        f"{size} bytes but committed batch ends at "
+                        f"{end['pos']} — the tailed file was truncated or "
+                        "rotated after commit"
+                    )
                 rows, _ = self._read_range(start["pos"], end["pos"])
                 return iter(rows)
 

@@ -126,3 +126,79 @@ def test_differential_spark_vs_python(spark):
         assert actual == expected, f"divergence on predicate: {p}"
         assert any(expected), f"predicate never true (weak test): {p}"
         assert not all(expected), f"predicate always true (weak test): {p}"
+
+
+class TestLuaSurfaceTranslation:
+    """Reference-exported rules arrive in LUA syntax (src/lua.rs:109-119:
+    ``function(user) return <expr> end`` with ``user:method()`` sugar).
+    The translator must evaluate them identically to the Python surface."""
+
+    ROW = {
+        "username": "MeanieBob",
+        "email": "bob@proton.me",
+        "ip": "10.0.0.7",
+        "finger_print": None,
+        "user_agent": "Mozilla/5.0",
+        "susp_ip": True,
+    }
+
+    def eval_(self, code):
+        return compile_predicate(code)(dict(self.ROW))
+
+    def test_method_call_sugar_and_neq(self):
+        assert self.eval_('user:email() ~= "x"')
+        assert self.eval_('user:fp() == "<NO PRINT>"')
+        assert not self.eval_('user:name() ~= "MeanieBob"')
+
+    def test_wrapped_chunk(self):
+        assert self.eval_(
+            'function(user) return regex(user:email(), "@proton") and user:susp_ip() end'
+        )
+
+    def test_lua_keywords_and_concat(self):
+        assert self.eval_('user:fp() .. "!" == "<NO PRINT>!"')
+        assert self.eval_("user:susp_ip() == true")
+        assert self.eval_("not false")
+
+    def test_length_operator(self):
+        assert self.eval_("#user:name() == 9")
+        assert self.eval_('#"abc" == 3')
+
+    def test_is_in_ip_range_lua_spelling(self):
+        assert self.eval_('isInIpRange(user:ip(), "10.0.0.0", "10.0.0.255")')
+
+    def test_python_surface_unchanged(self):
+        # idempotency: the translator must not disturb the Python surface
+        assert self.eval_('regex(user.email(), "@proton") and user.fp() != "x"')
+        assert self.eval_("len(user.name()) == 9")
+
+    def test_statements_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="surface"):
+            compile_predicate("local x = 1")
+
+    def test_lua_python_pairs_agree_on_random_rows(self):
+        """Differential: each (lua, python) expression pair must agree on
+        every random row."""
+        pairs = [
+            ('user:email() ~= "q" and #user:name() > 3',
+             'user.email() != "q" and len(user.name()) > 3'),
+            ('regex(user:ua(), "Mozilla") or user:fp() == "<NO PRINT>"',
+             'regex(user.ua(), "Mozilla") or user.fp() == "<NO PRINT>"'),
+            ('function(user) return user:susp_ip() and user:country() == "<NO COUNTRY>" end',
+             'user.susp_ip() and user.country() == "<NO COUNTRY>"'),
+        ]
+        rng = random.Random(7)
+        for lua, py in pairs:
+            f_lua, f_py = compile_predicate(lua), compile_predicate(py)
+            for _ in range(50):
+                row = {
+                    "username": "".join(rng.choices(string.ascii_letters, k=rng.randint(1, 8))),
+                    "email": rng.choice(["a@b.c", "q", "z@proton.me"]),
+                    "ip": "1.2.3.4",
+                    "user_agent": rng.choice([None, "Mozilla/5.0", "curl/8"]),
+                    "finger_print": rng.choice([None, "fp1"]),
+                    "susp_ip": rng.choice([True, False]),
+                }
+                assert f_lua(row) == f_py(row), (lua, row)

@@ -136,9 +136,9 @@ def test_sketch_error_bounds(spark, sf_dir):
 
 
 def test_jaccard_physical_paths_agree(spark, sf_dir):
-    """dense-BLAS, small-corpus inverted rebuild, and at-scale inverted are
-    three physical strategies for the same operator — identical output,
-    with and without the frequent-shingle filter."""
+    """dense-BLAS and inverted-index are two physical strategies for the
+    same operator — identical output, with and without the frequent-shingle
+    filter, regardless of which side of the byte gate the corpus lands on."""
     from lichess_event_stream_watcher_spark import testdata
     from lichess_event_stream_watcher_spark.operators import dedup as D
 
@@ -150,7 +150,94 @@ def test_jaccard_physical_paths_agree(spark, sf_dir):
         )
 
     base = run()
-    assert base == run(dense_vocab_limit=1)  # force inverted on collected sets
-    assert base == run(collect_limit=0)  # force the at-scale inverted path
+    assert base == run(dense_vocab_limit=1)  # vocab gate forces inverted
+    assert base == run(dense_bytes_limit=0)  # byte gate forces inverted
     filt = run(max_shingle_df=50)
-    assert filt == run(max_shingle_df=50, collect_limit=0)
+    assert filt == run(max_shingle_df=50, dense_bytes_limit=0)
+
+
+def test_jaccard_string_ids_both_paths(spark, sf_dir):
+    """id_col keeps its source type on BOTH physical paths (dense used to
+    hardcode bigint ids)."""
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    docs = (
+        testdata.load(spark, sf_dir, "documents")
+        .limit(200)
+        .withColumn("doc_id", F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 8, "0")))
+    )
+    dense = sorted((r.id_a, r.id_b, r.jaccard) for r in D.jaccard_pairs(docs).collect())
+    inv = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_pairs(docs, dense_bytes_limit=0).collect()
+    )
+    assert dense == inv
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in dense)
+
+
+def test_lsh_bands_cover_all_seeds_when_nondivisible(spark, sf_dir):
+    """bands that don't divide k: the final band absorbs the remainder, so
+    two docs with identical signatures always share every band, and a
+    difference ONLY in the last (remainder) seed changes the last band."""
+    sigs = spark.createDataFrame(
+        [(1, [f"h{i}" for i in range(10)]),
+         (2, [f"h{i}" for i in range(10)]),
+         (3, [f"h{i}" for i in range(9)] + ["DIFFERENT"])],
+        "id bigint, sig array<string>",
+    )
+    b = D.lsh_bands(sigs, k=10, bands=4).collect()
+    by_doc = {}
+    for r in b:
+        by_doc.setdefault(r.id, {})[r.band] = r.band_sig
+    assert len(by_doc[1]) == 4
+    assert by_doc[1] == by_doc[2]
+    # docs 1 and 3 agree on bands 0..2 (seeds 0..8) and differ on the final
+    # band, which must therefore include seed 9
+    assert all(by_doc[1][i] == by_doc[3][i] for i in range(3))
+    assert by_doc[1][3] != by_doc[3][3]
+
+
+def test_dedup_paths_leave_no_persisted_rdds(spark, sf_dir):
+    """Long-lived-session contract: repeated dedup/similarity calls must not
+    accumulate storage memory (no leaked .cache())."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    for _ in range(2):
+        D.jaccard_pairs(docs, n=2, threshold=0.5).count()
+        D.lsh_candidate_pairs(docs, k=16, bands=4).count()
+        D.simhash_near_dup_pairs(docs).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_cosine_near_dup_sharded_matches_single_shard(spark, sf_dir):
+    """The sharded broadcast is a pure physical choice: forcing many tiny
+    shards yields exactly the single-shard pair set; an oversized corpus is
+    refused with a pointer to the ANN operators."""
+    import pytest
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    one = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_near_dup_pairs(emb, 0.9).collect()
+    )
+    many = sorted(
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in S.cosine_near_dup_pairs(emb, 0.9, shard_bytes=4096).collect()
+    )
+    assert one == many
+    with pytest.raises(ValueError, match="hyperplane_buckets"):
+        S.cosine_near_dup_pairs(emb, 0.9, max_corpus_bytes=16)
+
+
+def test_hyperplane_and_ivf_refuse_empty_dims(spark, sf_dir):
+    import pytest
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    empty_anchors = emb.filter("vec_id < 0").select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    with pytest.raises(ValueError, match="anchor"):
+        S.hyperplane_buckets(emb, empty_anchors)
+    with pytest.raises(ValueError, match="centroid"):
+        S.nearest_cells(emb, empty_anchors)
