@@ -58,6 +58,10 @@ from .sinks import CollectingSink, MessageSink, ModApiSink
 
 RECENTLY_CHECKED_CAP = 10_000  # src/eventhandler.rs:102
 RECENTLY_NOTIFIED_CAP = 2_000  # src/eventhandler.rs:212
+# Driver-OOM guard: matched rows are bounded by match rate, not event rate,
+# but ONE overbroad rule (e.g. `username contains a`) could match a whole
+# batch. Refuse loudly past this cap instead of silently collecting it.
+MATCHED_COLLECT_CAP = 1_000_000
 
 
 def _user_wire_json(row: dict[str, Any]) -> str:
@@ -116,6 +120,7 @@ class Engine:
         # can exercise eviction without 10K-row fixtures
         self.checked_cap = RECENTLY_CHECKED_CAP
         self.notified_cap = RECENTLY_NOTIFIED_CAP
+        self.matched_collect_cap = MATCHED_COLLECT_CAP
         self.recently_checked: deque[str] = deque()
         self.recently_checked_info: dict[str, list[str]] = {}
         self.recently_notified: deque[str] = deque()
@@ -153,8 +158,17 @@ class Engine:
             matched = (
                 compile_matches(enriched, active, now=now)
                 .select("_row_id", "username", "rule_name")
+                .limit(self.matched_collect_cap + 1)
                 .collect()
             )
+            if len(matched) > self.matched_collect_cap:
+                raise RuntimeError(
+                    f"batch produced more than {self.matched_collect_cap} "
+                    "matched rows — an overbroad rule is matching nearly "
+                    "everything; refusing to collect it to the driver. "
+                    "Disable or narrow the rule, or raise "
+                    "engine.matched_collect_cap deliberately."
+                )
             # last-N by arrival order as a distributed top-k (TakeOrdered),
             # not a partition-order tail. len(tail) doubles as the batch
             # count: it is exact below the cap, and hitting the cap is the

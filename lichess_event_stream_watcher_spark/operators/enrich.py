@@ -103,9 +103,79 @@ def device_info_column(ua: Column) -> Column:
     )
 
 
-def enrich_device(df: DataFrame, ua_col: str = "user_agent") -> DataFrame:
-    """P2: add the ``device`` struct column (src/eventhandler.rs:86-88)."""
+def enrich_device(df: DataFrame, ua_col: str = "user_agent", use_ua_parser: str = "auto") -> DataFrame:
+    """P2: add the ``device`` struct column (src/eventhandler.rs:86-88).
+
+    ``use_ua_parser``: "auto" upgrades the GENERIC fallback to the real
+    ua-parser regexes.yaml when the ``ua_parser`` package is importable
+    (full fidelity with the reference's uap crate, src/event.rs:148-167),
+    and silently keeps the built-in Catalyst regex chain otherwise;
+    "never" pins the regex chain; "require" raises if the lib is missing.
+    """
+    if use_ua_parser != "never":
+        try:
+            col = _device_info_ua_parser_column(F.col(ua_col))
+            return df.withColumn("device", col)
+        except ImportError:
+            if use_ua_parser == "require":
+                raise
     return df.withColumn("device", device_info_column(F.col(ua_col)))
+
+
+def _device_info_ua_parser_column(ua: Column) -> Column:
+    """Generic fallback via the real ua-parser library (Arrow-batched UDF,
+    library loaded once per executor); the three lichess fast paths stay in
+    Catalyst ahead of it, mirroring parse_user_agent's order
+    (src/event.rs:169-177). Raises ImportError when ua_parser is absent."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import ua_parser  # noqa: F401 — gate: raise before building the plan
+
+    def _parse(uas):
+        from ua_parser import user_agent_parser
+
+        out = {"device": [], "os": [], "client": []}
+        for s in uas:
+            p = user_agent_parser.Parse(s or "")
+            fam = p["user_agent"]["family"]
+            major = p["user_agent"]["major"]
+            osfam = p["os"]["family"]
+            osmajor = p["os"]["major"]
+            dev = p["device"]["family"]
+            # the reference rewrites device "Other" -> "Computer"
+            # (src/event.rs:148-153) and formats "<family> <major>"
+            out["device"].append("Computer" if dev == "Other" else dev)
+            out["os"].append(osfam if not osmajor else f"{osfam} {osmajor}")
+            out["client"].append(fam if not major else f"{fam} {major}")
+        return pd.DataFrame(out)
+
+    _parse.__annotations__ = {"uas": pd.Series, "return": pd.DataFrame}
+    generic = pandas_udf("struct<device:string,os:string,client:string>")(_parse)(ua)
+
+    bot_ver = F.split(F.substring(ua, len(BOT_PREFIX) + 1, 2147483647), " ").getItem(0)
+    bot = _device_struct(F.lit("Computer"), F.lit("Other"), F.concat(F.lit("lichess-bot "), bot_ver))
+    mob = _device_struct(
+        F.regexp_extract(ua, MOB_UA_RE, 6),
+        F.concat(F.regexp_extract(ua, MOB_UA_RE, 4), F.lit(" "), F.regexp_extract(ua, MOB_UA_RE, 5)),
+        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_RE, 1)),
+    )
+    trim = _device_struct(
+        F.regexp_extract(ua, MOB_UA_TRIM_RE, 4),
+        F.concat(
+            F.regexp_extract(ua, MOB_UA_TRIM_RE, 2),
+            F.lit(" "),
+            F.regexp_extract(ua, MOB_UA_TRIM_RE, 3),
+        ),
+        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_TRIM_RE, 1)),
+    )
+    return (
+        F.when(ua.isNull(), F.lit(None).cast("struct<device:string,os:string,client:string>"))
+        .when(ua.startswith(BOT_PREFIX), bot)
+        .when(ua.rlike(MOB_UA_RE), mob)
+        .when(ua.rlike(MOB_UA_TRIM_RE), trim)
+        .otherwise(generic)
+    )
 
 
 def enrich_geoip(df: DataFrame, ranges: DataFrame, ip_col: str = "ip") -> DataFrame:
@@ -192,12 +262,52 @@ def user_to_json(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.withColumn("user_json", F.to_json(struct))
 
 
-def maxmind_geoip_udf(mmdb_path: str):  # pragma: no cover - lib not in container
-    """Faithful variant: UDF over a broadcast MaxMind reader
-    (src/eventhandler.rs:44-45,72-84). Gated: maxminddb is not installed in
-    this environment; the range-join variant above is the primary path."""
-    try:
-        import maxminddb  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError("maxminddb not available; use enrich_geoip (range join)") from e
-    raise NotImplementedError("wire a broadcast maxminddb.Reader here when the lib exists")
+def maxmind_geoip_udf(mmdb_bytes: bytes):
+    """Faithful per-row variant: point lookups against the .mmdb search tree
+    (src/eventhandler.rs:44-45,72-84), via the dependency-free reader in
+    functions/mmdb.py. The database bytes ship once per executor inside the
+    UDF closure; each Arrow batch walks the tree in-process.
+
+    The banded range join (``enrich_geoip_banded`` fed by
+    ``mmdb_to_range_df``) is still the preferred scale path — it keeps the
+    lookup in codegen'd join code instead of Python. This UDF exists for
+    parity and for ad-hoc use where converting the tree isn't worth it.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.ip import ip_to_num_py
+    from ..functions.mmdb import MmdbReader, geoip_city_record
+
+    reader_box: list[MmdbReader] = []
+
+    # explicit __annotations__ with REAL classes: `from __future__ import
+    # annotations` would leave strings that pandas_udf's type-hint
+    # inference cannot resolve against this closure's locals
+    def _lookup(ips):
+        if not reader_box:  # construct once per executor process
+            reader_box.append(MmdbReader(mmdb_bytes))
+        reader = reader_box[0]
+        out = {"country": [], "city": [], "subdivisions": []}
+        for ip in ips:
+            ipn = ip_to_num_py(ip) if ip is not None else None
+            data = reader.lookup_ipv4(ipn) if ipn is not None else None
+            country, city, subs = geoip_city_record(data) if data else (None, None, None)
+            out["country"].append(country)
+            out["city"].append(city)
+            out["subdivisions"].append(subs)
+        return pd.DataFrame(out)
+
+    _lookup.__annotations__ = {"ips": pd.Series, "return": pd.DataFrame}
+    return pandas_udf("struct<country:string,city:string,subdivisions:array<string>>")(_lookup)
+
+
+def enrich_geoip_mmdb(df: DataFrame, mmdb_bytes: bytes, ip_col: str = "ip") -> DataFrame:
+    """P1 via per-row mmdb lookups, with the same NULL-on-miss contract as
+    the range join: a failed lookup leaves ``geoip`` NULL (not a struct of
+    NULLs), matching src/eventhandler.rs:79-83."""
+    raw = maxmind_geoip_udf(mmdb_bytes)(F.col(ip_col))
+    return df.withColumn(
+        "geoip",
+        F.when(raw["country"].isNotNull() | raw["city"].isNotNull(), raw),
+    )

@@ -181,10 +181,10 @@ def ndjson_tail_source():
     return NdjsonTailDataSource.build()
 
 
-class HttpNdjsonPoller:  # pragma: no cover - network not available in tests
+class HttpNdjsonPoller:
     """Production S1/S2: a driver-side thread GETs the chunked NDJSON stream
     and appends complete lines to the landing directory in rotating files;
-    on stream end/error it sleeps 7 s and reconnects forever
+    on stream end/error it sleeps the 7 s backoff and reconnects forever
     (src/eventstream.rs:64-71). The streaming query then tails the landing
     dir — decoupling transport restarts from query restarts.
 
@@ -194,29 +194,67 @@ class HttpNdjsonPoller:  # pragma: no cover - network not available in tests
     """
 
     RECONNECT_BACKOFF_S = 7  # src/eventstream.rs:68-69
+    PROGRESS_EVERY = 400  # src/eventstream.rs:45-48 ("400 done")
 
-    def __init__(self, url: str, token: str, landing_dir: str):
+    def __init__(
+        self,
+        url: str,
+        token: str,
+        landing_dir: str,
+        backoff_s: float | None = None,
+    ):
         self.url, self.token, self.landing_dir = url, token, landing_dir
+        self.backoff_s = self.RECONNECT_BACKOFF_S if backoff_s is None else backoff_s
+        self.connects = 0
+        self.files_written = 0
+        self.lines_total = 0
+        self._progress_residue = 0
 
-    def run_forever(self) -> None:
-        import time
+    def poll_once(self) -> None:
+        """One transport session: connect, stream chunks, flush complete
+        lines to a fresh landing file per chunk batch; returns on stream
+        end, raises on transport error. A partial trailing line is DROPPED
+        (the server closed mid-line — the reference's line iterator likewise
+        only ever yields complete lines, src/eventstream.rs:45-58)."""
         import urllib.request
 
-        n = 0
+        self.connects += 1
+        req = urllib.request.Request(
+            self.url, headers={"Authorization": f"Bearer {self.token}"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            buf = b""
+            for chunk in iter(lambda: resp.read(8192), b""):
+                buf += chunk
+                *lines, buf = buf.split(b"\n")
+                lines = [ln for ln in lines if ln.strip()]
+                if lines:
+                    # A6 ingest progress: the reference prints "400 done"
+                    # every 400 lines (src/eventstream.rs:45-48)
+                    self.lines_total += len(lines)
+                    self._progress_residue += len(lines)
+                    while self._progress_residue >= self.PROGRESS_EVERY:
+                        self._progress_residue -= self.PROGRESS_EVERY
+                        print("400 done")
+                    self.files_written += 1
+                    with open(
+                        f"{self.landing_dir}/poll-{self.files_written:08d}.ndjson", "wb"
+                    ) as f:
+                        f.write(b"\n".join(lines) + b"\n")
+
+    def run_forever(self, max_connects: int | None = None, sleep=None) -> None:
+        """The S2 reconnect loop: poll, then ALWAYS back off 7 s and
+        reconnect — both clean stream end and transport error re-enter the
+        connect loop (src/eventstream.rs:64-71). ``max_connects``/``sleep``
+        bound and accelerate the loop under test."""
+        import time as _time
+
+        sleep = sleep or _time.sleep
         while True:
             try:
-                req = urllib.request.Request(
-                    self.url, headers={"Authorization": f"Bearer {self.token}"}
-                )
-                with urllib.request.urlopen(req) as resp:
-                    buf = b""
-                    for chunk in iter(lambda: resp.read(8192), b""):
-                        buf += chunk
-                        *lines, buf = buf.split(b"\n")
-                        if lines:
-                            n += 1
-                            with open(f"{self.landing_dir}/poll-{n:08d}.ndjson", "wb") as f:
-                                f.write(b"\n".join(lines))
-            except Exception as e:
-                print(f"stream error, reconnecting in {self.RECONNECT_BACKOFF_S}s: {e}")
-            time.sleep(self.RECONNECT_BACKOFF_S)
+                self.poll_once()
+            except Exception as e:  # noqa: BLE001 — reconnect on any transport error
+                print(f"stream error, reconnecting in {self.backoff_s}s: {e}")
+            if max_connects is not None and self.connects >= max_connects:
+                return
+            sleep(self.backoff_s)

@@ -223,3 +223,20 @@ def test_expiry_sweep_messages(engine):
     assert engine.messages.channel("notify")[-1] == (
         "Notice: rule `dying` is expiring in less than a day"
     )
+
+
+def test_overbroad_rule_hits_collect_guard(spark, engine):
+    """One match-everything rule must not OOM the driver: past
+    matched_collect_cap the batch refuses loudly instead of collecting."""
+    engine.store.add_rule(
+        Rule("broad", Criterion(CriterionKind.USERNAME_CONTAINS, "u"), [Action.NOTIFY_ZULIP])
+    )
+    rows = [u(f"user{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, USER_SCHEMA_DDL)
+    engine.matched_collect_cap = 10
+    with pytest.raises(RuntimeError, match="overbroad"):
+        engine.process_batch(df)
+    # narrowing the cap back above the match count lets the batch through
+    engine.matched_collect_cap = 1_000
+    engine.process_batch(df)
+    assert engine.store.find_rule("broad").match_count == 20
