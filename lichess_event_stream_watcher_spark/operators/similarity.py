@@ -141,6 +141,40 @@ def _lit_vec(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+# -- literal-vector SQL builders --------------------------------------------
+# Tiny dims (anchors/centroids) inline as SQL text, ONE py4j call per
+# expression instead of ~200 Column-API round trips per vector (64 lits +
+# three aggregate folds) — composition time, not execution time. repr()
+# round-trips doubles exactly, and the 'D' suffix forces double literals.
+
+
+def _vec_sql(vec) -> str:
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in vec) + ")"
+
+
+def _dot_sql(col_sql: str, vec) -> str:
+    """SQL text of the same left-fold dot product as ``dot`` (bit-identical:
+    aggregate folds left in array order)."""
+    return (
+        f"aggregate(zip_with(cast({col_sql} as array<double>), {_vec_sql(vec)}, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _self_dot_sql(col_sql: str) -> str:
+    c = f"cast({col_sql} as array<double>)"
+    return f"aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _self_dot_py(vec) -> float:
+    """Python twin of the left-fold self-dot: identical IEEE add/mul order,
+    so the constant-folded centroid norm is bit-equal to the SQL fold."""
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    return acc
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     anchors: DataFrame,
@@ -160,11 +194,10 @@ def hyperplane_buckets(
     avecs = sorted(anchors.collect(), key=lambda r: r[0])
     if not avecs:
         raise ValueError("hyperplane_buckets needs >=1 anchor vector")
-    bits = [
-        F.when(dot(F.col(vec_col), _lit_vec(r[1])) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for r in avecs
-    ]
-    return emb.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    bits = ", ".join(
+        f"CASE WHEN {_dot_sql(vec_col, r[1])} >= 0 THEN '1' ELSE '0' END" for r in avecs
+    )
+    return emb.select(F.col(id_col), F.expr(f"concat({bits})").alias("bucket"))
 
 
 def nearest_cells(
@@ -188,15 +221,17 @@ def nearest_cells(
     cvecs = sorted(centroids.collect(), key=lambda r: r[0])
     if not cvecs:
         raise ValueError("nearest_cells needs >=1 centroid vector")
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(cosine(F.col(vec_col), _lit_vec(cv)), 6).alias("cell_sim"),
-                F.lit(int(cid)).cast("bigint").alias("cent_id"),
-            )
-            for cid, cv in [(r[0], r[1]) for r in cvecs]
-        ]
+    # the row's self-dot is shared by every centroid comparison; centroid
+    # self-dots constant-fold driver-side (same left-fold order -> same bits)
+    norm_a = F.expr(_self_dot_sql(vec_col)).alias("_na")
+    structs = ", ".join(
+        "named_struct('cell_sim', round({dot} / sqrt(_na * {nb!r}D), 6), "
+        "'cent_id', CAST({cid} AS BIGINT))".format(
+            dot=_dot_sql(vec_col, r[1]), nb=_self_dot_py(r[1]), cid=int(r[0])
+        )
+        for r in cvecs
     )
+    scored = F.expr(f"array({structs})")
     # desc by similarity, asc by cent_id on ties — comparator keeps the
     # rounded-double ordering identical to the SQL ORDER BY
     ranked = F.slice(
@@ -209,13 +244,15 @@ def nearest_cells(
         1,
         n,
     )
-    return emb.select(
-        F.col(id_col), F.col(vec_col), F.posexplode(ranked).alias("_pos", "_cell")
-    ).select(
-        id_col,
-        vec_col,
-        F.col("_cell.cent_id").alias("cent_id"),
-        (F.col("_pos") + 1).cast("bigint").alias("cell_rank"),
+    return (
+        emb.select(F.col(id_col), F.col(vec_col), norm_a)
+        .select(F.col(id_col), F.col(vec_col), F.posexplode(ranked).alias("_pos", "_cell"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("_cell.cent_id").alias("cent_id"),
+            (F.col("_pos") + 1).cast("bigint").alias("cell_rank"),
+        )
     )
 
 
