@@ -34,8 +34,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.enrich import enrich_device, enrich_geoip_banded
-from ..plans.compile import compile_matches
+from ..operators.enrich import device_info_column, enrich_geoip_banded
+from ..plans.compile import matches_column
 from ..rules.model import UTC, MIN_UTC, Action, Rule
 from ..rules.store import SignupRulesManager
 from ..schemas import USER_SCHEMA
@@ -64,19 +64,36 @@ RECENTLY_NOTIFIED_CAP = 2_000  # src/eventhandler.rs:212
 MATCHED_COLLECT_CAP = 1_000_000
 
 
+def _plain(v: Any) -> Any:
+    """Arrow/pandas values -> plain JSON-serializable Python (numpy scalars
+    and arrays arrive from toPandas; Rows arrive from .collect())."""
+    if v is None:
+        return None
+    if hasattr(v, "asDict"):  # pyspark Row
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_plain(x) for x in v]
+    item = getattr(v, "item", None)
+    if item is not None and type(v).__module__ == "numpy":
+        return v.item()
+    return v
+
+
 def _user_wire_json(row: dict[str, Any]) -> str:
     """Serialize a user row back to the camelCase wire shape
     (src/eventhandler.rs:415, P4)."""
     return json.dumps(
         {
-            "username": row.get("username"),
-            "email": row.get("email"),
-            "ip": row.get("ip"),
-            "userAgent": row.get("user_agent"),
-            "fingerPrint": row.get("finger_print"),
-            "suspIp": bool(row.get("susp_ip") or False),
-            "geoip": row.get("geoip"),
-            "device": row.get("device"),
+            "username": _plain(row.get("username")),
+            "email": _plain(row.get("email")),
+            "ip": _plain(row.get("ip")),
+            "userAgent": _plain(row.get("user_agent")),
+            "fingerPrint": _plain(row.get("finger_print")),
+            "suspIp": bool(_plain(row.get("susp_ip")) or False),
+            "geoip": _plain(row.get("geoip")),
+            "device": _plain(row.get("device")),
         },
         separators=(",", ":"),
     )
@@ -125,12 +142,29 @@ class Engine:
         self.recently_checked_info: dict[str, list[str]] = {}
         self.recently_notified: deque[str] = deque()
         self.latest_event_utc: dt.datetime = MIN_UTC
+        # Column-expression caches: Columns are immutable expression trees
+        # not bound to a DataFrame, so the rule-scan and device-enrich
+        # expressions compile once per RULESET (key below) / once per engine
+        # and amortize across micro-batches — plan composition is the
+        # dominant driver-side cost of a warm batch.
+        self._matches_cache: tuple[tuple, Any] | None = None
+        self._device_col = None
 
     # -- the data path (src/eventhandler.rs:60-283) ------------------------
 
+    def _rule_scan_column(self, active: list[Rule]):
+        """The matched-rules array Column, rebuilt only when the active
+        ruleset changes (name/criterion/gate signature)."""
+        key = tuple((r.name, r.criterion.kind, r.criterion.value, r.susp_ip) for r in active)
+        if self._matches_cache is None or self._matches_cache[0] != key:
+            self._matches_cache = (key, matches_column(active))
+        return self._matches_cache[1]
+
     def enrich(self, df: DataFrame) -> DataFrame:
         """P1 + P2; geoip stays NULL when no range table is wired."""
-        out = enrich_device(df)
+        if self._device_col is None:
+            self._device_col = device_info_column(F.col("user_agent"))
+        out = df.withColumn("device", self._device_col)
         if self.geoip_ranges is not None:
             out = enrich_geoip_banded(out, self.geoip_ranges)
         else:
@@ -155,12 +189,20 @@ class Engine:
         enriched = self.enrich(ordered).cache()
         try:
             active = self.store.active_rules(now)
-            matched = (
-                compile_matches(enriched, active, now=now)
-                .select("_row_id", "username", "rule_name")
-                .limit(self.matched_collect_cap + 1)
-                .collect()
-            )
+            if active:
+                matched = (
+                    enriched.withColumn("_match", F.explode(self._rule_scan_column(active)))
+                    .select(
+                        "_row_id",
+                        "username",
+                        F.col("_match.rule_name").alias("rule_name"),
+                    )
+                    .limit(self.matched_collect_cap + 1)
+                    .toPandas()  # Arrow: columnar transfer, no per-row py4j
+                    .to_dict("records")
+                )
+            else:
+                matched = []  # no active rules -> skip the scan job entirely
             if len(matched) > self.matched_collect_cap:
                 raise RuntimeError(
                     f"batch produced more than {self.matched_collect_cap} "
@@ -173,8 +215,13 @@ class Engine:
             # not a partition-order tail. len(tail) doubles as the batch
             # count: it is exact below the cap, and hitting the cap is the
             # only fact the eviction branch needs — no separate count() job.
-            tail = enriched.orderBy(F.desc("_row_id")).limit(self.checked_cap).collect()
-            tail.reverse()
+            tail = (
+                enriched.orderBy(F.desc("_row_id"))
+                .limit(self.checked_cap)
+                .toPandas()  # Arrow: the 10K-row window crosses as batches
+                .sort_values("_row_id")
+                .to_dict("records")
+            )
             batch_count = len(tail)
         finally:
             enriched.unpersist()
@@ -184,8 +231,7 @@ class Engine:
             # every pre-existing entry would be evicted by this batch
             self.recently_checked.clear()
             self.recently_checked_info.clear()
-        for row in tail:
-            d = row.asDict(recursive=True)
+        for d in tail:
             user_id = (d.get("username") or "").lower()
             self.recently_checked.append(user_id)
             self.recently_checked_info.setdefault(user_id, []).append(_user_wire_json(d))

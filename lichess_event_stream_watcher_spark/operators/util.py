@@ -15,9 +15,21 @@ def spread(df: DataFrame) -> DataFrame:
     round-robin of the raw rows) only fires on under-split inputs.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # probe splits WITHOUT df.rdd (which builds a full RDD conversion of the
+    # plan on every call): for file scans the file count is the cheap proxy
+    # (>= target files always yields >= target splits; fewer, possibly-large
+    # files make the round-robin repartition a reasonable balance move for
+    # the CPU-heavy consumers this wraps). Non-file plans (createDataFrame,
+    # joins) fall back to the RDD probe.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file source
+        n_files = 0
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def salted_join(

@@ -83,6 +83,25 @@ def rule_predicate(rule: Rule, cols: dict[str, str] | None = None) -> Column:
     return pred
 
 
+def matches_column(
+    active: list[Rule],
+    cols: dict[str, str] | None = None,
+    with_actions: bool = False,
+) -> Column:
+    """The rule-scan expression ALONE: array of matched (rule_name[, actions])
+    structs for one event row. A Column is an immutable expression tree not
+    bound to any DataFrame, so long-lived callers (the streaming engine) can
+    compile it once per RULESET and reuse it across micro-batches — plan
+    composition cost is paid on rule change, not per batch."""
+    structs = []
+    for r in active:
+        payload = [F.lit(r.name).alias("rule_name")]
+        if with_actions:
+            payload.append(F.array(*[F.lit(a.value) for a in r.actions]).alias("actions"))
+        structs.append(F.when(rule_predicate(r, cols), F.struct(*payload)))
+    return F.filter(F.array(*structs), lambda x: x.isNotNull())
+
+
 def compile_matches(
     df: DataFrame,
     rules: list[Rule],
@@ -104,14 +123,7 @@ def compile_matches(
             out = out.select("*", F.lit("").alias("action"))
         return out.limit(0)
 
-    structs = []
-    for r in active:
-        payload = [F.lit(r.name).alias("rule_name")]
-        if with_actions:
-            payload.append(F.array(*[F.lit(a.value) for a in r.actions]).alias("actions"))
-        structs.append(F.when(rule_predicate(r, cols), F.struct(*payload)))
-    matches = F.filter(F.array(*structs), lambda x: x.isNotNull())
-
+    matches = matches_column(active, cols, with_actions)
     out = df.withColumn("_match", F.explode(matches))
     if with_actions:
         return out.select(
