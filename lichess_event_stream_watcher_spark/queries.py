@@ -183,6 +183,7 @@ _EXPENSIVE_LAST = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "dedup_jaccard_pairs",
+    "dedup_jaccard_inverted",
 ]
 
 

@@ -105,9 +105,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(docs)
 
 
-@query(
-    "dedup_jaccard_pairs",
-    rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+_JACCARD_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
@@ -117,13 +115,26 @@ inter AS (
 SELECT id_a, id_b,
        ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5""",
-)
+WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5"""
+
+
+@query("dedup_jaccard_pairs", _JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact bigram-shingle Jaccard near-dup pairs (J >= 0.5) via an
-    inverted-index join — recovers the corpus's planted near-duplicates."""
+    """Exact bigram-shingle Jaccard near-dup pairs (J >= 0.5); the byte gate
+    picks the dense-BLAS strategy at this corpus size — recovers the
+    corpus's planted near-duplicates."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, n=2, threshold=0.5)
+
+
+@query("dedup_jaccard_inverted", _JACCARD_ORACLE)
+def dedup_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME operator forced onto its at-scale physical strategy (byte
+    gate 0 -> inverted-index self-join + length filter, no driver collect)
+    — both paths carry a green oracle row, so the strategy switch can never
+    silently change results."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, n=2, threshold=0.5, dense_bytes_limit=0)
 
 
 _MINHASH_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},

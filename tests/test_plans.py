@@ -153,3 +153,33 @@ def test_analytic_queries_share_one_exchange(spark, sf_dir):
     for name in ("sessionize", "asof_join_orders", "window_suite"):
         p = plan_str(qs[name](spark, sf_dir))
         assert p.count("Exchange hashpartitioning") == 1, (name, p)
+
+
+def test_jaccard_physical_strategies_pin(spark, sf_dir):
+    """The byte gate picks exactly one of two pinned shapes: dense-BLAS is a
+    mapInPandas scan with NO join (candidates never shuffle); the at-scale
+    inverted path is a pure join+aggregate pipeline with NO Python stage."""
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    dense = plan_str(D.jaccard_pairs(docs, n=2, threshold=0.5))
+    assert "MapInPandas" in dense
+    assert "Join" not in dense
+    inverted = plan_str(D.jaccard_pairs(docs, n=2, threshold=0.5, dense_bytes_limit=0))
+    assert "MapInPandas" not in inverted and "PythonUDF" not in inverted
+    assert "Join" in inverted  # the inverted-index self-join
+    # the dim side of the length filter broadcasts; the self-join itself is
+    # the one legitimate shuffle of the shingle table
+    assert "BroadcastHashJoin" in inverted
+
+
+def test_cosine_near_dup_sharded_is_map_side(spark, sf_dir):
+    """Each shard pass is a mapInPandas over the corpus against a broadcast
+    shard — no join, no shuffle, at any shard count."""
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    p = plan_str(S.cosine_near_dup_pairs(emb, 0.9, shard_bytes=4096))
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    assert "Union" in p  # shard passes union map-side
