@@ -13,9 +13,11 @@ cursor-carrying long-poll is exactly an offset-tracking source; if a
 durable command log is ever needed, land the messages in a directory and
 read them with the same file source the data plane uses.
 
-Network-gated: the container has no egress, so the transport is exercised
-only in production; the filter/dispatch/reply logic is plain Python and
-unit-testable via ``dispatch_message``.
+The transport is plain urllib long-polling, covered by a loopback HTTP
+test (tests/test_rtm_loopback.py): register -> cursor-carrying polls ->
+heartbeat liveness -> reconnect-with-re-register on error; the
+filter/dispatch/reply logic is additionally unit-tested via
+``dispatch_message``.
 """
 
 from __future__ import annotations
@@ -53,15 +55,19 @@ def dispatch_message(
     return False
 
 
-class ZulipRtmClient:  # pragma: no cover - network not available in tests
+class ZulipRtmClient:
     """Long-poll loop: register queue -> poll with cursor -> dispatch."""
 
     def __init__(self, url: str, bot_id: str, token: str, bot_name: str,
-                 stream: str, topic: str, handle: Callable[[str], None]):
+                 stream: str, topic: str, handle: Callable[[str], None],
+                 backoff_s: float = RECONNECT_BACKOFF_S):
         self.url, self.bot_id, self.token = url, bot_id, token
         self.bot_name, self.stream, self.topic = bot_name, stream, topic
         self.handle = handle
+        self.backoff_s = backoff_s
         self.last_heartbeat = time.monotonic()
+        self.registers = 0
+        self.polls = 0
 
     def _auth(self) -> str:
         raw = f"{self.bot_id}:{self.token}".encode()
@@ -85,18 +91,26 @@ class ZulipRtmClient:  # pragma: no cover - network not available in tests
         with urllib.request.urlopen(req, timeout=90) as r:
             return json.load(r)
 
-    def run_forever(self) -> None:
+    def run_forever(self, max_polls: int | None = None, sleep=None) -> None:
+        """``max_polls``/``sleep`` bound and accelerate the loop under test;
+        production callers use the defaults (poll forever, 7 s backoff on
+        any transport error — src/zulip/rtm.rs:171-177)."""
+        sleep = sleep or time.sleep
         while True:
             try:
                 reg = self._post(
                     "/api/v1/register", {"event_types": json.dumps(["message"])}
                 )
+                self.registers += 1
                 queue_id, last_event_id = reg["queue_id"], reg["last_event_id"]
                 while True:
+                    if max_polls is not None and self.polls >= max_polls:
+                        return
                     resp = self._get(
                         "/api/v1/events",
                         {"queue_id": queue_id, "last_event_id": last_event_id},
                     )
+                    self.polls += 1
                     for event in resp.get("events", []):
                         last_event_id = max(last_event_id, event.get("id", -1))
                         if event.get("type") == "heartbeat":
@@ -109,5 +123,7 @@ class ZulipRtmClient:  # pragma: no cover - network not available in tests
                                 self.stream, self.topic, msg, self.handle,
                             )
             except Exception as e:
-                print(f"zulip rtm error, reconnecting in {RECONNECT_BACKOFF_S}s: {e}")
-                time.sleep(RECONNECT_BACKOFF_S)
+                print(f"zulip rtm error, reconnecting in {self.backoff_s}s: {e}")
+                if max_polls is not None and self.polls >= max_polls:
+                    return
+                sleep(self.backoff_s)
