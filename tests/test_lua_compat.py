@@ -202,3 +202,57 @@ class TestLuaSurfaceTranslation:
                     "susp_ip": rng.choice([True, False]),
                 }
                 assert f_lua(row) == f_py(row), (lua, row)
+
+
+def test_translator_idempotent_on_python_surface():
+    """Property: for generated Python-surface predicates, translation is a
+    no-op semantically — compile_predicate(expr) == raw eval of the same
+    expr — so running the rewrite unconditionally can never break rules
+    written natively for this engine."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lichess_event_stream_watcher_spark.lua_translate import lua_to_python
+
+    field = st.sampled_from(
+        ["user.name()", "user.email()", "user.ip()", "user.ua()", "user.fp()"]
+    )
+    lit = st.sampled_from(['"a"', '"@x"', '"<NO PRINT>"', '"Z9"'])
+    cmp_op = st.sampled_from(["==", "!=", "<", ">", "<=", ">="])
+
+    atom = st.one_of(
+        st.builds(lambda f, o, v: f"{f} {o} {v}", field, cmp_op, lit),
+        st.builds(lambda f, v: f"regex({f}, {v})", field, lit),
+        st.builds(lambda f: f"len({f}) > 2", field),
+        st.just("user.susp_ip()"),
+    )
+
+    def combine(children):
+        return st.one_of(
+            st.builds(lambda a, b: f"({a}) and ({b})", children, children),
+            st.builds(lambda a, b: f"({a}) or ({b})", children, children),
+            st.builds(lambda a: f"not ({a})", children),
+        )
+
+    expr = st.recursive(atom, combine, max_leaves=6)
+
+    @given(expr)
+    @settings(max_examples=200, deadline=None)
+    def check(e):
+        assert compile(lua_to_python(e), "<t>", "eval")  # stays valid Python
+        row = {"username": "Bob", "email": "b@x.y", "ip": "1.2.3.4",
+               "user_agent": None, "finger_print": None, "susp_ip": True}
+        import lichess_event_stream_watcher_spark.lua_compat as lc
+
+        translated = lc.compile_predicate(e)(dict(row))
+        raw = bool(
+            eval(  # noqa: S307 - test-only twin without the rewrite
+                compile(e, "<raw>", "eval"),
+                {"__builtins__": {"len": len}, "regex": lc.regex,
+                 "isInIpRange": lc.is_in_ip_range},
+                {"user": lc.UserRow(dict(row))},
+            )
+        )
+        assert translated == raw
+
+    check()
