@@ -264,14 +264,19 @@ def minhash_signatures(
 
 
 def lsh_bands(
-    sigs_wide: DataFrame, k: int = DEFAULT_MINHASH_K, bands: int = DEFAULT_BANDS
+    sigs_wide: DataFrame,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Band buckets from wide signatures: (id, band, band_sig).
+    """Band buckets from wide signatures: (id, [keep...,] band, band_sig).
 
     band_sig = md5 of the band's r minhashes joined in seed order — a pure
     per-row projection (explode of `bands` structs), no shuffle. When bands
     does not divide k, the final band absorbs the k % bands remainder seeds
-    so every seed contributes to exactly one band.
+    so every seed contributes to exactly one band. ``keep`` carries extra
+    columns (e.g. the signature itself) through the explosion so downstream
+    consumers never re-join the signature table.
     """
     r = k // bands
     widths = [r] * (bands - 1) + [k - (bands - 1) * r]
@@ -288,9 +293,38 @@ def lsh_bands(
             ]
         )
     )
-    return sigs_wide.select("id", bucket.alias("bb")).select(
-        "id", "bb.band", "bb.band_sig"
+    kept = [F.col(c) for c in keep]
+    return sigs_wide.select("id", *kept, bucket.alias("bb")).select(
+        "id", *kept, "bb.band", "bb.band_sig"
     )
+
+
+def _bucket_local_pairs(df: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+    """Unordered id-pairs within each bucket, payload columns carried along.
+
+    ONE shuffle (groupBy the bucket key) replaces a bucket self-JOIN — which
+    would shuffle the bucket table twice AND recompute its (expensive)
+    upstream once per side, since exchange reuse is not guaranteed across
+    join branches. Members sort by id so emitted pairs satisfy a.id < b.id
+    by construction. Skew note: a degenerate bucket (thousands of identical
+    docs) builds one wide row here where the join form could AQE-split it —
+    the banding key is chosen to keep buckets small, and the pair explosion
+    is quadratic in bucket size EITHER way.
+
+    Output columns: a STRUCT<id, payload...>, b STRUCT<id, payload...>.
+    """
+    member = F.struct(F.col("id"), *[F.col(c) for c in payload])
+    grouped = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.array_sort(F.collect_list(member)).alias("members")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(members, (x, i) -> "
+            "transform(slice(members, i + 2, size(members)), "
+            "y -> struct(x AS a, y AS b))))"
+        )
+    )
+    return grouped.select(pair.alias("p")).select("p.a", "p.b")
 
 
 def lsh_candidate_pairs(
@@ -304,43 +338,37 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs (id_a < id_b) + estimated Jaccard.
 
     Pairs collide iff they share any (band, band_sig) bucket; the estimate
-    is the fraction of equal minhash seeds. Bucket join keeps the pair
-    explosion local to buckets — the scale path for corpus-level dedup.
-    Whole pipeline: one aggregation shuffle builds signatures, banding is a
-    projection, then the bucket self-join and the pair-local estimate joins.
-    No cache: the three signature consumers share one aggregation exchange
-    (physical-plan ReusedExchange), so nothing leaks storage memory across
-    calls in a long-lived session.
+    is the fraction of equal minhash seeds. Bucket-LOCAL pair generation
+    keeps the explosion inside buckets — the scale path for corpus-level
+    dedup. Whole pipeline computes signatures exactly once: one aggregation
+    shuffle builds them, banding is a projection carrying the signature
+    along, one bucket shuffle groups members, pairs + estimates explode
+    in-bucket, and a final distinct dedupes multi-band collisions. No
+    joins, no cache, no recomputation of the signature aggregation.
     """
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
-    bnd = lsh_bands(sigs, k, bands)
-    a, b = bnd.alias("a"), bnd.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    # estimate ONLY for candidate pairs: join the (small) candidate set
-    # against the signature arrays twice and count equal positions with
-    # zip_with — never the corpus-wide (seed, minhash) self-join, whose
-    # fanout tracks global near-dup mass
+    bnd = lsh_bands(sigs, k, bands, keep=("sig",))
+    pairs = _bucket_local_pairs(bnd, ["band", "band_sig"], ["sig"])
+    # the estimate rides ALONG with the pair explosion — signatures were
+    # carried into the bucket rows, so no re-join against the (expensively
+    # aggregated) signature table, and the whole pipeline computes
+    # signatures exactly once: agg shuffle -> band projection -> ONE bucket
+    # shuffle -> in-bucket pair explode -> distinct
     est_col = (
         F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
             F.lit(0),
             lambda acc, v: acc + v,
         )
         / F.lit(float(k))
     )
     return (
-        cand.join(sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-        .join(sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
-        .select("id_a", "id_b", F.round(est_col, 6).alias("est_jaccard"))
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(est_col, 6).alias("est_jaccard"),
+        )
+        .distinct()
     )
 
 
@@ -371,10 +399,12 @@ def simhash_near_dup_pairs(
 
     Pigeonhole banding: a 64-bit signature splits into ``bands`` equal hex
     bands; any pair within ``bands - 1`` bit flips shares at least one
-    band verbatim, so the candidate join is an EQUI-join on (band index,
-    band value) — bucket-local fanout, no all-pairs scan — and EXACT for
-    ``max_hamming <= bands - 1``. Hamming verification is a codegen'd
-    nibble-XOR-popcount expression.
+    band verbatim, so candidates form inside (band index, band value)
+    buckets — bucket-local fanout, no all-pairs scan — and the result is
+    EXACT for ``max_hamming <= bands - 1``. Pair generation is bucket-LOCAL
+    (one groupBy shuffle; the signature pipeline runs once, not once per
+    join side). Hamming verification is a codegen'd nibble-XOR-popcount
+    expression.
     """
     if max_hamming > bands - 1:
         raise ValueError("banding is only exact for max_hamming <= bands - 1")
@@ -385,14 +415,8 @@ def simhash_near_dup_pairs(
     ).withColumn(
         "band_val", F.expr(f"substr(simhash, band * {band_len} + 1, {band_len})")
     )
-    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        _bucket_local_pairs(banded, ["band", "band_val"], ["simhash"])
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
