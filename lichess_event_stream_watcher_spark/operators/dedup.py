@@ -42,11 +42,18 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def shingles(
-    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_count: bool = False,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Distinct word n-gram shingles per document: (id, shingle[, n_sh]).
 
-    Built with transform over a token-index sequence — pure Catalyst, no UDF.
+    Built with transform over a token-index sequence — pure Catalyst, no
+    UDF. ``with_count`` adds the doc's distinct-shingle count as a MAP-SIDE
+    column (the size of the array being exploded) — consumers that need
+    per-doc set sizes get them with zero shuffle, zero join, zero re-scan.
     """
     df = spread(df)
     toks = tokens(normalize_text(F.col(text_col)))
@@ -58,9 +65,11 @@ def shingles(
         idx,
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    out = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("_grams"))
+    cols = [F.col("id"), F.explode("_grams").alias("shingle")]
+    if with_count:
+        cols.append(F.size("_grams").alias("n_sh"))
+    return out.select(*cols).drop("_grams")
 
 
 def jaccard_pairs(
@@ -93,10 +102,16 @@ def jaccard_pairs(
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = shingles(df, n, text_col, id_col)
+    sh = shingles(df, n, text_col, id_col, with_count=True)
     if max_shingle_df is not None:
+        # the frequent-shingle filter changes per-doc set sizes, so the
+        # map-side n_sh is recomputed post-filter (groupBy + broadcast join)
         rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
+        sh = sh.drop("n_sh").join(rare.select("shingle"), "shingle")
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        # no broadcast hint: the per-doc size table scales with the corpus,
+        # so let AQE pick broadcast-vs-shuffle from runtime stats
+        sh = sh.join(sizes, "id")
     # distributed probe: one map-side-partial agg job, ~1.05x-accurate HLL
     probe = sh.agg(
         F.approx_count_distinct("shingle").alias("v"),
@@ -105,27 +120,30 @@ def jaccard_pairs(
     est_bytes = int(probe["nd"]) * int(probe["v"]) * 4
     if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
         id_type = df.schema[id_col].dataType.simpleString()
-        return _jaccard_pairs_dense(sh, threshold, id_type)
+        return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
     return _jaccard_pairs_inverted(sh, threshold)
 
 
 def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
-    """Inverted-index exact Jaccard: self-join on shingle + length filter.
+    """Inverted-index exact Jaccard: bucket-local pairs per shingle +
+    length filter.
 
-    The length filter uses a 1e-6 slack so pairs whose true Jaccard rounds up
-    to the threshold at 6 decimals are never pruned.
+    ``sh`` carries (id, shingle, n_sh). Pairs explode INSIDE each shingle's
+    posting list (one groupBy shuffle; the shingle pipeline runs once, not
+    once per join side), the size-compatibility filter (J>=t implies
+    t*|a| <= |b| <= |a|/t, with 1e-6 slack so pairs that round up to the
+    threshold at 6 decimals are never pruned) drops incompatible pairs
+    before the intersection count, and one aggregation counts shared
+    shingles per surviving pair. ``max_shingle_df`` upstream is the skew
+    guard: it bounds the posting-list length, which bounds both the member
+    array and the quadratic pair fanout.
     """
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    szd = sh.join(F.broadcast(sizes), "id")
     t = threshold - 1e-6
-    a, b = szd.alias("a"), szd.alias("b")
+    pairs = _bucket_local_pairs(sh, ["shingle"], ["n_sh"])
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.n_sh") >= t * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= t * F.col("b.n_sh")),
+        pairs.filter(
+            (F.col("b.n_sh") >= t * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t * F.col("b.n_sh"))
         )
         .groupBy(
             F.col("a.id").alias("id_a"),

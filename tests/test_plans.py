@@ -167,10 +167,10 @@ def test_jaccard_physical_strategies_pin(spark, sf_dir):
     assert "Join" not in dense
     inverted = plan_str(D.jaccard_pairs(docs, n=2, threshold=0.5, dense_bytes_limit=0))
     assert "MapInPandas" not in inverted and "PythonUDF" not in inverted
-    assert "Join" in inverted  # the inverted-index self-join
-    # the dim side of the length filter broadcasts; the self-join itself is
-    # the one legitimate shuffle of the shingle table
-    assert "BroadcastHashJoin" in inverted
+    # bucket-local pairs: the shingle pipeline is scanned ONCE and pairs
+    # explode inside each posting list — no self-join, no re-scan
+    assert "Join" not in inverted
+    assert inverted.count("FileScan") == 1
 
 
 def test_cosine_near_dup_sharded_is_map_side(spark, sf_dir):
