@@ -192,12 +192,18 @@ def hyperplane_buckets(
     NOTE: composing this plan runs ``anchors.collect()`` eagerly — a driver
     action at DataFrame-build time (the anchor set is assumed tiny)."""
     avecs = sorted(anchors.collect(), key=lambda r: r[0])
+    return emb.select(F.col(id_col), _bucket_expr(avecs, vec_col).alias("bucket"))
+
+
+def _bucket_expr(avecs, vec_col: str) -> Column:
+    """The sign-bit bucket id as a plain Column so callers can attach it to
+    the corpus WITHOUT a join back on id."""
     if not avecs:
         raise ValueError("hyperplane_buckets needs >=1 anchor vector")
     bits = ", ".join(
         f"CASE WHEN {_dot_sql(vec_col, r[1])} >= 0 THEN '1' ELSE '0' END" for r in avecs
     )
-    return emb.select(F.col(id_col), F.expr(f"concat({bits})").alias("bucket"))
+    return F.expr(f"concat({bits})")
 
 
 def nearest_cells(
@@ -308,9 +314,11 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's LSH
-    bucket. Recall trades with bucket count (anchor bits)."""
-    buckets = hyperplane_buckets(emb, anchors, id_col, vec_col)
-    with_bucket = emb.join(buckets, id_col)
+    bucket. Recall trades with bucket count (anchor bits). The bucket id is
+    attached as a projection column — never a join of the corpus back onto
+    its own bucket table."""
+    avecs = sorted(anchors.collect(), key=lambda r: r[0])
+    with_bucket = emb.withColumn("bucket", _bucket_expr(avecs, vec_col))
     q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
     )
