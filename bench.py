@@ -36,10 +36,14 @@ HEADLINE = [
     "asof_join_orders",
     "text_profile",
     "dedup_jaccard_pairs",
+    "dedup_jaccard_inverted",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "knn_cosine_topk",
     "embedding_near_dup",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
 ]
 
 

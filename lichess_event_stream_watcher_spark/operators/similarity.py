@@ -137,10 +137,6 @@ def cosine_near_dup_pairs(
     return out
 
 
-def _lit_vec(vec) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
-
-
 # -- literal-vector SQL builders --------------------------------------------
 # Tiny dims (anchors/centroids) inline as SQL text, ONE py4j call per
 # expression instead of ~200 Column-API round trips per vector (64 lits +
