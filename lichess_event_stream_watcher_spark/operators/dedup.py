@@ -329,12 +329,29 @@ def _bucket_local_pairs(df: DataFrame, keys: list[str], payload: list[str]) -> D
     the banding key is chosen to keep buckets small, and the pair explosion
     is quadratic in bucket size EITHER way.
 
+    AQE blind spot: the grouped-members table is SMALL IN BYTES (one row
+    per bucket), so AQE's bytes-based coalescing squeezes the post-agg
+    exchange into a handful of partitions — and then the quadratic pair
+    explosion, whose output AQE cannot foresee, runs near-serially
+    (observed 25 s -> 7 s at sf0.1 from this alone). The explicit
+    round-robin repartition re-spreads buckets across the cluster before
+    the explode; its cost is one shuffle of the compact members arrays,
+    amortized by the quadratic work it parallelizes. Width follows
+    ``spark.sql.shuffle.partitions`` (the operator's scale knob) so a
+    cluster-sized session spreads cluster-wide.
+
     Output columns: a STRUCT<id, payload...>, b STRUCT<id, payload...>.
     """
     member = F.struct(F.col("id"), *[F.col(c) for c in payload])
     grouped = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.array_sort(F.collect_list(member)).alias("members")
     )
+    spark = df.sparkSession
+    width = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
+    grouped = grouped.repartition(width)
     pair = F.explode(
         F.expr(
             "flatten(transform(members, (x, i) -> "
