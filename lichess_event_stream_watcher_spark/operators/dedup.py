@@ -54,22 +54,43 @@ def shingles(
     UDF. ``with_count`` adds the doc's distinct-shingle count as a MAP-SIDE
     column (the size of the array being exploded) — consumers that need
     per-doc set sizes get them with zero shuffle, zero join, zero re-scan.
+
+    Plan shape matters here (observed 8x at sf0.1):
+
+    - The token split is its OWN projection below the ``spread`` exchange.
+      Inlined into the transform lambda, the whole regexp+split chain
+      re-evaluates per array ELEMENT (higher-order lambdas defeat
+      subexpression elimination), and CollapseProject undoes a same-stage
+      alias — an Exchange is the barrier it cannot cross. Bonus: the
+      single-task side of an under-split scan only does the cheap
+      once-per-row split; the per-element work lands post-exchange, wide.
+    - ``explode_outer`` + explicit null filter instead of ``explode``:
+      InferFiltersFromGenerate turns a plain explode into a
+      ``size(arr)>0 AND isnotnull(arr)`` filter that Catalyst pushes below
+      the exchange INTO THE SCAN — evaluating the full shingle expression
+      two more times per row, serially. The outer variant infers nothing;
+      the post-generate filter on the generated column is unpushable and
+      drops the same rows.
     """
-    df = spread(df)
-    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tk"),
+    )
+    base = spread(base)
+    tk = F.col("_tk")
     # guard: sequence(0, negative) would produce a DESCENDING range
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+    idx = F.when(F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(
         idx,
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
     )
-    out = df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("_grams"))
-    cols = [F.col("id"), F.explode("_grams").alias("shingle")]
+    out = base.select("id", F.array_distinct(grams).alias("_grams"))
+    cols = [F.col("id"), F.explode_outer("_grams").alias("shingle")]
     if with_count:
         cols.append(F.size("_grams").alias("n_sh"))
-    return out.select(*cols).drop("_grams")
+    return out.select(*cols).filter(F.col("shingle").isNotNull()).drop("_grams")
 
 
 def jaccard_pairs(
@@ -481,11 +502,19 @@ def simhash64(
     64-column row per (partition, id)) — not a 64x row explosion through a
     (id, bit) shuffle. Hex assembly from the 64 sums is a pure projection.
     """
-    df = spread(df)
-    toks = df.select(
+    # token projection below the spread exchange + explode_outer: same plan
+    # rationale as shingles() — keep InferFiltersFromGenerate from pushing
+    # the tokenizer expression into the (possibly single-task) scan stage
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(normalize_text(F.col(text_col))))).alias("tok"),
-    ).withColumn("th", F.md5(F.col("tok")))
+        F.array_distinct(tokens(normalize_text(F.col(text_col)))).alias("_tks"),
+    )
+    base = spread(base)
+    toks = (
+        base.select("id", F.explode_outer("_tks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("th", F.md5(F.col("tok")))
+    )
 
     def bit(j: int) -> Column:
         nibble_val = F.expr(f"instr('{_HEX}', substr(th, {j // 4 + 1}, 1))") - 1
