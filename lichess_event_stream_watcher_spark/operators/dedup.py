@@ -338,28 +338,42 @@ def lsh_bands(
     )
 
 
-def _bucket_local_pairs(df: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+def _bucket_local_pairs(
+    df: DataFrame, keys: list[str], payload: list[str], chunk: int = 128
+) -> DataFrame:
     """Unordered id-pairs within each bucket, payload columns carried along.
 
     ONE shuffle (groupBy the bucket key) replaces a bucket self-JOIN — which
     would shuffle the bucket table twice AND recompute its (expensive)
     upstream once per side, since exchange reuse is not guaranteed across
     join branches. Members sort by id so emitted pairs satisfy a.id < b.id
-    by construction. Skew note: a degenerate bucket (thousands of identical
-    docs) builds one wide row here where the join form could AQE-split it —
-    the banding key is chosen to keep buckets small, and the pair explosion
-    is quadratic in bucket size EITHER way.
+    by construction.
 
-    AQE blind spot: the grouped-members table is SMALL IN BYTES (one row
-    per bucket), so AQE's bytes-based coalescing squeezes the post-agg
-    exchange into a handful of partitions — and then the quadratic pair
-    explosion, whose output AQE cannot foresee, runs near-serially
-    (observed 25 s -> 7 s at sf0.1 from this alone). The explicit
-    round-robin repartition re-spreads buckets across the cluster before
-    the explode; its cost is one shuffle of the compact members arrays,
-    amortized by the quadratic work it parallelizes. Width follows
-    ``spark.sql.shuffle.partitions`` (the operator's scale knob) so a
-    cluster-sized session spreads cluster-wide.
+    Skew + AQE blind spot, both handled by CHUNKED two-level explosion:
+
+    - A degenerate bucket (thousands of near-identical docs) would build
+      its whole L^2/2 pair array in ONE row evaluated by ONE task
+      (observed: a 1639-member simhash bucket = 1.34M pairs = 28% of all
+      pair work serialized on one core). Members are therefore split into
+      ``chunk``-sized slices; (chunk_i x chunk_j) combos explode FIRST
+      (O(L/c) rows per bucket, each carrying <= 2c members), re-spread
+      round-robin, and only then expand to member pairs — per-row arrays
+      are bounded by c^2 and a hot bucket parallelizes cluster-wide. The
+      interleaving exchange moves O(L^2/c) member copies — 1/c of the pair
+      rows it spreads, strictly cheaper than shuffling pairs.
+    - The grouped-members table is SMALL IN BYTES (one row per bucket), so
+      AQE's bytes-based coalescing would squeeze the post-agg exchange
+      into a handful of partitions; AQE cannot foresee explosion output
+      (observed 25 s -> 7 s at sf0.1 from re-spreading alone). Width
+      follows ``spark.sql.shuffle.partitions`` (the operator's scale
+      knob) so a cluster-sized session spreads cluster-wide.
+    - `chunks` materializes as its own projection directly under the
+      first Generate and the combo rows cross an Exchange before the
+      second — otherwise Catalyst would inline the array expressions into
+      the lambdas and re-evaluate them per element (see ``shingles``).
+    - ``explode_outer`` + null filter instead of ``explode``: blocks
+      InferFiltersFromGenerate from pushing two extra evaluations of the
+      (expensive) generator expression below the exchange.
 
     Output columns: a STRUCT<id, payload...>, b STRUCT<id, payload...>.
     """
@@ -367,20 +381,47 @@ def _bucket_local_pairs(df: DataFrame, keys: list[str], payload: list[str]) -> D
     grouped = df.groupBy(*[F.col(k) for k in keys]).agg(
         F.array_sort(F.collect_list(member)).alias("members")
     )
+    c = int(chunk)
+    chunked = grouped.select(
+        F.expr(
+            f"transform(sequence(0, int((size(members) - 1) / {c})), "
+            f"k -> slice(members, k * {c} + 1, {c}))"
+        ).alias("chunks")
+    )
+    combos = (
+        chunked.select(
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(chunks, (ca, i) -> "
+                    "transform(slice(chunks, i + 1, size(chunks)), "
+                    "(cb, j) -> struct(ca AS ca, cb AS cb, (j = 0) AS same))))"
+                )
+            ).alias("cp")
+        )
+        .filter(F.col("cp").isNotNull())
+        .select("cp.ca", "cp.cb", "cp.same")
+    )
     spark = df.sparkSession
     width = max(
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         spark.sparkContext.defaultParallelism * 4,
     )
-    grouped = grouped.repartition(width)
-    pair = F.explode(
+    combos = combos.repartition(width)
+    # same-chunk: upper triangle; cross-chunk: full ca x cb (global id sort
+    # across chunk boundaries already guarantees a.id < b.id)
+    pair = F.explode_outer(
         F.expr(
-            "flatten(transform(members, (x, i) -> "
-            "transform(slice(members, i + 2, size(members)), "
-            "y -> struct(x AS a, y AS b))))"
+            "CASE WHEN same THEN flatten(transform(ca, (x, i) -> "
+            "transform(slice(ca, i + 2, size(ca)), y -> struct(x AS a, y AS b)))) "
+            "ELSE flatten(transform(ca, x -> "
+            "transform(cb, y -> struct(x AS a, y AS b)))) END"
         )
     )
-    return grouped.select(pair.alias("p")).select("p.a", "p.b")
+    return (
+        combos.select(pair.alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.a", "p.b")
+    )
 
 
 def lsh_candidate_pairs(
