@@ -121,3 +121,61 @@ def oracle_union_sql(with_actions: bool = False) -> str:
                 f"SELECT event_id, username, '{name}' AS rule_name FROM signups WHERE {where}"
             )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Expiry-sweep scenarios (§2.10 TTL; src/eventhandler.rs:428-487)
+# ---------------------------------------------------------------------------
+SWEEP_NOW = dt.datetime(2026, 1, 1, tzinfo=UTC)
+
+# (name, expiry offset from SWEEP_NOW or None, exp_notification latch) —
+# one row per branch combination of the sweep state machine, including the
+# warn+deleted double-yield and the no-expiry skip.
+SWEEP_SCENARIOS: list[tuple[str, dt.timedelta | None, int]] = [
+    ("s_far", dt.timedelta(days=30), 0),
+    ("s_warn", dt.timedelta(hours=12), 0),
+    ("s_warn_latched", dt.timedelta(hours=12), 1),
+    ("s_expired", dt.timedelta(hours=-1), 1),
+    ("s_expired_relatch", dt.timedelta(hours=-1), 2),
+    ("s_warn_and_deleted", dt.timedelta(days=-4), 0),
+    ("s_deleted_only", dt.timedelta(days=-4), 2),
+    ("s_expired_and_deleted", dt.timedelta(days=-4), 1),
+    ("s_noexpiry", None, 0),
+]
+
+
+def _sweep_ts(off: dt.timedelta | None) -> dt.datetime | None:
+    return None if off is None else SWEEP_NOW + off
+
+
+def sweep_scenarios_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType(), False),
+            T.StructField("expiry", T.TimestampType(), True),
+            T.StructField("exp_notification", T.IntegerType(), False),
+        ]
+    )
+    rows = [
+        (name, _sweep_ts(off).replace(tzinfo=None) if off is not None else None, latch)
+        for name, off, latch in SWEEP_SCENARIOS
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def sweep_scenarios_values_sql() -> str:
+    rows = ", ".join(
+        "('{n}', {e}, {l})".format(
+            n=name,
+            e=(
+                "CAST(NULL AS TIMESTAMP)"
+                if off is None
+                else "TIMESTAMP '{}'".format(_sweep_ts(off).strftime("%Y-%m-%d %H:%M:%S"))
+            ),
+            l=latch,
+        )
+        for name, off, latch in SWEEP_SCENARIOS
+    )
+    return f"(VALUES {rows}) AS r(name, expiry, latch)"

@@ -175,7 +175,10 @@ def extract_features(media: DataFrame) -> DataFrame:
                     {
                         "doc_id": doc_id,
                         "n_bytes": len(b),
-                        "byte_mean": round(sum(b) / len(b), 6) if b else 0.0,
+                        # floor-to-micros instead of round(x, 6): the exact
+                        # integer arithmetic is engine-portable (identical
+                        # doubles in any SQL oracle), no half-even tie risk
+                        "byte_mean": (sum(b) * 1_000_000 // len(b)) / 1e6 if b else 0.0,
                         "byte_histogram_head": hist,
                     }
                 )

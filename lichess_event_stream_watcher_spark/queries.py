@@ -169,6 +169,36 @@ def crit_code_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_matches(df, [fixtures.code_rule()]).select("event_id", "username")
 
 
+# §2.10 TTL — the expiry sweep's 0/1/2 latch state machine as distributed
+# batch logic over a pinned scenario table (src/eventhandler.rs:428-487).
+_SWEEP_TS = fixtures.SWEEP_NOW.strftime("%Y-%m-%d %H:%M:%S")
+
+
+@query(
+    "rule_expiry_sweep",
+    f"""WITH r AS (SELECT * FROM {fixtures.sweep_scenarios_values_sql()})
+SELECT 'warn' AS kind, name FROM r
+WHERE expiry < TIMESTAMP '{_SWEEP_TS}' + INTERVAL 1 DAY AND latch = 0
+UNION ALL
+SELECT 'expired' AS kind, name FROM r
+WHERE NOT (expiry < TIMESTAMP '{_SWEEP_TS}' + INTERVAL 1 DAY AND latch = 0)
+  AND expiry < TIMESTAMP '{_SWEEP_TS}' AND latch <= 1
+UNION ALL
+SELECT 'deleted' AS kind, name FROM r
+WHERE TIMESTAMP '{_SWEEP_TS}' > expiry + INTERVAL 3 DAY""",
+)
+def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expiry lifecycle (warn <1 d before / announce at expiry / delete
+    +3 d, with the exp_notification latch and the warn+deleted double
+    yield) classified distributedly — one scenario row per branch
+    combination of the sweep state machine."""
+    from .rules.store import expiry_sweep_classify
+
+    return expiry_sweep_classify(
+        fixtures.sweep_scenarios_df(spark), fixtures.SWEEP_NOW
+    )
+
+
 # Queries whose per-run cost dominates the suite (BLAS/driver-compose or
 # candidate-join heavy). They run LAST so a wall-clock-budgeted harness that
 # cuts the tail loses only re-checks of the most expensive ops, never the

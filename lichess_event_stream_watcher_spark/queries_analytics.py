@@ -645,6 +645,69 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-03-01 00:00:00' AND l_shipdate < TIMESTAMP '2001-03-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style scan-only aggregate: every predicate (date range, discount
+    band, quantity cap) pushes to the parquet scan — at 100 TB this is the
+    row-group-pruning showcase, zero joins, one partial-agg shuffle of a
+    single row per task."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-03-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-03-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(price * disc), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority",
+    """SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '2000-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o.o_orderpriority""",
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style EXISTS: left-semi join on orderkey with a non-equi residual
+    (ship date > order date + 30 d, the late-shipment proxy for the
+    reference-less commit/receipt columns). The date filter prunes orders
+    at the scan; the semi join shuffles both sides on orderkey ONCE and
+    emits each order at most once — no post-join dedup needed."""
+    o = testdata.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-10-01 00:00:00").cast("timestamp"))
+    )
+    li = testdata.load(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
     "cube_pricing",
     """SELECT
   COALESCE(l_returnflag, 'ALL') AS rflag,

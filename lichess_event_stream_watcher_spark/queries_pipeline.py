@@ -392,10 +392,21 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> unicode(substring(text, CAST(i AS INT), 1)))) * 1000000
+                 // length(text) AS BIGINT) AS DOUBLE) / 1000000 AS byte_mean
+FROM documents""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (rows-only: byte
-    stats are asserted against Python in tests)."""
+    """mapInPandas feature extraction over binary payloads. The fake
+    extractor's byte stats are exact integer arithmetic (floor-to-micros
+    mean), so the documents table IS the oracle: payloads are the utf-8
+    bytes of ``text`` and the corpus is ASCII, making per-char ``unicode()``
+    the byte value."""
     docs = testdata.load(spark, sf_dir, "documents")
     return M.extract_features(M.to_media_table(docs)).drop("byte_histogram_head")
 

@@ -182,3 +182,32 @@ class SignupRulesManager:
         if rule is None:
             raise KeyError(f"no rule named {name!r}")
         return rule
+
+
+def expiry_sweep_classify(rules_df, now: dt.datetime):
+    """Distributed twin of ``expiry_sweep``: classify a rules DataFrame
+    (name, expiry, exp_notification) into (kind, name) rows at a pinned
+    ``now`` — pure batch logic on timestamps (SURVEY.md §2.10 TTL;
+    src/eventhandler.rs:428-487 branch order).
+
+    Same branch semantics as the driver sweep: the warn branch wins
+    whenever the latch is 0 (even past expiry), the expired branch takes
+    latch <= 1 rules the warn branch skipped, and deletion is an
+    INDEPENDENT check — a long-expired latch-0 rule yields both "warn"
+    and "deleted". Three filters over one tiny table, unioned map-side;
+    no shuffle, no state.
+    """
+    from pyspark.sql import functions as F
+
+    ts = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+    exp = F.col("expiry")
+    latch = F.col("exp_notification")
+    warn_cond = (exp < ts + F.expr(f"INTERVAL {EXPIRY_WARN_BEFORE.days} DAYS")) & (latch == 0)
+    expired_cond = (~warn_cond) & (exp < ts) & (latch <= 1)
+    deleted_cond = ts > exp + F.expr(f"INTERVAL {EXPIRY_DELETE_AFTER.days} DAYS")
+    name = F.col("name")
+    return (
+        rules_df.filter(warn_cond).select(F.lit("warn").alias("kind"), name)
+        .unionAll(rules_df.filter(expired_cond).select(F.lit("expired").alias("kind"), name))
+        .unionAll(rules_df.filter(deleted_cond).select(F.lit("deleted").alias("kind"), name))
+    )

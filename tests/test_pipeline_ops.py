@@ -80,7 +80,7 @@ def test_multimodal_features_match_python(spark, sf_dir):
         b = row.text.encode("utf-8")
         f = feats[row.doc_id]
         assert f.n_bytes == len(b)
-        assert abs(f.byte_mean - round(sum(b) / len(b), 6)) < 1e-9
+        assert f.byte_mean == (sum(b) * 1_000_000 // len(b)) / 1e6
         hist = [0] * 8
         for byte in b:
             if byte < 128:

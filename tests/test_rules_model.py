@@ -122,3 +122,30 @@ def test_expiry_sweep_warn_and_delete_same_pass(tmp_path):
     mgr.add_rule(mk("old", expiry=NOW - dt.timedelta(days=10)))
     assert [k for k, _ in mgr.expiry_sweep(NOW)] == ["warn", "deleted"]
     assert mgr.list_names() == []
+
+
+def test_expiry_sweep_classify_matches_store(tmp_path, spark):
+    """The distributed classifier and the driver-side sweep agree on every
+    scenario row (branch order, latch gating, warn+deleted double yield)."""
+    from lichess_event_stream_watcher_spark import fixtures
+    from lichess_event_stream_watcher_spark.rules.model import Action, Criterion, CriterionKind, Rule
+    from lichess_event_stream_watcher_spark.rules.store import expiry_sweep_classify
+
+    mgr = SignupRulesManager(str(tmp_path / "rules.json"))
+    for name, off, latch in fixtures.SWEEP_SCENARIOS:
+        rule = Rule(
+            name,
+            Criterion(CriterionKind.USERNAME_CONTAINS, "x"),
+            [Action.NOTIFY_ZULIP],
+            expiry=None if off is None else fixtures.SWEEP_NOW + off,
+        )
+        rule.exp_notification = latch
+        mgr.add_rule(rule)
+    driver = sorted((kind, r.name) for kind, r in mgr.expiry_sweep(now=fixtures.SWEEP_NOW))
+    dist = sorted(
+        (r.kind, r.name)
+        for r in expiry_sweep_classify(
+            fixtures.sweep_scenarios_df(spark), fixtures.SWEEP_NOW
+        ).collect()
+    )
+    assert dist == driver
