@@ -1,0 +1,134 @@
+"""Training-data curation operators: splits, packing, quotas, decontamination.
+
+The beyond-reference family a 100 TB training-data pipeline needs on top of
+dedup/similarity/text (brief: "the operations a large-scale training-data
+pipeline would need"). Design rules shared by all four:
+
+- **Determinism via md5 hex, compared lexicographically** — never converted
+  to integers, so every assignment has a bit-identical DuckDB oracle twin
+  and re-runs are stable across engines, partitionings, and cluster sizes.
+- **No global order anywhere.** Packing and quotas window over SHARD or
+  SOURCE partitions, so every window is cluster-parallel; nothing funnels
+  through a single-partition sort at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import normalize_text, tokens
+
+
+def _md5_of_id(id_col: str):
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_hex: str = "c",
+    val_hex: str = "e",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the id hash.
+
+    The first hex char of md5(id) buckets 16-ways: < ``train_hex`` ->
+    train (12/16), < ``val_hex`` -> val (2/16), else test (2/16). Pure
+    map-side projection — no shuffle, no state, stable under any
+    re-partitioning; membership is a property of the id alone, so late-
+    arriving data lands in the same split forever.
+    """
+    h = F.substring(_md5_of_id(id_col), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(h < train_hex, "train").when(h < val_hex, "val").otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout).
+
+    Documents are concatenated in deterministic (shard, id) order and cut
+    every ``budget`` tokens; a doc's bin is its STARTING token offset div
+    budget. The shard (first md5 hex char, 16-way) bounds every window to
+    1/16th of the corpus — the cumulative sum that would otherwise demand a
+    global single-partition sort runs per-shard, cluster-parallel, and
+    shards are independent training streams. Returns one row per bin:
+    (shard, bin, n_docs, bin_tokens).
+    """
+    tok = F.size(tokens(normalize_text(F.col(text_col)))).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(_md5_of_id(id_col), 1, 1).alias("shard"),
+        tok.alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off")
+    packed = base.select(
+        "shard", "id", "n_tok", (F.floor(start / budget)).cast("int").alias("bin")
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    per_source: int = 20,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document quota (domain balancing for web corpora).
+
+    Keeps at most ``per_source`` docs per source, chosen by the md5-hex
+    order of the id (a deterministic uniform shuffle — NOT arrival order,
+    which over-samples whatever was crawled first). One window shuffle
+    partitioned by source; a hot source is one partition, so at real scale
+    pair this with a pre-aggregated count filter or salt the rank's
+    partition key. Returns (id, source, rk) for kept docs.
+    """
+    w = Window.partitionBy("source").orderBy(_md5_of_id("id"), F.col("id"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_source)
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train->test n-gram contamination: per test doc, how many of its
+    distinct ``n``-gram shingles also appear anywhere in the train split.
+
+    The train side reduces to DISTINCT shingles before the join (the
+    decontamination lexicon — at 100 TB this is the small side and the
+    aggregation is map-side partial), then a left join + conditional count
+    keeps zero-overlap test docs in the result. Splits come from
+    ``dataset_split`` so the check is deterministic end-to-end.
+    """
+    from .dedup import shingles
+
+    labeled = dataset_split(df, id_col=id_col)
+    sh = shingles(labeled, n=n, text_col=text_col, id_col=id_col)
+    split_of = labeled.select(F.col(id_col).alias("id"), "split")
+    sh = sh.join(split_of, "id")
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("id", "shingle")
+    hit = test_sh.join(
+        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return hit.groupBy("id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+    )

@@ -474,3 +474,106 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.max("frame_idx").alias("max_frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation (operators/curation.py): splits, packing, quotas,
+# decontamination — all keyed on lexicographic md5 hex so the DuckDB twin is
+# bit-identical.
+# ---------------------------------------------------------------------------
+_SPLIT_CASE = """CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       ELSE 'test' END"""
+
+
+@query(
+    "dataset_split_counts",
+    f"""SELECT {_SPLIT_CASE} AS split, source, COUNT(*) AS n
+FROM documents GROUP BY split, source""",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (12/2/2 sixteenths by first md5-hex char of
+    the id), stratification summarized per source — the assignment is a
+    map-side projection; only the tiny summary shuffles."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.dataset_split(docs).groupBy("split", "source").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "pack_sequences_bins",
+    rf"""WITH {_NORM}, {_TOKS},
+base AS (
+  SELECT id, substring(md5(CAST(id AS VARCHAR)), 1, 1) AS shard,
+         CAST(len(tk) AS BIGINT) AS n_tok
+  FROM toks
+),
+c AS (
+  SELECT shard, id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY id) - n_tok AS start_off
+  FROM base
+)
+SELECT shard, CAST(FLOOR(start_off / 512) AS INT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM c GROUP BY shard, bin""",
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 512-token bins, windowed PER SHARD
+    (16-way md5 sharding) so the cumulative sum never needs a global
+    single-partition sort."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, budget=512, shards=16)
+
+
+@query(
+    "source_quota_sample",
+    """SELECT id, source, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id AS id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 20""",
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (20 docs/source) by md5-hex order — a deterministic
+    uniform shuffle, not crawl order; one window shuffle on source."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.source_quota(docs, per_source=20).withColumn(
+        "rk", F.col("rk").cast("bigint")
+    )
+
+
+_SHINGLES5 = r"""sh5 AS (
+  SELECT id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+                                   for i in range(1, len(tk) - 3)])) AS shingle
+  FROM toks
+)"""
+
+
+@query(
+    "contamination_check",
+    rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES5},
+labeled AS (SELECT doc_id AS id, {_SPLIT_CASE} AS split FROM documents),
+lsh AS (SELECT sh5.id, shingle, split FROM sh5 JOIN labeled USING (id)),
+train_lex AS (SELECT DISTINCT shingle FROM lsh WHERE split = 'train'),
+test_sh AS (SELECT id, shingle FROM lsh WHERE split = 'test')
+SELECT t.id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN x.shingle IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
+FROM test_sh t LEFT JOIN train_lex x ON x.shingle = t.shingle
+GROUP BY t.id""",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train->test 5-gram contamination per test doc: the train side
+    reduces to a distinct-shingle lexicon before the join; zero-overlap
+    test docs stay in the result via the left join."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.contamination_check(docs, n=5)

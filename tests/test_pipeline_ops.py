@@ -241,3 +241,68 @@ def test_hyperplane_and_ivf_refuse_empty_dims(spark, sf_dir):
         S.hyperplane_buckets(emb, empty_anchors)
     with pytest.raises(ValueError, match="centroid"):
         S.nearest_cells(emb, empty_anchors)
+
+
+def test_dataset_split_deterministic_and_total(spark, sf_dir):
+    """Every doc gets exactly one split; assignment equals the Python md5
+    recomputation (id-only property, stable under repartitioning)."""
+    import hashlib
+
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    rows = C.dataset_split(docs).select("doc_id", "split").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()[0]
+        expect = "train" if h < "c" else ("val" if h < "e" else "test")
+        assert r.split == expect
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Bin totals sum to the corpus token count and every bin holds >= 1
+    doc; per-shard bins are contiguous from 0."""
+    import pyspark.sql.functions as F
+
+    from lichess_event_stream_watcher_spark.operators import curation as C
+    from lichess_event_stream_watcher_spark.operators.text import normalize_text, tokens
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    bins = C.pack_sequences(docs, budget=512).collect()
+    total = docs.select(
+        F.sum(F.size(tokens(normalize_text(F.col("text"))))).alias("t")
+    ).first()["t"]
+    assert sum(b.bin_tokens for b in bins) == total
+    assert all(b.n_docs >= 1 for b in bins)
+    by_shard = {}
+    for b in bins:
+        by_shard.setdefault(b.shard, []).append(b.bin)
+    for shard, ids in by_shard.items():
+        assert sorted(ids) == list(range(len(ids))), shard
+
+
+def test_contamination_keeps_zero_overlap_docs(spark):
+    """A test-split doc sharing no 5-gram with train still appears, with
+    n_contaminated = 0."""
+    import hashlib
+
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    # find ids landing in train vs test under the md5 rule
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[0]
+        return "train" if h < "c" else ("val" if h < "e" else "test")
+
+    train_id = next(i for i in range(100) if split_of(i) == "train")
+    test_id = next(i for i in range(100) if split_of(i) == "test")
+    df = spark.createDataFrame(
+        [
+            (train_id, "alpha beta gamma delta epsilon zeta"),
+            (test_id, "one two three four five six seven"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.id: r for r in C.contamination_check(df, n=5).collect()}
+    assert test_id in out
+    assert out[test_id].n_contaminated == 0
+    assert out[test_id].n_shingles == 3

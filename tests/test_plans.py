@@ -183,3 +183,22 @@ def test_cosine_near_dup_sharded_is_map_side(spark, sf_dir):
     assert "MapInPandas" in p
     assert "Join" not in p
     assert "Union" in p  # shard passes union map-side
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """dataset_split is a pure projection (0 Exchange); pack_sequences and
+    source_quota hold exactly ONE hash exchange each (the shard/source
+    window) plus the final agg's — never a global sort."""
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    split = plan_str(C.dataset_split(docs))
+    assert "Exchange" not in split and "Join" not in split
+    pack = plan_str(C.pack_sequences(docs))
+    # window partitioned by shard — hash exchange, NOT a single-partition
+    # global sort (SinglePartition would serialize the cumsum)
+    assert "SinglePartition" not in pack
+    assert pack.count("Exchange hashpartitioning") >= 1
+    quota = plan_str(C.source_quota(docs))
+    assert "SinglePartition" not in quota
+    assert quota.count("Exchange hashpartitioning") == 1
