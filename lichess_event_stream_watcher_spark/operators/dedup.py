@@ -205,20 +205,28 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
 
     spark = sh.sparkSession
     out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .select(
-            "shingle",
-            (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
+    # the dense path is byte-gated small, so caching the shingle table for
+    # its two consumers (vocab build + doc-rows collect) is bounded by the
+    # same gate; unpersisted before returning — never cached on the
+    # at-scale inverted path
+    sh = sh.cache()
+    try:
+        vocab = (
+            sh.select("shingle")
+            .distinct()
+            .select(
+                "shingle",
+                (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
+            )
         )
-    )
-    doc_rows = (
-        sh.join(F.broadcast(vocab), "shingle")
-        .groupBy("id")
-        .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
-        .collect()
-    )
+        doc_rows = (
+            sh.join(F.broadcast(vocab), "shingle")
+            .groupBy("id")
+            .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
+            .collect()
+        )
+    finally:
+        sh.unpersist()
     if not doc_rows:
         return spark.createDataFrame([], out_schema)
     doc_rows.sort(key=lambda r: r["id"])
