@@ -25,6 +25,14 @@ def _md5_of_id(id_col: str):
     return F.md5(F.col(id_col).cast("string"))
 
 
+def split_label(id_col: str, train_hex: str = "c", val_hex: str = "e"):
+    """The split assignment as a pure Column over the id — usable anywhere
+    without joining an assignment table back (membership is a property of
+    the id alone)."""
+    h = F.substring(_md5_of_id(id_col), 1, 1)
+    return F.when(h < train_hex, "train").when(h < val_hex, "val").otherwise("test")
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -39,11 +47,7 @@ def dataset_split(
     re-partitioning; membership is a property of the id alone, so late-
     arriving data lands in the same split forever.
     """
-    h = F.substring(_md5_of_id(id_col), 1, 1)
-    return df.withColumn(
-        "split",
-        F.when(h < train_hex, "train").when(h < val_hex, "val").otherwise("test"),
-    )
+    return df.withColumn("split", split_label(id_col, train_hex, val_hex))
 
 
 def pack_sequences(
@@ -114,15 +118,16 @@ def contamination_check(
     The train side reduces to DISTINCT shingles before the join (the
     decontamination lexicon — at 100 TB this is the small side and the
     aggregation is map-side partial), then a left join + conditional count
-    keeps zero-overlap test docs in the result. Splits come from
-    ``dataset_split`` so the check is deterministic end-to-end.
+    keeps zero-overlap test docs in the result. The split is PROJECTED onto
+    the shingle rows (``split_label`` is a pure function of the id), never
+    joined back from an assignment table — two joins fewer than the naive
+    label-join plan.
     """
     from .dedup import shingles
 
-    labeled = dataset_split(df, id_col=id_col)
-    sh = shingles(labeled, n=n, text_col=text_col, id_col=id_col)
-    split_of = labeled.select(F.col(id_col).alias("id"), "split")
-    sh = sh.join(split_of, "id")
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).withColumn(
+        "split", split_label("id")
+    )
     train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
     test_sh = sh.filter(F.col("split") == "test").select("id", "shingle")
     hit = test_sh.join(
