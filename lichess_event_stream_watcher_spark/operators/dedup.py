@@ -585,3 +585,58 @@ def simhash64(
         for nib in range(16)
     ]
     return sums.select("id", F.concat(*nib_chars).alias("simhash"))
+
+
+def dup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: (id, comp) where comp is the
+    minimum id reachable through the pair graph (singletons map to
+    themselves) — the keep-one-per-cluster step that turns pairwise dedup
+    output into a drop list.
+
+    Iterative min-label propagation, Spark-first: each round pushes every
+    node's current label across the symmetrized edges (one shuffle join)
+    and folds with a min-agg (second shuffle); ``localCheckpoint`` truncates
+    the lineage so the plan stays O(1) per round instead of growing by two
+    shuffles every iteration, and the convergence check (labels changed ==
+    0) doubles as the round's one action. Rounds needed = graph diameter in
+    label-hops — near-dup clusters are shallow (dups of one document), so
+    a handful; for adversarially long chains the large-star/small-star
+    variant (halving diameter per round) is the production refinement.
+
+    Non-SQL-expressible as ONE query in Spark, but DuckDB's recursive CTE
+    computes the same fixpoint — the driver query uses it as the oracle.
+    """
+    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    sym = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        pushed = (
+            sym.join(labels, sym["x"] == labels["id"])
+            .select(F.col("y").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionAll(pushed).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dup_components did not converge in {max_iter} rounds")
+    return labels

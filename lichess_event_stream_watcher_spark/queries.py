@@ -214,6 +214,7 @@ _EXPENSIVE_LAST = [
     "ann_lsh_topk",
     "dedup_jaccard_pairs",
     "dedup_jaccard_inverted",
+    "dedup_clusters",
 ]
 
 

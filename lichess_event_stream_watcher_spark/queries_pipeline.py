@@ -577,3 +577,35 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = testdata.load(spark, sf_dir, "documents")
     return C.contamination_check(docs, n=5)
+
+
+_CLUSTERS_ORACLE = rf"""WITH RECURSIVE {_NORM}, {_TOKS}, {_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+jp AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+),
+edges AS (SELECT id_a AS x, id_b AS y FROM jp UNION SELECT id_b, id_a FROM jp),
+reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.y FROM reach r JOIN edges e ON e.x = r.node
+)
+SELECT src AS id, MIN(node) AS comp FROM reach GROUP BY src"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate clusters: iterative min-label propagation
+    over the Jaccard pair graph (localCheckpoint-truncated lineage per
+    round). comp = min reachable doc_id; the keep-one-per-cluster drop list
+    follows as comp <> id. Oracle = DuckDB recursive-CTE fixpoint."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    return D.dup_components(docs, pairs)

@@ -306,3 +306,14 @@ def test_contamination_keeps_zero_overlap_docs(spark):
     assert test_id in out
     assert out[test_id].n_contaminated == 0
     assert out[test_id].n_shingles == 3
+
+
+def test_dup_components_path_triangle_singleton(spark):
+    """Min-label propagation resolves a 4-node path (diameter > 1 hop), a
+    triangle, and leaves the singleton alone."""
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], "id_a bigint, id_b bigint"
+    )
+    comp = {r.id: r.comp for r in D.dup_components(nodes, pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
