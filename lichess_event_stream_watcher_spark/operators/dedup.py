@@ -627,7 +627,9 @@ def dup_components(
         new_labels = (
             labels.unionAll(pushed).groupBy("id").agg(F.min("comp").alias("comp"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it — one job per round, not checkpoint + count
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
