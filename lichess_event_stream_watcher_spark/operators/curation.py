@@ -53,7 +53,7 @@ def dataset_split(
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,
-    shards: int = 16,
+    shard_hex_chars: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -61,16 +61,18 @@ def pack_sequences(
 
     Documents are concatenated in deterministic (shard, id) order and cut
     every ``budget`` tokens; a doc's bin is its STARTING token offset div
-    budget. The shard (first md5 hex char, 16-way) bounds every window to
-    1/16th of the corpus — the cumulative sum that would otherwise demand a
-    global single-partition sort runs per-shard, cluster-parallel, and
-    shards are independent training streams. Returns one row per bin:
-    (shard, bin, n_docs, bin_tokens).
+    budget. The shard (first ``shard_hex_chars`` md5 hex chars →
+    16^k shards) bounds every window to a 16^k-th of the corpus — the
+    cumulative sum that would otherwise demand a global single-partition
+    sort runs per-shard, cluster-parallel, and shards are independent
+    training streams. Size k so 16^k comfortably exceeds the cluster's
+    parallelism (k=3 → 4096 shards covers a 1000-executor job). Returns one
+    row per bin: (shard, bin, n_docs, bin_tokens).
     """
     tok = F.size(tokens(normalize_text(F.col(text_col)))).cast("bigint")
     base = df.select(
         F.col(id_col).alias("id"),
-        F.substring(_md5_of_id(id_col), 1, 1).alias("shard"),
+        F.substring(_md5_of_id(id_col), 1, shard_hex_chars).alias("shard"),
         tok.alias("n_tok"),
     )
     w = Window.partitionBy("shard").orderBy("id")

@@ -527,7 +527,7 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import curation as C
 
     docs = testdata.load(spark, sf_dir, "documents")
-    return C.pack_sequences(docs, budget=512, shards=16)
+    return C.pack_sequences(docs, budget=512, shard_hex_chars=1)
 
 
 @query(

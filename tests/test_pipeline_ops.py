@@ -317,3 +317,16 @@ def test_dup_components_path_triangle_singleton(spark):
     )
     comp = {r.id: r.comp for r in D.dup_components(nodes, pairs).collect()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_pack_sequences_shard_fanout_scales(spark, sf_dir):
+    """shard_hex_chars=2 yields 2-char shards (up to 256) and conserves the
+    same corpus token total as the 1-char sharding."""
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    b1 = C.pack_sequences(docs, budget=512, shard_hex_chars=1).collect()
+    b2 = C.pack_sequences(docs, budget=512, shard_hex_chars=2).collect()
+    assert all(len(b.shard) == 2 for b in b2)
+    assert len({b.shard for b in b2}) > len({b.shard for b in b1})
+    assert sum(b.bin_tokens for b in b1) == sum(b.bin_tokens for b in b2)
