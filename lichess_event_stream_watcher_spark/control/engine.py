@@ -149,16 +149,37 @@ class Engine:
         # dominant driver-side cost of a warm batch.
         self._matches_cache: tuple[tuple, Any] | None = None
         self._device_col = None
+        self._error_acc = None
 
     # -- the data path (src/eventhandler.rs:60-283) ------------------------
 
-    def _rule_scan_column(self, active: list[Rule]):
+    def _rule_scan_column(self, active: list[Rule], spark=None):
         """The matched-rules array Column, rebuilt only when the active
-        ruleset changes (name/criterion/gate signature)."""
+        ruleset changes (name/criterion/gate signature). CODE predicates
+        capture the engine's error accumulator (one per engine, created on
+        first use) so executor-side rule errors surface on the notify
+        stream (src/eventhandler.rs:258-272) instead of dying in a worker
+        log."""
+        if self._error_acc is None and spark is not None:
+            from ..lua_compat import make_error_accumulator
+
+            self._error_acc = make_error_accumulator(spark.sparkContext)
         key = tuple((r.name, r.criterion.kind, r.criterion.value, r.susp_ip) for r in active)
         if self._matches_cache is None or self._matches_cache[0] != key:
-            self._matches_cache = (key, matches_column(active))
+            self._matches_cache = (key, matches_column(active, error_acc=self._error_acc))
         return self._matches_cache[1]
+
+    def _report_predicate_errors(self) -> None:
+        """Drain the executor->driver error channel; post each DISTINCT
+        error once (accumulator updates are at-least-once under retries)."""
+        if self._error_acc is None or not self._error_acc.value:
+            return
+        seen: set[str] = set()
+        for msg in self._error_acc.value:
+            if msg not in seen:
+                seen.add(msg)
+                self.messages.post("notify", f"Error evaluating rule {msg}")
+        self._error_acc.value = []
 
     def enrich(self, df: DataFrame) -> DataFrame:
         """P1 + P2; geoip stays NULL when no range table is wired."""
@@ -191,7 +212,10 @@ class Engine:
             active = self.store.active_rules(now)
             if active:
                 matched = (
-                    enriched.withColumn("_match", F.explode(self._rule_scan_column(active)))
+                    enriched.withColumn(
+                        "_match",
+                        F.explode(self._rule_scan_column(active, df.sparkSession)),
+                    )
                     .select(
                         "_row_id",
                         "username",
@@ -225,6 +249,10 @@ class Engine:
             batch_count = len(tail)
         finally:
             enriched.unpersist()
+
+        # executor-side CODE-predicate errors -> notify stream
+        # (src/eventhandler.rs:258-272)
+        self._report_predicate_errors()
 
         # -- seen-window state update (src/eventhandler.rs:91-113) ---------
         if batch_count >= self.checked_cap:

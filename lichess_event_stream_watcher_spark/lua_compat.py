@@ -163,11 +163,42 @@ def compile_predicate(code: str):
 _CODE_STRUCT_FIELDS = ("username", "email", "ip", "user_agent", "finger_print", "susp_ip")
 
 
-def code_predicate_column(code: str, cols: dict[str, str] | None = None):
+class _ErrorListParam:
+    """AccumulatorParam for a capped list of error strings (the executor ->
+    driver error channel for CODE predicates)."""
+
+    CAP = 200
+
+    def zero(self, value):  # noqa: D401
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        del a[self.CAP:]
+        return a
+
+
+def make_error_accumulator(sc):
+    """Executor->driver channel for per-rule predicate errors.
+
+    Spark accumulator semantics: updates are at-least-once under task
+    retries — fine for an error REPORTING stream (the engine dedupes by
+    message text before posting, src/eventhandler.rs:258-272 parity)."""
+    return sc.accumulator([], _ErrorListParam())
+
+
+def code_predicate_column(
+    code: str,
+    cols: dict[str, str] | None = None,
+    rule_name: str | None = None,
+    error_acc=None,
+):
     """CODE criterion -> boolean Column via an Arrow-batched pandas UDF.
 
     A row whose predicate raises evaluates False (per-rule error isolation,
-    src/eventhandler.rs:258-272)."""
+    src/eventhandler.rs:258-272); when ``error_acc`` is given, the error is
+    also accumulated as "(rule_name) message" so the engine can surface it
+    on the notify stream like the reference does."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -180,6 +211,7 @@ def code_predicate_column(code: str, cols: dict[str, str] | None = None):
             fields.append(F.col(c[opt]).alias(opt))
 
     fn = compile_predicate(code)
+    tag = rule_name or "<code>"
 
     @pandas_udf("boolean")
     def _pred(rows: pd.DataFrame) -> pd.Series:
@@ -187,7 +219,10 @@ def code_predicate_column(code: str, cols: dict[str, str] | None = None):
             try:
                 return bool(fn(row))
             except Exception as e:  # noqa: BLE001 — per-rule error isolation
-                print(f"rule predicate error: {e!r}")
+                if error_acc is not None:
+                    error_acc.add([f"{tag}: {e!r}"])
+                else:
+                    print(f"rule predicate error ({tag}): {e!r}")
                 return False
 
         return pd.Series([safe(r) for r in rows.to_dict("records")])

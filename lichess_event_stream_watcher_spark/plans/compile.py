@@ -41,7 +41,12 @@ USER_COLS = {
 }
 
 
-def criterion_to_column(criterion: Criterion, cols: dict[str, str] | None = None) -> Column:
+def criterion_to_column(
+    criterion: Criterion,
+    cols: dict[str, str] | None = None,
+    rule_name: str | None = None,
+    error_acc=None,
+) -> Column:
     """One Criterion -> boolean Column (src/signup/rules.rs:246-270).
 
     Null semantics follow the reference exactly: PrintMatch on NULL
@@ -67,17 +72,19 @@ def criterion_to_column(criterion: Criterion, cols: dict[str, str] | None = None
     elif k is CriterionKind.CODE:  # :268 -> src/lua.rs:109-119
         from ..lua_compat import code_predicate_column
 
-        pred = code_predicate_column(v, c)
+        pred = code_predicate_column(v, c, rule_name=rule_name, error_acc=error_acc)
     else:  # pragma: no cover
         raise ValueError(f"unknown criterion kind: {k}")
     # Reference predicates are strictly two-valued (Lua bools); collapse 3VL.
     return F.coalesce(pred, F.lit(False))
 
 
-def rule_predicate(rule: Rule, cols: dict[str, str] | None = None) -> Column:
+def rule_predicate(
+    rule: Rule, cols: dict[str, str] | None = None, error_acc=None
+) -> Column:
     """Criterion + the susp_ip gate (src/eventhandler.rs:120-126)."""
     c = {**USER_COLS, **(cols or {})}
-    pred = criterion_to_column(rule.criterion, c)
+    pred = criterion_to_column(rule.criterion, c, rule_name=rule.name, error_acc=error_acc)
     if rule.susp_ip:
         pred = pred & F.coalesce(F.col(c["susp_ip"]), F.lit(False))
     return pred
@@ -87,6 +94,7 @@ def matches_column(
     active: list[Rule],
     cols: dict[str, str] | None = None,
     with_actions: bool = False,
+    error_acc=None,
 ) -> Column:
     """The rule-scan expression ALONE: array of matched (rule_name[, actions])
     structs for one event row. A Column is an immutable expression tree not
@@ -98,7 +106,7 @@ def matches_column(
         payload = [F.lit(r.name).alias("rule_name")]
         if with_actions:
             payload.append(F.array(*[F.lit(a.value) for a in r.actions]).alias("actions"))
-        structs.append(F.when(rule_predicate(r, cols), F.struct(*payload)))
+        structs.append(F.when(rule_predicate(r, cols, error_acc), F.struct(*payload)))
     return F.filter(F.array(*structs), lambda x: x.isNotNull())
 
 

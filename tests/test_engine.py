@@ -240,3 +240,35 @@ def test_overbroad_rule_hits_collect_guard(spark, engine):
     engine.matched_collect_cap = 1_000
     engine.process_batch(df)
     assert engine.store.find_rule("broad").match_count == 20
+
+
+def test_code_predicate_error_reported_not_fatal(spark, tmp_path):
+    """A CODE rule that raises on some rows evaluates False there, the
+    batch completes, other rules still match, and the error surfaces ONCE
+    on the notify stream (src/eventhandler.rs:258-272 parity via the
+    executor->driver accumulator)."""
+    store = SignupRulesManager(str(tmp_path / "rules.json"))
+    store.add_rule(
+        Rule("ok", Criterion(CriterionKind.EMAIL_CONTAINS, "SPAM"), [Action.NOTIFY_ZULIP])
+    )
+    store.add_rule(
+        Rule(
+            "boom",
+            Criterion(CriterionKind.CODE, 'user.nosuch_method() == "x"'),
+            [Action.NOTIFY_ZULIP],
+        )
+    )
+    sink = CollectingSink()
+    eng = Engine(store, messages=sink, rng=random.Random(7), now_fn=lambda: NOW)
+    df = spark.createDataFrame(
+        [u("Alice", email="spam@mail.com"), u("Bob")], USER_SCHEMA_DDL
+    )
+    eng.process_batch(df)
+    notify = sink.channel("notify")
+    assert any("Rule ok match" in m for m in notify)
+    errs = [m for m in notify if m.startswith("Error evaluating rule boom:")]
+    assert len(errs) == 1, notify
+    # next batch: channel drained, errors re-reported (still once)
+    eng.process_batch(df)
+    errs2 = [m for m in sink.channel("notify") if m.startswith("Error evaluating rule boom:")]
+    assert len(errs2) == 2
