@@ -708,6 +708,55 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q7_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style cross-nation volume: nation plays TWO roles (supplier side,
+    customer side) — both broadcast, as do supplier and customer; the only
+    shuffle is the lineitem<->orders orderkey join + the final agg. The
+    cross-nation inequality applies post-broadcast, map-side."""
+    li = testdata.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    s = testdata.load(spark, sf_dir, "supplier")
+    o = testdata.load(spark, sf_dir, "orders")
+    c = testdata.load(spark, sf_dir, "customer")
+    n = testdata.load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    sup = s.join(F.broadcast(n1), s["s_nationkey"] == n1["n1_key"]).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c["c_nationkey"] == n2["n2_key"]).select(
+        "c_custkey", "cust_nation"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
     "cube_pricing",
     """SELECT
   COALESCE(l_returnflag, 'ALL') AS rflag,
