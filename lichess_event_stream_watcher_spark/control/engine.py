@@ -171,15 +171,21 @@ class Engine:
 
     def _report_predicate_errors(self) -> None:
         """Drain the executor->driver error channel; post each DISTINCT
-        error once (accumulator updates are at-least-once under retries)."""
-        if self._error_acc is None or not self._error_acc.value:
+        error once (accumulator updates are at-least-once under retries).
+        Swap-then-iterate: updates from late/speculative task completions
+        that land mid-report go into the fresh list and surface next batch
+        instead of being wiped by the reset."""
+        if self._error_acc is None:
             return
+        drained = self._error_acc.value
+        if not drained:
+            return
+        self._error_acc.value = []
         seen: set[str] = set()
-        for msg in self._error_acc.value:
+        for msg in drained:
             if msg not in seen:
                 seen.add(msg)
                 self.messages.post("notify", f"Error evaluating rule {msg}")
-        self._error_acc.value = []
 
     def enrich(self, df: DataFrame) -> DataFrame:
         """P1 + P2; geoip stays NULL when no range table is wired."""

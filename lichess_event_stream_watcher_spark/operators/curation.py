@@ -117,25 +117,31 @@ def contamination_check(
     """Train->test n-gram contamination: per test doc, how many of its
     distinct ``n``-gram shingles also appear anywhere in the train split.
 
-    The train side reduces to DISTINCT shingles before the join (the
-    decontamination lexicon — at 100 TB this is the small side and the
-    aggregation is map-side partial), then a left join + conditional count
-    keeps zero-overlap test docs in the result. The split is PROJECTED onto
-    the shingle rows (``split_label`` is a pure function of the id), never
-    joined back from an assignment table — two joins fewer than the naive
-    label-join plan.
+    ONE pass over the shingle pipeline, no join: each shingle's posting
+    rows aggregate to (train-presence flag, list of test ids) in a single
+    shuffle — branching the pipeline into a train-lexicon side and a test
+    side of a join would re-run the whole scan+tokenize per branch
+    (exchange reuse across join branches is not guaranteed). The split is
+    PROJECTED onto the shingle rows (``split_label`` is a pure function of
+    the id), never joined back from an assignment table. Skew note: a
+    stop-shingle present in most test docs builds one wide test-id list —
+    cap frequent shingles upstream (as ``jaccard_pairs`` does with
+    ``max_shingle_df``) if the corpus needs it.
     """
     from .dedup import shingles
 
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col).withColumn(
         "split", split_label("id")
     )
-    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
-    test_sh = sh.filter(F.col("split") == "test").select("id", "shingle")
-    hit = test_sh.join(
-        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    per_shingle = sh.groupBy("shingle").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        # collect_list drops the NULLs the non-test rows produce
+        F.collect_list(F.when(F.col("split") == "test", F.col("id"))).alias("test_ids"),
     )
-    return hit.groupBy("id").agg(
+    exploded = per_shingle.select(
+        F.explode("test_ids").alias("id"), "in_train"
+    )
+    return exploded.groupBy("id").agg(
         F.count("*").alias("n_shingles"),
-        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        F.sum("in_train").alias("n_contaminated"),
     )

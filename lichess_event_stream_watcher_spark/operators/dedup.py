@@ -611,7 +611,15 @@ def dup_components(
     Non-SQL-expressible as ONE query in Spark, but DuckDB's recursive CTE
     computes the same fixpoint — the driver query uses it as the oracle.
     """
-    ids = nodes.select(F.col(id_col).alias("id")).distinct()
+    # seed from nodes UNION pair endpoints: an endpoint missing from nodes
+    # would otherwise never carry its own label, skewing minima AND hiding
+    # its first appearance from the convergence join (premature break)
+    ids = (
+        nodes.select(F.col(id_col).alias("id"))
+        .unionAll(pairs.select(F.col("id_a").alias("id")))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sym = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))

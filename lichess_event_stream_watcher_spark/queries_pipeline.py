@@ -396,9 +396,10 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     """SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
                  i -> unicode(substring(text, CAST(i AS INT), 1)))) * 1000000
-                 // length(text) AS BIGINT) AS DOUBLE) / 1000000 AS byte_mean
+                 // length(text) AS BIGINT) AS DOUBLE) / 1000000 END AS byte_mean
 FROM documents""",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -202,9 +202,13 @@ def expiry_sweep_classify(rules_df, now: dt.datetime):
     ts = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
     exp = F.col("expiry")
     latch = F.col("exp_notification")
-    warn_cond = (exp < ts + F.expr(f"INTERVAL {EXPIRY_WARN_BEFORE.days} DAYS")) & (latch == 0)
+    # seconds-based intervals stay faithful to the timedelta constants even
+    # if they are ever tuned to sub-day values (.days would truncate)
+    warn_iv = F.expr(f"INTERVAL {int(EXPIRY_WARN_BEFORE.total_seconds())} SECONDS")
+    del_iv = F.expr(f"INTERVAL {int(EXPIRY_DELETE_AFTER.total_seconds())} SECONDS")
+    warn_cond = (exp < ts + warn_iv) & (latch == 0)
     expired_cond = (~warn_cond) & (exp < ts) & (latch <= 1)
-    deleted_cond = ts > exp + F.expr(f"INTERVAL {EXPIRY_DELETE_AFTER.days} DAYS")
+    deleted_cond = ts > exp + del_iv
     name = F.col("name")
     return (
         rules_df.filter(warn_cond).select(F.lit("warn").alias("kind"), name)

@@ -330,3 +330,12 @@ def test_pack_sequences_shard_fanout_scales(spark, sf_dir):
     assert all(len(b.shard) == 2 for b in b2)
     assert len({b.shard for b in b2}) > len({b.shard for b in b1})
     assert sum(b.bin_tokens for b in b1) == sum(b.bin_tokens for b in b2)
+
+
+def test_dup_components_pair_endpoint_missing_from_nodes(spark):
+    """Pair endpoints absent from the nodes table are seeded too — the
+    component minimum counts them and convergence waits for them."""
+    nodes = spark.createDataFrame([(5,)], "doc_id bigint")
+    pairs = spark.createDataFrame([(5, 3)], "id_a bigint, id_b bigint")
+    comp = {r.id: r.comp for r in D.dup_components(nodes, pairs).collect()}
+    assert comp == {3: 3, 5: 3}
