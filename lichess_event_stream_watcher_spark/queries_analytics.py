@@ -922,3 +922,240 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style q8/q9/q10/q14/q19 — wider join/predicate coverage (§2.4/§2.5
+# beyond-reference analytics; all dims broadcast, lineitem<->orders is the
+# only shuffle anywhere in the family)
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(ROUND(
+    SUM(CASE WHEN n1.n_name = 'NATION_3'
+        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        ELSE 0 END)
+    / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))),
+  6) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n2.n_regionkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+GROUP BY year(o.o_orderdate)""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style national market share: the share of ASIA-region ECONOMY-part
+    order volume supplied by NATION_3, per order year. Seven-table join in
+    which every dim (part filter, supplier+nation, customer+nation+region)
+    broadcasts; the single shuffle is lineitem<->orders on orderkey, then a
+    one-row-per-year agg. The share is a conditional-sum ratio computed in
+    the same partial agg — no second pass over the data."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    p = testdata.load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = testdata.load(spark, sf_dir, "supplier")
+    o = testdata.load(spark, sf_dir, "orders")
+    c = testdata.load(spark, sf_dir, "customer")
+    n = testdata.load(spark, sf_dir, "nation")
+    r = testdata.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cust = (
+        c.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    vol = price * (F.lit(1) - disc)
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), o["o_custkey"] == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q9_profit",
+    """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(ROUND(SUM(
+    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+    - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(0.4 AS DECIMAL(18,2))
+  ), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%rod%'
+GROUP BY n.n_name, year(o.o_orderdate)""",
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style product-type profit by supplier nation and year. The testdata
+    has no partsupp table, so supply cost is proxied as 40% of
+    p_retailprice (documented adaptation, deterministic and decimal-exact).
+    part (name-filtered) and supplier+nation broadcast; lineitem<->orders
+    shuffles once on orderkey; profit folds into one partial agg."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    p = testdata.load(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    s = testdata.load(spark, sf_dir, "supplier")
+    o = testdata.load(spark, sf_dir, "orders")
+    n = testdata.load(spark, sf_dir, "nation")
+    sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    retail = F.col("p_retailprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    profit = price * (F.lit(1) - disc) - retail * qty * F.lit(0.4).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style returned-item report: top-20 customers by lost revenue in a
+    two-quarter window. The returnflag + date filters prune at the scans;
+    customer+nation broadcast; one orderkey shuffle + one groupBy shuffle;
+    the top-20 is a TakeOrdered (no global sort materialization). Tie-broken
+    on custkey so the row SET is deterministic."""
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01 00:00:00").cast("timestamp"))
+    )
+    li = testdata.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = testdata.load(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cn), o["o_custkey"] == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    """SELECT
+  CAST(ROUND(
+    100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+        ELSE 0 END)
+    / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))),
+  6) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '2000-05-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '2000-06-01 00:00:00'""",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style promo effect: percent of one month's revenue from PROMO
+    parts. Date range prunes the lineitem scan (row-group pruning at 100 TB);
+    part broadcasts; conditional-sum ratio in ONE partial agg — the whole
+    query is map-side until the final single-row combine."""
+    li = testdata.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-05-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-06-01 00:00:00").cast("timestamp"))
+    )
+    p = testdata.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    vol = price * (F.lit(1) - disc)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                6,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q19_bracket_revenue",
+    """SELECT
+  CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style disjunctive bracket predicate: three (brand, size, quantity)
+    conjunctions OR'd across the lineitem x part join. The part side of the
+    disjunction (brand IN, size <= max) is pushed below the broadcast join
+    so the build side only holds qualifying parts; the mixed l x p residual
+    evaluates map-side post-join. Zero shuffles before the single-row agg."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    p = testdata.load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
