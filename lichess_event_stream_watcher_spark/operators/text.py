@@ -128,3 +128,99 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         quality_score(c).alias("quality"),
     )
+
+
+def mean_token_length(col: Column) -> Column:
+    """Mean characters per token, floor-quantized at 1e-4 (engine-stable;
+    see quality_score)."""
+    tk = tokens(normalize_text(col))
+    total = F.aggregate(tk, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    return F.floor(total.cast("double") / F.size(tk).cast("double") * F.lit(10000.0)) / F.lit(
+        10000.0
+    )
+
+
+def frac_dup_tokens(col: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — the Gopher
+    'repetition' family's cheapest signal; floor-quantized at 1e-4."""
+    tk = tokens(normalize_text(col))
+    n = F.size(tk).cast("double")
+    nd = F.size(F.array_distinct(tk)).cast("double")
+    return F.floor((n - nd) / n * F.lit(10000.0)) / F.lit(10000.0)
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    short_doc_tokens: int = 50,
+    top_bigram_frac: float = 0.08,
+    dup_token_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-style repetition signals per document + a keep/drop verdict.
+
+    Map-side: token count, mean token length, duplicate-token fraction.
+    Distributed: the most-frequent-bigram share (top bigram count / total
+    bigrams) via a doc-local double aggregation — bigrams shuffle on
+    (doc_id, bigram) then (doc_id), both keys doc-scoped so 100 TB
+    distributes evenly (no global hot key can form). The map-side metrics
+    ride the shuffle as grouping keys (functionally dependent on doc_id) so
+    no join is ever needed. Same explode_outer + below-Exchange token
+    materialization as dedup.shingles (see its docstring for why).
+
+    Documents with fewer than two tokens have no bigrams and drop out.
+    Output: (doc_id, n_tokens, mean_tok_len, frac_dup_tokens, n_bigrams,
+    top_bigram_n, frac_top_bigram, keep).
+    """
+    from .util import spread
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tk"),
+    )
+    base = spread(base)
+    tk = F.col("_tk")
+    n = F.size(tk).cast("bigint")
+    nd = F.size(F.array_distinct(tk)).cast("bigint")
+    total_len = F.aggregate(tk, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    mean_len = F.floor(total_len.cast("double") / n.cast("double") * F.lit(10000.0)) / F.lit(
+        10000.0
+    )
+    frac_dup = F.floor((n - nd).cast("double") / n.cast("double") * F.lit(10000.0)) / F.lit(
+        10000.0
+    )
+    idx = F.when(F.size(tk) >= 2, F.sequence(F.lit(0), F.size(tk) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, 2), " "))
+    keys = ["doc_id", "n_tokens", "mean_tok_len", "frac_dup_tokens"]
+    exploded = (
+        base.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            mean_len.alias("mean_tok_len"),
+            frac_dup.alias("frac_dup_tokens"),
+            F.explode_outer(grams).alias("bigram"),
+        )
+        .filter(F.col("bigram").isNotNull())
+    )
+    agg = (
+        exploded.groupBy(*keys, "bigram")
+        .agg(F.count("*").alias("bn"))
+        .groupBy(*keys)
+        .agg(F.max("bn").alias("top_bigram_n"), F.sum("bn").alias("n_bigrams"))
+    )
+    frac_top = F.floor(
+        F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double") * F.lit(1000000.0)
+    ) / F.lit(1000000.0)
+    return agg.select(
+        *keys,
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("top_bigram_n").cast("bigint").alias("top_bigram_n"),
+        frac_top.alias("frac_top_bigram"),
+        (
+            (F.col("n_tokens") >= short_doc_tokens)
+            & (frac_top <= top_bigram_frac)
+            & (F.col("frac_dup_tokens") <= dup_token_frac)
+        ).alias("keep"),
+    )

@@ -610,3 +610,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testdata.load(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     return D.dup_components(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals + PII scrubbing
+# ---------------------------------------------------------------------------
+_REPETITION_ORACLE = rf"""WITH {_NORM}, {_TOKS},
+m AS (
+  SELECT id AS doc_id, tk,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    floor(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+          / len(tk) * 10000.0) / 10000.0 AS mean_tok_len,
+    floor(CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+          / len(tk) * 10000.0) / 10000.0 AS frac_dup_tokens
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM m
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS bn FROM bg GROUP BY doc_id, bigram),
+agg AS (SELECT doc_id, MAX(bn) AS top_bigram_n, SUM(bn) AS n_bigrams FROM bc GROUP BY doc_id)
+SELECT m.doc_id, m.n_tokens, m.mean_tok_len, m.frac_dup_tokens,
+  CAST(agg.n_bigrams AS BIGINT) AS n_bigrams,
+  CAST(agg.top_bigram_n AS BIGINT) AS top_bigram_n,
+  floor(CAST(agg.top_bigram_n AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE) * 1000000.0)
+    / 1000000.0 AS frac_top_bigram,
+  (m.n_tokens >= 50
+   AND floor(CAST(agg.top_bigram_n AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE) * 1000000.0)
+       / 1000000.0 <= 0.08
+   AND m.frac_dup_tokens <= 0.8) AS keep
+FROM m JOIN agg USING (doc_id)"""
+
+
+@query("repetition_profile", _REPETITION_ORACLE)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: duplicate-token fraction,
+    mean token length (map-side) and top-bigram share (doc-local double
+    agg), plus the keep/drop verdict."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.repetition_profile(docs)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_ORACLE = rf"""{testdata.signups_cte("duckdb")},
+lines AS (
+  SELECT event_id, concat_ws(' ', username, email, ip, user_agent) AS line
+  FROM signups
+)
+SELECT event_id,
+  regexp_replace(regexp_replace(line, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(line, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(regexp_replace(line, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IP}')) AS BIGINT) AS n_ips
+FROM lines"""
+
+
+@query("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over reconstructed signup log lines: redact emails then
+    IPv4s, reporting per-row hit counts. Pure map-side regexp — the RE2-safe
+    patterns evaluate identically in the DuckDB oracle."""
+    from .operators import pii as P
+
+    lines = testdata.signups_df(spark, sf_dir).select(
+        "event_id",
+        F.concat_ws(" ", "username", "email", "ip", "user_agent").alias("line"),
+    )
+    return P.scrub(lines, "line", "event_id")

@@ -339,3 +339,44 @@ def test_dup_components_pair_endpoint_missing_from_nodes(spark):
     pairs = spark.createDataFrame([(5, 3)], "id_a bigint, id_b bigint")
     comp = {r.id: r.comp for r in D.dup_components(nodes, pairs).collect()}
     assert comp == {3: 3, 5: 3}
+
+
+def test_pii_redaction_order_and_counts(spark):
+    """Emails redact before IPs (an IP-shaped email domain counts as the
+    email, not an address); counts match redactions; UA-style dotted
+    versions with 4 groups DO count as IPv4 (deterministic false positive,
+    identical in both engines)."""
+    from lichess_event_stream_watcher_spark.operators import pii as P
+
+    rows = [
+        (1, "mail bob@10.0.0.1.com from 192.168.1.5 ok"),
+        (2, "Chrome/120.0.0.0 Safari/537.36"),
+        (3, "no pii here"),
+        (4, "a@b.io c@d.fr 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, line string")
+    out = {r.id: r for r in P.scrub(df, "line", "id").collect()}
+    assert out[1].redacted == "mail <EMAIL> from <IP> ok"
+    assert (out[1].n_emails, out[1].n_ips) == (1, 1)
+    assert out[2].redacted == "Chrome/<IP> Safari/537.36"
+    assert (out[2].n_emails, out[2].n_ips) == (0, 1)
+    assert out[3] .redacted == "no pii here"
+    assert (out[3].n_emails, out[3].n_ips) == (0, 0)
+    assert out[4].redacted == "<EMAIL> <EMAIL> <IP>"
+    assert (out[4].n_emails, out[4].n_ips) == (2, 1)
+
+
+def test_repetition_profile_flags(spark):
+    """A long repetitive doc is dropped (top-bigram share too high); a
+    diverse long doc keeps; sub-2-token docs vanish."""
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    diverse = " ".join(f"w{i}" for i in range(120))
+    repeated = "spam ham " * 60
+    rows = [(1, diverse), (2, repeated.strip()), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in X.repetition_profile(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].keep and not out[2].keep
+    assert out[2].frac_top_bigram > 0.4
+    assert out[1].n_tokens == 120 and out[1].n_bigrams == 119

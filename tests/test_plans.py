@@ -202,3 +202,43 @@ def test_curation_plan_shapes(spark, sf_dir):
     quota = plan_str(C.source_quota(docs))
     assert "SinglePartition" not in quota
     assert quota.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_wide_family_plan_shapes(spark, sf_dir):
+    """q8/q9/q10/q14/q19 contract: dims broadcast (never nested-loop or
+    cartesian), and the scan-heavy single-row aggregates (q14/q19) never
+    hash-shuffle the fact table — their only exchange is the single-row
+    final combine."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    expect_bhj = {
+        "tpch_q8_market_share": 4,
+        "tpch_q9_profit": 2,
+        "tpch_q10_returned_items": 1,
+        "tpch_q14_promo_effect": 1,
+        "tpch_q19_bracket_revenue": 1,
+    }
+    for name, n_bhj in expect_bhj.items():
+        p = plan_str(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert p.count("BroadcastHashJoin") >= n_bhj, (name, p)
+    for name in ("tpch_q14_promo_effect", "tpch_q19_bracket_revenue"):
+        p = plan_str(qs[name](spark, sf_dir))
+        assert p.count("Exchange hashpartitioning") == 0, (name, p)
+
+
+def test_pii_and_repetition_plan_shapes(spark, sf_dir):
+    """pii_scrub is a pure map projection (zero exchanges, zero joins);
+    repetition_profile holds exactly its two doc-local hash exchanges —
+    the map-side metrics ride as grouping keys, never a join."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    p = plan_str(qs["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in p and "Join" not in p
+
+    p = plan_str(qs["repetition_profile"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "Join" not in p
