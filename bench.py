@@ -44,6 +44,11 @@ HEADLINE = [
     "embedding_near_dup",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    "dedup_clusters_star",
+    "repetition_profile",
+    "pii_scrub",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
 ]
 
 

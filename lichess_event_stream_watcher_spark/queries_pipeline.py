@@ -680,3 +680,14 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", "username", "email", "ip", "user_agent").alias("line"),
     )
     return P.scrub(lines, "line", "event_id")
+
+
+@query("dedup_clusters_star", _CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star (O(log diameter)
+    rounds) — the scale path for adversarially deep pair graphs. Shares
+    dedup_clusters' recursive-CTE oracle: both must produce the identical
+    component map."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    return D.dup_components_star(docs, pairs)

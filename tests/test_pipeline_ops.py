@@ -380,3 +380,26 @@ def test_repetition_profile_flags(spark):
     assert out[1].keep and not out[2].keep
     assert out[2].frac_top_bigram > 0.4
     assert out[1].n_tokens == 120 and out[1].n_bigrams == 119
+
+
+def test_dup_components_star_matches_propagation(spark):
+    """Large-star/small-star yields the identical component map as min-label
+    propagation — exercised on a 40-node path (worst case for propagation:
+    diameter 39, log-rounds for the star variant), a triangle, an isolated
+    pair, and a singleton."""
+    path_pairs = [(i, i + 1) for i in range(100, 139)]
+    extra = [(300, 301), (200, 201), (201, 202), (200, 202)]
+    pairs = spark.createDataFrame(path_pairs + extra, "id_a bigint, id_b bigint")
+    node_ids = list(range(100, 140)) + [200, 201, 202, 300, 301, 999]
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id bigint")
+    a = {r.id: r.comp for r in D.dup_components(nodes, pairs, max_iter=50).collect()}
+    b = {r.id: r.comp for r in D.dup_components_star(nodes, pairs).collect()}
+    assert a == b
+    assert b[139] == 100 and b[202] == 200 and b[999] == 999 and b[301] == 300
+
+
+def test_dup_components_star_seeds_missing_endpoints(spark):
+    nodes = spark.createDataFrame([(5,)], "doc_id bigint")
+    pairs = spark.createDataFrame([(5, 3)], "id_a bigint, id_b bigint")
+    comp = {r.id: r.comp for r in D.dup_components_star(nodes, pairs).collect()}
+    assert comp == {3: 3, 5: 3}
