@@ -216,23 +216,47 @@ class Engine:
         enriched = self.enrich(ordered).cache()
         try:
             active = self.store.active_rules(now)
+            # ONE Spark job collects both driver-side inputs: the matched
+            # rows (capped) and the last-N arrival-order tail (TakeOrdered)
+            # run as union branches padded to a common schema — one job
+            # submission + one Arrow transfer per batch instead of two.
+            # Matched rows null out the wide payload columns, so their side
+            # of the transfer stays 3 live columns as before.
+            field_types = {f.name: f.dataType for f in enriched.schema.fields}
+            cols = enriched.columns
+            tail_branch = (
+                enriched.orderBy(F.desc("_row_id"))
+                .limit(self.checked_cap)
+                .select(
+                    F.lit(False).alias("_is_match"),
+                    F.lit(None).cast("string").alias("rule_name"),
+                    *cols,
+                )
+            )
             if active:
-                matched = (
+                keep = {"_row_id", "username"}
+                match_branch = (
                     enriched.withColumn(
                         "_match",
                         F.explode(self._rule_scan_column(active, df.sparkSession)),
                     )
                     .select(
-                        "_row_id",
-                        "username",
+                        F.lit(True).alias("_is_match"),
                         F.col("_match.rule_name").alias("rule_name"),
+                        *[
+                            (F.col(c) if c in keep else F.lit(None).cast(field_types[c])).alias(c)
+                            for c in cols
+                        ],
                     )
                     .limit(self.matched_collect_cap + 1)
-                    .toPandas()  # Arrow: columnar transfer, no per-row py4j
-                    .to_dict("records")
                 )
+                both = match_branch.unionAll(tail_branch).toPandas()
             else:
-                matched = []  # no active rules -> skip the scan job entirely
+                both = tail_branch.toPandas()  # no active rules -> skip the scan
+            is_match = both["_is_match"].astype(bool)
+            matched = both.loc[is_match, ["_row_id", "username", "rule_name"]].to_dict(
+                "records"
+            )
             if len(matched) > self.matched_collect_cap:
                 raise RuntimeError(
                     f"batch produced more than {self.matched_collect_cap} "
@@ -241,14 +265,12 @@ class Engine:
                     "Disable or narrow the rule, or raise "
                     "engine.matched_collect_cap deliberately."
                 )
-            # last-N by arrival order as a distributed top-k (TakeOrdered),
-            # not a partition-order tail. len(tail) doubles as the batch
-            # count: it is exact below the cap, and hitting the cap is the
-            # only fact the eviction branch needs — no separate count() job.
+            # len(tail) doubles as the batch count: exact below the cap, and
+            # hitting the cap is the only fact the eviction branch needs —
+            # no separate count() job.
             tail = (
-                enriched.orderBy(F.desc("_row_id"))
-                .limit(self.checked_cap)
-                .toPandas()  # Arrow: the 10K-row window crosses as batches
+                both.loc[~is_match]
+                .drop(columns=["_is_match", "rule_name"])
                 .sort_values("_row_id")
                 .to_dict("records")
             )
