@@ -1159,3 +1159,204 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style q13/q15/q17/q18/q22 — outer-join histogram, max-of-agg,
+# windowed correlated predicate, HAVING join, anti-join + global scalar.
+# Cross-engine float hazards avoided throughout: correlated averages are
+# rewritten as exact decimal cross-multiplications (qty*cnt*5 < sum instead
+# of qty < 0.2*avg), and the one true division quantizes via floor.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13_custdist",
+    """SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count""",
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style customer order-count distribution. The status filter lives
+    in the JOIN CONDITION, not a WHERE — customers whose orders are all
+    filtered out must still appear with count 0. Orders shuffle on custkey
+    once; the histogram re-agg is a second tiny shuffle on the count."""
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (o["o_custkey"] == c["c_custkey"]) & (o["o_orderstatus"] != "F"), "left"
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """WITH rev AS (
+  SELECT l_suppkey,
+    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style top supplier: revenue per supplier over a ship window, then
+    keep the max (ties included). The max is a 1-row broadcast joined back
+    on the ROUNDED revenue — rounding first makes the equality exact in
+    both engines. One suppkey shuffle; supplier dim broadcasts."""
+    li = testdata.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    s = testdata.load(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_loss",
+    """SELECT
+  CAST(floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 * 100.0) / 100.0 AS DOUBLE) AS avg_yearly,
+  COUNT(*) AS n_items
+FROM (
+  SELECT l.l_extendedprice,
+    CAST(l.l_quantity AS DECIMAL(18,2)) AS qty,
+    SUM(CAST(l.l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l.l_partkey) AS sum_qty,
+    COUNT(*) OVER (PARTITION BY l.l_partkey) AS cnt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#5'
+) t
+WHERE qty * cnt * 5 < sum_qty""",
+)
+def tpch_q17_small_qty_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-style small-quantity revenue loss. The correlated per-part
+    average becomes a window over l_partkey (ONE exchange) and the
+    avg-fifth comparison cross-multiplies to exact decimals
+    (qty*cnt*5 < sum) — no float division anywhere until the final
+    floor-quantized yearly average."""
+    from pyspark.sql import Window
+
+    li = testdata.load(spark, sf_dir, "lineitem")
+    p = testdata.load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    w = Window.partitionBy("l_partkey")
+    t = (
+        li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .select(
+            "l_extendedprice",
+            qty.alias("qty"),
+            F.sum(qty).over(w).alias("sum_qty"),
+            F.count("*").over(w).alias("cnt"),
+        )
+        .filter(F.col("qty") * F.col("cnt") * F.lit(5) < F.col("sum_qty"))
+    )
+    return t.agg(
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+                * F.lit(100.0)
+            )
+            / F.lit(100.0)
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(ROUND(t.sum_qty, 2) AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style large-volume orders: HAVING on the per-order quantity sum
+    (exact decimal compare), then orders join on the already-orderkey-
+    partitioned agg output (shuffle reused) and a broadcast customer dim."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    o = testdata.load(spark, sf_dir, "orders")
+    c = testdata.load(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    t = li.groupBy("l_orderkey").agg(F.sum(qty).alias("_sq")).filter(F.col("_sq") > 250)
+    return (
+        t.join(o, t["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.round(F.col("_sq"), 2).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_balances",
+    """WITH cohort AS (SELECT * FROM customer WHERE c_acctbal > 0),
+stats AS (
+  SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot FROM cohort
+)
+SELECT c.c_nationkey, COUNT(*) AS n_cust,
+  CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+FROM cohort c, stats
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * stats.cnt > stats.tot
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c.c_nationkey""",
+)
+def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style idle high balances: positive-balance customers above the
+    cohort average (exact decimal cross-multiply: bal*cnt > tot, avoiding
+    float averaging) with no recent orders (left-anti join), grouped by
+    nation. The 1-row stats broadcast; the anti join shuffles on custkey."""
+    c = testdata.load(spark, sf_dir, "customer")
+    o = testdata.load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    cohort = c.filter(F.col("c_acctbal") > 0)
+    stats = cohort.agg(F.count("*").alias("_cnt"), F.sum(bal).alias("_tot"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cohort.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("_cnt") > F.col("_tot"))
+        .join(recent, cohort["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(bal), 2).cast("double").alias("total_acctbal"),
+        )
+    )

@@ -403,3 +403,44 @@ def test_dup_components_star_seeds_missing_endpoints(spark):
     pairs = spark.createDataFrame([(5, 3)], "id_a bigint, id_b bigint")
     comp = {r.id: r.comp for r in D.dup_components_star(nodes, pairs).collect()}
     assert comp == {3: 3, 5: 3}
+
+
+def test_pii_regex_differential_spark_vs_duckdb(spark):
+    """The 'RE2-safe patterns evaluate identically' claim, fuzzed: 300
+    seeded random strings over a PII-adversarial alphabet (@, dots, digits,
+    boundaries) must redact and count identically in Spark's Java regex and
+    DuckDB's RE2."""
+    import random
+
+    import duckdb
+
+    from lichess_event_stream_watcher_spark.operators import pii as P
+
+    rng = random.Random(42)
+    alphabet = list("ab.Z9@ -_%+") + ["@b.co", "1.2.3.4", "10.0.0.999", "x@y", ".com", "127"]
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, line string")
+    got = {
+        r.id: (r.redacted, r.n_emails, r.n_ips)
+        for r in P.scrub(df, "line", "id").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, line VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        i: (red, ne, ni)
+        for i, red, ne, ni in con.execute(
+            f"""SELECT id,
+              regexp_replace(regexp_replace(line, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{P.IPV4_RE}', '<IP>', 'g'),
+              CAST(len(regexp_extract_all(line, '{P.EMAIL_RE}')) AS BIGINT),
+              CAST(len(regexp_extract_all(
+                   regexp_replace(line, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{P.IPV4_RE}')) AS BIGINT)
+            FROM t"""
+        ).fetchall()
+    }
+    assert got == want

@@ -242,3 +242,22 @@ def test_pii_and_repetition_plan_shapes(spark, sf_dir):
     p = plan_str(qs["repetition_profile"](spark, sf_dir))
     assert p.count("Exchange hashpartitioning") == 2, p
     assert "Join" not in p
+
+
+def test_tpch_correlated_family_plan_shapes(spark, sf_dir):
+    """q17's correlated average is ONE window exchange on l_partkey; q15's
+    max-of-agg joins back as a broadcast hash (equi on rounded revenue);
+    q22's only nested-loop is the deliberate 1-row stats broadcast."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    p = plan_str(qs["tpch_q17_small_qty_loss"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "CartesianProduct" not in p
+
+    p = plan_str(qs["tpch_q15_top_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+    p = plan_str(qs["tpch_q22_idle_balances"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row stats only
