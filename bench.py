@@ -49,6 +49,7 @@ HEADLINE = [
     "pii_scrub",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q17_small_qty_loss",
 ]
 
 

@@ -330,3 +330,57 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means — trains the IVF coarse quantizer that
+    ``ivf_ann_topk`` otherwise requires as input.
+
+    Deterministic by construction: init picks the k corpus vectors ranked
+    by md5(id) (no RNG), and assignment reuses ``nearest_cells``'s rounded
+    cosine + cent_id tie-break. Per iteration the cell assignment is the
+    same inlined-literal map-side projection as serving (zero shuffle, zero
+    join of the corpus) and the update is ONE groupBy carrying ``dim``
+    column averages — k*dim cells of partial-agg state through the
+    shuffle, k rows to the driver. Empty cells keep their previous
+    centroid.
+
+    Iterative and therefore non-SQL-expressible as one query (driver check
+    is rows-only); the pytest twin pins it against a numpy implementation
+    on a separable fixture.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    spark = emb.sparkSession
+
+    def as_df(cents: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)], "cent_id bigint, cent_vec array<double>"
+        )
+
+    seeds = (
+        emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(iters):
+        means = (
+            nearest_cells(emb, as_df(cents), 1, id_col, vec_col)
+            .groupBy("cent_id")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"_m{i}") for i in range(dim)])
+            .collect()
+        )
+        nxt = list(cents)
+        for r in means:
+            nxt[int(r["cent_id"])] = [float(r[f"_m{i}"]) for i in range(dim)]
+        cents = nxt
+    return as_df(cents)

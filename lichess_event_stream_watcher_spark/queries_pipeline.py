@@ -691,3 +691,15 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testdata.load(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     return D.dup_components_star(docs, pairs)
+
+
+@query("ann_ivf_trained")  # iterative k-means -> rows-only driver check
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF: train 8 coarse centroids with deterministic-init
+    Lloyd's k-means (3 iterations, one tiny-collect job each), then serve
+    the same 5 probes as ann_ivf_topk against the TRAINED cells. Iterative
+    training is not SQL-expressible as one query, so this registers
+    rows-only; the k-means itself is pytest-pinned against a numpy twin."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, k=8, iters=3)
+    return S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2)

@@ -444,3 +444,43 @@ def test_pii_regex_differential_spark_vs_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_kmeans_matches_numpy_twin(spark):
+    """On a well-separated 2-D fixture, the distributed Lloyd's rounds land
+    on the same centroids as a numpy twin of the same deterministic
+    algorithm (md5-ranked init, rounded-cosine assignment)."""
+    import hashlib
+
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    blobs = [(10.0, 0.0), (0.0, 10.0), (-10.0, -10.0)]
+    rows = []
+    for b, (cx, cy) in enumerate(blobs):
+        for j in range(20):
+            i = b * 20 + j
+            rows.append((i, [float(cx + rng.uniform(-1, 1)), float(cy + rng.uniform(-1, 1))]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r.cent_id: np.array(r.cent_vec) for r in S.kmeans_fit(emb, k=3, iters=4).collect()}
+
+    # numpy twin: same init ranking, same rounded-cosine assignment
+    vecs = {i: np.array(v) for i, v in rows}
+    seeds = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))[:3]
+    cents = [np.array(v) for _, v in seeds]
+    for _ in range(4):
+        members: dict[int, list] = {c: [] for c in range(3)}
+        for i, v in vecs.items():
+            sims = [
+                (round(float(v @ c) / float(np.sqrt((v @ v) * (c @ c))), 6), ci)
+                for ci, c in enumerate(cents)
+            ]
+            best = max(sims, key=lambda t: (t[0], -t[1]))[1]
+            members[best].append(v)
+        cents = [
+            np.mean(members[c], axis=0) if members[c] else cents[c] for c in range(3)
+        ]
+    for c in range(3):
+        assert np.allclose(got[c], cents[c], atol=1e-9), (c, got[c], cents[c])
