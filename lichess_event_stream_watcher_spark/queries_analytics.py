@@ -1360,3 +1360,283 @@ def tpch_q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bal), 2).cast("double").alias("total_acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style q2/q11/q12/q16/q20/q21 — the remaining six, completing 22/22.
+# No partsupp table exists in the driver schema, so the part<->supplier
+# relation is derived from lineitem (min observed price = supply cost); no
+# commit/receipt dates exist, so "late" is l_shipdate > o_orderdate + N days.
+# Same exact-arithmetic discipline as the first sixteen: DECIMAL sums and
+# cross-multiplied ratios, ROUND+CAST DOUBLE only at the output edge.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q2_min_cost_supplier",
+    """WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+       CAST(c.cost AS DOUBLE) AS supply_cost
+FROM cost c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+  AND c.cost = (SELECT MIN(c2.cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey)""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-style min-cost supplier per part, region-restricted. The
+    correlated per-part MIN becomes a window over l_partkey on the already
+    (partkey,suppkey)-aggregated rows — two exchanges, but only the first
+    is wide: the partial (partkey,suppkey) agg shrinks the fact map-side,
+    so the partkey window shuffle moves aggregated pairs, not lineitems.
+    Every dim (regional suppliers, parts, nation) broadcasts. MIN over
+    exact decimals makes the tie-equality bitwise."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    s = testdata.load(spark, sf_dir, "supplier")
+    n = testdata.load(spark, sf_dir, "nation")
+    r = testdata.load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = testdata.load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    regional = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(regional.select("s_suppkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("_mn", F.min("cost").over(w)).filter(F.col("cost") == F.col("_mn"))
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(regional), best["l_suppkey"] == regional["s_suppkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_values",
+    """WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS part_val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey = 7
+  GROUP BY 1
+), tot AS (SELECT SUM(part_val) AS tot FROM val)
+SELECT v.l_partkey AS p_partkey,
+       CAST(ROUND(v.part_val, 2) AS DOUBLE) AS part_value
+FROM val v, tot
+WHERE v.part_val * 1000 > tot.tot""",
+)
+def tpch_q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-style important part values for one nation's suppliers. The
+    HAVING-over-global-fraction is the scalar-subquery pattern: the 1-row
+    total broadcasts back over the per-part aggregate, and the 0.1%%
+    threshold cross-multiplies to exact decimals (val*1000 > tot) instead
+    of float-dividing. One shuffle (partkey agg); supplier dim broadcasts."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    s = testdata.load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    val = (
+        li.join(F.broadcast(s.select("s_suppkey")), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("part_val")
+        )
+    )
+    tot = val.agg(F.sum("part_val").alias("_tot"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_val") * F.lit(1000) > F.col("_tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_late_by_priority",
+    """SELECT o.o_orderpriority,
+       CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       COUNT(*) AS total_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o.o_orderpriority""",
+)
+def tpch_q12_late_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style late-shipment histogram by order priority ("late" =
+    shipped >60 days after the order date; the schema has no
+    commit/receipt dates). The one-year shipdate band prunes the lineitem
+    scan; the fact-fact join shuffles on orderkey once; the conditional
+    sum is a partial (map-side) aggregate into a 5-row result."""
+    li = testdata.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    o = testdata.load(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("late_count"),
+            F.count("*").alias("total_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style supplier counts per (brand, type, size). The complaint
+    NOT IN becomes a broadcast left-anti join (negative-balance suppliers
+    are a tiny list); the part predicate prunes the broadcast build side.
+    COUNT(DISTINCT) expands to Spark's two-level partial-distinct agg —
+    one logical shuffle on the group keys."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    p = testdata.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = testdata.load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad.select("s_suppkey")), li["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    """WITH qty AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT q.l_suppkey FROM qty q
+    JOIN part p ON p.p_partkey = q.l_partkey
+    WHERE p.p_name LIKE 'red%' AND q.sq > 40)""",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-style excess-stock suppliers: nation-filtered suppliers who
+    moved >40 units of a 'red%'-named part in one year. The nested IN
+    chain becomes two semi joins — part prunes the (partkey,suppkey)
+    aggregate via broadcast, and the qualifying-supplier set (small by
+    construction) broadcasts into a left-semi against the supplier dim.
+    One shuffle total (the year-banded quantity agg)."""
+    li = testdata.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    )
+    p = testdata.load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = testdata.load(spark, sf_dir, "supplier")
+    n = testdata.load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    qty = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+        .filter(F.col("sq") > 40)
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(F.broadcast(qty), s["s_suppkey"] == qty["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY 1, 2
+), w AS (
+  SELECT l_orderkey, l_suppkey, is_late,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         SUM(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM j
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE w.is_late = 1 AND w.n_supp > 1 AND w.n_late = 1
+GROUP BY s.s_name""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-style suppliers who kept finished orders waiting: the supplier
+    was late (>90 days after order date), the order had other suppliers
+    (EXISTS), and no OTHER supplier was late (NOT EXISTS). Both correlated
+    subqueries collapse into window counts over l_orderkey on the
+    per-(order,supplier) aggregate — n_supp > 1 encodes EXISTS, n_late == 1
+    encodes NOT-EXISTS-other-late given this row is late. At scale the
+    orderkey-partitioned fact-fact sort-merge join output is reused by both
+    the (orderkey,suppkey) agg and the orderkey window (clustering on a
+    subset satisfies both), leaving one more exchange for the final s_name
+    count; supplier dim broadcasts."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    o = testdata.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = testdata.load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = j.select(
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    ).filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    return (
+        flagged.join(F.broadcast(s), flagged["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -261,3 +261,30 @@ def test_tpch_correlated_family_plan_shapes(spark, sf_dir):
     p = plan_str(qs["tpch_q22_idle_balances"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row stats only
+
+
+def test_tpch_final_six_plan_shapes(spark, sf_dir):
+    """q2/q11/q12/q16/q20/q21 (the queries completing TPC-H 22/22): every
+    dim join is broadcast-hash, no sort-merge or cartesian anywhere, and
+    the wide-shuffle budget holds — q2's window shuffles aggregated
+    (partkey,suppkey) pairs (2 exchanges), q12/q20 hold exactly one, q21
+    three at broadcast scale (agg + window + final count)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {
+        "tpch_q2_min_cost_supplier": 2,
+        "tpch_q11_important_values": 2,
+        "tpch_q12_late_by_priority": 1,
+        "tpch_q16_supplier_cnt": 2,
+        "tpch_q20_excess_suppliers": 1,
+        "tpch_q21_waiting_suppliers": 3,
+    }
+    for name, budget in budgets.items():
+        p = plan_str(qs[name](spark, sf_dir))
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        # q11's 1-row total is the only permitted nested-loop broadcast
+        limit_bnlj = 1 if name == "tpch_q11_important_values" else 0
+        assert p.count("BroadcastNestedLoopJoin") <= limit_bnlj, name
+        assert p.count("Exchange hashpartitioning") <= budget, (name, p)
