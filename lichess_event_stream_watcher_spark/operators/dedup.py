@@ -72,6 +72,23 @@ def shingles(
       the post-generate filter on the generated column is unpushable and
       drops the same rows.
     """
+    out = shingle_arrays(df, n, text_col, id_col)
+    cols = [F.col("id"), F.explode_outer("_grams").alias("shingle")]
+    if with_count:
+        cols.append(F.size("_grams").alias("n_sh"))
+    return out.select(*cols).filter(F.col("shingle").isNotNull()).drop("_grams")
+
+
+def shingle_arrays(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc distinct n-gram array, un-exploded: (id, _grams). The
+    map-side base both ``shingles`` (explode) and the prefix-filtered
+    Jaccard path (slice-then-explode + whole-array verification) derive
+    from — same spread/projection guards as ``shingles``."""
     base = df.select(
         F.col(id_col).alias("id"),
         tokens(normalize_text(F.col(text_col))).alias("_tk"),
@@ -86,11 +103,7 @@ def shingles(
         idx,
         lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
     )
-    out = base.select("id", F.array_distinct(grams).alias("_grams"))
-    cols = [F.col("id"), F.explode_outer("_grams").alias("shingle")]
-    if with_count:
-        cols.append(F.size("_grams").alias("n_sh"))
-    return out.select(*cols).filter(F.col("shingle").isNotNull()).drop("_grams")
+    return base.select("id", F.array_distinct(grams).alias("_grams"))
 
 
 def jaccard_pairs(
@@ -102,6 +115,7 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
     dense_vocab_limit: int = 1 << 16,
     dense_bytes_limit: int = 1 << 30,
+    sparse_strategy: str = "postings",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -115,14 +129,32 @@ def jaccard_pairs(
       does the same work with zero shuffle. The gate is on ESTIMATED MATRIX
       BYTES (probed distributedly with approx_count_distinct, never by
       collecting the corpus), so the broadcast is bounded by construction.
-    - **sparse vocabulary** (the realistic web-corpus case): inverted-index
-      self-join on shingle with a length filter (J>=t implies
-      t*|a| <= |b| <= |a|/t), so pairs materialize only for docs sharing a
-      shingle AND of compatible sizes. ``max_shingle_df`` additionally drops
-      stop-shingles to bound skew at scale. No driver collect on this path.
+    - **sparse vocabulary** (the realistic web-corpus case), two exact
+      sub-strategies selected by ``sparse_strategy``:
+
+      * ``"postings"`` (default): inverted-index self-join on ALL
+        shingles with a length filter (J>=t implies t*|a| <= |b| <= |a|/t);
+        intersections counted by a (id_a, id_b) groupBy.
+        ``max_shingle_df`` drops stop-shingles to bound its skew.
+      * ``"prefix"``: AllPairs-style prefix-filtered candidate generation
+        (Bayardo/Ma/Srikant, WWW'07) — only each doc's
+        ``|s| - ceil(t|s|) + 1`` smallest shingles under a global hash
+        order are indexed, then surviving candidate pairs verify exactly
+        on the full per-doc arrays. Hot stop-shingles almost never land
+        in a prefix, so the quadratic posting-list explosion collapses
+        with NO df cap (and no recall loss, unlike the cap).
+
+      Measured on the driver corpus at sf0.1 (5K docs, mild shingle
+      skew): postings ~7 s, prefix ~11 s — the verify joins cost more
+      than the explosion saves, so postings is the default. On a real
+      web corpus, stop-shingle df grows with corpus size while prefix
+      bucket sizes stay flat: past the point where sum(df^2) dominates,
+      ``"prefix"`` is the strategy that survives.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    if sparse_strategy not in ("prefix", "postings"):
+        raise ValueError(f"unknown sparse_strategy: {sparse_strategy!r}")
     sh = shingles(df, n, text_col, id_col, with_count=True)
     if max_shingle_df is not None:
         # the frequent-shingle filter changes per-doc set sizes, so the
@@ -142,6 +174,12 @@ def jaccard_pairs(
     if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
         id_type = df.schema[id_col].dataType.simpleString()
         return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
+    if sparse_strategy == "prefix" and max_shingle_df is None:
+        # (the df cap changes per-doc sets, which the whole-array verify
+        # does not see — postings is the strategy that honors it)
+        return _jaccard_pairs_prefix(
+            shingle_arrays(df, n, text_col, id_col), threshold
+        )
     return _jaccard_pairs_inverted(sh, threshold)
 
 
@@ -175,6 +213,86 @@ def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     j = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_pairs_prefix(arrays: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact Jaccard (AllPairs family, Bayardo et al.
+    WWW'07 "Scaling Up All Pairs Similarity Search").
+
+    Completeness lemma: order the shingle universe by ANY global total
+    order. If |a ∩ b| >= alpha, then the first ``|a| - alpha + 1`` elements
+    of a and the first ``|b| - alpha + 1`` of b share an element (take u =
+    last prefix element of the earlier-ending prefix: a common element
+    <= u would be in both prefixes, and there are at most alpha-1 common
+    elements > u). For J >= t with the size filter |b| >= t|a|, alpha >=
+    ceil(t|a|), so indexing each doc's first ``|s| - ceil(t|s|) + 1``
+    shingles can never miss a qualifying pair.
+
+    The global order here is xxhash64(shingle) — chosen so the prefix is a
+    MAP-SIDE ``array_sort + slice`` on the per-doc gram array (a
+    frequency-based rarest-first order would shrink buckets further but
+    costs a df-table shuffle + per-doc window; the hash order costs
+    nothing). Candidates then explode only inside prefix-shingle buckets
+    (vs ALL shingle buckets on the postings path — stop-shingles
+    effectively vanish), and each surviving distinct candidate verifies
+    EXACTLY via array_intersect on the full gram arrays, re-derived
+    map-side on the probe side of the joins.
+
+    Three shuffles beyond the map work: bucket groupBy, candidate
+    distinct, and the two id-keyed verify joins (AQE-planned); none moves
+    the corpus text, only ids + gram arrays of candidate docs.
+    """
+    t = threshold - 1e-6
+    hashed = F.array_sort(
+        F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
+    )
+    n_sh = F.size("_grams")
+    plen = (n_sh - F.ceil(F.lit(t) * n_sh) + 1).cast("int")
+    pre = (
+        arrays.select(
+            "id",
+            n_sh.alias("n_sh"),
+            F.transform(F.slice(hashed, F.lit(1), plen), lambda s: s["g"]).alias("_pre"),
+        )
+        .select("id", "n_sh", F.explode_outer("_pre").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    cands = (
+        _bucket_local_pairs(pre, ["shingle"], ["n_sh"])
+        .filter(
+            (F.col("b.n_sh") >= t * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t * F.col("b.n_sh"))
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    sa = arrays.select(F.col("id").alias("_ia"), F.col("_grams").alias("_sa"))
+    sb = arrays.select(F.col("id").alias("_ib"), F.col("_grams").alias("_sb"))
+    verified = (
+        cands.join(sa, cands["id_a"] == sa["_ia"])
+        .join(sb, cands["id_b"] == sb["_ib"])
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_inter"),
+        )
+    )
+    j = verified.select(
         "id_a",
         "id_b",
         F.round(

@@ -129,12 +129,27 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_jaccard_inverted", _JACCARD_ORACLE)
 def dedup_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME operator forced onto its at-scale physical strategy (byte
-    gate 0 -> inverted-index self-join + length filter, no driver collect)
-    — both paths carry a green oracle row, so the strategy switch can never
-    silently change results."""
+    """The SAME operator forced onto the postings sparse strategy (byte
+    gate 0 -> full inverted-index self-join + length filter, no driver
+    collect) — every physical strategy carries a green oracle row, so a
+    strategy switch can never silently change results."""
     docs = testdata.load(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, n=2, threshold=0.5, dense_bytes_limit=0)
+    return D.jaccard_pairs(
+        docs, n=2, threshold=0.5, dense_bytes_limit=0, sparse_strategy="postings"
+    )
+
+
+@query("dedup_jaccard_prefix", _JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-robust sparse strategy: AllPairs-style prefix filtering
+    under a global hash order (map-side array slice), candidate pairs only
+    from prefix-shingle buckets, exact array_intersect verify — the path
+    that survives stop-shingle-heavy corpora where posting lists go
+    quadratic. Same oracle as the dense and postings paths."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(
+        docs, n=2, threshold=0.5, dense_bytes_limit=0, sparse_strategy="prefix"
+    )
 
 
 _MINHASH_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
@@ -703,3 +718,26 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = testdata.load(spark, sf_dir, "embeddings")
     cents = S.kmeans_fit(emb, k=8, iters=3)
     return S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2)
+
+
+@query(
+    "dedup_corpus",
+    rf"""WITH comp AS ({_CLUSTERS_ORACLE})
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN comp ON comp.id = d.doc_id
+WHERE comp.id = comp.comp""",
+)
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: the full dedup pipeline applied —
+    shingle -> Jaccard pairs -> connected components -> keep one canonical
+    doc (the min doc_id) per cluster, singletons untouched. The component
+    map is tiny relative to the corpus (ids only), so the final keep-filter
+    is a broadcast semi join against the scan — at 100 TB the text column
+    is read once and never shuffled; only ids flow through the pair graph."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    comp = D.dup_components_star(docs, pairs)
+    keep = comp.filter(F.col("id") == F.col("comp")).select("id")
+    return docs.join(
+        F.broadcast(keep), docs["doc_id"] == keep["id"], "left_semi"
+    ).select("doc_id", "source", "lang", "n_chars")

@@ -1,0 +1,73 @@
+"""Layout-sink contracts: partition pruning reaches the file index, and
+range clustering yields disjoint per-file min/max intervals (the property
+row-group skipping needs). Asserted against real written files — the plan
+string for pruning, the parquet footers (via pyarrow) for clustering."""
+
+from __future__ import annotations
+
+import glob
+import re
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from lichess_event_stream_watcher_spark import testdata
+from lichess_event_stream_watcher_spark.operators.layout import (
+    write_partitioned,
+    write_range_clustered,
+)
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    events = testdata.load(spark, sf_dir, "events")
+    path = str(tmp_path / "by_type")
+    write_partitioned(events, path, ["event_type"], sort_cols=["ts"])
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "signup")
+    p = plan_str(back)
+    # the filter must land in PartitionFilters (directory pruning),
+    # not PushedFilters (row-group pruning after listing everything)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p
+    n_types = events.select("event_type").distinct().count()
+    m = re.search(r"PartitionCount: (\d+)", p)
+    if m:  # Spark prints it for partitioned file indexes
+        assert int(m.group(1)) == 1 < n_types, p
+    # correctness: partition column round-trips
+    assert back.count() == events.filter(F.col("event_type") == "signup").count()
+
+
+def test_partitioned_write_bounds_file_count(spark, sf_dir, tmp_path):
+    events = testdata.load(spark, sf_dir, "events")
+    path = str(tmp_path / "files")
+    write_partitioned(events, path, ["event_type"])
+    n_types = events.select("event_type").distinct().count()
+    files = glob.glob(f"{path}/event_type=*/*.parquet")
+    # pre-write repartition on the partition key => one file per partition
+    # (not one per task per partition — the small-files explosion)
+    assert len(files) == n_types, files
+
+
+def test_range_clustered_files_are_disjoint(spark, sf_dir, tmp_path):
+    li = testdata.load(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "ranged")
+    write_range_clustered(li, path, ["l_shipdate"], n_files=8)
+
+    intervals = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        i = cols["l_shipdate"]
+        lo = min(md.row_group(g).column(i).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(i).statistics.max for g in range(md.num_row_groups))
+        intervals.append((lo, hi))
+    assert len(intervals) >= 2  # the range partitioner actually fanned out
+    intervals.sort()
+    for (_, hi_prev), (lo_next, _) in zip(intervals, intervals[1:]):
+        assert hi_prev <= lo_next, intervals  # disjoint => file-level skipping
+    # and the layout round-trips all rows
+    assert spark.read.parquet(path).count() == li.count()

@@ -152,6 +152,8 @@ def test_jaccard_physical_paths_agree(spark, sf_dir):
     base = run()
     assert base == run(dense_vocab_limit=1)  # vocab gate forces inverted
     assert base == run(dense_bytes_limit=0)  # byte gate forces inverted
+    # prefix filtering (hash-order AllPairs) is a third exact strategy
+    assert base == run(dense_bytes_limit=0, sparse_strategy="prefix")
     filt = run(max_shingle_df=50)
     assert filt == run(max_shingle_df=50, dense_bytes_limit=0)
 
