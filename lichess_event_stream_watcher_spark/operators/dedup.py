@@ -183,6 +183,61 @@ def jaccard_pairs(
     return _jaccard_pairs_inverted(sh, threshold)
 
 
+def jaccard_pairs_between(
+    new: DataFrame,
+    corpus: DataFrame,
+    n: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-corpus) exact Jaccard: for each NEW document,
+    its near-duplicates among an EXISTING corpus — the ingestion-time
+    dedup a continuously-fed training pipeline runs on every batch, so
+    the quadratic self-join over the full historical corpus never
+    happens again.
+
+    Inverted-index join between the two shingle relations (the new
+    batch's posting lists probe the corpus's), size-compatibility filter,
+    one (new_id, old_id) groupBy for intersections. At 100 TB the corpus
+    shingle table is the big side: it shuffles by shingle once and can be
+    written bucketed-by-shingle so subsequent batches join with ZERO
+    corpus-side shuffle (see tests/test_plans.py bucketed-join pin).
+
+    Output: (new_id, old_id, jaccard) with jaccard >= threshold. A new
+    doc with no qualifying match is absent — left-anti against this
+    result is the "keep" list.
+    """
+    t = threshold - 1e-6
+    sh_new = shingles(new, n, text_col, id_col, with_count=True)
+    sh_old = shingles(corpus, n, text_col, id_col, with_count=True)
+    joined = sh_new.alias("a").join(
+        sh_old.alias("b"), F.col("a.shingle") == F.col("b.shingle")
+    )
+    inter = (
+        joined.filter(
+            (F.col("b.n_sh") >= t * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= t * F.col("b.n_sh"))
+        )
+        .groupBy(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("old_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = inter.select(
+        "new_id",
+        "old_id",
+        F.round(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
 def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
     """Inverted-index exact Jaccard: bucket-local pairs per shingle +
     length filter.

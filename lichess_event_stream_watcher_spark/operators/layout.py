@@ -73,3 +73,37 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally re-clustered by ``sort_cols``),
+    atomically swapping via a sibling temp dir + rename. Streaming sinks
+    and fine-grained partitioned writes accrete kilobyte files whose
+    per-file open/footer overhead eventually dominates scan time; periodic
+    compaction back to ~128 MB-1 GB files is routine maintenance at scale.
+
+    Returns the number of files before compaction. Uses coalesce (narrow,
+    no shuffle) when only merging; repartitionByRange when re-sorting —
+    sorting requires the shuffle anyway, so it buys the clustered layout.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    n_before = len(_glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(target_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(target_files)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_before

@@ -224,3 +224,55 @@ def repetition_profile(
             & (F.col("frac_dup_tokens") <= dup_token_frac)
         ).alias("keep"),
     )
+
+
+def lexicon_coverage(
+    df: DataFrame,
+    lexicon_size: int = 1000,
+    min_ratio: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-lexicon coverage score — the C4/Gopher-style "does this doc
+    speak the corpus's language" quality signal. The lexicon is the corpus's
+    ``lexicon_size`` most frequent tokens (ties broken by token text, so the
+    set is deterministic); each doc scores the fraction of its token
+    OCCURRENCES covered by that lexicon. Boilerplate, code dumps, and
+    off-language docs fall out of coverage.
+
+    Two aggregations, both partial-agg friendly: the token-frequency build
+    (one shuffle on token; the top-k is TakeOrderedAndProject — per-partition
+    heaps, never a single-task global sort of the vocabulary) and the
+    per-doc coverage count (one shuffle on id, with the lexicon joined as a
+    broadcast set — at any corpus scale the lexicon is `lexicon_size` rows
+    by construction). All-integer arithmetic until the one floor-quantized
+    division, so the DuckDB oracle hashes bit-identically.
+
+    Output: (id, n_tokens, n_in_lex, lex_ratio, keep).
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), tokens(normalize_text(F.col(text_col))).alias("_tk"))
+        .select("id", F.explode_outer("_tk").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    lex = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(lexicon_size).select("tok")
+    cov = (
+        tok.join(F.broadcast(lex).withColumn("_hit", F.lit(1)), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_in_lex"),
+        )
+    )
+    ratio = (
+        F.floor(F.col("n_in_lex").cast("double") / F.col("n_tokens").cast("double") * F.lit(1000000.0))
+        / F.lit(1000000.0)
+    )
+    return cov.select(
+        "id",
+        "n_tokens",
+        F.col("n_in_lex").cast("bigint").alias("n_in_lex"),
+        ratio.alias("lex_ratio"),
+        (ratio >= min_ratio).alias("keep"),
+    )

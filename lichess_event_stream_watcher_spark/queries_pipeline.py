@@ -741,3 +741,56 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(keep), docs["doc_id"] == keep["id"], "left_semi"
     ).select("doc_id", "source", "lang", "n_chars")
+
+
+@query(
+    "dedup_incremental",
+    rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS new_id, b.id AS old_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+  GROUP BY a.id, b.id
+)
+SELECT new_id, old_id,
+       ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = new_id JOIN sizes sb ON sb.id = old_id
+WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: near-dups of a NEW batch (odd doc ids)
+    against the EXISTING corpus (even ids) — the cross-corpus inverted
+    join that replaces re-running the quadratic self-join over all
+    history on every batch."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    return D.jaccard_pairs_between(new, old, n=2, threshold=0.5)
+
+
+@query(
+    "lexicon_coverage",
+    rf"""WITH {_NORM}, {_TOKS},
+tok AS (SELECT id, unnest(tk) AS tok FROM toks),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+lex AS (SELECT tok FROM freq ORDER BY cnt DESC, tok ASC LIMIT 1000),
+cov AS (
+  SELECT t.id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN l.tok IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_in_lex
+  FROM tok t LEFT JOIN lex l ON l.tok = t.tok
+  GROUP BY t.id
+)
+SELECT id, n_tokens, n_in_lex,
+       floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0 AS lex_ratio,
+       floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0 >= 0.8 AS keep
+FROM cov""",
+)
+def lexicon_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-lexicon coverage quality signal: fraction of each doc's
+    token occurrences covered by the corpus's top-1000 token lexicon
+    (deterministic tie-break), all-integer until one floor-quantized
+    division. The lexicon is built with a distributed top-k
+    (TakeOrderedAndProject) and joins back as a broadcast set."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.lexicon_coverage(docs, lexicon_size=1000, min_ratio=0.8)

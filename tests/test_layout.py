@@ -71,3 +71,22 @@ def test_range_clustered_files_are_disjoint(spark, sf_dir, tmp_path):
         assert hi_prev <= lo_next, intervals  # disjoint => file-level skipping
     # and the layout round-trips all rows
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from lichess_event_stream_watcher_spark.operators.layout import compact_parquet
+
+    events = testdata.load(spark, sf_dir, "events")
+    path = str(tmp_path / "shattered")
+    n = events.count()
+    events.repartition(32).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 32
+    n_before = compact_parquet(spark, path, target_files=4)
+    assert n_before == 32
+    assert len(glob.glob(f"{path}/*.parquet")) <= 4
+    assert spark.read.parquet(path).count() == n
+    # re-clustering variant: sorted files with disjoint ts ranges
+    compact_parquet(spark, path, target_files=3, sort_cols=["ts"])
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) <= 3
+    assert spark.read.parquet(path).count() == n
