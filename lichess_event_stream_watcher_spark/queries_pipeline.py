@@ -769,9 +769,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs_between(new, old, n=2, threshold=0.5)
 
 
-@query(
-    "lexicon_coverage",
-    rf"""WITH {_NORM}, {_TOKS},
+_LEXICON_ORACLE = rf"""WITH {_NORM}, {_TOKS},
 tok AS (SELECT id, unnest(tk) AS tok FROM toks),
 freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
 lex AS (SELECT tok FROM freq ORDER BY cnt DESC, tok ASC LIMIT 1000),
@@ -784,8 +782,10 @@ cov AS (
 SELECT id, n_tokens, n_in_lex,
        floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0 AS lex_ratio,
        floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0 >= 0.8 AS keep
-FROM cov""",
-)
+FROM cov"""
+
+
+@query("lexicon_coverage", _LEXICON_ORACLE)
 def lexicon_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-lexicon coverage quality signal: fraction of each doc's
     token occurrences covered by the corpus's top-1000 token lexicon
@@ -794,3 +794,52 @@ def lexicon_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject) and joins back as a broadcast set."""
     docs = testdata.load(spark, sf_dir, "documents")
     return X.lexicon_coverage(docs, lexicon_size=1000, min_ratio=0.8)
+
+
+@query(
+    "curation_gate",
+    rf"""WITH rep AS ({_REPETITION_ORACLE}),
+lexq AS ({_LEXICON_ORACLE}),
+prof AS ({_TEXT_PROFILE_ORACLE})
+SELECT p.doc_id, p.lang_pred, l.lex_ratio, r.frac_top_bigram,
+       r.keep AS keep_repetition, l.keep AS keep_lexicon,
+       p.lang_pred <> 'und' AS keep_lang,
+       (r.keep AND l.keep AND p.lang_pred <> 'und') AS keep
+FROM prof p
+JOIN rep r ON r.doc_id = p.doc_id
+JOIN lexq l ON l.id = p.doc_id""",
+)
+def curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation POLICY layer: one keep/drop verdict per document from
+    the conjunction of the repetition filter (Gopher-style), the
+    lexicon-coverage filter, and language identification. Each signal is
+    an independently-oracled operator; this query is their id-keyed join
+    (AQE plans the three agg outputs, all partitioned on doc id) — the
+    shape a production gate takes when signals are maintained as separate
+    incremental tables rather than one monolithic scan."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    rep = X.repetition_profile(docs).select(
+        "doc_id",
+        "frac_top_bigram",
+        F.col("keep").alias("keep_repetition"),
+    )
+    lex = X.lexicon_coverage(docs).select(
+        F.col("id").alias("doc_id"),
+        "lex_ratio",
+        F.col("keep").alias("keep_lexicon"),
+    )
+    prof = X.analyze(docs).select("doc_id", "lang_pred")
+    return (
+        prof.join(rep, "doc_id")
+        .join(lex, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "lex_ratio",
+            "frac_top_bigram",
+            "keep_repetition",
+            "keep_lexicon",
+            (F.col("lang_pred") != "und").alias("keep_lang"),
+            (F.col("keep_repetition") & F.col("keep_lexicon") & (F.col("lang_pred") != "und")).alias("keep"),
+        )
+    )
