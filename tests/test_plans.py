@@ -288,3 +288,28 @@ def test_tpch_final_six_plan_shapes(spark, sf_dir):
         limit_bnlj = 1 if name == "tpch_q11_important_values" else 0
         assert p.count("BroadcastNestedLoopJoin") <= limit_bnlj, name
         assert p.count("Exchange hashpartitioning") <= budget, (name, p)
+
+
+def test_tpch_q21_reuses_join_partitioning_at_scale(spark, sf_dir):
+    """q21's at-scale shape, broadcast disabled to force the fact-fact
+    sort-merge join: the (orderkey,suppkey) aggregate AND the orderkey
+    window both run on the join's hash(orderkey) output with ZERO extra
+    exchanges (clustering on a subset of the partition keys satisfies
+    both), leaving exactly 3 exchanges total — the two SMJ inputs and the
+    final s_name count. The supplier dim still broadcasts (explicit
+    hint)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_str(qs["tpch_q21_waiting_suppliers"](spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert p.count("SortMergeJoin") == 1, p
+    assert p.count("Exchange hashpartitioning") == 3, p
+    # the window sits directly on the agg which sits on the join — no
+    # exchange between them
+    agg_i = p.index("Window ")
+    smj_i = p.index("SortMergeJoin")
+    assert "Exchange" not in p[agg_i:smj_i], p[agg_i:smj_i]
