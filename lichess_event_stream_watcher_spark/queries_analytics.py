@@ -1640,3 +1640,48 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling time-window rollup — the Structured Streaming aggregation idiom
+# as its batch twin (same code shape runs under readStream + watermark;
+# see tests/test_streaming_window.py for the stream-equals-batch pin)
+# ---------------------------------------------------------------------------
+@query(
+    "windowed_event_rollup",
+    """SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS win_start,
+       to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600) AS win_end,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3""",
+)
+def windowed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling-window rollup by event type: counts, distinct
+    users, exact value sum. ``F.window`` buckets align to the unix epoch
+    (the oracle floors epoch seconds to match). One shuffle on
+    (window, event_type); the distinct-user count expands to the standard
+    two-level partial-distinct agg. Under readStream the SAME expression
+    plus ``withWatermark`` is the streaming form — late rows beyond the
+    watermark drop instead of reopening finalized buckets."""
+    ev = testdata.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
