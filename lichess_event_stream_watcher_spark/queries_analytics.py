@@ -1685,3 +1685,46 @@ def windowed_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "session_window_rollup",
+    """WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM gaps
+)
+SELECT user_id,
+       MIN(ts) AS win_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS win_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_no""",
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window (30-min gap):
+    the streaming-capable form of `sessionize` — under readStream the same
+    expression maintains open sessions as state and finalizes them past
+    the watermark. Semantics pinned against the batch islands oracle:
+    session_window.start = first event, .end = last event + gap. One
+    shuffle on (user, session)."""
+    ev = testdata.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+        )
+    )

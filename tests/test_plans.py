@@ -313,3 +313,28 @@ def test_tpch_q21_reuses_join_partitioning_at_scale(spark, sf_dir):
     agg_i = p.index("Window ")
     smj_i = p.index("SortMergeJoin")
     assert "Exchange" not in p[agg_i:smj_i], p[agg_i:smj_i]
+
+
+def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
+    """The whole registered query surface, one scale-contract sweep: NO
+    query's physical plan may contain a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where it is the deliberate
+    1-row/tiny-broadcast cross join (kNN probe set, global thresholds).
+    A new query that accidentally plans a cartesian or an unhinted
+    nested-loop fails here before it ever reaches a cluster."""
+    import __spark_entry__ as entry
+
+    bnlj_allowed = {
+        "knn_cosine_topk",       # broadcast probe set x corpus (intended)
+        "seen_window_counts",    # 1-row global threshold broadcast
+        "tpch_q11_important_values",  # 1-row total broadcast
+        "tpch_q22_idle_balances",     # 1-row stats broadcast
+    }
+    bad = []
+    for name, fn in sorted(entry.queries().items()):
+        p = plan_str(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            bad.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in p and name not in bnlj_allowed:
+            bad.append((name, "nested-loop"))
+    assert not bad, bad
