@@ -1,0 +1,71 @@
+"""Fuzzy string matching at scale: exact edit-distance-<=1 pairs via
+deletion-neighborhood blocking.
+
+The moderation use case (reference-adjacent): typosquatted alt accounts —
+usernames one edit apart from an existing account (src/signup/rules.rs
+matches usernames by substring/regex; distance-1 is the fuzzy complement).
+
+A naive all-pairs Levenshtein is O(n^2) and un-shardable. Deletion
+blocking (the FastSS family) is exact for distance <= 1: every string
+emits |s|+1 variants (itself + each single-character deletion), and any
+pair at edit distance <= 1 shares at least one variant —
+  * equal strings share the string itself;
+  * a substitution at position i shares the deletion-at-i variant;
+  * an insertion/deletion pair shares the shorter string (which is one
+    of the longer string's deletion variants).
+Candidates therefore come from variant-bucket pairs (one shuffle on the
+variant, fanout bounded by bucket sizes), then a cheap Levenshtein
+verify keeps true positives. Variants are a map-side transform; nothing
+quadratic ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _bucket_local_pairs
+
+
+def deletion_variants(col: Column) -> Column:
+    """Array of the string itself + every single-character deletion."""
+    return F.concat(
+        F.array(col),
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                F.substring(col, F.lit(1), i - 1),
+                F.substring(col, i + 1, F.length(col)),
+            ),
+        ),
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Distinct unordered pairs of values of ``col`` with Levenshtein
+    distance in [1, max_dist]. Only ``max_dist=1`` is supported (the
+    deletion-blocking completeness argument above is distance-1; higher
+    distances need the full FastSS recursive deletion sets).
+
+    Output: (name_a, name_b, dist) with name_a < name_b, dist == 1.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion blocking implemented for max_dist=1 only")
+    names = df.select(F.col(col).alias("id")).filter(F.col("id").isNotNull()).distinct()
+    exploded = names.select(
+        "id", F.explode(deletion_variants(F.col("id"))).alias("variant")
+    ).distinct()  # a deletion can repeat (e.g. "aa" -> "a" twice): one row each
+    cands = (
+        _bucket_local_pairs(exploded, ["variant"], [])
+        .select(F.col("a.id").alias("name_a"), F.col("b.id").alias("name_b"))
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") == 1)
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -1728,3 +1728,23 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "username_fuzzy_pairs",
+    f"""{_CTE},
+names AS (SELECT DISTINCT username FROM signups WHERE username IS NOT NULL)
+SELECT a.username AS name_a, b.username AS name_b,
+       CAST(levenshtein(a.username, b.username) AS INT) AS dist
+FROM names a JOIN names b ON a.username < b.username
+WHERE levenshtein(a.username, b.username) = 1""",
+)
+def username_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat detection: distinct username pairs at edit distance 1,
+    via exact deletion-neighborhood blocking (map-side |s|+1 variants,
+    one variant-bucket shuffle, Levenshtein verify on candidates only) —
+    never the O(n^2) cross join the ORACLE is allowed to run at test
+    scale."""
+    from .operators.fuzzy import edit_distance_pairs
+
+    return edit_distance_pairs(_signups(spark, sf_dir), "username")

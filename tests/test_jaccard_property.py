@@ -62,3 +62,35 @@ def test_jaccard_strategies_match_brute_force(spark, strategy, texts):
         for r in D.jaccard_pairs(df, n=2, threshold=0.5, **kw).collect()
     }
     assert got == _brute_force(texts), (strategy, texts)
+
+
+_NAME = st.text(alphabet="ab_", min_size=0, max_size=6)
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(names=st.lists(_NAME, min_size=2, max_size=10))
+def test_deletion_blocking_matches_brute_force_levenshtein(spark, names):
+    from lichess_event_stream_watcher_spark.operators.fuzzy import edit_distance_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], "username string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in edit_distance_pairs(df, "username").collect()
+    }
+    uniq = sorted(set(names))
+    want = {
+        (a, b, 1)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if _lev(a, b) == 1
+    }
+    assert got == want, names
