@@ -1649,8 +1649,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "windowed_event_rollup",
-    """SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS win_start,
-       to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600) AS win_end,
+    """SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS TIMESTAMP) AS win_start,
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 + 3600) AS TIMESTAMP) AS win_end,
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
@@ -1748,3 +1748,33 @@ def username_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.fuzzy import edit_distance_pairs
 
     return edit_distance_pairs(_signups(spark, sf_dir), "username")
+
+
+@query(
+    "grouping_sets_pricing",
+    """SELECT
+  COALESCE(l_returnflag, 'ALL') AS rflag,
+  COALESCE(l_linestatus, 'ALL') AS lstatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-dimension marginals plus
+    the grand total, WITHOUT the cross product a CUBE would also compute.
+    Same one-shuffle set-expansion execution as cube/rollup; the SQL front
+    end is the only way PySpark expresses arbitrary set lists."""
+    li = testdata.load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """SELECT
+  COALESCE(l_returnflag, 'ALL') AS rflag,
+  COALESCE(l_linestatus, 'ALL') AS lstatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+  COUNT(*) AS n
+FROM lineitem_gs
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
