@@ -50,6 +50,13 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q17_small_qty_loss",
+    "tpch_q21_waiting_suppliers",
+    "windowed_event_rollup",
+    "session_window_rollup",
+    "dedup_incremental",
+    "lexicon_coverage",
+    "curation_gate",
+    "username_fuzzy_pairs",
 ]
 
 

@@ -1778,3 +1778,46 @@ def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM lineitem_gs
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
     )
+
+
+@query(
+    "orders_column_stats",
+    """SELECT
+  COUNT(*) AS n_rows,
+  COUNT(o_custkey) AS custkey_nonnull,
+  COUNT(DISTINCT o_custkey) AS custkey_ndv,
+  MIN(o_custkey) AS custkey_min,
+  MAX(o_custkey) AS custkey_max,
+  COUNT(DISTINCT o_orderstatus) AS status_ndv,
+  MIN(o_orderdate) AS orderdate_min,
+  MAX(o_orderdate) AS orderdate_max,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS totalprice_sum,
+  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_nulls
+FROM orders""",
+)
+def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile: row count, per-column
+    non-null/NDV/min/max/null-count in a SINGLE aggregate — one scan, one
+    partial-agg combine into a 1-row result. The primitive behind CBO
+    statistics, data-quality monitors, and schema drift detection; at
+    100 TB the one-pass bundle beats per-column passes by the number of
+    columns profiled. (Exact NDV here, oracle-checkable; swap
+    approx_count_distinct for the sketch form at cluster scale —
+    sketch_stats covers that path.)"""
+    o = testdata.load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.count_distinct("o_custkey").alias("custkey_ndv"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.count_distinct("o_orderstatus").alias("status_ndv"),
+        F.min("o_orderdate").alias("orderdate_min"),
+        F.max("o_orderdate").alias("orderdate_max"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("totalprice_sum"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("totalprice_nulls"),
+    )

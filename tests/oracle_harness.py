@@ -22,7 +22,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, (list, tuple)):
             return tuple(v)
         if isinstance(v, pd.Timestamp):
-            return v.to_pydatetime().replace(tzinfo=None).isoformat()
+            # keep tz affinity visible: the driver's value hash renders
+            # tz-aware and naive timestamps differently, so a DuckDB
+            # TIMESTAMPTZ vs Spark TIMESTAMP_NTZ divergence must FAIL here
+            return v.isoformat()
         if hasattr(v, "isoformat"):
             return v.isoformat()
         return v
