@@ -107,3 +107,60 @@ def compact_parquet(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_before
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative int columns into a
+    Morton (Z-order) key — pure Catalyst bit arithmetic, map-side. Callers
+    scale/rank their columns into [0, 2^bits) first."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Two-dimensional clustering: files are contiguous runs of the
+    Z-order curve over (col_a, col_b), so each file's min/max box is
+    small in BOTH columns — a range predicate on EITHER column skips most
+    files, where single-column range clustering only helps its own column.
+
+    One tiny 1-row agg computes the two columns' min/max (the scaling
+    denominators); everything else is the map-side Morton key + the same
+    range-repartition + sort as ``write_range_clustered``. The curve is
+    the poor man's multi-dim index — same idea as Delta/Databricks
+    Z-ORDER, built from shiftleft/bitwiseOR primitives.
+    """
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    span = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        rng = max(int(hi) - int(lo), 1)
+        return ((F.col(c) - F.lit(int(lo))).cast("long") * span / rng).cast("long")
+
+    z = zorder_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
