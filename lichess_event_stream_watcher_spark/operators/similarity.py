@@ -384,3 +384,59 @@ def kmeans_fit(
             nxt[int(r["cent_id"])] = [float(r[f"_m{i}"]) for i in range(dim)]
         cents = nxt
     return as_df(cents)
+
+
+def lsh_ann_topk_multiprobe(
+    emb: DataFrame,
+    anchors: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query searches its own bucket PLUS every
+    bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    recall booster (Lv et al., VLDB'07 "Multi-Probe LSH"): near neighbors
+    that landed just across one hyperplane are recovered without doubling
+    the anchor count or rebuilding the index.
+
+    The probe expansion is a per-QUERY map-side explode (bits+1 rows per
+    query — the probe side stays tiny and broadcasts); the corpus is still
+    touched exactly once with its single-bucket projection. Candidates
+    cannot duplicate across probes (a corpus vector has ONE bucket), so no
+    distinct is needed before ranking."""
+    avecs = sorted(anchors.collect(), key=lambda r: r[0])
+    nb = len(avecs)
+    with_bucket = emb.withColumn("bucket", _bucket_expr(avecs, vec_col))
+
+    def flip(i: int) -> Column:
+        return F.concat(
+            F.substring("bucket", 1, i - 1),
+            F.when(F.substring("bucket", i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring("bucket", i + 1, nb),
+        )
+
+    q = (
+        with_bucket.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(F.array(F.col("bucket"), *[flip(i) for i in range(1, nb + 1)])).alias(
+                "bucket"
+            ),
+        )
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), F.col("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -843,3 +843,47 @@ def curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("keep_repetition") & F.col("keep_lexicon") & (F.col("lang_pred") != "und")).alias("keep"),
         )
     )
+
+
+_LSH_MULTIPROBE_ORACLE = f"""WITH buckets AS ({_BUCKET_ORACLE}),
+q0 AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)),
+probes AS (
+  SELECT query_id, bucket AS probe FROM q0
+  UNION
+  SELECT query_id,
+         substring(bucket, 1, i - 1)
+         || (CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+         || substring(bucket, i + 1) AS probe
+  FROM q0 CROSS JOIN (SELECT unnest(range(1, 9)) AS i)
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN buckets c ON c.bucket = p.probe AND c.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_lsh_multiprobe", _LSH_MULTIPROBE_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (own bucket + every Hamming-1 neighbor
+    bucket): recovers near neighbors that fell just across one
+    hyperplane. Probe expansion is per-query and map-side; the corpus
+    keeps its single-bucket projection. Recall >= the single-probe
+    ann_lsh_topk by construction (superset of candidates), asserted in
+    tests/test_pipeline_ops.py."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    return S.lsh_ann_topk_multiprobe(emb, anchors, [0, 1, 2, 3, 4], k=5)

@@ -486,3 +486,35 @@ def test_kmeans_matches_numpy_twin(spark):
         ]
     for c in range(3):
         assert np.allclose(got[c], cents[c], atol=1e-9), (c, got[c], cents[c])
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe candidates are a strict superset of the
+    single-probe bucket, so multi-probe recall@k vs the exact kNN baseline
+    can only improve — and everything either variant returns lies inside
+    the multi-probe candidate space (subset of truth, never an
+    invention)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    qids = [0, 1, 2, 3, 4]
+    k = 5
+    exact = {}
+    for r in S.knn_brute_force(emb, qids, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    single = S.lsh_ann_topk(emb, anchors, qids, k=k).collect()
+    multi = S.lsh_ann_topk_multiprobe(emb, anchors, qids, k=k).collect()
+    assert recall(multi) >= recall(single)
+    big = S.lsh_ann_topk_multiprobe(emb, anchors, qids, k=10_000).collect()
+    big_pairs = {(r.query_id, r.neighbor_id) for r in big}
+    assert {(r.query_id, r.neighbor_id) for r in single} <= big_pairs
+    assert {(r.query_id, r.neighbor_id) for r in multi} <= big_pairs
