@@ -208,9 +208,55 @@ def jaccard_pairs_between(
     doc with no qualifying match is absent — left-anti against this
     result is the "keep" list.
     """
-    t = threshold - 1e-6
     sh_new = shingles(new, n, text_col, id_col, with_count=True)
     sh_old = shingles(corpus, n, text_col, id_col, with_count=True)
+    return _jaccard_between_shingles(sh_new, sh_old, threshold)
+
+
+def save_shingle_index(
+    corpus: DataFrame,
+    table: str,
+    n: int = 2,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus's shingle posting table BUCKETED BY shingle —
+    the amortization step for continuous ingestion: every later
+    ``jaccard_pairs_against_index`` probe sort-merges against bucket-aligned
+    splits with ZERO corpus-side shuffle (pinned in tests/test_plans.py),
+    so per-batch cost scales with the batch, not with history. Size
+    ``buckets`` so each bucket file lands near the object-store sweet spot
+    at the target corpus size."""
+    sh = shingles(corpus, n, text_col, id_col, with_count=True)
+    (
+        sh.write.mode("overwrite")
+        .bucketBy(buckets, "shingle")
+        .sortBy("shingle")
+        .saveAsTable(table)
+    )
+
+
+def jaccard_pairs_against_index(
+    new: DataFrame,
+    index_table: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``jaccard_pairs_between`` with the corpus side served from a
+    ``save_shingle_index`` bucketed table instead of re-shingling raw
+    documents."""
+    sh_old = new.sparkSession.table(index_table)
+    sh_new = shingles(new, n, text_col, id_col, with_count=True)
+    return _jaccard_between_shingles(sh_new, sh_old, threshold)
+
+
+def _jaccard_between_shingles(
+    sh_new: DataFrame, sh_old: DataFrame, threshold: float
+) -> DataFrame:
+    t = threshold - 1e-6
     joined = sh_new.alias("a").join(
         sh_old.alias("b"), F.col("a.shingle") == F.col("b.shingle")
     )

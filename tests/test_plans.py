@@ -338,3 +338,42 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and name not in bnlj_allowed:
             bad.append((name, "nested-loop"))
     assert not bad, bad
+
+
+def test_shingle_index_probe_is_corpus_shuffle_free(spark, sf_dir):
+    """The continuous-ingestion amortization: with the corpus shingle
+    table materialized bucketed-by-shingle, a new batch's near-dup probe
+    sort-merges against bucket-aligned splits — the CORPUS side holds
+    zero Exchange (only the small batch shuffles to the bucket count),
+    so per-batch cost scales with the batch, not with history. Results
+    are pinned equal to the direct two-corpus join."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    base = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in D.jaccard_pairs_between(new, old).collect()
+    }
+    D.save_shingle_index(old, "corpus_sh_idx_t", buckets=8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = D.jaccard_pairs_against_index(new, "corpus_sh_idx_t")
+        p = plan_str(df)  # pre-execution plan (AQE rewrites after collect)
+        assert "Bucketed: true" in p, p
+        # exactly two hash exchanges globally: the batch side's shuffle to
+        # the bucket count + the pair groupBy — and the one between the
+        # SMJ and the bucketed corpus scan belongs to the BATCH subtree
+        assert p.count("Exchange hashpartitioning") == 2, p
+        smj_i = p.index("SortMergeJoin")
+        scan_i = p.index("FileScan parquet spark_catalog.default.corpus_sh_idx_t")
+        assert p[smj_i:scan_i].count("Exchange hashpartitioning") == 1, p
+        got = {(r.new_id, r.old_id, r.jaccard) for r in df.collect()}
+        assert got == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS corpus_sh_idx_t")
