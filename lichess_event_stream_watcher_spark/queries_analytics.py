@@ -1821,3 +1821,79 @@ def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("totalprice_nulls"),
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT COUNT(*) FROM v) AS n_view,
+  (SELECT COUNT(*) FROM c) AS n_view_click,
+  (SELECT COUNT(*) FROM p) AS n_view_click_purchase""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): stage N counts users
+    whose earliest qualifying stage-N event follows their stage-(N-1)
+    entry time. One pass per stage over a per-user min-ts aggregate —
+    every stage is a groupBy(user) + broadcast-or-AQE join of the (ever
+    smaller) qualified-user table; no window over the full event stream,
+    no event-order shuffle. The classic product-analytics operator a
+    training-data activity pipeline also uses for behavioral cohorts."""
+    ev = testdata.load(spark, sf_dir, "events")
+
+    def stage(event_type, prev=None, prev_t=None):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
+
+    v = stage("view")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "value_equidepth_histogram",
+    """WITH t AS (
+  SELECT value, NTILE(8) OVER (ORDER BY value, event_id) AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+       CAST(ROUND(MIN(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS lo,
+       CAST(ROUND(MAX(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS hi
+FROM t GROUP BY bucket""",
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of the value column via NTILE —
+    the CBO/monitoring primitive for skew-aware bucketing. NTILE needs a
+    total order, so this is the one deliberately-global-sort query in the
+    registry: at 100 TB swap in approx quantile cut points (GK sketch, see
+    percentiles_exact's docstring) and a map-side bucket assignment; the
+    exact form stays as the oracle-checkable ground truth."""
+    ev = testdata.load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t = ev.select(
+        "value",
+        F.ntile(8).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    )
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min(F.col("value").cast("decimal(18,6)")), 6).cast("double").alias("lo"),
+        F.round(F.max(F.col("value").cast("decimal(18,6)")), 6).cast("double").alias("hi"),
+    ).select(F.col("bucket").cast("bigint").alias("bucket"), "n", "lo", "hi")
