@@ -1897,3 +1897,62 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.col("value").cast("decimal(18,6)")), 6).cast("double").alias("lo"),
         F.round(F.max(F.col("value").cast("decimal(18,6)")), 6).cast("double").alias("hi"),
     ).select(F.col("bucket").cast("bigint").alias("bucket"), "n", "lo", "hi")
+
+
+@query(
+    "retention_cohorts",
+    """WITH first_seen AS (
+  SELECT user_id, CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS week_offset
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM activity GROUP BY 1, 2""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    once per (cohort, week-offset) they were active in — the classic
+    retention triangle. Epoch-floored week buckets keep both engines
+    integer-exact. Two shuffles: the per-user min and the cohort-cell
+    distinct count (the first-seen table joins back AQE-planned)."""
+    ev = testdata.load(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("bigint")
+    first = ev.groupBy("user_id").agg(
+        F.floor(F.unix_timestamp(F.min("ts")) / 604800).cast("bigint").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_week", (week - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "user_state_scd2",
+    """SELECT user_id, event_type AS state, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS BOOLEAN) AS is_current
+FROM events""",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) builder: each user event opens a
+    state row valid until the next event closes it; the open row is
+    flagged current. ONE window exchange on user_id builds the whole
+    dimension — the standard warehouse pattern for as-of attribution
+    (pairs with asof_join_orders for point-in-time lookups)."""
+    ev = testdata.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
