@@ -958,3 +958,65 @@ def dup_components_star(
     return ids.join(mins, "id", "left").select(
         "id", F.coalesce("c", F.col("id")).alias("comp")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    sep: str = ". ",
+) -> DataFrame:
+    """Paragraph-level dedup (the Dolma/CCNet recipe): drop any paragraph
+    whose normalized form appears in >= ``min_df`` documents (boilerplate,
+    headers, navigation chrome), keep the remainder IN ORDER, and
+    reconstruct the document.
+
+    Plumbing: posexplode keeps each paragraph's position; the repeated-
+    paragraph lexicon is one (hash -> doc-frequency) aggregate — its
+    >=min_df survivors are a small blocklist joined back broadcast-or-AQE;
+    reconstruction re-assembles via sort_array over (pos, text) structs so
+    order never depends on shuffle nondeterminism. Documents whose every
+    paragraph was boilerplate come back with empty text rather than
+    disappearing (left join + coalesce).
+
+    The "paragraph" splitter here is sentence-ish (the driver corpus is
+    single-line); swap ``sep`` for '\\n\\n' on real documents.
+    """
+    import re as _re
+
+    # F.split takes a REGEX: escape the literal separator
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "pos", "para"
+        ),
+    ).filter(F.col("para").isNotNull() & (F.trim(F.col("para")) != ""))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " ")
+    keyed = paras.withColumn("pkey", F.md5(norm))
+    blocklist = (
+        keyed.groupBy("pkey")
+        .agg(F.count_distinct("id").alias("pdf"))
+        .filter(F.col("pdf") >= min_df)
+        .select("pkey")
+    )
+    kept = keyed.join(blocklist, "pkey", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_paras_kept"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras_kept", F.lit(0)).cast("bigint").alias("n_paras_kept"),
+        )
+    )

@@ -887,3 +887,44 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
     )
     return S.lsh_ann_topk_multiprobe(emb, anchors, [0, 1, 2, 3, 4], k=5)
+
+
+@query(
+    "paragraph_dedup",
+    r"""WITH docs2 AS (
+  SELECT doc_id AS id, text || '. all rights reserved footer. contact us at example' AS text
+  FROM documents
+),
+sp AS (SELECT id, string_split(text, '. ') AS ps FROM docs2),
+paras AS (
+  SELECT id, unnest(range(1, len(ps) + 1)) - 1 AS pos, unnest(ps) AS para FROM sp
+),
+keyed AS (
+  SELECT id, pos, para,
+         md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g')) AS pkey
+  FROM paras WHERE trim(para) <> ''
+),
+block AS (SELECT pkey FROM keyed GROUP BY pkey HAVING COUNT(DISTINCT id) >= 2),
+kept AS (SELECT k.* FROM keyed k LEFT JOIN block b ON b.pkey = k.pkey WHERE b.pkey IS NULL),
+rebuilt AS (
+  SELECT id, string_agg(para, '. ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_paras_kept
+  FROM kept GROUP BY id
+)
+SELECT d.id, COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept
+FROM (SELECT doc_id AS id FROM documents) d
+LEFT JOIN rebuilt r ON r.id = d.id""",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/CCNet-style paragraph-level boilerplate removal, demonstrated
+    on a corpus where every doc carries two injected boilerplate
+    paragraphs (same construction in the oracle): paragraphs appearing in
+    >= 2 docs drop, the unique remainder reassembles in order. The
+    blocklist is one (hash -> doc-frequency) aggregate; reconstruction
+    sorts (pos, para) structs so output never depends on shuffle order."""
+    docs = testdata.load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(". all rights reserved footer. contact us at example")),
+    )
+    return D.paragraph_dedup(docs, min_df=2)

@@ -518,3 +518,23 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     big_pairs = {(r.query_id, r.neighbor_id) for r in big}
     assert {(r.query_id, r.neighbor_id) for r in single} <= big_pairs
     assert {(r.query_id, r.neighbor_id) for r in multi} <= big_pairs
+
+
+def test_paragraph_dedup_edge_cases(spark):
+    """All-boilerplate docs come back with empty text (not dropped);
+    unique paragraphs keep their original order; min_df bounds the
+    blocklist to genuinely repeated paragraphs."""
+    rows = [
+        (1, "alpha beta. shared footer. gamma delta"),
+        (2, "epsilon zeta. shared footer"),
+        (3, "shared footer"),           # nothing unique -> empty
+        (4, "solo paragraph stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in D.paragraph_dedup(df, min_df=2).collect()}
+    assert got[1].clean_text == "alpha beta. gamma delta"
+    assert got[1].n_paras_kept == 2
+    assert got[2].clean_text == "epsilon zeta"
+    assert got[3].clean_text == "" and got[3].n_paras_kept == 0
+    assert got[4].clean_text == "solo paragraph stays"
+    assert set(got) == {1, 2, 3, 4}
