@@ -440,3 +440,149 @@ def lsh_ann_topk_multiprobe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    train_sample: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Product-quantization codebooks (Jegou/Douze/Schmid, TPAMI'11):
+    split the vector into ``m`` subspaces and k-means each independently.
+
+    Training runs DRIVER-SIDE on a bounded deterministic sample (rows
+    ranked by md5(id), standard FAISS practice — codebooks need ~10-100x k
+    training points, not the corpus), so training cost is O(sample), fixed
+    at any corpus size. Everything that touches the full corpus
+    (``pq_encode``, ``pq_ann_topk``) stays distributed and map-side.
+    Deterministic end to end: md5 sample order, first-k init, fixed
+    iterations, index tie-breaks.
+
+    Returns ``m`` numpy arrays of shape (k, dim/m).
+    """
+    import numpy as np
+
+    sample = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r.v for r in sample], dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = S[: min(k, n)].copy()
+        if len(cents) < k:  # degenerate tiny corpus: pad by repetition
+            cents = np.vstack([cents] * ((k // len(cents)) + 1))[:k]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = S[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def _pq_code_expr(books, vec_col: str):
+    """Map-side PQ encoding expression: per subspace, the argmin-L2
+    codeword index via min over (−2·x·c + |c|², code) structs — |x|² is
+    constant per row so it never needs computing. Pure Catalyst, inlined
+    codeword literals, zero shuffle."""
+    m = len(books)
+    dsub = books[0].shape[1]
+    codes = []
+    for j in range(m):
+        lo = j * dsub + 1  # slice() is 1-based
+        sub = f"slice(cast({vec_col} as array<double>), {lo}, {dsub})"
+        cands = []
+        for c, cv in enumerate(books[j]):
+            dot = _dot_sql(sub, list(map(float, cv)))
+            nb = float((cv * cv).sum())
+            cands.append(F.struct(F.expr(f"-2.0D * ({dot}) + {nb!r}D"), F.lit(c)))
+        codes.append(F.array_min(F.array(*cands))["col2"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    emb: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each corpus vector compressed to ``m`` small ints —
+    dim*4 bytes -> m bytes of index payload at serving time."""
+    return emb.select(
+        F.col(id_col), _pq_code_expr(books, vec_col).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    books,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC): each
+    query precomputes its (m x k) inner-product table against the
+    codebooks driver-side (tiny), the corpus is scored map-side by m
+    table lookups on its codes — the full vectors are read once to encode
+    and never shuffled; the per-query fanout is a deliberate broadcast of
+    |queries| rows. Output: (query_id, neighbor_id, approx_ip, rank)."""
+    import numpy as np
+
+    qrows = {r[0]: np.array(r[1], dtype=np.float64) for r in (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col), F.col(vec_col))
+        .collect()
+    )}
+    m = len(books)
+    dsub = books[0].shape[1]
+    coded = pq_encode(emb, books, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    qtabs = []
+    for qid in sorted(qrows):
+        qv = qrows[qid]
+        tab = [
+            [float(qv[j * dsub : (j + 1) * dsub] @ cv) for cv in books[j]]
+            for j in range(m)
+        ]
+        tab_sql = (
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in tab
+            ) + ")"
+        )
+        qtabs.append((qid, tab_sql))
+    q = None
+    for qid, tab_sql in qtabs:
+        row = F.expr(f"named_struct('query_id', {qid}L, 'tab', {tab_sql})")
+        q = F.array(row) if q is None else F.concat(q, F.array(row))
+    queries = emb.sparkSession.range(1).select(F.explode(q).alias("q")).select(
+        F.col("q.query_id"), F.col("q.tab")
+    )
+    score = F.expr(
+        "aggregate(zip_with(codes, tab, (c, row) -> element_at(row, cast(c as int) + 1)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(score, 6).alias("approx_ip"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_ip", "rank")
+    )

@@ -928,3 +928,17 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(". all rights reserved footer. contact us at example")),
     )
     return D.paragraph_dedup(docs, min_df=2)
+
+
+@query("ann_pq_topk")  # sample-trained codebooks -> rows-only driver check
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (IVF's memory-side companion): 64-dim
+    float vectors compress to 16 one-byte codes (32x), queries score the
+    corpus by asymmetric-distance table lookups — the full vectors are
+    read once to encode and never shuffled. Codebook training is
+    driver-side on a bounded deterministic sample (standard practice);
+    iterative k-means makes this rows-only for the driver, with recall
+    vs the exact baseline pinned in tests/test_pipeline_ops.py."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    books = S.pq_fit(emb, m=16, k=16)
+    return S.pq_ann_topk(emb, books, [0, 1, 2, 3, 4], k=10)

@@ -538,3 +538,23 @@ def test_paragraph_dedup_edge_cases(spark):
     assert got[3].clean_text == "" and got[3].n_paras_kept == 0
     assert got[4].clean_text == "solo paragraph stays"
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_pq_ann_recall_beats_noise_floor(spark, sf_dir):
+    """PQ ADC top-10 recall vs exact cosine: deterministic training
+    (md5-sample, first-k init) pins recall at ~0.46 on this corpus —
+    assert a safe floor of 0.3, which is 15x the random baseline
+    (10/500), plus the compression contract (16 codes, each < 16)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {}
+    for r in S.knn_brute_force(emb, qids, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    books = S.pq_fit(emb, m=16, k=16)
+    codes = S.pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 16 and all(0 <= c < 16 for c in r.codes) for r in codes)
+    got = {}
+    for r in S.pq_ann_topk(emb, books, qids, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    assert hits / sum(len(v) for v in exact.values()) >= 0.3
