@@ -586,3 +586,69 @@ def pq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_ip", "rank")
     )
+
+
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    books,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS-style serving path: IVF coarse cells bound the
+    candidate set (each query touches ``nprobe`` cells, not the corpus),
+    PQ codes make the per-candidate cost m table lookups instead of a
+    d-dim dot product. Corpus side = one map-side projection (cell id +
+    codes, both inlined-literal Catalyst); query side = tiny driver
+    tables; the join is cell-local with the probe side broadcast. At
+    100 TB: corpus scanned once, never shuffled, candidates ~ corpus/
+    (cells/nprobe), each candidate scored in m adds."""
+    import numpy as np
+
+    m = len(books)
+    dsub = books[0].shape[1]
+    coded = nearest_cells(emb, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cent_id").alias("cell"),
+        _pq_code_expr(books, vec_col).alias("codes"),
+    )
+    qvecs = {r[0]: np.array(r[1], dtype=np.float64) for r in (
+        emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )}
+    probes = nearest_cells(
+        emb.filter(F.col(id_col).isin(query_ids)), centroids, nprobe, id_col, vec_col
+    ).select(F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell"))
+    tab_rows = []
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
+        tab = [
+            [float(qv[j * dsub : (j + 1) * dsub] @ cv) for cv in books[j]]
+            for j in range(m)
+        ]
+        tab_sql = (
+            "array(" + ", ".join(
+                "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in tab
+            ) + ")"
+        )
+        tab_rows.append(f"named_struct('query_id', {qid}L, 'tab', {tab_sql})")
+    tabs = emb.sparkSession.range(1).select(
+        F.explode(F.expr("array(" + ", ".join(tab_rows) + ")")).alias("q")
+    ).select(F.col("q.query_id"), F.col("q.tab"))
+    score = F.expr(
+        "aggregate(zip_with(codes, tab, (c, row) -> element_at(row, cast(c as int) + 1)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        coded.join(F.broadcast(probes.join(tabs, "query_id")), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(score, 6).alias("approx_ip"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_ip", "rank")
+    )

