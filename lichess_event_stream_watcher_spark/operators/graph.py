@@ -1,0 +1,87 @@
+"""Graph analytics over pair/edge DataFrames (the near-dup pair graph is
+the in-repo producer; any (src, dst) edge list works).
+
+Distributed shapes:
+
+- **triangle counting**: the two-path join — edges ordered src < dst,
+  join e1.dst = e2.src, then close the wedge with a third edge-table
+  join. Two shuffle joins total; the ordering constraint counts each
+  triangle exactly once and caps the wedge fanout at the high-degree
+  node's ordered degree (the standard compact-forward trick).
+- **PageRank**: the canonical iterative join+agg — contributions =
+  rank/out-degree joined to edges, new rank = damped sum, lineage
+  truncated per round with localCheckpoint (same pattern as
+  dedup.dup_components). Fixed iteration count keeps it deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangles(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Distinct triangles (x < y < z) in an undirected edge list.
+
+    Output: (x, y, z), one row per triangle. Input edges may carry either
+    orientation and duplicates; they are canonicalized (min, max) and
+    deduped first.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("x"), F.greatest(F.col(a), F.col(b)).alias("y")
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    e1 = e.select(F.col("x"), F.col("y"))
+    e2 = e.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")  # x < y < z by construction
+    closing = e.select(F.col("x"), F.col("y").alias("z"))
+    return wedges.join(closing, ["x", "z"]).select("x", "y", "z")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    a: str = "id_a",
+    b: str = "id_b",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank on the undirected graph (each edge contributes both
+    directions). Isolated nodes keep the teleport mass. Fixed ``iters``
+    (deterministic); each round is one join (ranks onto edges) + one agg
+    (sum contributions per dst) + a localCheckpoint lineage cut. Dangling
+    mass is irrelevant here: undirected expansion gives every non-isolated
+    node out-degree >= 1.
+
+    Output: (id, rank), sum(rank) ~ n_nodes (teleport-normalized form).
+    """
+    n = nodes.select(F.col(id_col).alias("id")).distinct()
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = n.select("id", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (
+            n.join(sums, "id", "left")
+            .select(
+                "id",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))

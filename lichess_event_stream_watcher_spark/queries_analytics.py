@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from . import fixtures, testdata
 from .operators.enrich import enrich_device, enrich_geoip_banded
-from .queries import _signups, query
+from .queries import ORACLES, _signups, query
 
 _CTE = testdata.signups_cte("duckdb")
 
@@ -1955,4 +1955,30 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+_FUZZY_EDGES_SQL = ORACLES["username_fuzzy_pairs"]
+
+
+@query(
+    "fuzzy_graph_triangles",
+    f"""WITH e AS ({_FUZZY_EDGES_SQL}),
+canon AS (SELECT name_a AS x, name_b AS y FROM e),
+w AS (SELECT a.x, a.y, b.y AS z FROM canon a JOIN canon b ON b.x = a.y)
+SELECT w.x, w.y, w.z
+FROM w JOIN canon c ON c.x = w.x AND c.y = w.z""",
+)
+def fuzzy_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the typosquat similarity graph: the ordered
+    two-path (wedge) join closed by a third edge lookup — two shuffle
+    joins, each triangle counted once via x < y < z. The classic
+    distributed graph primitive (clustering coefficient, community
+    seeding) over an edge list this repo itself produces."""
+    from .operators.fuzzy import edit_distance_pairs
+    from .operators.graph import triangles
+
+    edges = edit_distance_pairs(_signups(spark, sf_dir), "username")
+    return triangles(edges, "name_a", "name_b").select(
+        F.col("x"), F.col("y"), F.col("z")
     )

@@ -954,3 +954,19 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.kmeans_fit(emb, k=8, iters=3)
     books = S.pq_fit(emb, m=16, k=16)
     return S.ivfpq_ann_topk(emb, cents, books, [0, 1, 2, 3, 4], k=5, nprobe=2)
+
+
+@query("dup_graph_pagerank")  # iterative; float sums -> rows-only check
+def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph (10 fixed iterations,
+    d=0.85): the canonical iterative DataFrame algorithm — per round one
+    rank-onto-edges join + one per-dst sum, lineage truncated with
+    localCheckpoint so the plan stays O(1) deep. Deterministic iteration
+    count, but cross-engine float summation differs in last-ulp order, so
+    the driver check is rows-only; exact values are pinned against a
+    numpy twin in tests/test_pipeline_ops.py."""
+    from .operators.graph import pagerank
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    return pagerank(docs.select(F.col("doc_id").alias("id")), pairs, iters=10)

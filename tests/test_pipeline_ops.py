@@ -582,3 +582,37 @@ def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
         probed.setdefault(r.vec_id, set()).add(r.cent_id)
     for r in out:
         assert cell_of[r.neighbor_id] in probed[r.query_id], r
+
+
+def test_pagerank_matches_numpy_twin(spark, sf_dir):
+    """The distributed PageRank loop reproduces a dense numpy power
+    iteration on the same graph to 1e-5 — same damping, same undirected
+    expansion, same teleport form."""
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.operators.graph import pagerank
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    got = {r.id: r.rank for r in pagerank(
+        docs.select(F.col("doc_id").alias("id")), pairs, iters=10
+    ).collect()}
+
+    ids = sorted(got)
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    adj = [set() for _ in range(n)]
+    for r in pairs.collect():
+        adj[idx[r.id_a]].add(idx[r.id_b])
+        adj[idx[r.id_b]].add(idx[r.id_a])
+    rank = np.ones(n)
+    for _ in range(10):
+        new = np.full(n, 0.15)
+        for u in range(n):
+            if adj[u]:
+                share = 0.85 * rank[u] / len(adj[u])
+                for v in adj[u]:
+                    new[v] += share
+        rank = new
+    for v, i in idx.items():
+        assert abs(got[v] - rank[i]) < 1e-5, (v, got[v], rank[i])
