@@ -85,3 +85,39 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: iteratively peel nodes with degree < k until
+    the fixpoint. Each round is one degree agg + one semi join, with a
+    localCheckpoint lineage cut and ONE tiny count action to detect
+    convergence (node count is monotone decreasing, so ``max_iter`` is a
+    backstop, not the driver). Returns (id,) of surviving nodes.
+    """
+    e = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = -1
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        n = keep.count()
+        if n == prev:
+            break
+        prev = n
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return e.select(F.col("src").alias("id")).distinct()

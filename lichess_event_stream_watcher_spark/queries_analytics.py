@@ -1982,3 +1982,17 @@ def fuzzy_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(edges, "name_a", "name_b").select(
         F.col("x"), F.col("y"), F.col("z")
     )
+
+
+@query("fuzzy_graph_kcore")  # iterative peeling fixpoint -> rows-only
+def fuzzy_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the typosquat similarity graph: iterative degree peeling
+    (degree agg + semi join per round, localCheckpoint lineage cuts,
+    convergence by monotone node count). Fixpoint iteration is not
+    SQL-expressible as one query — rows-only for the driver; pinned
+    against a Python peeling twin in tests/test_pipeline_ops.py."""
+    from .operators.fuzzy import edit_distance_pairs
+    from .operators.graph import k_core
+
+    edges = edit_distance_pairs(_signups(spark, sf_dir), "username")
+    return k_core(edges, 3, "name_a", "name_b")

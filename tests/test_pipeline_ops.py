@@ -616,3 +616,26 @@ def test_pagerank_matches_numpy_twin(spark, sf_dir):
         rank = new
     for v, i in idx.items():
         assert abs(got[v] - rank[i]) < 1e-5, (v, got[v], rank[i])
+
+
+def test_k_core_matches_python_peeling(spark, sf_dir):
+    from lichess_event_stream_watcher_spark.operators.fuzzy import edit_distance_pairs
+    from lichess_event_stream_watcher_spark.operators.graph import k_core
+
+    signups = testdata.signups_df(spark, sf_dir)
+    edges = edit_distance_pairs(signups, "username")
+    pairs = [(r.name_a, r.name_b) for r in edges.collect()]
+    for k in (2, 3, 5):
+        got = {r.id for r in k_core(edges, k, "name_a", "name_b").collect()}
+        adj = {}
+        for x, y in pairs:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, ns in adj.items() if len(ns) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        assert got == set(adj), (k, got ^ set(adj))
