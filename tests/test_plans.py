@@ -330,6 +330,7 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "tpch_q11_important_values",  # 1-row total broadcast
         "tpch_q22_idle_balances",     # 1-row stats broadcast
         "funnel_view_click_purchase",  # three 1-row stage counts combined
+        "ann_pq_topk",                # |queries|-row ADC table broadcast
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
