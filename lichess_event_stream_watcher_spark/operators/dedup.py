@@ -1020,3 +1020,57 @@ def paragraph_dedup(
             F.coalesce("n_paras_kept", F.lit(0)).cast("bigint").alias("n_paras_kept"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment C(src, dst) = |src ∩ dst| / |src|: how much
+    of ``src`` is inside ``dst``. Catches excerpts, quotations, and
+    doc-inside-doc duplication that symmetric Jaccard misses (a short doc
+    fully contained in a long one has low Jaccard but containment 1.0).
+
+    Same single-shuffle inverted-index shape as the postings Jaccard path;
+    each unordered candidate pair emits up to two directed rows. The only
+    prefilter is sharing >= 1 shingle — containment has no size-ratio
+    filter (that asymmetry is the point).
+
+    Output: (src_id, dst_id, containment) with containment >= threshold,
+    src_id != dst_id.
+    """
+    sh = shingles(df, n, text_col, id_col, with_count=True)
+    inter = (
+        _bucket_local_pairs(sh, ["shingle"], ["n_sh"])
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.round(F.col("n_inter") / F.col("na").cast("double"), 6).alias(
+                        "containment"
+                    ),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.round(F.col("n_inter") / F.col("nb").cast("double"), 6).alias(
+                        "containment"
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src_id", "p.dst_id", "p.containment")
+    return directed.filter(F.col("containment") >= threshold)

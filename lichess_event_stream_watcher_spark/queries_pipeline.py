@@ -970,3 +970,30 @@ def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testdata.load(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     return pagerank(docs.select(F.col("doc_id").alias("id")), pairs, iters=10)
+
+
+@query(
+    "dedup_containment",
+    rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+directed AS (
+  SELECT id_a AS src_id, id_b AS dst_id,
+         ROUND(n_inter / CAST(sa.n_sh AS DOUBLE), 6) AS containment
+  FROM inter JOIN sizes sa ON sa.id = id_a
+  UNION ALL
+  SELECT id_b, id_a, ROUND(n_inter / CAST(sb.n_sh AS DOUBLE), 6)
+  FROM inter JOIN sizes sb ON sb.id = id_b
+)
+SELECT src_id, dst_id, containment FROM directed WHERE containment >= 0.8""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (excerpt/quotation detection):
+    C(src,dst) = shared shingles / src's shingles >= 0.8. Single-shuffle
+    inverted index; each unordered candidate emits its two directions."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, n=2, threshold=0.8)
