@@ -1996,3 +1996,43 @@ def fuzzy_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = edit_distance_pairs(_signups(spark, sf_dir), "username")
     return k_core(edges, 3, "name_a", "name_b")
+
+
+@query(
+    "value_outliers_3sigma",
+    """WITH q AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS tot, SUM(x * x) AS ss
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, CAST(q.x AS DOUBLE) AS value
+FROM q JOIN stats s ON s.event_type = q.event_type
+WHERE (q.x * s.n - s.tot) * (q.x * s.n - s.tot) * s.n
+      > 9 * (s.ss * s.n - s.tot * s.tot) * s.n
+  AND s.n > 1""",
+)
+def value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outliers with ZERO floating point: the test
+    |x - mean| > 3*sigma cross-multiplies into the squared integer-decimal
+    inequality (x*n - tot)^2 * n > 9 * (ss*n - tot^2) * n, so both engines
+    compare exact decimals — no mean, no sqrt, no division anywhere. The
+    per-group stats are one partial agg broadcast back onto the rows; the
+    data-quality gate a feature pipeline runs before training."""
+    ev = testdata.load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.col("value").cast("decimal(18,6)")
+    q = ev.select("event_id", "event_type", x.alias("x"))
+    stats = q.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("x").alias("tot"), F.sum(F.col("x") * F.col("x")).alias("ss")
+    )
+    dev = F.col("x") * F.col("n") - F.col("tot")
+    return (
+        q.join(F.broadcast(stats), "event_type")
+        .filter(
+            (dev * dev * F.col("n") > F.lit(9) * (F.col("ss") * F.col("n") - F.col("tot") * F.col("tot")) * F.col("n"))
+            & (F.col("n") > 1)
+        )
+        .select("event_id", "event_type", F.col("x").cast("double").alias("value"))
+    )

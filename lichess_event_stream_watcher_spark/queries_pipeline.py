@@ -997,3 +997,33 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index; each unordered candidate emits its two directions."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.containment_pairs(docs, n=2, threshold=0.8)
+
+
+@query(
+    "cross_source_dups",
+    rf"""WITH jp AS ({_JACCARD_ORACLE})
+SELECT jp.id_a, jp.id_b, jp.jaccard,
+       a.source AS source_a, b.source AS source_b
+FROM jp
+JOIN documents a ON a.doc_id = jp.id_a
+JOIN documents b ON b.doc_id = jp.id_b
+WHERE a.source <> b.source""",
+)
+def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware dedup: near-duplicate content arriving from
+    DIFFERENT sources (mirror sites, scraped re-posts) — the Jaccard
+    pairs whose endpoints disagree on source, each annotated with both
+    provenances. The source columns join back AQE-planned onto the
+    (tiny) pair list; the signal that drives source-level trust weights
+    in a crawl pipeline."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("id_a", "id_b", "jaccard", "source_a", "source_b")
+    )
