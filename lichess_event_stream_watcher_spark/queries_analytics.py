@@ -2036,3 +2036,52 @@ def value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", F.col("x").cast("double").alias("value"))
     )
+
+
+@query(
+    "purchase_state_attribution",
+    """WITH stream AS (
+  SELECT user_id, ts, event_id, event_type AS state, 0 AS is_probe
+  FROM events WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL, 1 FROM events WHERE event_type = 'purchase'
+),
+marked AS (
+  SELECT *,
+         LAST_VALUE(state IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS prev_state
+  FROM stream
+)
+SELECT event_id, user_id, ts, prev_state
+FROM marked WHERE is_probe = 1""",
+)
+def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase annotated with the user's
+    most recent non-purchase activity — the generic as-of join done the
+    single-shuffle way (union probe rows into the state stream, one
+    window with an ignore-nulls running last) instead of
+    join-then-filter-then-rank, which would shuffle both sides AND
+    re-sort. Purchases before any other activity keep NULL. The pattern
+    behind joining facts to the user_state_scd2 dimension at scale."""
+    ev = testdata.load(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("state"), F.lit(0).alias("is_probe"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("string").alias("state"), F.lit(1).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        changes.unionAll(probes)
+        .withColumn("prev_state", F.last("state", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "prev_state")
+    )

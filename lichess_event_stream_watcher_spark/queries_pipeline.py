@@ -1027,3 +1027,47 @@ def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source_a") != F.col("source_b"))
         .select("id_a", "id_b", "jaccard", "source_a", "source_b")
     )
+
+
+@query(
+    "source_quality_scorecard",
+    rf"""WITH rep AS ({_REPETITION_ORACLE}),
+lexq AS ({_LEXICON_ORACLE}),
+prof AS ({_TEXT_PROFILE_ORACLE}),
+gate AS (
+  SELECT p.doc_id, (r.keep AND l.keep AND p.lang_pred <> 'und') AS keep
+  FROM prof p JOIN rep r ON r.doc_id = p.doc_id JOIN lexq l ON l.id = p.doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       floor(CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1000000.0) / 1000000.0 AS keep_rate,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+GROUP BY d.source""",
+)
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'which sources are garbage' dashboard: curation-gate keep rate
+    and volume per provenance — the aggregate that sets crawl priorities
+    and source-level sampling weights. Reuses the composite gate's
+    signals; one extra groupBy on source."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    gate = curation_gate(spark, sf_dir).select("doc_id", "keep")
+    return (
+        docs.join(gate, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                    / F.count("*").cast("double")
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
+            ).alias("keep_rate"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
