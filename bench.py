@@ -57,6 +57,11 @@ HEADLINE = [
     "lexicon_coverage",
     "curation_gate",
     "username_fuzzy_pairs",
+    "dedup_containment",
+    "paragraph_dedup",
+    "fuzzy_graph_triangles",
+    "value_outliers_3sigma",
+    "purchase_state_attribution",
 ]
 
 

@@ -1071,3 +1071,45 @@ def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "source_rate_sample",
+    r"""WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN source LIKE 'web%' THEN 25
+              WHEN source LIKE 'wiki%' THEN 100
+              ELSE 50 END AS keep_pct,
+         CAST(('0x' || substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS draw
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(keep_pct AS BIGINT) AS keep_pct
+FROM rated WHERE draw < keep_pct""",
+)
+def source_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based source rebalancing: each doc keeps with a per-source
+    probability (downweight bulk web, keep all wiki) decided by a SEEDED
+    md5 hash draw — deterministic, reproducible across runs and engines,
+    and embarrassingly map-side (no shuffle at all: the sample decision
+    never looks at another row). The complement of source_quota (top-N):
+    rates preserve relative volume within a source; quotas cap it."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    keep_pct = (
+        F.when(F.col("source").like("web%"), 25)
+        .when(F.col("source").like("wiki%"), 100)
+        .otherwise(50)
+    )
+    draw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint") % 100
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            keep_pct.cast("bigint").alias("keep_pct"),
+            draw.alias("_draw"),
+        )
+        .filter(F.col("_draw") < F.col("keep_pct"))
+        .drop("_draw")
+    )
