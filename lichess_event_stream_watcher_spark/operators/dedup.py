@@ -30,6 +30,11 @@ from .util import spread
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
 
+# Version tag for the text -> shingle recipe (normalize_text + whitespace
+# tokens + word n-grams). Bump on ANY change to that chain: it is stamped
+# into saved shingle indexes and checked at probe time.
+_SHINGLE_RECIPE = "norm-ws-ngram-v1"
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash-groupBy: per content fingerprint, the kept
@@ -151,10 +156,24 @@ def jaccard_pairs(
       bucket sizes stay flat: past the point where sum(df^2) dominates,
       ``"prefix"`` is the strategy that survives.
 
+    Parameter contract: ``max_shingle_df`` redefines the per-doc shingle
+    SETS (capped and uncapped outputs differ wherever a pair's overlap
+    includes capped shingles) and is only honored by the ``"postings"``
+    strategy — the prefix path verifies on full arrays, which cannot see
+    the cap. Combining ``sparse_strategy="prefix"`` with ``max_shingle_df``
+    raises rather than silently switching physical strategy.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     if sparse_strategy not in ("prefix", "postings"):
         raise ValueError(f"unknown sparse_strategy: {sparse_strategy!r}")
+    if sparse_strategy == "prefix" and max_shingle_df is not None:
+        raise ValueError(
+            "sparse_strategy='prefix' is incompatible with max_shingle_df: "
+            "the prefix path verifies on full shingle arrays and would not "
+            "honor the df cap; use sparse_strategy='postings' with the cap, "
+            "or drop the cap (the prefix filter needs none)"
+        )
     sh = shingles(df, n, text_col, id_col, with_count=True)
     if max_shingle_df is not None:
         # the frequent-shingle filter changes per-doc set sizes, so the
@@ -174,9 +193,7 @@ def jaccard_pairs(
     if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
         id_type = df.schema[id_col].dataType.simpleString()
         return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
-    if sparse_strategy == "prefix" and max_shingle_df is None:
-        # (the df cap changes per-doc sets, which the whole-array verify
-        # does not see — postings is the strategy that honors it)
+    if sparse_strategy == "prefix":
         return _jaccard_pairs_prefix(
             shingle_arrays(df, n, text_col, id_col), threshold
         )
@@ -227,13 +244,24 @@ def save_shingle_index(
     splits with ZERO corpus-side shuffle (pinned in tests/test_plans.py),
     so per-batch cost scales with the batch, not with history. Size
     ``buckets`` so each bucket file lands near the object-store sweet spot
-    at the target corpus size."""
+    at the target corpus size.
+
+    The shingle parameters (``n``, the normalize/tokenize recipe version)
+    are recorded as table properties and re-checked by every
+    ``jaccard_pairs_against_index`` probe — an n-gram or normalization
+    mismatch between index build and probe would otherwise silently yield
+    empty joins instead of an error."""
     sh = shingles(corpus, n, text_col, id_col, with_count=True)
     (
         sh.write.mode("overwrite")
         .bucketBy(buckets, "shingle")
         .sortBy("shingle")
         .saveAsTable(table)
+    )
+    corpus.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'lesw.shingle_n' = '{int(n)}', "
+        f"'lesw.shingle_recipe' = '{_SHINGLE_RECIPE}')"
     )
 
 
@@ -247,8 +275,30 @@ def jaccard_pairs_against_index(
 ) -> DataFrame:
     """``jaccard_pairs_between`` with the corpus side served from a
     ``save_shingle_index`` bucketed table instead of re-shingling raw
-    documents."""
-    sh_old = new.sparkSession.table(index_table)
+    documents.
+
+    Fails loudly if the table's recorded shingle parameters (n, recipe
+    version) disagree with this probe's — a mismatch would produce
+    near-empty results that look like "no duplicates". Tables written
+    before the properties existed (no ``lesw.shingle_n`` key) skip the
+    check for compatibility."""
+    spark = new.sparkSession
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()
+    }
+    stored_n = props.get("lesw.shingle_n")
+    stored_recipe = props.get("lesw.shingle_recipe")
+    if stored_n is not None and (
+        int(stored_n) != int(n) or stored_recipe != _SHINGLE_RECIPE
+    ):
+        raise ValueError(
+            f"shingle-index mismatch for table {index_table!r}: index was "
+            f"built with n={stored_n}, recipe={stored_recipe!r}; probe uses "
+            f"n={n}, recipe={_SHINGLE_RECIPE!r}. Rebuild the index with "
+            "save_shingle_index or match the probe parameters."
+        )
+    sh_old = spark.table(index_table)
     sh_new = shingles(new, n, text_col, id_col, with_count=True)
     return _jaccard_between_shingles(sh_new, sh_old, threshold)
 
@@ -839,13 +889,18 @@ def dup_components(
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    from .util import persisted_rdd_ids, unpersist_rdd_ids
+
+    base = persisted_rdd_ids(pairs)
     sym = (
         pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
         .unionAll(pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    sym_ids = persisted_rdd_ids(pairs) - base
     labels = ids.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    label_ids = persisted_rdd_ids(pairs) - base - sym_ids
     for _ in range(max_iter):
         pushed = (
             sym.join(labels, sym["x"] == labels["id"])
@@ -856,6 +911,7 @@ def dup_components(
         )
         # lazy checkpoint: the convergence count below is the action that
         # materializes it — one job per round, not checkpoint + count
+        before = persisted_rdd_ids(pairs)
         new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
@@ -863,8 +919,16 @@ def dup_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        round_ids = persisted_rdd_ids(pairs) - before
+        # the count materialized this round's checkpoint: the superseded
+        # labels round can leave storage NOW — without this, every round
+        # stays persisted for the session's lifetime
+        unpersist_rdd_ids(pairs, label_ids)
+        label_ids = round_ids
         labels = new_labels
         if changed == 0:
+            # final labels are materialized and independent of the edges
+            unpersist_rdd_ids(pairs, sym_ids)
             break
     else:
         raise RuntimeError(f"dup_components did not converge in {max_iter} rounds")
@@ -901,12 +965,16 @@ def dup_components_star(
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    from .util import persisted_rdd_ids, unpersist_rdd_ids
+
+    base = persisted_rdd_ids(pairs)
     edges = (
         pairs.select(F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    edge_ids = persisted_rdd_ids(pairs) - base
 
     def fingerprint(e: DataFrame):
         # one action per round; canonical orientation makes it order- and
@@ -941,8 +1009,12 @@ def dup_components_star(
 
     fp = fingerprint(edges)
     for _ in range(max_iter):
+        before = persisted_rdd_ids(pairs)
         edges = small_star(large_star(edges)).localCheckpoint(eager=False)
-        new_fp = fingerprint(edges)
+        new_fp = fingerprint(edges)  # materializes this round's checkpoint
+        round_ids = persisted_rdd_ids(pairs) - before
+        unpersist_rdd_ids(pairs, edge_ids)  # superseded round leaves storage
+        edge_ids = round_ids
         if new_fp == fp:
             break
         fp = new_fp
@@ -1028,32 +1100,85 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment C(src, dst) = |src ∩ dst| / |src|: how much
     of ``src`` is inside ``dst``. Catches excerpts, quotations, and
     doc-inside-doc duplication that symmetric Jaccard misses (a short doc
     fully contained in a long one has low Jaccard but containment 1.0).
+    Containment has no size-ratio prefilter (that asymmetry is the point),
+    so skew control comes from ASYMMETRIC PREFIX FILTERING instead:
 
-    Same single-shuffle inverted-index shape as the postings Jaccard path;
-    each unordered candidate pair emits up to two directed rows. The only
-    prefilter is sharing >= 1 shingle — containment has no size-ratio
-    filter (that asymmetry is the point).
+    - Every (doc, shingle) posting is flagged ``is_pre`` when the shingle
+      sits in the doc's first ``|s| - ceil(t|s|) + 1`` positions under a
+      global xxhash64 order (the same map-side array-sort + slice bound as
+      ``_jaccard_pairs_prefix``). Completeness: if C(a→b) >= t then
+      |a ∩ b| >= alpha = ceil(t|a|); were none of a's first
+      ``|a| - alpha + 1`` hash-ordered shingles in b, all >= alpha common
+      shingles would have to fit in a's remaining alpha - 1 positions —
+      impossible. So a qualifying direction ALWAYS produces a bucket where
+      the src side is prefix-flagged, and candidate pairs only need
+      generating when at least one side's posting is a prefix entry —
+      ~(1-t) of the quadratic bucket fanout instead of all of it.
+    - Survivors verify EXACTLY on the full per-doc shingle arrays
+      (array_intersect), so the prefix filter loses nothing.
+    - ``max_shingle_df`` additionally drops postings of shingles whose
+      document frequency exceeds the cap — the hard bound on posting-list
+      length a web corpus needs (one stop-shingle of df d otherwise
+      contributes O(d * (1-t)d) candidates). UNLIKE the Jaccard postings
+      path the cap here does NOT redefine the shingle sets (verification
+      still uses full arrays); it is purely a candidate-generation prune
+      with BOUNDED RECALL LOSS: a pair whose overlap consists exclusively
+      of capped stop-shingles is never generated, hence never verified.
+      Capped and uncapped outputs are NOT interchangeable — see
+      tests/test_pipeline_ops.py for the pinned divergence.
 
     Output: (src_id, dst_id, containment) with containment >= threshold,
     src_id != dst_id.
     """
-    sh = shingles(df, n, text_col, id_col, with_count=True)
-    inter = (
-        _bucket_local_pairs(sh, ["shingle"], ["n_sh"])
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("n_inter"))
+    t = threshold - 1e-6
+    arrays = shingle_arrays(df, n, text_col, id_col)
+    hashed = F.array_sort(
+        F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
     )
-    directed = inter.select(
+    n_sh = F.size("_grams")
+    plen = (n_sh - F.ceil(F.lit(t) * n_sh) + 1).cast("int")
+    posting = (
+        arrays.select(
+            "id",
+            plen.alias("_plen"),
+            F.posexplode_outer(F.transform(hashed, lambda s: s["g"])).alias(
+                "pos", "shingle"
+            ),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("id", "shingle", (F.col("pos") < F.col("_plen")).alias("is_pre"))
+    )
+    if max_shingle_df is not None:
+        rare = (
+            posting.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        )
+        posting = posting.join(rare.select("shingle"), "shingle")
+    cands = (
+        _bucket_local_pairs(posting, ["shingle"], ["is_pre"])
+        .filter(F.col("a.is_pre") | F.col("b.is_pre"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = arrays.select(F.col("id").alias("_ia"), F.col("_grams").alias("_sa"))
+    sb = arrays.select(F.col("id").alias("_ib"), F.col("_grams").alias("_sb"))
+    verified = (
+        cands.join(sa, cands["id_a"] == sa["_ia"])
+        .join(sb, cands["id_b"] == sb["_ib"])
+        .select(
+            "id_a",
+            "id_b",
+            F.size("_sa").alias("na"),
+            F.size("_sb").alias("nb"),
+            F.size(F.array_intersect("_sa", "_sb")).alias("n_inter"),
+        )
+    )
+    directed = verified.select(
         F.explode(
             F.array(
                 F.struct(

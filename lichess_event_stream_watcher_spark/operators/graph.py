@@ -59,6 +59,8 @@ def pagerank(
 
     Output: (id, rank), sum(rank) ~ n_nodes (teleport-normalized form).
     """
+    from .util import persisted_rdd_ids, unpersist_rdd_ids
+
     n = nodes.select(F.col(id_col).alias("id")).distinct()
     und = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -67,6 +69,7 @@ def pagerank(
     )
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = n.select("id", F.lit(1.0).alias("rank"))
+    rank_ids: set[int] = set()
     for _ in range(iters):
         contrib = (
             und.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -74,6 +77,10 @@ def pagerank(
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        before = persisted_rdd_ids(edges)
+        # eager: each round materializes, so the round it read from can be
+        # unpersisted immediately instead of all `iters` checkpoints piling
+        # up in storage until the caller's final action
         ranks = (
             n.join(sums, "id", "left")
             .select(
@@ -82,8 +89,10 @@ def pagerank(
                     "rank"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        unpersist_rdd_ids(edges, rank_ids)
+        rank_ids = persisted_rdd_ids(edges) - before
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -100,6 +109,9 @@ def k_core(
     convergence (node count is monotone decreasing, so ``max_iter`` is a
     backstop, not the driver). Returns (id,) of surviving nodes.
     """
+    from .util import persisted_rdd_ids, unpersist_rdd_ids
+
+    base = persisted_rdd_ids(edges)
     e = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -107,17 +119,26 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    cur_ids = persisted_rdd_ids(edges) - base  # current e's checkpoint
+    prev_ids: set[int] = set()  # generation the current one was derived from
     prev = -1
     for _ in range(max_iter):
         deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
-        n = keep.count()
+        n = keep.count()  # materializes e's pending checkpoint
+        # e is now self-contained: the generation it read from is
+        # superseded and leaves storage (long-lived sessions must not
+        # accrete one persisted RDD per peel round)
+        unpersist_rdd_ids(edges, prev_ids)
+        prev_ids = set()
         if n == prev:
             break
         prev = n
+        before = persisted_rdd_ids(edges)
         e = (
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=False)
         )
+        prev_ids, cur_ids = cur_ids, persisted_rdd_ids(edges) - before
     return e.select(F.col("src").alias("id")).distinct()

@@ -82,11 +82,21 @@ def compact_parquet(
     sort_cols: Sequence[str] = (),
 ) -> int:
     """Small-files compaction: rewrite a parquet directory into
-    ``target_files`` files (optionally re-clustered by ``sort_cols``),
-    atomically swapping via a sibling temp dir + rename. Streaming sinks
-    and fine-grained partitioned writes accrete kilobyte files whose
-    per-file open/footer overhead eventually dominates scan time; periodic
-    compaction back to ~128 MB-1 GB files is routine maintenance at scale.
+    ``target_files`` files (optionally re-clustered by ``sort_cols``).
+    Streaming sinks and fine-grained partitioned writes accrete kilobyte
+    files whose per-file open/footer overhead eventually dominates scan
+    time; periodic compaction back to ~128 MB-1 GB files is routine
+    maintenance at scale.
+
+    Swap discipline: write to a sibling ``._compact_tmp`` dir, rename the
+    live directory ASIDE (``._compact_old``), rename tmp into place, then
+    delete the old copy — the dataset path is only ever missing for the
+    instant between the two renames (vs delete-then-rename, which leaves a
+    crash window with the data only in tmp), and a crash before the final
+    cleanup leaves a recoverable ``._compact_old``. LOCAL-FILESYSTEM ONLY:
+    this uses os.rename/glob, which assumes POSIX directory renames; on
+    HDFS/object stores use the store's atomic-commit primitive (HDFS
+    rename, Iceberg/Delta snapshot commit) instead.
 
     Returns the number of files before compaction. Uses coalesce (narrow,
     no shuffle) when only merging; repartitionByRange when re-sorting —
@@ -103,9 +113,13 @@ def compact_parquet(
     else:
         out = df.coalesce(target_files)
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_before
 
 

@@ -248,6 +248,12 @@ def lexicon_coverage(
     by construction). All-integer arithmetic until the one floor-quantized
     division, so the DuckDB oracle hashes bit-identically.
 
+    EVERY input document gets a row: docs that produce no tokens at all
+    (null text) come back via a left join with the explicit convention
+    n_tokens = 0, n_in_lex = 0, lex_ratio = 0.0, keep = false — a quality
+    gate that silently skips a document is indistinguishable from one that
+    passed it.
+
     Output: (id, n_tokens, n_in_lex, lex_ratio, keep).
     """
     tok = (
@@ -265,14 +271,18 @@ def lexicon_coverage(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_in_lex"),
         )
     )
-    ratio = (
-        F.floor(F.col("n_in_lex").cast("double") / F.col("n_tokens").cast("double") * F.lit(1000000.0))
+    ids = df.select(F.col(id_col).alias("id"))
+    full = ids.join(cov, "id", "left")
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+    n_lex = F.coalesce(F.col("n_in_lex"), F.lit(0)).cast("bigint")
+    ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.floor(n_lex.cast("double") / n_tok.cast("double") * F.lit(1000000.0))
         / F.lit(1000000.0)
     )
-    return cov.select(
+    return full.select(
         "id",
-        "n_tokens",
-        F.col("n_in_lex").cast("bigint").alias("n_in_lex"),
+        n_tok.alias("n_tokens"),
+        n_lex.alias("n_in_lex"),
         ratio.alias("lex_ratio"),
-        (ratio >= min_ratio).alias("keep"),
+        ((n_tok > 0) & (ratio >= min_ratio)).alias("keep"),
     )

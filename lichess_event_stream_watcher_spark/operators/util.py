@@ -32,6 +32,40 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def persisted_rdd_ids(df_or_spark) -> set[int]:
+    """Snapshot the ids of currently-persisted RDDs (classic Spark only;
+    returns empty when the JVM handle is unavailable). Used by iterative
+    operators to identify the RDDs a ``localCheckpoint`` round registered
+    so superseded rounds can be unpersisted."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:  # noqa: BLE001 - e.g. Spark Connect
+        return set()
+
+
+def unpersist_rdd_ids(df_or_spark, ids: set[int]) -> None:
+    """Unpersist the given RDD ids if still registered (non-blocking).
+
+    The cleanup half of the iterative-checkpoint discipline: each round of
+    label propagation / peeling / PageRank localCheckpoints its state, and
+    WITHOUT explicit cleanup every superseded round stays in storage memory
+    for the session's lifetime — a real leak on a long-lived cluster where
+    one driver serves thousands of dedup batches. Only the FINAL round's
+    checkpoint (backing the returned DataFrame) should outlive the call.
+    """
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            jrdd = jmap.get(i)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -199,28 +199,80 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Queries whose per-run cost dominates the suite (BLAS/driver-compose or
-# candidate-join heavy). They run LAST so a wall-clock-budgeted harness that
-# cuts the tail loses only re-checks of the most expensive ops, never the
-# cheap long tail of coverage rows.
-_EXPENSIVE_LAST = [
+# The driver's CORRECTNESS harness certifies the FIRST 50 registered
+# queries per round, so registration order IS the verification budget.
+# Curated allocation: the 14 core rule-engine queries first (the reference
+# parity surface — always certified), then the operator families that were
+# REWORKED or never driver-checked in earlier rounds (the whole
+# dedup/similarity/text/curation/multimodal/graph pipeline plus the late
+# analytics additions). The 60+ queries past the window — TPC-H and the
+# long analytics tail, each green in two consecutive prior rounds
+# (CORRECTNESS_r01/r02) — keep their registration order and rotate back
+# into the window in later rounds; all 112 stay covered every session by
+# tests/test_oracle_parity.py regardless of window position.
+_DRIVER_PRIORITY = [
+    # core rule engine (SURVEY.md §2.3-2.10)
+    "rule_scan",
+    "rule_scan_actions",
+    "would_fire_counts",
+    "crit_ip_match",
+    "crit_print_match",
+    "crit_email_contains",
+    "crit_email_regex",
+    "crit_username_contains",
+    "crit_username_regex",
+    "crit_useragent_length_lte",
+    "crit_susp_ip_gate",
+    "action_schedule",
+    "crit_code_predicate",
+    "rule_expiry_sweep",
+    # dedup family (every physical strategy + the skew-guarded forms)
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_inverted",
+    "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "knn_cosine_topk",
-    "embedding_near_dup",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "dedup_jaccard_pairs",
-    "dedup_jaccard_inverted",
+    "dedup_containment",
+    "paragraph_dedup",
+    "dedup_incremental",
+    "dedup_corpus",
     "dedup_clusters",
+    "dedup_clusters_star",
+    # embedding similarity / ANN
+    "embedding_near_dup",
+    "knn_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_lsh_multiprobe",
+    # text analysis + curation policy
+    "text_profile",
+    "repetition_profile",
+    "lexicon_coverage",
+    "pii_scrub",
+    "curation_gate",
+    "source_quality_scorecard",
+    "source_rate_sample",
+    "contamination_check",
+    # multimodal plumbing
+    "multimodal_manifest",
+    "multimodal_features",
+    "multimodal_frames",
+    # graph + sketches + late analytics (added round 2, never checked)
+    "fuzzy_graph_triangles",
+    "fuzzy_graph_kcore",
+    "sketch_stats",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "user_state_scd2",
+    "value_outliers_3sigma",
+    "purchase_state_attribution",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
-    tail = [k for k in _EXPENSIVE_LAST if k in mapping]
-    head = [k for k in mapping if k not in _EXPENSIVE_LAST]
+    head = [k for k in _DRIVER_PRIORITY if k in mapping]
+    tail = [k for k in mapping if k not in _DRIVER_PRIORITY]
     return {k: mapping[k] for k in head + tail}
 
 

@@ -1984,13 +1984,36 @@ def fuzzy_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fuzzy_graph_kcore")  # iterative peeling fixpoint -> rows-only
+@query(
+    "fuzzy_graph_kcore",
+    f"""WITH RECURSIVE fe AS MATERIALIZED ({_FUZZY_EDGES_SQL}),
+e AS MATERIALIZED (
+  SELECT name_a AS src, name_b AS dst FROM fe
+  UNION
+  SELECT name_b, name_a FROM fe
+),
+surv(it, nodes) AS (
+  SELECT 0, (SELECT list(DISTINCT src ORDER BY src) FROM e)
+  UNION ALL
+  SELECT s.it + 1,
+         (SELECT list(src ORDER BY src) FROM (
+            SELECT src FROM e
+            WHERE list_contains(s.nodes, src) AND list_contains(s.nodes, dst)
+            GROUP BY src HAVING COUNT(*) >= 3) t)
+  FROM surv s WHERE s.it < 50
+)
+SELECT unnest(nodes) AS id FROM surv WHERE it = 50""",
+)
 def fuzzy_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the typosquat similarity graph: iterative degree peeling
     (degree agg + semi join per round, localCheckpoint lineage cuts,
-    convergence by monotone node count). Fixpoint iteration is not
-    SQL-expressible as one query — rows-only for the driver; pinned
-    against a Python peeling twin in tests/test_pipeline_ops.py."""
+    convergence by monotone node count). Pure-integer fixpoint, so the
+    driver gets a FULL hash check: the DuckDB twin runs the identical
+    peeling recurrence (survivors_{{i+1}} = nodes with induced degree >= k)
+    as a recursive CTE carrying the survivor LIST per iteration — 50
+    bounded rounds, idempotent past convergence, so both engines read off
+    the same fixpoint. Also pinned against a Python peeling twin in
+    tests/test_pipeline_ops.py."""
     from .operators.fuzzy import edit_distance_pairs
     from .operators.graph import k_core
 
@@ -1998,44 +2021,65 @@ def fuzzy_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, 3, "name_a", "name_b")
 
 
-@query(
-    "value_outliers_3sigma",
-    """WITH q AS (
-  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x
-  FROM events WHERE value IS NOT NULL
-),
-stats AS (
-  SELECT event_type, COUNT(*) AS n, SUM(x) AS tot, SUM(x * x) AS ss
-  FROM q GROUP BY event_type
-)
-SELECT q.event_id, q.event_type, CAST(q.x AS DOUBLE) AS value
-FROM q JOIN stats s ON s.event_type = q.event_type
-WHERE (q.x * s.n - s.tot) * (q.x * s.n - s.tot) * s.n
-      > 9 * (s.ss * s.n - s.tot * s.tot) * s.n
-  AND s.n > 1""",
-)
-def value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group 3-sigma outliers with ZERO floating point: the test
-    |x - mean| > 3*sigma cross-multiplies into the squared integer-decimal
-    inequality (x*n - tot)^2 * n > 9 * (ss*n - tot^2) * n, so both engines
-    compare exact decimals — no mean, no sqrt, no division anywhere. The
-    per-group stats are one partial agg broadcast back onto the rows; the
-    data-quality gate a feature pipeline runs before training."""
-    ev = testdata.load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+def outliers_3sigma(ev: DataFrame) -> DataFrame:
+    """Per-group 3-sigma outliers with ZERO floating point, over any frame
+    with (event_id, event_type, value). |x - mean| > 3*sigma
+    cross-multiplies into (x*n - tot)^2 > 9*(ss*n - tot^2) on SCALE-0
+    integer decimals: x is quantized once to micros (exact, value is
+    decimal(18,6)), then every product lives in decimal(38,0) where Spark's
+    precision-loss rule has no fractional digits to shave — the arithmetic
+    is exact as long as the true magnitudes fit 38 digits, and ANSI mode
+    raises (never rounds) past that. Exactness domain: with n rows per
+    group and |value| <= B, it requires n * B * 1e6 < 10^19 (dev and ss*n
+    both stay under 10^38) — e.g. 10^9 rows of |value| <= 10^4, or 10^6
+    rows of |value| <= 10^7. The DuckDB twin runs the same inequality in
+    HUGEINT (int128); the large-magnitude agreement is pinned in
+    tests/test_pipeline_ops.py. Per-group stats are one partial agg
+    broadcast back onto the rows."""
     x = F.col("value").cast("decimal(18,6)")
-    q = ev.select("event_id", "event_type", x.alias("x"))
-    stats = q.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.sum("x").alias("tot"), F.sum(F.col("x") * F.col("x")).alias("ss")
+    xm = (x * F.lit(1000000)).cast("decimal(38,0)")
+    q = ev.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", x.alias("x"), xm.alias("xm")
     )
-    dev = F.col("x") * F.col("n") - F.col("tot")
+    stats = q.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("xm").alias("tot"),
+        F.sum(F.col("xm") * F.col("xm")).alias("ss"),
+    )
+    dev = F.col("xm") * F.col("n") - F.col("tot")
     return (
         q.join(F.broadcast(stats), "event_type")
         .filter(
-            (dev * dev * F.col("n") > F.lit(9) * (F.col("ss") * F.col("n") - F.col("tot") * F.col("tot")) * F.col("n"))
+            (dev * dev > F.lit(9) * (F.col("ss") * F.col("n") - F.col("tot") * F.col("tot")))
             & (F.col("n") > 1)
         )
         .select("event_id", "event_type", F.col("x").cast("double").alias("value"))
     )
+
+
+OUTLIERS_3SIGMA_ORACLE = """WITH q AS (
+  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x,
+         CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(25,6)) * 1000000 AS HUGEINT) AS xm
+  FROM {table} WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(xm) AS tot, SUM(xm * xm) AS ss
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, CAST(q.x AS DOUBLE) AS value
+FROM q JOIN stats s ON s.event_type = q.event_type
+WHERE (q.xm * s.n - s.tot) * (q.xm * s.n - s.tot)
+      > 9 * (s.ss * s.n - s.tot * s.tot)
+  AND s.n > 1"""
+
+
+@query("value_outliers_3sigma", OUTLIERS_3SIGMA_ORACLE.format(table="events"))
+def value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outliers, exact-integer form (see
+    ``outliers_3sigma``) — the data-quality gate a feature pipeline runs
+    before training."""
+    return outliers_3sigma(testdata.load(spark, sf_dir, "events"))
 
 
 @query(

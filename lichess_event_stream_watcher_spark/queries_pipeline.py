@@ -127,15 +127,44 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, n=2, threshold=0.5)
 
 
-@query("dedup_jaccard_inverted", _JACCARD_ORACLE)
+# The capped twin applies the IDENTICAL df filter and recomputes set sizes
+# post-filter — certifying the skew guard's exact semantics, not just the
+# happy path. NOTE the cap REDEFINES the shingle sets: a pair whose overlap
+# includes capped stop-shingles scores differently from the uncapped run
+# (and a pair overlapping ONLY in capped shingles disappears) — capped and
+# uncapped outputs are not interchangeable (pinned in
+# tests/test_pipeline_ops.py::test_jaccard_df_cap_drops_stop_shingle_pairs).
+_JACCARD_CAPPED_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES.replace("sh AS", "sh0 AS")},
+rare AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 40),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5"""
+
+
+@query("dedup_jaccard_inverted", _JACCARD_CAPPED_ORACLE)
 def dedup_jaccard_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME operator forced onto the postings sparse strategy (byte
     gate 0 -> full inverted-index self-join + length filter, no driver
-    collect) — every physical strategy carries a green oracle row, so a
-    strategy switch can never silently change results."""
+    collect), WITH the max_shingle_df skew guard active — the exact
+    configuration the strategy would run with at scale, so the guard's
+    set-redefining semantics carry an oracle row of their own (the DuckDB
+    twin applies the identical df cap)."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.jaccard_pairs(
-        docs, n=2, threshold=0.5, dense_bytes_limit=0, sparse_strategy="postings"
+        docs,
+        n=2,
+        threshold=0.5,
+        dense_bytes_limit=0,
+        sparse_strategy="postings",
+        max_shingle_df=40,
     )
 
 
@@ -778,11 +807,22 @@ cov AS (
          CAST(SUM(CASE WHEN l.tok IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_in_lex
   FROM tok t LEFT JOIN lex l ON l.tok = t.tok
   GROUP BY t.id
+),
+covfull AS (
+  SELECT d.doc_id AS id,
+         CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(c.n_in_lex, 0) AS BIGINT) AS n_in_lex
+  FROM documents d LEFT JOIN cov c ON c.id = d.doc_id
 )
 SELECT id, n_tokens, n_in_lex,
-       floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0 AS lex_ratio,
-       floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0 >= 0.8 AS keep
-FROM cov"""
+       CASE WHEN n_tokens = 0 THEN 0.0
+            ELSE floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0
+       END AS lex_ratio,
+       n_tokens > 0 AND
+       (CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE floor(CAST(n_in_lex AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000.0) / 1000000.0
+        END) >= 0.8 AS keep
+FROM covfull"""
 
 
 @query("lexicon_coverage", _LEXICON_ORACLE)
@@ -802,11 +842,11 @@ def lexicon_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 lexq AS ({_LEXICON_ORACLE}),
 prof AS ({_TEXT_PROFILE_ORACLE})
 SELECT p.doc_id, p.lang_pred, l.lex_ratio, r.frac_top_bigram,
-       r.keep AS keep_repetition, l.keep AS keep_lexicon,
+       COALESCE(r.keep, FALSE) AS keep_repetition, l.keep AS keep_lexicon,
        p.lang_pred <> 'und' AS keep_lang,
-       (r.keep AND l.keep AND p.lang_pred <> 'und') AS keep
+       (COALESCE(r.keep, FALSE) AND l.keep AND p.lang_pred <> 'und') AS keep
 FROM prof p
-JOIN rep r ON r.doc_id = p.doc_id
+LEFT JOIN rep r ON r.doc_id = p.doc_id
 JOIN lexq l ON l.id = p.doc_id""",
 )
 def curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,7 +856,13 @@ def curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independently-oracled operator; this query is their id-keyed join
     (AQE plans the three agg outputs, all partitioned on doc id) — the
     shape a production gate takes when signals are maintained as separate
-    incremental tables rather than one monolithic scan."""
+    incremental tables rather than one monolithic scan.
+
+    EVERY document gets a verdict: the profile base covers all docs
+    (map-side), lexicon_coverage emits explicit zero-token rows, and the
+    repetition signal — absent for docs with < 2 tokens — left-joins with
+    keep_repetition defaulting to FALSE (a doc too short to even measure
+    repetition is not training data)."""
     docs = testdata.load(spark, sf_dir, "documents")
     rep = X.repetition_profile(docs).select(
         "doc_id",
@@ -830,17 +876,21 @@ def curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof = X.analyze(docs).select("doc_id", "lang_pred")
     return (
-        prof.join(rep, "doc_id")
+        prof.join(rep, "doc_id", "left")
         .join(lex, "doc_id")
         .select(
             "doc_id",
             "lang_pred",
             "lex_ratio",
             "frac_top_bigram",
-            "keep_repetition",
+            F.coalesce("keep_repetition", F.lit(False)).alias("keep_repetition"),
             "keep_lexicon",
             (F.col("lang_pred") != "und").alias("keep_lang"),
-            (F.col("keep_repetition") & F.col("keep_lexicon") & (F.col("lang_pred") != "und")).alias("keep"),
+            (
+                F.coalesce("keep_repetition", F.lit(False))
+                & F.col("keep_lexicon")
+                & (F.col("lang_pred") != "und")
+            ).alias("keep"),
         )
     )
 
@@ -1035,8 +1085,9 @@ def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 lexq AS ({_LEXICON_ORACLE}),
 prof AS ({_TEXT_PROFILE_ORACLE}),
 gate AS (
-  SELECT p.doc_id, (r.keep AND l.keep AND p.lang_pred <> 'und') AS keep
-  FROM prof p JOIN rep r ON r.doc_id = p.doc_id JOIN lexq l ON l.id = p.doc_id
+  SELECT p.doc_id,
+         (COALESCE(r.keep, FALSE) AND l.keep AND p.lang_pred <> 'und') AS keep
+  FROM prof p LEFT JOIN rep r ON r.doc_id = p.doc_id JOIN lexq l ON l.id = p.doc_id
 )
 SELECT d.source,
        COUNT(*) AS n_docs,

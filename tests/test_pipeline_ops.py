@@ -203,13 +203,41 @@ def test_lsh_bands_cover_all_seeds_when_nondivisible(spark, sf_dir):
 
 def test_dedup_paths_leave_no_persisted_rdds(spark, sf_dir):
     """Long-lived-session contract: repeated dedup/similarity calls must not
-    accumulate storage memory (no leaked .cache())."""
+    accumulate storage memory (no leaked .cache()). Baseline-relative:
+    earlier tests in the session may legitimately leave the single
+    final-checkpoint RDD each iterative operator's RESULT is backed by."""
+    from lichess_event_stream_watcher_spark.operators.util import persisted_rdd_ids
+
     docs = testdata.load(spark, sf_dir, "documents")
+    baseline = persisted_rdd_ids(spark)
     for _ in range(2):
         D.jaccard_pairs(docs, n=2, threshold=0.5).count()
         D.lsh_candidate_pairs(docs, k=16, bands=4).count()
         D.simhash_near_dup_pairs(docs).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert persisted_rdd_ids(spark) - baseline == set()
+
+
+def test_iterative_ops_unpersist_superseded_rounds(spark, sf_dir):
+    """Each iterative operator (label propagation, star CC, k-core,
+    PageRank) may leave AT MOST the final checkpoint its result reads from
+    — every superseded round must have been unpersisted, or a long-lived
+    driver accretes one persisted RDD per round per call."""
+    from lichess_event_stream_watcher_spark.operators.graph import k_core, pagerank
+    from lichess_event_stream_watcher_spark.operators.util import persisted_rdd_ids
+
+    docs = testdata.load(spark, sf_dir, "documents").limit(200)
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    nodes = docs.select("doc_id")
+    for fn in (
+        lambda: D.dup_components(nodes, pairs),
+        lambda: D.dup_components_star(nodes, pairs),
+        lambda: k_core(pairs, 2),
+        lambda: pagerank(nodes.withColumnRenamed("doc_id", "id"), pairs, iters=4),
+    ):
+        before = persisted_rdd_ids(spark)
+        fn().count()
+        residue = persisted_rdd_ids(spark) - before
+        assert len(residue) <= 1, residue
 
 
 def test_cosine_near_dup_sharded_matches_single_shard(spark, sf_dir):
@@ -639,3 +667,195 @@ def test_k_core_matches_python_peeling(spark, sf_dir):
                     adj[u].discard(v)
                 changed = True
         assert got == set(adj), (k, got ^ set(adj))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_containment_prefix_matches_bruteforce(spark):
+    """The asymmetric-prefix candidate filter is exact: every directed pair
+    the brute-force python computation finds must come back verified."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta"),          # fully inside 1's shingles
+        (3, "gamma delta epsilon"),             # inside 1
+        (4, "completely different words here"),
+        (5, "alpha beta"),                      # single shingle, inside 1 and 2
+    ]
+    got = {
+        (r.src_id, r.dst_id, r.containment)
+        for r in D.containment_pairs(_docs(spark, rows), n=2, threshold=0.8).collect()
+    }
+
+    def sh(t):
+        tk = t.split()
+        return {f"{tk[i]} {tk[i+1]}" for i in range(len(tk) - 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = round(len(sets[a] & sets[b]) / len(sets[a]), 6)
+            if c >= 0.8:
+                want.add((a, b, c))
+    assert got == want, got ^ want
+
+
+def test_containment_df_cap_drops_stop_shingle_only_pairs(spark):
+    """Pinned recall semantics of max_shingle_df on containment: the cap
+    prunes CANDIDATE GENERATION only, so a pair whose entire overlap is
+    capped stop-shingles is silently absent from the capped output while
+    pairs overlapping in rare shingles are unaffected. Capped and uncapped
+    outputs are NOT interchangeable."""
+    stop = "x y"
+    rows = [
+        (1, stop),                     # contained in 2 via the stop shingle only
+        (2, f"{stop} c d"),
+        (3, "r s t u"),                # contained pair via rare shingles
+        (4, "r s t u v w"),
+        (5, f"{stop} e1 f1"),          # df inflators for the stop shingle
+        (6, f"{stop} e2 f2"),
+        (7, f"{stop} e3 f3"),
+        (8, f"{stop} e4 f4"),
+    ]
+    docs = _docs(spark, rows)
+    uncapped = {
+        (r.src_id, r.dst_id)
+        for r in D.containment_pairs(docs, n=2, threshold=0.8).collect()
+    }
+    capped = {
+        (r.src_id, r.dst_id)
+        for r in D.containment_pairs(docs, n=2, threshold=0.8, max_shingle_df=3).collect()
+    }
+    assert (1, 2) in uncapped
+    assert (1, 2) not in capped          # overlap was exclusively the capped shingle
+    assert (3, 4) in uncapped and (3, 4) in capped  # rare-shingle pair survives
+    # the cap never INVENTS pairs, and verification stays exact
+    assert capped <= uncapped
+
+
+def test_jaccard_df_cap_drops_stop_shingle_pairs(spark):
+    """Pinned recall semantics of max_shingle_df on the postings Jaccard
+    path: the cap REDEFINES the shingle sets, so a pair overlapping only in
+    capped shingles disappears entirely (its docs may even end up with
+    empty sets). Referenced from the dedup_jaccard_inverted registration."""
+    stop = "x y"
+    rows = [
+        (1, stop),
+        (2, stop),                     # exact dup of 1, via the stop shingle only
+        (3, "r s t u"),
+        (4, "r s t u"),                # exact dup of 3, rare shingles
+        (5, f"{stop} e1 f1"),
+        (6, f"{stop} e2 f2"),
+        (7, f"{stop} e3 f3"),
+        (8, f"{stop} e4 f4"),
+    ]
+    docs = _docs(spark, rows)
+    kw = dict(n=2, threshold=0.5, dense_bytes_limit=0, sparse_strategy="postings")
+    uncapped = {
+        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs, **kw).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, max_shingle_df=3, **kw).collect()
+    }
+    assert (1, 2) in uncapped
+    assert (1, 2) not in capped
+    assert (3, 4) in uncapped and (3, 4) in capped
+
+
+def test_jaccard_prefix_rejects_df_cap(spark):
+    """prefix strategy + max_shingle_df must raise, not silently fall back
+    to a different physical strategy (ADVICE item)."""
+    import pytest
+
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="prefix.*max_shingle_df|max_shingle_df"):
+        D.jaccard_pairs(
+            docs, sparse_strategy="prefix", max_shingle_df=5, dense_bytes_limit=0
+        )
+
+
+def test_shingle_index_param_mismatch_raises(spark, sf_dir, tmp_path):
+    """A probe whose n-gram size disagrees with the saved index's recorded
+    parameters fails loudly instead of silently returning near-empty
+    results (ADVICE item)."""
+    import pytest
+
+    docs = testdata.load(spark, sf_dir, "documents").limit(50)
+    table = "lesw_test_param_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    D.save_shingle_index(docs, table, n=2, buckets=4)
+    # matching params: works
+    ok = D.jaccard_pairs_against_index(docs.limit(5), table, n=2, threshold=0.5)
+    assert ok.count() >= 0
+    # mismatched n: loud error
+    with pytest.raises(ValueError, match="shingle-index mismatch"):
+        D.jaccard_pairs_against_index(docs.limit(5), table, n=3)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_outliers_3sigma_large_magnitude_exact(spark):
+    """The integer-micros reformulation stays exact (and agrees with
+    DuckDB's int128 twin) at magnitudes where the old cross-multiplied
+    decimal form exceeded decimal(38) and silently rounded."""
+    import duckdb
+    import pandas as pd
+
+    from lichess_event_stream_watcher_spark.queries_analytics import (
+        OUTLIERS_3SIGMA_ORACLE,
+        outliers_3sigma,
+    )
+
+    base = 1_234_567_890.125
+    # with n points the max attainable z-score is (n-1)/sqrt(n), so a
+    # single planted outlier needs n >= ~11 to exceed 3 sigma
+    vals = [base + (i % 3) - 1.0 for i in range(15)] + [base + 10_000_000.0]
+    rows = [(i, "big", v) for i, v in enumerate(vals)]
+    rows += [
+        (100 + i, "small", v)
+        for i, v in enumerate([2.0 + (i % 3) * 0.25 for i in range(15)] + [900.25])
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    ev = spark.createDataFrame(pdf)
+
+    got = {(r.event_id, r.value) for r in outliers_3sigma(ev).collect()}
+
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    want = {
+        (r[0], r[2])
+        for r in con.sql(OUTLIERS_3SIGMA_ORACLE.format(table="ev")).fetchall()
+    }
+    assert got == want
+    # semantic check: exactly the far points are outliers
+    assert {e for e, _ in got} == {15, 115}
+
+
+def test_lexicon_and_gate_verdict_every_doc(spark):
+    """Docs that produce zero tokens (null text) still receive explicit
+    lexicon rows (n_tokens=0, keep=false) — the gate never silently skips
+    a document (ADVICE item)."""
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog the end"),
+        (2, None),
+        (3, "single"),
+    ]
+    docs = _docs(spark, rows)
+    lex = {r.id: r for r in X.lexicon_coverage(docs, lexicon_size=5).collect()}
+    assert set(lex) == {1, 2, 3}
+    assert lex[2].n_tokens == 0 and lex[2].n_in_lex == 0
+    assert lex[2].lex_ratio == 0.0 and lex[2].keep is False
+    # repetition signal is absent for <2-token docs; the gate convention is
+    # keep_repetition=false via the left join — mirror it here
+    rep_ids = {r.doc_id for r in X.repetition_profile(docs).collect()}
+    assert 2 not in rep_ids
+    verdicts = {
+        r.id: (r.keep and (r.id in rep_ids)) for r in X.lexicon_coverage(docs).collect()
+    }
+    assert set(verdicts) == {1, 2, 3}
