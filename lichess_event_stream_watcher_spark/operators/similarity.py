@@ -162,6 +162,17 @@ def _self_dot_sql(col_sql: str) -> str:
     return f"aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 
+def _fold_dot_py(a, b) -> float:
+    """Python twin of the left-fold dot product (same IEEE add/mul order as
+    ``dot`` / ``_dot_sql``): ADC tables built here are bit-equal to an
+    oracle's left-associative sum chain — numpy's BLAS ``@`` may reorder
+    SIMD lanes and drift in the last ulp."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 def _self_dot_py(vec) -> float:
     """Python twin of the left-fold self-dot: identical IEEE add/mul order,
     so the constant-folded centroid norm is bit-equal to the SQL fold."""
@@ -508,7 +519,7 @@ def _pq_code_expr(books, vec_col: str):
         cands = []
         for c, cv in enumerate(books[j]):
             dot = _dot_sql(sub, list(map(float, cv)))
-            nb = float((cv * cv).sum())
+            nb = _self_dot_py(cv)
             cands.append(F.struct(F.expr(f"-2.0D * ({dot}) + {nb!r}D"), F.lit(c)))
         codes.append(F.array_min(F.array(*cands))["col2"])
     return F.array(*codes)
@@ -555,7 +566,7 @@ def pq_ann_topk(
     for qid in sorted(qrows):
         qv = qrows[qid]
         tab = [
-            [float(qv[j * dsub : (j + 1) * dsub] @ cv) for cv in books[j]]
+            [_fold_dot_py(qv[j * dsub : (j + 1) * dsub], cv) for cv in books[j]]
             for j in range(m)
         ]
         tab_sql = (
@@ -625,7 +636,7 @@ def ivfpq_ann_topk(
     for qid in sorted(qvecs):
         qv = qvecs[qid]
         tab = [
-            [float(qv[j * dsub : (j + 1) * dsub] @ cv) for cv in books[j]]
+            [_fold_dot_py(qv[j * dsub : (j + 1) * dsub], cv) for cv in books[j]]
             for j in range(m)
         ]
         tab_sql = (

@@ -239,12 +239,15 @@ _DRIVER_PRIORITY = [
     "dedup_corpus",
     "dedup_clusters",
     "dedup_clusters_star",
-    # embedding similarity / ANN
+    # embedding similarity / ANN (the _adc pair: frozen-codebook PQ serving,
+    # the hash-checkable face of the trained ann_pq/ivfpq rows-only twins)
     "embedding_near_dup",
     "knn_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
+    "ann_pq_adc",
+    "ann_ivfpq_adc",
     # text analysis + curation policy
     "text_profile",
     "repetition_profile",
@@ -252,16 +255,14 @@ _DRIVER_PRIORITY = [
     "pii_scrub",
     "curation_gate",
     "source_quality_scorecard",
-    "source_rate_sample",
     "contamination_check",
     # multimodal plumbing
     "multimodal_manifest",
     "multimodal_features",
     "multimodal_frames",
-    # graph + sketches + late analytics (added round 2, never checked)
+    # graph + late analytics (added round 2, never checked)
     "fuzzy_graph_triangles",
     "fuzzy_graph_kcore",
-    "sketch_stats",
     "funnel_view_click_purchase",
     "retention_cohorts",
     "user_state_scd2",

@@ -1006,6 +1006,145 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_ann_topk(emb, cents, books, [0, 1, 2, 3, 4], k=5, nprobe=2)
 
 
+# ---------------------------------------------------------------------------
+# PQ with ITERATION-FREE codebooks: the deterministic first-k-by-md5 sample
+# init IS the codebook (no Lloyd rounds), which makes the entire encode ->
+# ADC-score -> rank serving path SQL-expressible — the DuckDB twin derives
+# the identical codewords from the data, so the ADC machinery itself gets a
+# full hash check (the TRAINED variants ann_pq_topk/ann_ivfpq_topk keep
+# their rows-only rows: Lloyd iterations are not one SQL query).
+# Determinism contract: every dot product on both sides is the left-fold
+# sum chain (see operators/similarity.py docstring).
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_DSUB = 16, 16, 4
+
+
+def _pq_adc_cents_sql() -> str:
+    comps = ",\n         ".join(
+        f"CAST(embedding[j * {_PQ_DSUB} + {i}] AS DOUBLE) AS d{i}"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"""samp AS (
+  SELECT embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+  FROM embeddings
+),
+cents AS (
+  SELECT j, c,
+         {comps}
+  FROM samp CROSS JOIN (SELECT CAST(unnest(range({_PQ_M})) AS INT) AS j)
+  WHERE c < {_PQ_K}
+)"""
+
+
+def _pq_adc_codes_sql() -> str:
+    adot = " + ".join(
+        f"CAST(a.embedding[ct.j * {_PQ_DSUB} + {i}] AS DOUBLE) * ct.d{i}"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    nb = " + ".join(f"ct.d{i} * ct.d{i}" for i in range(1, _PQ_DSUB + 1))
+    qdot = " + ".join(
+        f"CAST(q.embedding[ct.j * {_PQ_DSUB} + {i}] AS DOUBLE) * ct.d{i}"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"""dists AS (
+  SELECT a.vec_id, ct.j, ct.c, -2.0 * ({adot}) + ({nb}) AS dist
+  FROM embeddings a CROSS JOIN cents ct
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, ct.j, ct.c, ({qdot}) AS ip
+  FROM embeddings q CROSS JOIN cents ct
+  WHERE q.vec_id IN (0, 1, 2, 3, 4)
+)"""
+
+
+_PQ_ADC_ORACLE = f"""WITH {_pq_adc_cents_sql()},
+{_pq_adc_codes_sql()},
+scored AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         ROUND(list_sum(list(t.ip ORDER BY t.j)), 6) AS approx_ip
+  FROM codes cd JOIN qtab t ON t.j = cd.j AND t.c = cd.code
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY t.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_ip DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, approx_ip, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+@query("ann_pq_adc", _PQ_ADC_ORACLE)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC serving with iteration-free codebooks: 64-dim floats ->
+    16 one-byte codes via argmin-L2 against the md5-sample codewords
+    (map-side, inlined literals), queries score by m table lookups —
+    hash-checked end to end against the SQL twin that re-derives the same
+    codewords, codes, and ADC sums."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    books = S.pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    return S.pq_ann_topk(emb, books, [0, 1, 2, 3, 4], k=10)
+
+
+_IVFPQ_ADC_ORACLE = f"""WITH {_pq_adc_cents_sql()},
+{_pq_adc_codes_sql()},
+cents8 AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+),
+assign AS (
+  SELECT a.vec_id, b.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_COS_SQL}, 6) DESC, b.cent_id ASC
+         ) AS rnk
+  FROM embeddings a CROSS JOIN cents8 b
+),
+cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM assign WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= 2
+),
+cand AS (
+  SELECT p.query_id, c.neighbor_id FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_sum(list(t.ip ORDER BY t.j)), 6) AS approx_ip
+  FROM cand
+  JOIN codes cd ON cd.vec_id = cand.neighbor_id
+  JOIN qtab t ON t.query_id = cand.query_id AND t.j = cd.j AND t.c = cd.code
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_ip DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, approx_ip, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_ivfpq_adc", _IVFPQ_ADC_ORACLE)
+def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ serving with fixed coarse cells (vec_ids 8-15, as
+    ann_ivf_topk) and iteration-free PQ codebooks: cell assignment bounds
+    candidates, ADC table lookups score them — the complete serving
+    composition hash-checked, while the trained twin stays rows-only."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    books = S.pq_fit(emb, m=_PQ_M, k=_PQ_K, iters=0)
+    return S.ivfpq_ann_topk(emb, cents, books, [0, 1, 2, 3, 4], k=5, nprobe=2)
+
+
 @query("dup_graph_pagerank")  # iterative; float sums -> rows-only check
 def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup pair graph (10 fixed iterations,

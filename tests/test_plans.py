@@ -331,6 +331,7 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "tpch_q22_idle_balances",     # 1-row stats broadcast
         "funnel_view_click_purchase",  # three 1-row stage counts combined
         "ann_pq_topk",                # |queries|-row ADC table broadcast
+        "ann_pq_adc",                 # same ADC-table broadcast, frozen books
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
