@@ -145,3 +145,98 @@ def contamination_check(
         F.count("*").alias("n_shingles"),
         F.sum("in_train").alias("n_contaminated"),
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    source_col: str = "source",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-source keep rates for temperature-based mixture rebalancing at
+    alpha = 1/2 (the multilingual-C4 / XLM-R recipe: sampling probability
+    proportional to share^alpha flattens the source distribution without
+    discarding small sources).
+
+    Realized as subsampling with maximum retention: rate_s =
+    sqrt(c_min / c_s), so the SMALLEST source keeps everything and a source
+    x-times larger keeps 1/sqrt(x) of its docs. alpha is pinned to 1/2
+    because sqrt is IEEE correctly-rounded (bit-identical across engines);
+    a general pow() would not be. Rates floor-quantize to integer
+    parts-per-``quant``.
+
+    One aggregation over source (the source dimension is bounded — a
+    broadcastable table at any corpus size). Output: (source, n_docs,
+    rate_q)."""
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    )
+    cmin = counts.select(F.min("n_docs").alias("_cmin"))
+    rate = F.floor(
+        F.sqrt(F.col("_cmin").cast("double") / F.col("n_docs").cast("double"))
+        * F.lit(float(quant))
+    ).cast("bigint")
+    return counts.crossJoin(F.broadcast(cmin)).select(
+        "source", "n_docs", rate.alias("rate_q")
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "temp",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Apply ``temperature_mix_rates`` with a seeded deterministic hash
+    draw: doc keeps iff md5-draw mod quant < its source's rate_q. The rate
+    table broadcasts (bounded by the source dimension); the draw is pure
+    map-side — reproducible across runs, engines, partitionings, and
+    cluster sizes, and a late-arriving doc gets the same verdict forever.
+    Output: kept rows (id, source, rate_q)."""
+    rates = temperature_mix_rates(df, source_col=source_col, quant=quant)
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % quant
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+        .join(F.broadcast(rates.select("source", "rate_q")), "source")
+        .withColumn("_draw", draw)
+        .filter(F.col("_draw") < F.col("rate_q"))
+        .select("id", "source", "rate_q")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 0,
+    shard_hex_chars: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global training order WITHOUT a global sort.
+
+    Each doc hashes to a shard (16^k shards from the first ``k`` md5 hex
+    chars of the EPOCH-SEEDED hash) and gets a dense rank within its shard
+    by the remaining hash order; the training reader walks shards in name
+    order — equivalent in expectation to a uniform shuffle, but the only
+    physical operation is a window per shard, every one of which is an
+    independent partition (size k so 16^k exceeds cluster parallelism; k=3
+    is 4096 shards). Changing ``epoch`` reshuffles everything — both shard
+    membership and intra-shard order — with zero state carried between
+    epochs. Output: (shard, ord, id)."""
+    h = F.md5(F.concat(F.lit(f"epoch{epoch}|"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(h, 1, shard_hex_chars).alias("shard"),
+        F.substring(h, shard_hex_chars + 1, 32 - shard_hex_chars).alias("_o"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_o"), F.col("id"))
+    return base.select(
+        "shard", F.row_number().over(w).cast("bigint").alias("ord"), "id"
+    )

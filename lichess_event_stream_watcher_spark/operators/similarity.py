@@ -663,3 +663,107 @@ def ivfpq_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_ip", "rank")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse k-means cells as the
+    blocking key, exact cosine pruning within each cell.
+
+    Every vector is assigned to its nearest centroid (a map-side literal
+    projection via ``nearest_cells`` — zero corpus shuffle), then pairs are
+    searched ONLY within a cell; a vector is a semantic duplicate if some
+    LOWER-id vector in its cell has rounded cosine >= ``threshold`` (the
+    canonical representative of a duplicate set is its smallest id, so the
+    verdict is deterministic and engine-portable).
+
+    Scale shape (the SemDeDup paper's own argument): the cell count bounds
+    the quadratic term — with k cells sized so that |cell| ~ n/k stays in
+    the 1e4-1e5 range, the cell-local self-join is n^2/k comparisons spread
+    over k independent keys; the corpus shuffles once on cell and once on
+    id_b for the verdict join. A hot cell (over-dense embedding region) is
+    bounded by raising k — the same lever as IVF; no global state, no
+    driver round-trips beyond the tiny centroid collect.
+
+    Output: one row PER INPUT VECTOR — (id, cell, keep); keep=false marks
+    vectors to drop."""
+    cells = nearest_cells(emb, centroids, 1, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), F.col("cent_id").alias("cell")
+    )
+    a = cells.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "cell")
+    b = cells.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "cell")
+    dup_pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+    )
+    dups = (
+        dup_pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            (~F.coalesce(F.col("_dup"), F.lit(False))).alias("keep"),
+        )
+    )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric absmax int8 scalar quantization of an embedding column —
+    the standard 4x-compression layout for serving/storage of vector
+    corpora (per-vector scale, codes = floor(x / scale * 127)).
+
+    Pure map-side projection: no shuffle, no state, embarrassingly
+    parallel at any corpus size. floor (not round) keeps the code bytes
+    engine-portable: both engines floor the identical IEEE double, whereas
+    HALF_UP vs banker's rounding diverge on exact .5 products.
+
+    Output per vector: (id, scale, codes_md5, n_sat, recon_err) — scale is
+    the absmax (rounded 6), codes_md5 hashes the comma-joined code array
+    (certifying every byte without an array-typed compare), n_sat counts
+    saturated codes (|code| = 127), recon_err is the rounded L2 error of
+    dequantization (the quality metric that decides whether int8 serving
+    is acceptable for a given corpus)."""
+    v = F.col(vec_col).cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # all-zero vectors quantize to all-zero codes (scale pinned to 1, not 0,
+    # so no NaN ever enters the code array)
+    scale = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax)
+    code = F.transform(v, lambda x: F.floor(x / scale * F.lit(127.0)).cast("int"))
+    deq = F.transform(F.col("_codes"), lambda c: c.cast("double") * F.col("_scale") / F.lit(127.0))
+    err2 = F.aggregate(
+        F.zip_with(v, deq, lambda x, d: (x - d) * (x - d)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            scale.alias("_scale"),
+            code.alias("_codes"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("_scale"), 6).alias("scale"),
+            F.md5(F.array_join(F.col("_codes"), ",")).alias("codes_md5"),
+            F.size(F.filter(F.col("_codes"), lambda c: F.abs(c) == 127)).cast(
+                "bigint"
+            ).alias("n_sat"),
+            F.round(F.sqrt(err2), 6).alias("recon_err"),
+        )
+    )

@@ -286,3 +286,94 @@ def lexicon_coverage(
         ratio.alias("lex_ratio"),
         ((n_tok > 0) & (ratio >= min_ratio)).alias("keep"),
     )
+
+
+def char_bigrams(col: Column) -> Column:
+    """All overlapping character bigrams of the normalized text, in order."""
+    t = normalize_text(col)
+    idx = F.when(
+        F.length(t) >= 2, F.sequence(F.lit(1), F.length(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substring(t, i, 2))
+
+
+def charlm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Char-bigram language-model likelihood score — the KenLM/CCNet-style
+    "does this look like the corpus" quality signal, with the model trained
+    on the corpus itself in the same pass.
+
+    Model: add-one-smoothed conditional probability p(c2 | c1) =
+    (count(c1c2) + 1) / (count(c1 followed by anything) + V), with V = the
+    corpus's distinct leading-char count. Each bigram's probability is
+    floor-quantized to integer parts-per-``quant`` BEFORE summation, so
+    per-doc totals are integer sums — order-independent, engine-portable,
+    no transcendental functions anywhere (a log-space score would hang the
+    hash check on cross-libm ln() ulps).
+
+    Scale shape: bigram explosion is map-side; the model build is one
+    shuffle on bigram with partial aggregation (the model itself is bounded
+    by charset^2 rows — broadcastable at ANY corpus size, the whole reason
+    char-level models are the first-pass web filter); scoring joins the
+    broadcast model back to per-doc bigram counts (one shuffle on doc id).
+    Docs shorter than 2 chars get the explicit zero row (n_bigrams = 0,
+    score 0) — a quality gate must verdict every document.
+
+    Output: (id, n_bigrams, avg_prob_q, ppl_proxy) where avg_prob_q is the
+    mean quantized bigram probability (higher = more corpus-like) and
+    ppl_proxy = quant / avg_prob_q (rounded down; an inverse-likelihood
+    stand-in for perplexity)."""
+    base = df.select(
+        F.col(id_col).alias("id"), char_bigrams(F.col(text_col)).alias("_bg")
+    )
+    bg = (
+        base.select("id", F.explode("_bg").alias("bg"))
+        .filter(F.length("bg") == 2)
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    model = bg.groupBy("bg").agg(F.sum("n").alias("cnt"))
+    ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("ctx_total")
+    )
+    vocab = model.select(F.countDistinct(F.substring("bg", 1, 1)).alias("v"))
+    scored_model = (
+        model.join(F.broadcast(ctx), F.substring(model.bg, 1, 1) == ctx.c1)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.floor(
+                (F.col("cnt") + 1).cast("double")
+                * F.lit(float(quant))
+                / (F.col("ctx_total") + F.col("v")).cast("double")
+            ).cast("bigint")
+            .alias("prob_q"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(scored_model), "bg")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("prob_q")).alias("sum_prob_q"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    full = ids.join(per_doc, "id", "left")
+    n = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+    avg = F.when(n == 0, F.lit(0)).otherwise(
+        F.floor(F.col("sum_prob_q").cast("double") / n.cast("double")).cast("bigint")
+    )
+    return full.select(
+        "id",
+        n.alias("n_bigrams"),
+        avg.alias("avg_prob_q"),
+        F.when(avg == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(float(quant)) / avg.cast("double")))
+        .cast("bigint")
+        .alias("ppl_proxy"),
+    )

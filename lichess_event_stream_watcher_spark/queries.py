@@ -236,30 +236,34 @@ _DRIVER_PRIORITY = [
     "dedup_containment",
     "paragraph_dedup",
     "dedup_incremental",
-    "dedup_corpus",
     "dedup_clusters",
     "dedup_clusters_star",
-    # embedding similarity / ANN (the _adc pair: frozen-codebook PQ serving,
-    # the hash-checkable face of the trained ann_pq/ivfpq rows-only twins)
+    "semantic_dedup",
+    # embedding similarity / ANN (ann_pq_adc: frozen-codebook PQ serving,
+    # the hash-checkable face of the trained ann_pq/ivfpq rows-only twins;
+    # ann_ivfpq_adc + ann_lsh_multiprobe rotate out r3 — their machinery is
+    # certified through ann_pq_adc + ann_ivf_topk + ann_lsh_topk — to fund
+    # window slots for the round-3 operators)
     "embedding_near_dup",
     "knn_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "ann_lsh_multiprobe",
     "ann_pq_adc",
-    "ann_ivfpq_adc",
+    "embedding_quantize_int8",
     # text analysis + curation policy
     "text_profile",
     "repetition_profile",
     "lexicon_coverage",
+    "charlm_quality",
     "pii_scrub",
     "curation_gate",
     "source_quality_scorecard",
     "contamination_check",
-    # multimodal plumbing
+    "temperature_mix_sample",
+    # multimodal plumbing (frames rotates out r3: same mapInPandas batch
+    # machinery as multimodal_features, which stays)
     "multimodal_manifest",
     "multimodal_features",
-    "multimodal_frames",
     # graph + late analytics (added round 2, never checked)
     "fuzzy_graph_triangles",
     "fuzzy_graph_kcore",

@@ -1303,3 +1303,186 @@ def source_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_draw") < F.col("keep_pct"))
         .drop("_draw")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup, int8 quantization, char-LM quality, temperature mix, epoch
+# shuffle (round 3 additions — each a standard large-corpus pipeline stage)
+# ---------------------------------------------------------------------------
+_SEMANTIC_DEDUP_ORACLE = f"""WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+),
+assign AS (
+  SELECT a.vec_id, b.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_COS_SQL}, 6) DESC, b.cent_id ASC
+         ) AS rnk
+  FROM embeddings a CROSS JOIN cents b
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM assign WHERE rnk = 1),
+dups AS (
+  SELECT DISTINCT cb.vec_id
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+  JOIN embeddings a ON a.vec_id = ca.vec_id
+  JOIN embeddings b ON b.vec_id = cb.vec_id
+  WHERE ROUND({_COS_SQL}, 6) >= 0.35
+)
+SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id"""
+
+
+@query("semantic_dedup", _SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse cells (fixed centroids vec_ids 8-15, as
+    ann_ivf_topk) block the corpus, exact cosine prunes within a cell —
+    a vector drops when a lower-id cell-mate sits at cosine >= 0.35.
+    Every input vector gets a verdict row."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return S.semantic_dedup(emb, cents, threshold=0.35)
+
+
+def _q_terms() -> str:
+    els = " + ".join(
+        f"(x[{i}] - CAST(CAST(floor(x[{i}] / s * 127.0) AS INT) AS DOUBLE) * s / 127.0)"
+        f" * (x[{i}] - CAST(CAST(floor(x[{i}] / s * 127.0) AS INT) AS DOUBLE) * s / 127.0)"
+        for i in range(1, 65)
+    )
+    return els
+
+
+_QUANTIZE_ORACLE = f"""WITH v AS (
+  SELECT vec_id, [CAST(e AS DOUBLE) FOR e IN embedding] AS x FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, x,
+         CASE WHEN list_max([abs(e) FOR e IN x]) = 0 THEN 1.0
+              ELSE list_max([abs(e) FOR e IN x]) END AS s
+  FROM v
+),
+coded AS (
+  SELECT vec_id, x, s,
+         [CAST(floor(e / s * 127.0) AS INT) FOR e IN x] AS codes
+  FROM scaled
+)
+SELECT vec_id,
+       ROUND(s, 6) AS scale,
+       md5(array_to_string(codes, ',')) AS codes_md5,
+       CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+       ROUND(sqrt({_q_terms()}), 6) AS recon_err
+FROM coded"""
+
+
+@query("embedding_quantize_int8", _QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric absmax int8 quantization of the embedding corpus: scale,
+    full code-array md5, saturation count, L2 reconstruction error —
+    map-side, certifying every byte of the 4x-compressed layout."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)
+
+
+_CHARLM_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+bg AS (
+  SELECT id, substring(t, CAST(i AS INT), 2) AS bg, COUNT(*) AS n
+  FROM (SELECT id, t, unnest(range(1, length(t))) AS i FROM norm)
+  GROUP BY id, substring(t, CAST(i AS INT), 2)
+),
+model AS (SELECT bg, SUM(n) AS cnt FROM bg GROUP BY bg),
+ctx AS (SELECT substring(bg, 1, 1) AS c1, SUM(cnt) AS ctx_total FROM model GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT substring(bg, 1, 1)) AS v FROM model),
+scored_model AS (
+  SELECT m.bg,
+         CAST(floor(CAST(m.cnt + 1 AS DOUBLE) * 1000000000.0
+              / CAST(c.ctx_total + vocab.v AS DOUBLE)) AS BIGINT) AS prob_q
+  FROM model m JOIN ctx c ON substring(m.bg, 1, 1) = c.c1 CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT bg.id, SUM(bg.n) AS n_bigrams, SUM(bg.n * sm.prob_q) AS sum_prob_q
+  FROM bg JOIN scored_model sm ON sm.bg = bg.bg
+  GROUP BY bg.id
+),
+full_t AS (
+  SELECT d.doc_id AS id,
+         CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0
+              ELSE CAST(floor(CAST(p.sum_prob_q AS DOUBLE)
+                   / CAST(p.n_bigrams AS DOUBLE)) AS BIGINT) END AS avg_prob_q
+  FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+)
+SELECT id, n_bigrams, avg_prob_q,
+       CASE WHEN avg_prob_q = 0 THEN 0
+            ELSE CAST(floor(1000000000.0 / CAST(avg_prob_q AS DOUBLE)) AS BIGINT)
+       END AS ppl_proxy
+FROM full_t"""
+
+
+@query("charlm_quality", _CHARLM_ORACLE)
+def charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM likelihood scoring (train + score in one pass,
+    integer-quantized probabilities — see operators/text.py:charlm_score).
+    Every doc gets a row."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.charlm_score(docs)
+
+
+_TEMP_MIX_ORACLE = r"""WITH counts AS (
+  SELECT lang AS source, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+cmin AS (SELECT MIN(n_docs) AS c FROM counts),
+rates AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(cmin.c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+              * 1000000.0) AS BIGINT) AS rate_q
+  FROM counts CROSS JOIN cmin
+)
+SELECT d.doc_id AS id, d.lang AS source, r.rate_q
+FROM documents d JOIN rates r ON r.source = d.lang
+WHERE CAST(('0x' || substring(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000000 < r.rate_q"""
+
+
+@query("temperature_mix_sample", _TEMP_MIX_ORACLE)
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=1/2) mixture rebalancing with a seeded md5 draw,
+    over the LANGUAGE dimension (the XLM-R use case; the corpus's ``lang``
+    counts are skewed 64..218 where ``source`` is deliberately uniform, so
+    the rate computation AND the draw filter both exercise): the smallest
+    language keeps 100%, larger ones keep sqrt-proportionally less
+    (operators/curation.py:temperature_mix_sample)."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.temperature_mix_sample(docs, source_col="lang")
+
+
+_EPOCH_SHUFFLE_ORACLE = r"""WITH h AS (
+  SELECT doc_id AS id,
+         md5('epoch3|' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT substring(hx, 1, 2) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY substring(hx, 1, 2)
+         ORDER BY substring(hx, 3, 30), id
+       ) AS BIGINT) AS ord,
+       id
+FROM h"""
+
+
+@query("epoch_shuffle", _EPOCH_SHUFFLE_ORACLE)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order as 256 independent shard
+    windows — a global shuffle with no global sort
+    (operators/curation.py:epoch_shuffle, epoch=3)."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.epoch_shuffle(docs, epoch=3)

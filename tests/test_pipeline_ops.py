@@ -859,3 +859,107 @@ def test_lexicon_and_gate_verdict_every_doc(spark):
         r.id: (r.keep and (r.id in rep_ids)) for r in X.lexicon_coverage(docs).collect()
     }
     assert set(verdicts) == {1, 2, 3}
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark, sf_dir):
+    """An exact copy of vector 42 under a fresh higher id must land in the
+    same cell and come back keep=false, while 42 itself stays kept; every
+    input vector gets exactly one verdict row."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 42).select(
+        F.lit(9999).cast("bigint").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    out = S.semantic_dedup(emb.unionByName(clone), cents, threshold=0.999)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == emb.count() + 1
+    assert rows[9999].keep is False
+    assert rows[42].keep is True
+    assert rows[9999].cell == rows[42].cell
+
+
+def test_quantize_int8_zero_vector_and_bounds(spark):
+    """Zero vectors quantize to all-zero codes with scale pinned to 1 (no
+    NaN); codes stay within [-127, 127] so the md5 is over genuine int8
+    range; recon_err is bounded by the scalar-quantization error bound
+    sqrt(d) * scale / 127."""
+    import hashlib as H
+    import math
+
+    d = 8
+    rows = [
+        (1, [0.0] * d),
+        (2, [0.5, -1.0, 0.25, 0.75, -0.125, 1.0, -0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in S.quantize_int8(df).collect()}
+    zero = out[1]
+    assert zero.scale == 1.0 and zero.n_sat == 0 and zero.recon_err == 0.0
+    assert zero.codes_md5 == H.md5(",".join(["0"] * d).encode()).hexdigest()
+    v = out[2]
+    # absmax element hits exactly +/-127; floor keeps magnitudes <= 127
+    assert v.scale == 1.0
+    assert v.n_sat >= 1
+    assert v.recon_err <= math.sqrt(d) * v.scale / 127.0
+
+
+def test_charlm_scores_corpus_like_above_junk(spark):
+    """A doc written in the corpus's character distribution must score a
+    higher mean bigram probability than line noise; sub-2-char docs get the
+    explicit zero row."""
+    from lichess_event_stream_watcher_spark.operators.text import charlm_score
+
+    corpus = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(20)]
+    rows = corpus + [(100, "zxq jvk wqx qzj xkv"), (101, "a"), (102, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in charlm_score(df).collect()}
+    assert len(out) == len(rows)
+    assert out[0].avg_prob_q > out[100].avg_prob_q
+    assert out[101].n_bigrams == 0 and out[101].avg_prob_q == 0 and out[101].ppl_proxy == 0
+    assert out[102].n_bigrams == 0
+    assert out[100].ppl_proxy > out[0].ppl_proxy
+
+
+def test_temperature_mix_rates_monotone(spark):
+    """Smallest source keeps everything (rate_q == quant); rates decrease
+    with source size following sqrt(c_min/c); the sampled fraction lands
+    near the rate."""
+    from lichess_event_stream_watcher_spark.operators.curation import (
+        temperature_mix_rates,
+        temperature_mix_sample,
+    )
+
+    rows = [(i, "small") for i in range(50)] + [(1000 + i, "big") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r.source: r.rate_q for r in temperature_mix_rates(df).collect()}
+    assert rates["small"] == 1_000_000
+    assert rates["big"] == int((50 / 800) ** 0.5 * 1_000_000)
+    kept = temperature_mix_sample(df).groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in kept}
+    assert by_src["small"] == 50  # rate 1.0 keeps all
+    # 800 draws at rate 0.25: expect ~200, allow generous hash-draw spread
+    assert 120 <= by_src["big"] <= 280
+
+
+def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark, sf_dir):
+    from lichess_event_stream_watcher_spark.operators.curation import epoch_shuffle
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    n = docs.count()
+    e0 = epoch_shuffle(docs, epoch=0)
+    rows0 = e0.collect()
+    assert len(rows0) == n
+    assert len({r.id for r in rows0}) == n
+    # dense rank per shard: per-shard max(ord) == count
+    per_shard = (
+        e0.groupBy("shard").agg(F.max("ord").alias("mx"), F.count("*").alias("c")).collect()
+    )
+    assert all(r.mx == r.c for r in per_shard)
+    order0 = {r.id: (r.shard, r.ord) for r in rows0}
+    order1 = {r.id: (r.shard, r.ord) for r in epoch_shuffle(docs, epoch=1).collect()}
+    moved = sum(1 for i in order0 if order0[i] != order1[i])
+    assert moved > n * 0.9, "changing epoch must reshuffle nearly everything"

@@ -332,6 +332,8 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "funnel_view_click_purchase",  # three 1-row stage counts combined
         "ann_pq_topk",                # |queries|-row ADC table broadcast
         "ann_pq_adc",                 # same ADC-table broadcast, frozen books
+        "charlm_quality",             # 1-row vocab-size broadcast
+        "temperature_mix_sample",     # 1-row min-source-count broadcast
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
