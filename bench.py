@@ -62,6 +62,11 @@ HEADLINE = [
     "fuzzy_graph_triangles",
     "value_outliers_3sigma",
     "purchase_state_attribution",
+    "semantic_dedup",
+    "charlm_quality",
+    "embedding_quantize_int8",
+    "temperature_mix_sample",
+    "epoch_shuffle",
 ]
 # NOTE: dedup_clusters_star / cross_source_dups / dup_graph_pagerank are
 # benched through dedup_pipeline_shared below (pairs computed ONCE, three
@@ -100,6 +105,20 @@ def bench_dedup_pipeline_shared(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _drop_table_and_location(spark, table: str) -> None:
+    """DROP TABLE IF EXISTS plus physical location cleanup: each bench run
+    starts a fresh in-memory metastore, so a table directory orphaned by a
+    killed earlier run is invisible to DROP and would fail saveAsTable with
+    LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(warehouse, table)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)
+
+
 def bench_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
     """Per-batch cost of ingestion dedup against a PRE-BUILT bucketed
     shingle index (save_shingle_index, built untimed — it amortizes over
@@ -121,10 +140,12 @@ def bench_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     old = docs.filter(F.col("doc_id") % 2 == 0)
     table = "bench_shingle_index"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _drop_table_and_location(spark, table)
     D.save_shingle_index(old, table, n=2, buckets=32)
+    # conf.get returns None for a key that was never set (the adaptive
+    # threshold by default); restore must unset those, not set(None)
     saved = {
-        k: spark.conf.get(k)
+        k: spark.conf.get(k, None)
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
@@ -141,8 +162,11 @@ def bench_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
         dt_smj = time.perf_counter() - t0
     finally:
         for k, v in saved.items():
-            spark.conf.set(k, v)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        _drop_table_and_location(spark, table)
     return dt_indexed, dt_smj
 
 

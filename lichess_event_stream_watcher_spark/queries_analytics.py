@@ -2129,3 +2129,106 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_probe") == 1)
         .select("event_id", "user_id", "ts", "prev_state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-flavored rate anomaly: EWMA baseline per event type, exact
+# ---------------------------------------------------------------------------
+_EWMA_LAGS = 6  # EWMA horizon; 0.5^7 < 1% residual weight
+
+
+def _ewma_sql_terms(col: str) -> str:
+    # alpha = 1/2: ewma_t = sum_{k=1..L} 0.5^k * x_{t-k}, normalized by the
+    # weight actually present (leading buckets have fewer lags). Powers of
+    # two are exact doubles, so Spark and DuckDB agree bit-for-bit.
+    num = " + ".join(
+        f"COALESCE(lag({col}, {k}) OVER w, 0) * {0.5 ** k!r}" for k in range(1, _EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag({col}, {k}) OVER w IS NULL THEN 0 ELSE {0.5 ** k!r} END)"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms("n")
+
+_RATE_ANOMALY_ORACLE = f"""WITH buckets AS (
+  SELECT event_type,
+         CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, bucket, n,
+         {_EWMA_NUM} AS wsum,
+         {_EWMA_DEN} AS wtot
+  FROM buckets
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type, bucket, n,
+       CAST(floor(wsum / wtot * 10000.0) AS BIGINT) AS ewma_q,
+       CAST(n AS DOUBLE) * wtot > 2.0 * wsum AS anomaly
+FROM scored WHERE wtot > 0"""
+
+
+@query("event_rate_anomaly", _RATE_ANOMALY_ORACLE)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection per event type: hourly counts vs an
+    exponentially-weighted moving average of the preceding six buckets
+    (alpha = 1/2 — powers of two, so the weighted sum is bit-identical
+    across engines; the anomaly test cross-multiplies instead of dividing
+    so no rounding ever flips a verdict at the threshold). An hour firing
+    above 2x its EWMA baseline flags.
+
+    Scale shape: one shuffle to build (event_type, hour) buckets — the
+    heavy reduction off the raw stream — then a lag window over the TINY
+    bucket table partitioned by event_type; at any event rate the window
+    input is bounded by types x hours. The same bucket aggregate under
+    readStream is the watermarked tumbling window (windowed_event_rollup),
+    with the EWMA scan running on the rollup sink."""
+    ev = testdata.load(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+        ).alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wsum = sum(
+        (
+            F.coalesce(F.lag("n", k).over(w), F.lit(0)).cast("double") * F.lit(0.5**k)
+            for k in range(1, _EWMA_LAGS + 1)
+        ),
+        F.lit(0.0),
+    )
+    wtot = sum(
+        (
+            F.when(F.lag("n", k).over(w).isNull(), F.lit(0.0)).otherwise(F.lit(0.5**k))
+            for k in range(1, _EWMA_LAGS + 1)
+        ),
+        F.lit(0.0),
+    )
+    return (
+        buckets.select(
+            "event_type",
+            "bucket",
+            "n",
+            wsum.alias("_wsum"),
+            wtot.alias("_wtot"),
+        )
+        # a type's first bucket has no preceding baseline: no verdict row
+        # (emitting NULLs instead would also force the bigint column to
+        # float through every Arrow/pandas hop)
+        .filter(F.col("_wtot") > 0.0)
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.floor(F.col("_wsum") / F.col("_wtot") * F.lit(10000.0))
+            .cast("bigint")
+            .alias("ewma_q"),
+            (F.col("n").cast("double") * F.col("_wtot") > F.lit(2.0) * F.col("_wsum"))
+            .alias("anomaly"),
+        )
+    )

@@ -120,3 +120,84 @@ def notify_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
         .withWatermark("ingest_time", watermark)
         .dropDuplicates(["user_id"])
     )
+
+
+def seen_window_stream_tws(
+    events: DataFrame,
+    ttl_minutes: int | None = None,
+    recent_k: int = RECENT_K,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``seen_window_stream`` — the
+    Spark 4.x arbitrary-state API (StatefulProcessor + typed state vars)
+    that replaces ``applyInPandasWithState`` going forward.
+
+    Same semantics and output schema as the applyInPandasWithState twin,
+    with two operational upgrades the new API gives for free: state TTL is
+    declared PER STATE VARIABLE (``ttlDurationMs``) instead of hand-rolled
+    timeout callbacks, and the state store is RocksDB-backed (the query
+    must run with ``spark.sql.streaming.stateStore.providerClass`` set to
+    the RocksDB provider — transformWithState requires it), which keeps
+    per-executor state off-heap and spillable — the property that lets a
+    100 TB-scale key space (hundreds of millions of users) hold state that
+    no longer fits an in-memory HDFS-backed store.
+
+    Scale shape is unchanged: state shards by user key; each micro-batch
+    touches only updated keys.
+
+    Environment note: the TWS Python worker talks to the JVM state server
+    over protobuf — running this path requires the ``protobuf`` package
+    (absent in some minimal containers; the differential test skips there
+    and ``seen_window_stream`` remains the fallback)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60 * 1000
+
+    class SeenProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", SEEN_STATE_SCHEMA, ttl_ms)
+
+        def handleInputRows(
+            self, key: Tuple[str], rows: Iterable[pd.DataFrame], timer_values: Any
+        ) -> Iterable[pd.DataFrame]:
+            batch = pd.concat(list(rows), ignore_index=True)
+            if self._agg.exists():
+                count, first_seen, last_seen, recent = self._agg.get()
+                recent = list(recent)
+            else:
+                count, first_seen, last_seen, recent = 0, None, None, []
+            count += len(batch)
+            ts = batch["ingest_time"]
+            batch_min, batch_max = ts.min(), ts.max()
+            first_seen = batch_min if first_seen is None else min(first_seen, batch_min)
+            last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+            recent = (recent + list(batch["user_json"]))[-recent_k:]
+            self._agg.update((count, first_seen, last_seen, recent))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "seen_count": [count],
+                    "first_seen": [first_seen],
+                    "last_seen": [last_seen],
+                    "recent_json": [recent],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.select(
+        F.lower(F.col("username")).alias("user_id"),
+        F.col("ingest_time"),
+        F.to_json(
+            F.struct("username", "email", "ip", "user_agent", "finger_print", "susp_ip")
+        ).alias("user_json"),
+    )
+    return keyed.groupBy("user_id").transformWithStateInPandas(
+        SeenProcessor(),
+        outputStructType=SEEN_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -91,3 +91,72 @@ def test_notify_dedup_stream(spark, tmp_path, few_state_partitions):
         "append",
     ).collect()
     assert sorted(r["user_id"] for r in out) == ["dup", "other"]
+
+
+@pytest.fixture()
+def rocksdb_state_store(spark):
+    """transformWithStateInPandas requires the RocksDB state store
+    provider; restore the default provider afterwards so the
+    applyInPandasWithState tests keep their HDFS-backed stores."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+def test_seen_window_tws_matches_apply_in_pandas_twin(
+    spark, tmp_path, few_state_partitions, rocksdb_state_store
+):
+    """The transformWithStateInPandas twin must produce the exact same
+    final per-user state as the applyInPandasWithState path on a two-batch
+    replay (state continuity, lowercase keying, last-k truncation).
+
+    Environment-gated: the TWS Python state-server protocol runs over
+    protobuf, which this container does not ship — skip (not fail) where
+    google.protobuf is absent, exactly like the ua-parser auto-upgrade."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol requires protobuf",
+    )
+    from lichess_event_stream_watcher_spark.streaming.state import (
+        seen_window_stream_tws,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.ndjson").write_text(
+        "\n".join([wire("Alice"), wire("BOB"), wire("alice")])
+    )
+    (landing / "b.ndjson").write_text("\n".join([wire("ALICE"), wire("carol")]))
+
+    def final_states(fn, name, ckpt):
+        events = read_ndjson_stream(spark, str(landing), max_files_per_trigger=1)
+        rows = drain(spark, fn(events, recent_k=2), name, ckpt, "update").collect()
+        # update mode emits one row per touched key per batch: keep the last
+        out = {}
+        for r in rows:
+            prev = out.get(r.user_id)
+            if prev is None or r.seen_count > prev.seen_count:
+                out[r.user_id] = r
+        return out
+
+    tws = final_states(seen_window_stream_tws, "seen_tws", str(tmp_path / "ck_tws"))
+    apw = final_states(seen_window_stream, "seen_apw", str(tmp_path / "ck_apw"))
+    assert set(tws) == set(apw) == {"alice", "bob", "carol"}
+    for uid in tws:
+        assert tws[uid].seen_count == apw[uid].seen_count, uid
+        assert list(tws[uid].recent_json) == list(apw[uid].recent_json), uid
+        assert tws[uid].first_seen == apw[uid].first_seen, uid
+        assert tws[uid].last_seen == apw[uid].last_seen, uid
+    assert tws["alice"].seen_count == 3
+    assert len(tws["alice"].recent_json) == 2
