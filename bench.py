@@ -67,6 +67,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "temperature_mix_sample",
     "epoch_shuffle",
+    "bloom_admission",
+    "event_rate_anomaly",
 ]
 # NOTE: dedup_clusters_star / cross_source_dups / dup_graph_pagerank are
 # benched through dedup_pipeline_shared below (pairs computed ONCE, three

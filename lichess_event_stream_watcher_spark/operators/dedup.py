@@ -1199,3 +1199,101 @@ def containment_pairs(
         ).alias("p")
     ).select("p.src_id", "p.dst_id", "p.containment")
     return directed.filter(F.col("containment") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom filter (probabilistic membership), pure Catalyst
+# ---------------------------------------------------------------------------
+def _bloom_positions(key, m_bits: int, k_hashes: int):
+    """The k bit positions of a key: independent seeded md5 draws, exactly
+    reproducible in any engine with md5 + string concat (no murmur/xxhash
+    dependency, no sign pitfalls)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bloom{j}|"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % m_bits
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_filter_words(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as a WORD TABLE:
+    (word_idx, bits) rows where ``bits`` packs 32 filter bits into the low
+    half of a BIGINT via a ``bit_or`` aggregate.
+
+    Spark ships a Bloom filter only as an internal join-pruning expression
+    (``bloom_filter_agg`` is not a registered SQL function), so this is the
+    DataFrame-native equivalent — with the property the internal one lacks:
+    the filter itself is a queryable, persistable, oracle-checkable table.
+
+    Scale shape: each key emits its k positions map-side; one ``bit_or``
+    aggregation over word_idx collapses ANY corpus cardinality to at most
+    m_bits/32 rows (8 KB of longs per 2^16 bits) — the classic "membership
+    state that fits in a broadcast no matter how big history gets". 32-bit
+    packing (not 64) keeps every mask within positive BIGINT range in both
+    engines. Size m_bits ~ 10-15 bits/key for ~1% false positives."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bloom_positions(key, m_bits, k_hashes))).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("bigint").alias("word_idx"),
+            # shiftleft's python wrapper wants a literal shift; the SQL
+            # form takes an expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words
+
+
+def bloom_probe(
+    batch: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a batch against a Bloom word table: ``maybe_present`` is true
+    iff ALL k probe bits are set — no false negatives ever (members always
+    report present), false positives at the filter's designed rate; a
+    false ``maybe_present`` is a PROOF of novelty. The admission pattern:
+    route maybe-present keys into the (expensive) exact/near-dup check,
+    admit the definitely-new rest straight through — at ingestion scale
+    the filter eliminates the corpus lookup for the vast majority of keys.
+
+    The word table broadcasts (bounded at m_bits/32 rows by construction);
+    the k probes explode map-side and one groupBy over the batch key
+    re-collapses them — the corpus itself is never touched."""
+    key = F.col(key_col)
+    probes = batch.select(
+        key.alias("key"),
+        F.posexplode(F.array(*_bloom_positions(key, m_bits, k_hashes))).alias(
+            "j", "pos"
+        ),
+    ).select(
+        "key",
+        "j",
+        (F.col("pos") / 32).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).bitwiseAND(F.col("mask"))
+        != 0
+    )
+    return (
+        probes.join(F.broadcast(words), "word_idx", "left")
+        .select("key", hit.cast("int").alias("hit"))
+        .groupBy("key")
+        .agg((F.sum("hit") == F.lit(k_hashes)).alias("maybe_present"))
+        .select("key", "maybe_present", (~F.col("maybe_present")).alias("definitely_new"))
+    )

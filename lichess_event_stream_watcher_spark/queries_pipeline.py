@@ -1486,3 +1486,52 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = testdata.load(spark, sf_dir, "documents")
     return C.epoch_shuffle(docs, epoch=3)
+
+
+_BLOOM_M, _BLOOM_K = 1 << 16, 4
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('bloom{j}|' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""WITH corpus AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+),
+pos AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {_bloom_pos_sql('doc_id', j)} AS p FROM corpus" for j in range(_BLOOM_K))}
+),
+words AS (
+  SELECT CAST(p // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT doc_id AS key, {_bloom_pos_sql('doc_id', j)} AS p FROM documents" for j in range(_BLOOM_K))}
+),
+hits AS (
+  SELECT pr.key,
+         CASE WHEN COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT)) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probes pr LEFT JOIN words w ON w.word_idx = CAST(pr.p // 32 AS BIGINT)
+)
+SELECT key, SUM(hit) = {_BLOOM_K} AS maybe_present,
+       NOT (SUM(hit) = {_BLOOM_K}) AS definitely_new
+FROM hits GROUP BY key"""
+
+
+@query("bloom_admission", _BLOOM_ORACLE)
+def bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingestion admission: the even-doc_id half of the corpus
+    builds a 2^16-bit word-packed filter (bit_or aggregate -> at most 2048
+    broadcastable rows regardless of corpus size); every doc then probes
+    it. Members can never report new (no false negatives — pinned in
+    pytest); a definitely_new verdict skips the expensive near-dup lookup
+    entirely (operators/dedup.py:bloom_filter_words/bloom_probe)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    words = D.bloom_filter_words(corpus, "doc_id", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    return D.bloom_probe(docs, words, "doc_id", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)

@@ -963,3 +963,23 @@ def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark, sf_dir):
     order1 = {r.id: (r.shard, r.ord) for r in epoch_shuffle(docs, epoch=1).collect()}
     moved = sum(1 for i in order0 if order0[i] != order1[i])
     assert moved > n * 0.9, "changing epoch must reshuffle nearly everything"
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark, sf_dir):
+    """Every corpus member must probe maybe_present (Bloom's hard
+    guarantee); non-members may false-positive but at well under the
+    designed rate for 2^16 bits / 4 hashes at this cardinality; the word
+    table stays within its m/32 row bound."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    words = D.bloom_filter_words(corpus, "doc_id")
+    assert words.count() <= (1 << 16) / 32
+    out = {r.key: r for r in D.bloom_probe(docs, words, "doc_id").collect()}
+    n_members = corpus.count()
+    members = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert all(out[k].maybe_present for k in members), "false negative!"
+    fps = [k for k in out if k not in members and out[k].maybe_present]
+    n_non = len(out) - n_members
+    # designed fp rate at 500 keys in 2^16 bits is ~1e-5; allow huge slack
+    assert len(fps) <= max(1, n_non // 20), fps[:5]
+    assert all(out[k].definitely_new == (not out[k].maybe_present) for k in out)
