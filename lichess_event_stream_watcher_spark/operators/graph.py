@@ -142,3 +142,67 @@ def k_core(
         )
         prev_ids, cur_ids = cur_ids, persisted_rdd_ids(edges) - before
     return e.select(F.col("src").alias("id")).distinct()
+
+
+def pagerank_quantized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    a: str = "id_a",
+    b: str = "id_b",
+    iters: int = 10,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Integer-quantized PageRank (damping fixed at the rational 85/100):
+    ranks live in micro-units, each edge contribution is the integer
+    division (rank_q * 85) div (100 * deg), and a round's new rank is
+    0.15*quant + the integer sum of contributions.
+
+    Same distributed shape as ``pagerank`` (one join + one agg per round,
+    localCheckpoint lineage cuts, superseded rounds unpersisted). The
+    point of quantizing: every per-round sum is an INTEGER sum —
+    order-independent, so the full 10-iteration fixpoint is bit-identical
+    across engines, partitionings and shuffle orders, and the driver gets
+    a FULL hash check (the float variant is rows-only: cross-engine float
+    summation differs in last-ulp order). Precision cost vs float: each
+    edge floor loses < 1 micro-unit per round — bounded by
+    iters * max_degree micro-units, noise at rank scale 1e6.
+
+    Output: (id, rank_q) — divide by ``quant`` for the float-scale rank.
+    """
+    from .util import persisted_rdd_ids, unpersist_rdd_ids
+
+    n = nodes.select(F.col(id_col).alias("id")).distinct()
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    teleport = (quant * 15) // 100
+    ranks = n.select("id", F.lit(quant).cast("bigint").alias("rank_q"))
+    rank_ids: set[int] = set()
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(rank_q * 85) div (100 * deg)").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        before = persisted_rdd_ids(edges)
+        ranks = (
+            n.join(sums, "id", "left")
+            .select(
+                "id",
+                (F.lit(teleport) + F.coalesce("s", F.lit(0)))
+                .cast("bigint")
+                .alias("rank_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        unpersist_rdd_ids(edges, rank_ids)
+        rank_ids = persisted_rdd_ids(edges) - before
+    return ranks

@@ -1535,3 +1535,44 @@ def bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     words = D.bloom_filter_words(corpus, "doc_id", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
     return D.bloom_probe(docs, words, "doc_id", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+
+
+_PAGERANK_Q_ORACLE = rf"""WITH RECURSIVE jp AS MATERIALIZED ({_JACCARD_ORACLE}),
+e AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+allnodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+pr(it, ids, rqs) AS (
+  SELECT 0,
+         (SELECT list(id ORDER BY id) FROM allnodes),
+         (SELECT list(CAST(1000000 AS BIGINT) ORDER BY id) FROM allnodes)
+  UNION ALL
+  SELECT s.it + 1,
+         s.ids,
+         (SELECT list(CAST(150000 + COALESCE(contrib.c, 0) AS BIGINT) ORDER BY n.id)
+          FROM (SELECT unnest(s.ids) AS id) n
+          LEFT JOIN (
+            SELECT e.dst AS id,
+                   SUM((s.rqs[list_position(s.ids, e.src)] * 85) // (100 * d.deg)) AS c
+            FROM e JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) contrib ON contrib.id = n.id)
+  FROM pr s WHERE s.it < 10
+)
+SELECT unnest(ids) AS id, unnest(rqs) AS rank_q FROM pr WHERE it = 10"""
+
+
+@query("dup_graph_pagerank_q", _PAGERANK_Q_ORACLE)
+def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized PageRank over the near-dup pair graph — the
+    hash-checked twin of the rows-only float dup_graph_pagerank: micro-unit
+    ranks, per-edge integer-division contributions, integer per-round sums
+    (order-independent, so both engines reach the identical 10-iteration
+    fixpoint; the DuckDB twin carries the rank vector through a recursive
+    CTE). See operators/graph.py:pagerank_quantized."""
+    from .operators.graph import pagerank_quantized
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    return pagerank_quantized(docs.select(F.col("doc_id").alias("id")), pairs, iters=10)

@@ -983,3 +983,37 @@ def test_bloom_filter_no_false_negatives_and_low_fp(spark, sf_dir):
     # designed fp rate at 500 keys in 2^16 bits is ~1e-5; allow huge slack
     assert len(fps) <= max(1, n_non // 20), fps[:5]
     assert all(out[k].definitely_new == (not out[k].maybe_present) for k in out)
+
+
+def test_pagerank_quantized_matches_python_twin(spark, sf_dir):
+    """The quantized fixpoint must equal a straight-Python integer
+    recurrence exactly (no tolerance — that is the whole point), and stay
+    within quantization noise of the float variant."""
+    from lichess_event_stream_watcher_spark.operators.graph import (
+        pagerank,
+        pagerank_quantized,
+    )
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    got = {r.id: r.rank_q for r in pagerank_quantized(nodes, pairs, iters=10).collect()}
+
+    ids = [r.id for r in nodes.collect()]
+    edges = set()
+    for r in pairs.collect():
+        edges.add((r.id_a, r.id_b))
+        edges.add((r.id_b, r.id_a))
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rq = {i: 1_000_000 for i in ids}
+    for _ in range(10):
+        sums = {i: 0 for i in ids}
+        for s, d in edges:
+            sums[d] += (rq[s] * 85) // (100 * deg[s])
+        rq = {i: 150_000 + sums[i] for i in ids}
+    assert got == rq
+
+    fl = {r.id: r.rank for r in pagerank(nodes, pairs, iters=10).collect()}
+    assert all(abs(got[i] / 1_000_000 - fl[i]) < 0.01 for i in ids)

@@ -382,3 +382,46 @@ def test_shingle_index_probe_is_corpus_shuffle_free(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS corpus_sh_idx_t")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew evidence for the 100 TB story: a join whose left side
+    is 90% one hot key must come out of AQE with the hot partition SPLIT
+    (SortMergeJoin(skew=true) + an AQEShuffleRead marked skewed) instead of
+    one straggler task — the engine-level backstop behind every equi-join
+    here whose key distribution is data-dependent. Thresholds are scaled
+    down to test size; the mechanism is identical at production sizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(2000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        n = len(j.collect())  # execute THIS dataset so its plan finalizes
+        # hot key 0: 270000 matches; cold keys are ids = 9 mod 10, of which
+        # 9, 19, ..., 1999 fall inside the 2000-key dim -> 200 matches
+        assert n == 270000 + 200
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "SortMergeJoin(skew=true)" in p, p[:2000]
+        assert "skewed" in p, p[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

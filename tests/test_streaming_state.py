@@ -160,3 +160,67 @@ def test_seen_window_tws_matches_apply_in_pandas_twin(
         assert tws[uid].last_seen == apw[uid].last_seen, uid
     assert tws["alice"].seen_count == 3
     assert len(tws["alice"].recent_json) == 2
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path, few_state_partitions):
+    """Two live streams (views, clicks) interval-join with bounded state;
+    the streaming result must equal the batch twin on the same files, and
+    clicks outside [view_ts, view_ts + 30 min] must not attribute."""
+    import json as _json
+
+    from lichess_event_stream_watcher_spark.streaming.joins import stream_interval_join
+
+    views_dir = tmp_path / "views"
+    clicks_dir = tmp_path / "clicks"
+    views_dir.mkdir()
+    clicks_dir.mkdir()
+
+    def ev(user, ts):
+        return _json.dumps({"user_id": user, "ts": ts})
+
+    (views_dir / "v.json").write_text(
+        "\n".join(
+            [
+                ev("u1", "2024-01-01 10:00:00"),
+                ev("u2", "2024-01-01 10:05:00"),
+                ev("u3", "2024-01-01 10:00:00"),
+            ]
+        )
+    )
+    (clicks_dir / "c.json").write_text(
+        "\n".join(
+            [
+                ev("u1", "2024-01-01 10:10:00"),  # in window (+10 min)
+                ev("u1", "2024-01-01 11:10:00"),  # out (+70 min)
+                ev("u2", "2024-01-01 10:04:00"),  # out (before the view)
+                ev("u2", "2024-01-01 10:35:00"),  # in window (+30 min exactly)
+                ev("u4", "2024-01-01 10:10:00"),  # no view at all
+            ]
+        )
+    )
+    schema = "user_id string, ts timestamp"
+
+    def run(reader):
+        views = reader(str(views_dir))
+        clicks = reader(str(clicks_dir))
+        return stream_interval_join(
+            views, clicks, key="user_id", left_ts="ts", right_ts="ts"
+        )
+
+    batch_rows = {
+        (r.key, str(r.l_ts), str(r.r_ts), r.lag_seconds)
+        for r in run(lambda d: spark.read.schema(schema).json(d)).collect()
+    }
+    stream_df = run(lambda d: spark.readStream.schema(schema).json(d))
+    assert stream_df.isStreaming
+    out = drain(
+        spark, stream_df, "attrib", str(tmp_path / "ckpt_join"), "append"
+    ).collect()
+    stream_rows = {(r.key, str(r.l_ts), str(r.r_ts), r.lag_seconds) for r in out}
+    assert stream_rows == batch_rows
+    assert stream_rows == {
+        ("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 600),
+        ("u2", "2024-01-01 10:05:00", "2024-01-01 10:35:00", 1800),
+    }
+    # payload structs survive the join
+    assert all(r.l.user_id == r.key and r.r.user_id == r.key for r in out)
