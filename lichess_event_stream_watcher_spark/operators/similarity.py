@@ -767,3 +767,98 @@ def quantize_int8(
             F.round(F.sqrt(err2), 6).alias("recon_err"),
         )
     )
+
+
+def _quantize_vec(vec_col: str, quant: int):
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(quant))).cast("bigint"),
+    )
+
+
+def _nearest_quantized_cell(vq, cents_q: list[list[int]]):
+    """Argmin-L2 cell over literal integer centroids as a map-side Column:
+    integer fold distances (order-free), lexicographic struct sort breaks
+    ties by cent_id. Everything integer -> bit-identical in any engine."""
+    structs = []
+    for cid, c in enumerate(cents_q):
+        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        d = F.aggregate(
+            F.zip_with(vq, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(cid).cast("bigint").alias("cid")))
+    return F.array_sort(F.array(*structs))[0]["cid"]
+
+
+def kmeans_fit_quantized(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[int]]:
+    """Integer-quantized Lloyd's k-means — the HASH-CHECKABLE trained
+    clustering path (``kmeans_fit``'s float averages are rows-only: their
+    summation order is engine-dependent).
+
+    Vectors quantize once to micro-units (floor(x * quant) — one
+    correctly-rounded double product, identical everywhere); assignment is
+    argmin of INTEGER L2 distances with cent_id tie-break; the centroid
+    update is floor(sum/count) where sum is an integer (order-independent)
+    and the single double division is correctly rounded — so the entire
+    iteration trajectory, not just the final answer, is bit-identical
+    across engines, partitionings, and shuffle orders, and a DuckDB
+    recursive CTE can replay it for a full hash check.
+
+    Same distributed shape as ``kmeans_fit``: per iteration the assignment
+    is an inlined-literal map-side projection (zero shuffle, zero join of
+    the corpus) and the update is one (cid, dim) groupBy — k*dim cells of
+    partial-agg state, k*dim rows to the driver. Empty cells keep their
+    previous centroid. Returns the k centroid lists in micro-units.
+    """
+    import math
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    seeds = (
+        emb.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select(_quantize_vec(vec_col, quant).alias("vq"))
+        .collect()
+    )
+    cents = [[int(x) for x in r[0]] for r in seeds]
+    base = emb.select(F.col(id_col).alias("id"), _quantize_vec(vec_col, quant).alias("vq"))
+    for _ in range(iters):
+        assigned = base.select(
+            "vq", _nearest_quantized_cell(F.col("vq"), cents).alias("cid")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("vq").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        for r in sums:
+            nxt[int(r["cid"])][int(r["i"])] = math.floor(r["s"] / r["n"])
+        cents = nxt
+    return cents
+
+
+def kmeans_cells_quantized(
+    emb: DataFrame,
+    cents_q: list[list[int]],
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final cell assignment against quantized centroids: (id, cell),
+    map-side only."""
+    return emb.select(
+        F.col(id_col),
+        _nearest_quantized_cell(_quantize_vec(vec_col, quant), cents_q).alias("cell"),
+    )

@@ -1576,3 +1576,58 @@ def dup_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = testdata.load(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     return pagerank_quantized(docs.select(F.col("doc_id").alias("id")), pairs, iters=10)
+
+
+_KMQ_ITERS = 3
+_KMQ_DIST = " + ".join(
+    f"(q.v[{i}] - s.c[{i}]) * (q.v[{i}] - s.c[{i}])" for i in range(1, 65)
+)
+
+_KMEANS_Q_ORACLE = f"""WITH RECURSIVE vq AS MATERIALIZED (
+  SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) FOR e IN embedding] AS v
+  FROM embeddings
+),
+seeds AS MATERIALIZED (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+  FROM (SELECT vec_id, embedding FROM embeddings) e
+  JOIN vq USING (vec_id)
+),
+km(it, cents) AS (
+  SELECT 0, (SELECT list({{'cid': cid, 'c': v}} ORDER BY cid) FROM seeds WHERE cid < 8)
+  UNION ALL
+  SELECT km.it + 1,
+    (SELECT list({{'cid': cur.cid, 'c': COALESCE(nc.newc, cur.c)}} ORDER BY cur.cid)
+     FROM (SELECT s.cid AS cid, s.c AS c FROM (SELECT unnest(km.cents) AS s)) cur
+     LEFT JOIN (
+       SELECT cid, list(m ORDER BY i) AS newc FROM (
+         SELECT a.cid, d.i,
+                CAST(floor(CAST(SUM(a.v[d.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         FROM (
+           SELECT q.vec_id, q.v,
+                  (SELECT s.cid FROM (SELECT unnest(km.cents) AS st), LATERAL (SELECT st.cid AS cid, st.c AS c) s
+                   ORDER BY ({_KMQ_DIST}), s.cid LIMIT 1) AS cid
+           FROM vq q
+         ) a CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) d
+         GROUP BY a.cid, d.i
+       ) GROUP BY cid
+     ) nc ON nc.cid = cur.cid)
+  FROM km WHERE km.it < {_KMQ_ITERS}
+)
+SELECT q.vec_id,
+       (SELECT s.cid FROM (SELECT unnest((SELECT cents FROM km WHERE it = {_KMQ_ITERS})) AS st),
+          LATERAL (SELECT st.cid AS cid, st.c AS c) s
+        ORDER BY ({_KMQ_DIST}), s.cid LIMIT 1) AS cell
+FROM vq q"""
+
+
+@query("ann_kmeans_cells_q", _KMEANS_Q_ORACLE)
+def ann_kmeans_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED k-means clustering with a full hash check — the quantized
+    twin of the rows-only ann_ivf_trained: 3 integer-quantized Lloyd
+    iterations (micro-unit vectors, integer L2 argmin, floor-mean update)
+    whose whole trajectory is order-independent, replayed by a DuckDB
+    recursive CTE carrying the centroid lists. Output: final (vec_id,
+    cell) assignment (operators/similarity.py:kmeans_fit_quantized)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit_quantized(emb, k=8, iters=_KMQ_ITERS)
+    return S.kmeans_cells_quantized(emb, cents)

@@ -1017,3 +1017,35 @@ def test_pagerank_quantized_matches_python_twin(spark, sf_dir):
 
     fl = {r.id: r.rank for r in pagerank(nodes, pairs, iters=10).collect()}
     assert all(abs(got[i] / 1_000_000 - fl[i]) < 0.01 for i in ids)
+
+
+def test_kmeans_quantized_matches_python_twin(spark, sf_dir):
+    """The quantized Lloyd trajectory must equal a straight-Python integer
+    recurrence EXACTLY (assignments and centroids both) — no tolerance."""
+    import hashlib
+    import math
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit_quantized(emb, k=8, iters=3)
+    got = {r.vec_id: r.cell for r in S.kmeans_cells_quantized(emb, cents).collect()}
+
+    vecs = {
+        r.vec_id: [math.floor(float(x) * 1e6) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    order = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    ref_c = {c: list(vecs[order[c]]) for c in range(8)}
+
+    def assign(v):
+        return min(
+            range(8), key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, ref_c[c])), c)
+        )
+
+    for _ in range(3):
+        groups = {}
+        for i, v in vecs.items():
+            groups.setdefault(assign(v), []).append(v)
+        for c, vs in groups.items():
+            ref_c[c] = [math.floor(sum(col) / len(vs)) for col in zip(*vs)]
+    assert [list(c) for c in cents] == [ref_c[c] for c in range(8)]
+    assert got == {i: assign(v) for i, v in vecs.items()}

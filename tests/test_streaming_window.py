@@ -56,3 +56,60 @@ def test_windowed_rollup_stream_equals_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM win_rollup").collect()}
     assert got == batch
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The gap-based session window under readStream + watermark (append
+    mode — sessions emit once finalized past the watermark) must produce
+    exactly the batch result once the stream drains: merging of
+    micro-batch-split sessions is the stateful behavior being proven."""
+    ev = (
+        testdata.load(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("user_id") % 7 == 0)
+    )
+    land = str(tmp_path / "landing")
+    ev.repartitionByRange(4, "ts").write.parquet(land)
+
+    def rollup(df):
+        return (
+            df.groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("sw.start").alias("sess_start"),
+                F.col("sw.end").alias("sess_end"),
+                "user_id",
+                "n_events",
+            )
+        )
+
+    batch = {tuple(r) for r in rollup(ev).collect()}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        rollup(stream)
+        .writeStream.format("memory")
+        .queryName("sess_rollup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess_rollup").collect()}
+    # append mode only emits sessions finalized BEFORE the final watermark;
+    # the last events' sessions never finalize in a drained run
+    assert got, "no finalized sessions emitted"
+    assert got <= batch
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    horizon = max_ts - dt.timedelta(hours=1)
+    finalized_batch = {t for t in batch if t[1] <= horizon}
+    assert finalized_batch <= got
