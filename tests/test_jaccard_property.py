@@ -94,3 +94,54 @@ def test_deletion_blocking_matches_brute_force_levenshtein(spark, names):
         if _lev(a, b) == 1
     }
     assert got == want, names
+
+
+def test_quantize_int8_roundtrip_bound_property(spark):
+    """Property: for random non-zero vectors, per-element dequantization
+    error is < scale/127 + ulp slack, n_sat counts only absmax-magnitude
+    hits, and recon_err matches a Python recomputation of the identical
+    floor-quantization."""
+    import math
+    import random
+
+    from lichess_event_stream_watcher_spark.operators.similarity import quantize_int8
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        d = rng.choice([4, 8, 16])
+        rows.append((i, [rng.uniform(-10, 10) for _ in range(d)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    for i, v in rows:
+        s = max(abs(x) for x in v) or 1.0
+        codes = [math.floor(x / s * 127.0) for x in v]
+        err = math.sqrt(sum((x - c * s / 127.0) ** 2 for x, c in zip(v, codes)))
+        assert got[i].scale == round(s, 6)
+        assert got[i].n_sat == sum(1 for c in codes if abs(c) == 127)
+        assert abs(got[i].recon_err - err) < 1e-6
+        # every element's dequant error is below one quantization step
+        assert all(abs(x - c * s / 127.0) <= s / 127.0 + 1e-12 for x, c in zip(v, codes))
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Property: across random key sets and filter sizes, members NEVER
+    report definitely_new (the Bloom guarantee the admission path relies
+    on for correctness)."""
+    import random
+
+    from lichess_event_stream_watcher_spark.operators.dedup import (
+        bloom_filter_words,
+        bloom_probe,
+    )
+
+    rng = random.Random(11)
+    for m_bits, k_hashes in ((1 << 12, 3), (1 << 14, 5)):
+        keys = rng.sample(range(10**9), 300)
+        corpus = spark.createDataFrame([(k,) for k in keys[:200]], "key long")
+        batch = spark.createDataFrame([(k,) for k in keys], "key long")
+        words = bloom_filter_words(corpus, "key", m_bits=m_bits, k_hashes=k_hashes)
+        out = {r.key: r.maybe_present for r in bloom_probe(
+            batch, words, "key", m_bits=m_bits, k_hashes=k_hashes
+        ).collect()}
+        assert all(out[k] for k in keys[:200]), "false negative"

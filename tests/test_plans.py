@@ -425,3 +425,40 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round3_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-3 operator family:
+
+    - semantic_dedup: cell assignment is map-side (the only joins are the
+      cell-local equi self-join and the verdict join — no cartesian, no
+      nested loop);
+    - bloom probe: the word table joins BROADCAST (bounded by m/32 rows),
+      the batch side is never exchanged for it;
+    - epoch_shuffle: windows partition by shard — never a single-partition
+      global sort;
+    - quantized k-means assignment: pure projection, zero shuffle, zero
+      join."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    qs = entry.queries()
+    p = plan_str(qs["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    words = D.bloom_filter_words(docs, "doc_id")
+    p = plan_str(D.bloom_probe(docs, words, "doc_id"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    p = plan_str(qs["epoch_shuffle"](spark, sf_dir))
+    assert "SinglePartition" not in p
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = [[0] * 64 for _ in range(8)]
+    p = plan_str(S.kmeans_cells_quantized(emb, cents))
+    assert "Exchange" not in p and "Join" not in p
