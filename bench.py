@@ -213,7 +213,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # min-of-2: strip first-touch JIT/codegen noise
+        # min-of-3: strip first-touch JIT/codegen noise AND the occasional
+        # GC/compaction outlier that min-of-2 lets through (observed 2-3x
+        # swings on the pair-search family between otherwise-idle runs)
+        for _ in range(3):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

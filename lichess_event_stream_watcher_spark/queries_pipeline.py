@@ -1583,7 +1583,7 @@ _KMQ_DIST = " + ".join(
     f"(q.v[{i}] - s.c[{i}]) * (q.v[{i}] - s.c[{i}])" for i in range(1, 65)
 )
 
-_KMEANS_Q_ORACLE = f"""WITH RECURSIVE vq AS MATERIALIZED (
+_KMEANS_Q_CTE = f"""WITH RECURSIVE vq AS MATERIALIZED (
   SELECT vec_id, [CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) FOR e IN embedding] AS v
   FROM embeddings
 ),
@@ -1612,12 +1612,17 @@ km(it, cents) AS (
        ) GROUP BY cid
      ) nc ON nc.cid = cur.cid)
   FROM km WHERE km.it < {_KMQ_ITERS}
-)
-SELECT q.vec_id,
-       (SELECT s.cid FROM (SELECT unnest((SELECT cents FROM km WHERE it = {_KMQ_ITERS})) AS st),
-          LATERAL (SELECT st.cid AS cid, st.c AS c) s
-        ORDER BY ({_KMQ_DIST}), s.cid LIMIT 1) AS cell
-FROM vq q"""
+),
+cells AS (
+  SELECT q.vec_id, q.v,
+         (SELECT s.cid FROM (SELECT unnest((SELECT cents FROM km WHERE it = {_KMQ_ITERS})) AS st),
+            LATERAL (SELECT st.cid AS cid, st.c AS c) s
+          ORDER BY ({_KMQ_DIST}), s.cid LIMIT 1) AS cell
+  FROM vq q
+)"""
+
+
+_KMEANS_Q_ORACLE = _KMEANS_Q_CTE + "\nSELECT vec_id, cell FROM cells"
 
 
 @query("ann_kmeans_cells_q", _KMEANS_Q_ORACLE)
@@ -1631,3 +1636,141 @@ def ann_kmeans_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = testdata.load(spark, sf_dir, "embeddings")
     cents = S.kmeans_fit_quantized(emb, k=8, iters=_KMQ_ITERS)
     return S.kmeans_cells_quantized(emb, cents)
+
+
+_KMV_K = 64
+_KMV_SCALE = 16 ** 12  # first-12-hex-chars hash space
+
+
+_KMV_ORACLE = f"""WITH uh AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+  FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM uh
+),
+stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_kept,
+         MAX(h) AS kth_hash
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY event_type
+),
+exact AS (SELECT event_type, COUNT(*) AS exact_users FROM uh GROUP BY event_type)
+SELECT s.event_type,
+       e.exact_users,
+       CASE WHEN s.n_kept < {_KMV_K} THEN s.n_kept
+            ELSE ({_KMV_K} - 1) * {_KMV_SCALE} // s.kth_hash END AS est_users
+FROM stats s JOIN exact e ON e.event_type = s.event_type"""
+
+
+@query("kmv_distinct_sketch", _KMV_ORACLE)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, next
+    to the exact count — the hash-checkable sketch (HLL++ estimates are
+    engine-internal; KMV's estimate is a pure function of the k smallest
+    md5 draws, so both engines compute the identical integer). Estimator:
+    (k-1) * H / h_k with h_k the k-th smallest 48-bit hash, exact-count
+    fallback below k. All integer arithmetic (the (k-1)*H product exceeds
+    double precision, so the division stays in BIGINT on both sides).
+
+    Scale shape: one distinct-reduce then a per-type top-k — at real
+    cardinalities replace the row_number window with a partial-agg
+    min_k-style accumulation, but the sketch's defining property holds
+    regardless: state is k hashes per group no matter how many distinct
+    users exist. Accuracy ~ 1/sqrt(k) ~ 12% at k=64, pytest-asserted."""
+    ev = testdata.load(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 12),
+            16,
+            10,
+        ).cast("bigint").alias("h"),
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    stats = (
+        uh.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
+    )
+    exact = uh.groupBy("event_type").agg(F.count("*").alias("exact_users"))
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"({_KMV_K} - 1) * CAST({_KMV_SCALE} AS BIGINT) div kth_hash")
+    )
+    return (
+        stats.join(exact, "event_type")
+        .select("event_type", "exact_users", est.cast("bigint").alias("est_users"))
+    )
+
+
+_IVFQ_DIST_QN = " + ".join(
+    f"(qv.v[{i}] - nb.v[{i}]) * (qv.v[{i}] - nb.v[{i}])" for i in range(1, 65)
+)
+
+_IVF_TRAINED_Q_ORACLE = (
+    _KMEANS_Q_CTE
+    + f""",
+probes AS (SELECT vec_id AS query_id, v, cell FROM cells WHERE vec_id IN (0, 1, 2, 3, 4)),
+scored AS (
+  SELECT qv.query_id, nb.vec_id AS neighbor_id, ({_IVFQ_DIST_QN.replace('qv.v', 'qv.v').replace('nb.v', 'nb.v')}) AS dist_q
+  FROM probes qv JOIN cells nb ON nb.cell = qv.cell AND nb.vec_id <> qv.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY dist_q ASC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, dist_q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+)
+
+
+@query("ann_ivf_trained_q", _IVF_TRAINED_Q_ORACLE)
+def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED IVF serving, hash-checked END TO END: quantized-Lloyd
+    centroids (ann_kmeans_cells_q's trainer), cell-local candidates, and
+    exact integer-L2 ranking within the probed cell — training AND serving
+    both bit-identical across engines, closing the last rows-only gap in
+    the trained-ANN family (the float ann_ivf_trained keeps its rows-only
+    row as the production-shaped twin). Candidate join is cell-local with
+    the 5-probe side broadcast; everything else is map-side."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit_quantized(emb, k=8, iters=_KMQ_ITERS)
+    cells = emb.select(
+        F.col("vec_id"),
+        S._quantize_vec("embedding", 1_000_000).alias("v"),
+    ).withColumn("cell", S._nearest_quantized_cell(F.col("v"), cents))
+    probes = (
+        cells.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cell"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        cells.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("dist_q"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "dist_q", "rank")
+    )

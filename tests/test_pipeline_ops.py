@@ -1049,3 +1049,21 @@ def test_kmeans_quantized_matches_python_twin(spark, sf_dir):
             ref_c[c] = [math.floor(sum(col) / len(vs)) for col in zip(*vs)]
     assert [list(c) for c in cents] == [ref_c[c] for c in range(8)]
     assert got == {i: assign(v) for i, v in vecs.items()}
+
+
+def test_kmv_sketch_error_bound(spark, sf_dir):
+    """KMV at k=64 must land within ~3/sqrt(k) (~38%, generous) of the
+    exact distinct count for every event type, and the exact column must
+    equal a direct count_distinct."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["kmv_distinct_sketch"](spark, sf_dir).collect()
+    assert out
+    ev = testdata.load(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for r in out:
+        assert r.exact_users == exact[r.event_type]
+        assert abs(r.est_users - r.exact_users) <= 0.38 * r.exact_users, r
