@@ -69,6 +69,8 @@ HEADLINE = [
     "epoch_shuffle",
     "bloom_admission",
     "event_rate_anomaly",
+    "tf_cosine_pairs",
+    "kmv_distinct_sketch",
 ]
 # NOTE: dedup_clusters_star / cross_source_dups / dup_graph_pagerank are
 # benched through dedup_pipeline_shared below (pairs computed ONCE, three

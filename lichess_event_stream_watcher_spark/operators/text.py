@@ -377,3 +377,67 @@ def charlm_score(
         .cast("bigint")
         .alias("ppl_proxy"),
     )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Term-frequency cosine similarity for all document pairs sharing a
+    token — the bag-of-words companion to the Jaccard family (Jaccard
+    sees sets; tf-cosine sees counts, so 'the the the cat' and 'the cat'
+    separate).
+
+    Determinism: numerators are sums of INTEGER tf products and norms are
+    integer self-product sums — order-independent — so the only floating
+    point is one correctly-rounded sqrt/division per pair, rounded to 6:
+    fully hash-checkable, unlike float-weighted tf-idf whose log weights
+    would hang on cross-libm ln() ulps.
+
+    Scale shape: same single-shuffle inverted-index form as the Jaccard
+    postings path — per-token posting lists generate pair contributions
+    (one shuffle on token, one on the pair), per-doc norms ride map-side.
+    ``max_token_df`` caps stop-token posting lists (same recall contract
+    as the Jaccard df cap: pairs sharing ONLY capped tokens drop).
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    if max_token_df is not None:
+        keep = tok.groupBy("tok").agg(F.count("*").alias("df_"))
+        tok = tok.join(
+            F.broadcast(keep.filter(F.col("df_") <= max_token_df).select("tok")), "tok"
+        )
+    norms = tok.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tok.select(F.col("id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
+    b = tok.select(F.col("id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -272,6 +272,16 @@ _DRIVER_PRIORITY = [
     "user_state_scd2",
     "value_outliers_3sigma",
     "purchase_state_attribution",
+    # --- position 51+: next in line if the driver budget grows, and the
+    # head of the round-4 rotation — the round-3 additions past the window
+    # (all locally oracle-parity green every session)
+    "dup_graph_pagerank_q",
+    "ann_kmeans_cells_q",
+    "ann_ivf_trained_q",
+    "bloom_admission",
+    "kmv_distinct_sketch",
+    "event_rate_anomaly",
+    "epoch_shuffle",
 ]
 
 

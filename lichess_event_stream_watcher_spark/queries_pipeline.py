@@ -1774,3 +1774,33 @@ def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "dist_q", "rank")
     )
+
+
+_TF_COSINE_ORACLE = rf"""WITH {_NORM},
+{_TOKS},
+tok AS (
+  SELECT id, tok, COUNT(*) AS tf FROM (
+    SELECT id, unnest(tk) AS tok FROM toks
+  ) WHERE tok IS NOT NULL AND tok <> ''
+  GROUP BY id, tok
+),
+norms AS (SELECT id, SUM(tf * tf) AS n2 FROM tok GROUP BY id),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, SUM(a.tf * b.tf) AS dot
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sim
+  FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.8"""
+
+
+@query("tf_cosine_pairs", _TF_COSINE_ORACLE)
+def tf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words tf-cosine near-dup pairs at 0.8 — integer numerators
+    and norms, one sqrt per pair (operators/text.py:tf_cosine_pairs)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.tf_cosine_pairs(docs, threshold=0.8)

@@ -1067,3 +1067,29 @@ def test_kmv_sketch_error_bound(spark, sf_dir):
     for r in out:
         assert r.exact_users == exact[r.event_type]
         assert abs(r.est_users - r.exact_users) <= 0.38 * r.exact_users, r
+
+
+def test_tf_cosine_separates_counts_from_sets(spark):
+    """tf-cosine must distinguish documents Jaccard cannot: same token SET
+    but different counts scores below 1.0, while an exact copy scores 1.0;
+    the df cap drops pairs whose only shared tokens are stop tokens."""
+    from lichess_event_stream_watcher_spark.operators.text import tf_cosine_pairs
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat sat"),                # exact copy of 1
+        (3, "the the the cat cat sat"),    # same set as 1, different counts
+        (4, "dog runs fast the"),          # shares only 'the' with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.cos_sim for r in tf_cosine_pairs(df, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+    assert out[(1, 4)] > 0.0
+    capped = {
+        (r.id_a, r.id_b)
+        for r in tf_cosine_pairs(df, threshold=0.0, max_token_df=3).collect()
+    }
+    # 'the' appears in all 4 docs -> capped out; (1,4) shared only 'the'
+    assert (1, 4) not in capped
+    assert (1, 2) in capped
