@@ -174,6 +174,64 @@ def bench_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
     return dt_indexed, dt_smj
 
 
+def bench_streaming_engine(spark, sf_dir: str, tmp_root: str) -> tuple[float, int]:
+    """End-to-end STREAMING throughput: the signup batch serialized to an
+    NDJSON landing dir (untimed), then drained through readStream ->
+    parse -> enrich -> rule scan -> side effects -> state via the
+    foreachBatch runner with a checkpoint — the complete production wiring
+    including stream parse and checkpoint commits, availableNow trigger.
+
+    Returns (seconds, n_events)."""
+    import json as _json
+    import random
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark import fixtures, testdata
+    from lichess_event_stream_watcher_spark.control.engine import Engine
+    from lichess_event_stream_watcher_spark.control.sinks import CollectingSink
+    from lichess_event_stream_watcher_spark.rules.store import SignupRulesManager
+    from lichess_event_stream_watcher_spark.streaming import read_ndjson_stream
+    from lichess_event_stream_watcher_spark.streaming.runner import run_engine_stream
+
+    land = os.path.join(tmp_root, "bench_landing")
+    ckpt = os.path.join(tmp_root, "bench_ckpt")
+    for d in (land, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(land)
+    rows = testdata.signups_df(spark, sf_dir).select(
+        F.to_json(
+            F.struct("username", "email", "ip", "user_agent", "finger_print", "susp_ip")
+        ).alias("j")
+    ).collect()
+    n = len(rows)
+    with open(os.path.join(land, "events.ndjson"), "w") as f:
+        for r in rows:
+            d = _json.loads(r.j)
+            d["t"] = "signup"
+            f.write(_json.dumps(d) + "\n")
+
+    store = SignupRulesManager()
+    for r in fixtures.reference_ruleset():
+        store.rules.append(r)
+    engine = Engine(
+        store,
+        messages=CollectingSink(),
+        mod_api=CollectingSink(),
+        geoip_ranges=fixtures.geoip_ranges_df(spark),
+        rng=random.Random(0),
+    )
+    events = read_ndjson_stream(spark, land)
+    t0 = time.perf_counter()
+    q_ = run_engine_stream(engine, events, ckpt, available_now=True)
+    q_.awaitTermination(600)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(land, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return dt, n
+
+
 def bench_engine_batch(spark, sf_dir: str) -> float:
     """End-to-end engine pass (enrich + rule scan + side effects + state)
     over the full signup batch — the reference's whole hot path as one
@@ -234,6 +292,9 @@ def main() -> None:
     # wall-time at small SF is dominated by fixed per-batch overhead;
     # events/sec is the quantity that scales, so report it alongside
     n_events = testdata.signups_df(spark, sf_dir).count()
+    import tempfile
+
+    stream_sec, stream_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
     print(
         json.dumps(
             {
@@ -242,6 +303,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "engine_events_per_sec": round(n_events / engine_sec, 1),
+                "streaming_engine_events_per_sec": round(stream_n / stream_sec, 1),
                 "sf": sf,
             }
         )

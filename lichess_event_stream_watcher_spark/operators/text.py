@@ -385,6 +385,7 @@ def tf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_token_df: int | None = None,
+    dense_vocab_limit: int = 4096,
 ) -> DataFrame:
     """Term-frequency cosine similarity for all document pairs sharing a
     token — the bag-of-words companion to the Jaccard family (Jaccard
@@ -397,11 +398,25 @@ def tf_cosine_pairs(
     fully hash-checkable, unlike float-weighted tf-idf whose log weights
     would hang on cross-libm ln() ulps.
 
-    Scale shape: same single-shuffle inverted-index form as the Jaccard
-    postings path — per-token posting lists generate pair contributions
-    (one shuffle on token, one on the pair), per-doc norms ride map-side.
-    ``max_token_df`` caps stop-token posting lists (same recall contract
-    as the Jaccard df cap: pairs sharing ONLY capped tokens drop).
+    Adaptive physical strategy, exactly the Jaccard family's split:
+
+    - **dense vocabulary** (distinct tokens <= ``dense_vocab_limit``, as
+      on boilerplate-heavy or synthetic corpora): per-doc dense tf arrays
+      feed the SHARDED blocked-BLAS cosine machinery
+      (similarity.cosine_near_dup_pairs). A postings join here is
+      catastrophic — every token is a stop token, sum(df^2) ~ all-pairs
+      through a shuffle (measured 124 s vs ~3 s at sf0.1). Integer tf
+      sums stay exact in float64 regardless of BLAS summation order, so
+      the dense path is just as hash-stable.
+    - **sparse vocabulary** (the realistic web corpus): single-shuffle
+      inverted-index form — per-token posting lists generate pair
+      contributions, per-doc norms ride map-side. ``max_token_df`` caps
+      stop-token posting lists (same recall contract as the Jaccard df
+      cap: pairs sharing ONLY capped tokens drop; forces the sparse
+      path, which is the only one that can honor it).
+
+    The vocabulary probe is a distributed ``approx_count_distinct`` —
+    never a collect.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
     """
@@ -419,6 +434,11 @@ def tf_cosine_pairs(
         tok = tok.join(
             F.broadcast(keep.filter(F.col("df_") <= max_token_df).select("tok")), "tok"
         )
+    elif (
+        tok.agg(F.approx_count_distinct("tok").alias("v")).collect()[0]["v"]
+        <= dense_vocab_limit
+    ):
+        return _tf_cosine_dense(tok, threshold)
     norms = tok.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a = tok.select(F.col("id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
     b = tok.select(F.col("id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
@@ -441,3 +461,38 @@ def tf_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
+    """Dense-vocab tf-cosine: assemble per-doc tf vectors over the (small,
+    broadcastable) vocabulary and hand them to the sharded blocked-BLAS
+    cosine pair search. The vocab index is deterministic (row_number by
+    token text); zero-token docs never enter ``tok`` so no zero vector can
+    reach the norm division."""
+    from pyspark.sql.window import Window
+
+    from .similarity import cosine_near_dup_pairs
+
+    vocab = (
+        tok.select("tok")
+        .distinct()
+        .withColumn(
+            "_idx", F.row_number().over(Window.orderBy("tok")).cast("int") - 1
+        )
+    )
+    v_size = vocab.count()
+    entries = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_idx"), F.col("tf")))
+            ).alias("_m")
+        )
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(v_size - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast("double"),
+    )
+    dense = entries.select("id", vec.alias("_tfv"))
+    return cosine_near_dup_pairs(dense, threshold, id_col="id", vec_col="_tfv")

@@ -1093,3 +1093,23 @@ def test_tf_cosine_separates_counts_from_sets(spark):
     # 'the' appears in all 4 docs -> capped out; (1,4) shared only 'the'
     assert (1, 4) not in capped
     assert (1, 2) in capped
+
+
+def test_tf_cosine_strategies_agree(spark, sf_dir):
+    """The dense-BLAS and postings strategies are the same logical
+    operator: identical pair sets and rounded cosines on the corpus (the
+    tiny-vocab corpus drives the dense path by default; max_token_df high
+    enough to drop nothing forces the postings path)."""
+    from lichess_event_stream_watcher_spark.operators.text import tf_cosine_pairs
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    dense = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tf_cosine_pairs(docs, threshold=0.8).collect()
+    }
+    postings = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tf_cosine_pairs(docs, threshold=0.8, max_token_df=10**9).collect()
+    }
+    assert dense == postings
+    assert dense, "corpus should contain high-tf-cosine pairs"
