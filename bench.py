@@ -71,6 +71,7 @@ HEADLINE = [
     "event_rate_anomaly",
     "tf_cosine_pairs",
     "kmv_distinct_sketch",
+    "chunk_documents",
 ]
 # NOTE: dedup_clusters_star / cross_source_dups / dup_graph_pagerank are
 # benched through dedup_pipeline_shared below (pairs computed ONCE, three

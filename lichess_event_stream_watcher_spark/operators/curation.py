@@ -240,3 +240,53 @@ def epoch_shuffle(
     return base.select(
         "shard", F.row_number().over(w).cast("bigint").alias("ord"), "id"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window prep stage (long docs become multiple training rows;
+    the overlap preserves cross-boundary context).
+
+    Chunk starts step by ``chunk_tokens - overlap``; the final window is
+    whatever remains (>= 1 token; a doc shorter than one chunk yields
+    exactly one chunk). Pure map-side explode over a per-doc token array —
+    no shuffle, no state, embarrassingly parallel; output order is pinned
+    by (id, chunk_idx), never by partition layout.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    nt = normalize_text(F.col(text_col))
+    # empty/whitespace-only text splits to [''], a phantom 1-token array:
+    # gate on the normalized TEXT, not the array size
+    base = (
+        df.select(F.col(id_col).alias("id"), nt.alias("_nt"))
+        .filter(F.col("_nt") != "")
+        .select("id", tokens(F.col("_nt")).alias("_tk"))
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("_tk") - F.lit(overlap)).cast("double") / F.lit(step)).cast(
+            "int"
+        ),
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = F.explode(idx).alias("chunk_idx")
+    piece = F.slice(F.col("_tk"), F.col("chunk_idx") * step + 1, chunk_tokens)
+    return (
+        base.select("id", "_tk", chunk)
+        .select(
+            "id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("bigint").alias("n_tokens"),
+        )
+    )

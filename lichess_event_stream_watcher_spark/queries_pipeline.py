@@ -1804,3 +1804,33 @@ def tf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     and norms, one sqrt per pair (operators/text.py:tf_cosine_pairs)."""
     docs = testdata.load(spark, sf_dir, "documents")
     return X.tf_cosine_pairs(docs, threshold=0.8)
+
+
+_CHUNK_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+toks AS (
+  SELECT id, string_split_regex(t, '\s+') AS tk FROM norm WHERE t <> ''
+),
+base AS (SELECT id, tk, len(tk) AS n FROM toks),
+idx AS (
+  SELECT id, tk, CAST(unnest(range(GREATEST(1,
+           CAST(ceil(CAST(n - 8 AS DOUBLE) / 56) AS BIGINT)))) AS BIGINT) AS chunk_idx
+  FROM base
+)
+SELECT id, chunk_idx,
+       array_to_string(tk[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ') AS chunk_text,
+       CAST(len(tk[chunk_idx * 56 + 1 : chunk_idx * 56 + 64]) AS BIGINT) AS n_tokens
+FROM idx"""
+
+
+@query("chunk_documents", _CHUNK_ORACLE)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 8-token overlap over the corpus — the
+    context-window prep stage, map-side only
+    (operators/curation.py:chunk_documents)."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return C.chunk_documents(docs, chunk_tokens=64, overlap=8)

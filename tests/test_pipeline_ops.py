@@ -1113,3 +1113,33 @@ def test_tf_cosine_strategies_agree(spark, sf_dir):
     }
     assert dense == postings
     assert dense, "corpus should contain high-tf-cosine pairs"
+
+
+def test_chunk_documents_edges(spark):
+    """Chunking edge cases: short doc -> one chunk; exact-boundary doc ->
+    no empty trailing chunk; consecutive chunks overlap by exactly
+    `overlap` tokens; reconstruction covers every token; overlap >=
+    chunk_tokens raises."""
+    import pytest as _pytest
+
+    from lichess_event_stream_watcher_spark.operators.curation import chunk_documents
+
+    toks120 = " ".join(f"t{i}" for i in range(120))
+    toks112 = " ".join(f"t{i}" for i in range(112))  # 64 + 56 exactly -> 2 chunks
+    rows = [(1, "short doc"), (2, toks120), (3, toks112), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=64, overlap=8)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, []).append(r)
+    assert 4 not in by_doc  # whitespace-only doc yields nothing
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 2
+    c2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c2] == [64, 64]  # starts 0 and 56 -> 56..119
+    first, second = c2[0].chunk_text.split(), c2[1].chunk_text.split()
+    assert first[56:] == second[:8]  # the 8-token overlap
+    assert set(first) | set(second) == set(toks120.split())
+    c3 = sorted(by_doc[3], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in c3] == [64, 56]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
