@@ -1834,3 +1834,56 @@ def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = testdata.load(spark, sf_dir, "documents")
     return C.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+_FEATURE_STATS_ORACLE = r"""WITH vq AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) FOR e IN embedding] AS v
+  FROM embeddings
+),
+expl AS (
+  SELECT CAST(i AS INT) AS dim, v[CAST(i AS INT)] AS x
+  FROM vq CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q,
+       CAST(floor((CAST(SUM(x * x) AS DOUBLE) - CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*))
+            / COUNT(*)) AS BIGINT) AS var_q
+FROM expl GROUP BY dim"""
+
+
+@query("embedding_feature_stats", _FEATURE_STATS_ORACLE)
+def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column — the
+    whitening/normalization prep pass (feature means for centering,
+    variances for scaling). Vectors quantize once to integer micro-units,
+    so the sums feeding mean and variance are INTEGER sums
+    (order-independent -> full hash check; raw float sums would differ in
+    last-ulp order per engine). The two double steps (sum/n and the
+    variance combination) are single correctly-rounded operations floored
+    identically on both sides.
+
+    Scale shape: posexplode is map-side; ONE groupBy on dim with partial
+    aggregation — 64 cells of (sum, sumsq, count) state per partition, 64
+    output rows at any corpus size. Magnitude domain: |x_q| <= ~1e8 and
+    sum(x*x) <= n * 1e16 — exact in BIGINT up to ~900 rows per dim at
+    that extreme; the fixture's |x| <= ~3 gives ~1e13 headroom (documented
+    bound, same contract style as value_outliers_3sigma)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    vq = emb.select(
+        S._quantize_vec("embedding", 1_000_000).alias("v")
+    ).select(F.posexplode("v").alias("i", "x"))
+    sx = F.sum("x")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    n = F.count("*")
+    return (
+        vq.groupBy((F.col("i") + 1).cast("int").alias("dim"))
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.floor(sx.cast("double") / n).cast("bigint").alias("mean_q"),
+            F.floor(
+                (sxx.cast("double") - sx.cast("double") * sx / n) / n
+            ).cast("bigint").alias("var_q"),
+        )
+    )

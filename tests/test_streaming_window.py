@@ -58,6 +58,25 @@ def test_windowed_rollup_stream_equals_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def _pin_arrival_order(land: str) -> None:
+    """Make micro-batch arrival order deterministic AND event-time-ordered:
+    the file source processes oldest-modification-time first, and
+    repartitionByRange names part files in ascending ts-range order — so
+    stamping ascending mtimes in filename order guarantees no micro-batch
+    ever carries data older than the advancing watermark (otherwise the
+    4 files land with effectively random mtimes and a late file's
+    sessions are — correctly — dropped, making the assertion flaky)."""
+    import os
+    import time
+
+    parts = sorted(
+        os.path.join(land, f) for f in os.listdir(land) if f.startswith("part-")
+    )
+    base = time.time() - len(parts) - 10
+    for i, f in enumerate(parts):
+        os.utime(f, (base + i, base + i))
+
+
 def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
     """The gap-based session window under readStream + watermark (append
     mode — sessions emit once finalized past the watermark) must produce
@@ -70,6 +89,7 @@ def test_session_window_stream_equals_batch(spark, sf_dir, tmp_path):
     )
     land = str(tmp_path / "landing")
     ev.repartitionByRange(4, "ts").write.parquet(land)
+    _pin_arrival_order(land)
 
     def rollup(df):
         return (
