@@ -1,0 +1,125 @@
+"""The end-to-end corpus curation pipeline: the DAG a training-data team
+actually runs, chaining this repo's operators in their production order.
+
+    load -> exact dedup -> near-dup removal (Jaccard + connected
+    components) -> quality gate (repetition + lexicon + language) ->
+    PII scrub -> temperature mixture rebalancing -> split assignment ->
+    context-window chunking -> partitioned parquet write
+
+Stage ordering rationale (each stage shrinks the data the next one pays
+for): exact dedup first because it is the cheapest reduction (one
+fingerprint shuffle); near-dup second because pair search cost is
+quadratic-ish in corpus size, so it must run AFTER the exact shrink but
+BEFORE the per-doc scoring passes; quality/PII are map-side so their
+order barely matters (gate first so scrubbing skips dropped docs);
+sampling and splitting are pure hash decisions on ids; chunking explodes
+rows so it goes last before the write.
+
+Every stage is one of the repo's oracle-checked operators — the pipeline
+adds composition and accounting, not new semantics. Determinism:
+re-running the whole pipeline on the same input produces byte-identical
+decisions (all sampling/splitting is seeded md5; dedup canonicals are
+min-id).
+
+Scale: stages communicate ONLY through DataFrames (no driver
+materialization except the bounded stage-count summary); the text column
+is scanned once per text-touching stage and id-only frames flow through
+the dedup graph machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import curation as C
+from .operators import dedup as D
+from .operators import pii as P
+from .operators import text as X
+from .operators.layout import write_partitioned
+
+
+def curate_corpus(
+    docs: DataFrame,
+    out_dir: str | None = None,
+    jaccard_threshold: float = 0.5,
+    chunk_tokens: int = 64,
+    chunk_overlap: int = 8,
+    mix_source_col: str = "lang",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation DAG over a ``documents``-shaped frame
+    (doc_id, text, lang, source, n_chars).
+
+    Returns (chunks DataFrame, per-stage surviving-count summary). When
+    ``out_dir`` is set, the chunks are also written as parquet partitioned
+    by split (train/val/test directories prune at the file-index level
+    for downstream readers).
+    """
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup: keep the min-id doc per content fingerprint
+    keep_exact = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    docs1 = docs.join(F.broadcast(keep_exact), "doc_id", "left_semi")
+    counts["exact_dedup"] = docs1.count()
+
+    # 2. near-dup removal: Jaccard pairs -> connected components -> min-id
+    pairs = D.jaccard_pairs(docs1, n=2, threshold=jaccard_threshold)
+    comp = D.dup_components_star(docs1, pairs)
+    canon = comp.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs2 = docs1.join(F.broadcast(canon), "doc_id", "left_semi")
+    counts["near_dedup"] = docs2.count()
+
+    # 3. quality gate: repetition + lexicon + language signals, every doc
+    #    verdicted; keep only keep=true
+    rep = X.repetition_profile(docs2).select(
+        "doc_id", F.col("keep").alias("_keep_rep")
+    )
+    lex = X.lexicon_coverage(docs2).select(
+        F.col("id").alias("doc_id"), F.col("keep").alias("_keep_lex")
+    )
+    lang_ok = docs2.select(
+        "doc_id", (X.lang_id(F.col("text")) != "und").alias("_keep_lang")
+    )
+    gated = (
+        docs2.join(rep, "doc_id", "left")
+        .join(lex, "doc_id")
+        .join(lang_ok, "doc_id")
+        .filter(
+            F.coalesce("_keep_rep", F.lit(False))
+            & F.col("_keep_lex")
+            & F.col("_keep_lang")
+        )
+        .drop("_keep_rep", "_keep_lex", "_keep_lang")
+    )
+    counts["quality_gate"] = gated.count()
+
+    # 4. PII scrub (map-side; the redacted text replaces the original)
+    scrubbed = (
+        gated.join(P.scrub(gated, "text", "doc_id"), "doc_id")
+        .drop("text")
+        .withColumnRenamed("redacted", "text")
+        .drop("n_emails", "n_ips")
+    )
+
+    # 5. temperature (alpha=1/2) mixture rebalancing over the language dim
+    kept_ids = C.temperature_mix_sample(scrubbed, source_col=mix_source_col).select(
+        F.col("id").alias("doc_id")
+    )
+    sampled = scrubbed.join(F.broadcast(kept_ids), "doc_id", "left_semi")
+    counts["mix_sample"] = sampled.count()
+
+    # 6. split assignment (pure function of the id)
+    split = C.dataset_split(sampled)
+
+    # 7. context-window chunking (explodes rows; goes last)
+    chunks = C.chunk_documents(split, chunk_tokens=chunk_tokens, overlap=chunk_overlap)
+    chunks = chunks.join(
+        split.select(F.col("doc_id").alias("id"), "split", "lang", "source"), "id"
+    )
+    counts["chunks"] = chunks.count()
+
+    if out_dir is not None:
+        write_partitioned(chunks, out_dir, ["split"], sort_cols=["id", "chunk_idx"])
+    return chunks, counts

@@ -1143,3 +1143,42 @@ def test_chunk_documents_edges(spark):
     assert [r.n_tokens for r in c3] == [64, 56]
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """The whole curation DAG composes: counts shrink monotonically
+    through the destructive stages, outputs are PII-clean, every chunk's
+    doc survived every gate, the parquet lands partitioned by split, and
+    a re-run makes byte-identical decisions (full determinism)."""
+    import re as _re
+
+    from lichess_event_stream_watcher_spark.pipeline import curate_corpus
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    out = str(tmp_path / "curated")
+    chunks, counts = curate_corpus(docs, out_dir=out)
+    assert (
+        counts["input"]
+        >= counts["exact_dedup"]
+        >= counts["near_dedup"]
+        >= counts["quality_gate"]
+        >= counts["mix_sample"]
+        > 0
+    )
+    assert counts["chunks"] >= counts["mix_sample"]  # chunking only explodes
+    rows = chunks.collect()
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    email_re = _re.compile(r"[\w.+-]+@[\w-]+\.[\w.]+")
+    assert not any(email_re.search(r.chunk_text) for r in rows)
+    # partitioned layout on disk
+    written = spark.read.parquet(out)
+    assert written.count() == counts["chunks"]
+    assert set(d.name for d in (tmp_path / "curated").iterdir() if d.is_dir()) >= {
+        "split=train"
+    }
+    # determinism: identical decisions on a re-run
+    chunks2, counts2 = curate_corpus(docs)
+    assert counts2 == counts
+    assert sorted(
+        (r.id, r.chunk_idx, r.chunk_text, r.split) for r in rows
+    ) == sorted((r.id, r.chunk_idx, r.chunk_text, r.split) for r in chunks2.collect())
