@@ -1887,3 +1887,65 @@ def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("var_q"),
         )
     )
+
+
+_ROBUST_STATS_ORACLE = r"""WITH vq AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) FOR e IN embedding] AS v
+  FROM embeddings
+),
+expl AS (
+  SELECT CAST(i AS INT) AS dim, v[CAST(i AS INT)] AS x
+  FROM vq CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+),
+ranked AS (
+  SELECT dim, x,
+         ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM expl
+)
+SELECT dim, CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 3) // 4 THEN x END) AS p25_q,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS median_q,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN x END) AS p75_q,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN x END)
+         - MAX(CASE WHEN rn = (n + 3) // 4 THEN x END) AS iqr_q
+FROM ranked GROUP BY dim"""
+
+
+@query("embedding_robust_stats", _ROBUST_STATS_ORACLE)
+def embedding_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-dimension statistics (exact type-1 quartiles + IQR) over
+    micro-unit-quantized embedding values — the outlier-resistant
+    companion to embedding_feature_stats for robust scaling. Type-1
+    quantiles (the value AT position ceil(q*n) of the sorted multiset) are
+    well-defined regardless of tie order and need no interpolation, so the
+    whole query is integer-exact and hash-checks; interpolating quantile
+    functions (percentile_cont and friends) interpolate differently per
+    engine. One window per dim (64 independent partitions — each a
+    single-dimension sort, cluster-parallel; for quantiles over MUCH
+    wider state use the KMV-style sketch family instead)."""
+    from pyspark.sql import Window as W
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        S._quantize_vec("embedding", 1_000_000).alias("v")
+    ).select(F.posexplode("v").alias("i", "x")).select(
+        (F.col("i") + 1).cast("int").alias("dim"), "x"
+    )
+    ranked = expl.select(
+        "dim",
+        "x",
+        F.row_number().over(W.partitionBy("dim").orderBy("x")).alias("rn"),
+        F.count("*").over(W.partitionBy("dim")).alias("n"),
+    )
+    pick = lambda pos: F.max(F.when(F.col("rn") == F.expr(pos), F.col("x")))  # noqa: E731
+    p25 = pick("(n + 3) div 4")
+    p75 = pick("(3 * n + 3) div 4")
+    return ranked.groupBy("dim").agg(
+        F.max("n").cast("bigint").alias("n"),
+        p25.alias("p25_q"),
+        pick("(n + 1) div 2").alias("median_q"),
+        p75.alias("p75_q"),
+        (p75 - p25).alias("iqr_q"),
+    )
