@@ -1290,10 +1290,16 @@ def bloom_probe(
         F.coalesce(F.col("bits"), F.lit(0).cast("bigint")).bitwiseAND(F.col("mask"))
         != 0
     )
+    # min(hit) == 1 <=> every probe bit is set. Multiplicity-INDEPENDENT:
+    # a key occurring r times in the batch emits r*k probe rows, and any
+    # count-based test (sum == k) would flip members to definitely_new for
+    # r > 1 — duplicated keys are the NORMAL case for an admission batch,
+    # so that would silently skip the exact/near-dup check for exactly the
+    # rows most likely to be dups. min() is invariant under duplication.
     return (
         probes.join(F.broadcast(words), "word_idx", "left")
         .select("key", hit.cast("int").alias("hit"))
         .groupBy("key")
-        .agg((F.sum("hit") == F.lit(k_hashes)).alias("maybe_present"))
+        .agg((F.min("hit") == F.lit(1)).alias("maybe_present"))
         .select("key", "maybe_present", (~F.col("maybe_present")).alias("definitely_new"))
     )

@@ -2137,7 +2137,7 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_LAGS = 6  # EWMA horizon; 0.5^7 < 1% residual weight
 
 
-def _ewma_sql_terms(col: str) -> str:
+def _ewma_sql_terms(col: str) -> tuple[str, str]:
     # alpha = 1/2: ewma_t = sum_{k=1..L} 0.5^k * x_{t-k}, normalized by the
     # weight actually present (leading buckets have fewer lags). Powers of
     # two are exact doubles, so Spark and DuckDB agree bit-for-bit.

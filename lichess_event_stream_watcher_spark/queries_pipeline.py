@@ -1518,8 +1518,8 @@ hits AS (
               THEN 1 ELSE 0 END AS hit
   FROM probes pr LEFT JOIN words w ON w.word_idx = CAST(pr.p // 32 AS BIGINT)
 )
-SELECT key, SUM(hit) = {_BLOOM_K} AS maybe_present,
-       NOT (SUM(hit) = {_BLOOM_K}) AS definitely_new
+SELECT key, MIN(hit) = 1 AS maybe_present,
+       NOT (MIN(hit) = 1) AS definitely_new
 FROM hits GROUP BY key"""
 
 

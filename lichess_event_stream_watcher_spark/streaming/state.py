@@ -41,6 +41,15 @@ SEEN_STATE_SCHEMA = (
 RECENT_K = 3  # last-k retained rows per user (the A3-style bound)
 
 
+def tws_time_mode(ttl_ms: int | None) -> str:
+    """transformWithState time mode for a given state TTL: Spark only
+    honors ttlDurationMs under ProcessingTime (it rejects TTL state vars
+    at query start under timeMode="None"), while TTL-less availableNow
+    replays want "None" so no timer batches are scheduled — the exact
+    mirror of the GroupStateTimeout switch in seen_window_stream."""
+    return "None" if ttl_ms is None else "ProcessingTime"
+
+
 def seen_window_stream(
     events: DataFrame,
     ttl_minutes: int | None = None,
@@ -199,5 +208,5 @@ def seen_window_stream_tws(
         SeenProcessor(),
         outputStructType=SEEN_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode=tws_time_mode(ttl_ms),
     )

@@ -985,6 +985,27 @@ def test_bloom_filter_no_false_negatives_and_low_fp(spark, sf_dir):
     assert all(out[k].definitely_new == (not out[k].maybe_present) for k in out)
 
 
+def test_bloom_probe_duplicate_keys_no_false_negatives(spark, sf_dir):
+    """An admission batch containing the SAME key multiple times (the
+    normal case at ingestion) must still report members maybe_present:
+    the verdict aggregation has to be multiplicity-independent. Regression
+    test for the sum(hit)==k form, which reported definitely_new for any
+    member probed more than once."""
+    docs = testdata.load(spark, sf_dir, "documents").limit(50)
+    words = D.bloom_filter_words(docs, "doc_id")
+    # probe each member 3x, plus 3x-duplicated certainly-absent keys
+    batch = docs.select("doc_id").union(docs.select("doc_id")).union(
+        docs.select("doc_id")
+    )
+    absent = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"))
+    batch = batch.union(absent).union(absent)
+    out = {r.key: r for r in D.bloom_probe(batch, words, "doc_id").collect()}
+    members = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(out[k].maybe_present for k in members), "duplicate-key false negative!"
+    # each key appears once in the output regardless of batch multiplicity
+    assert len(out) == len(members) * 2
+
+
 def test_pagerank_quantized_matches_python_twin(spark, sf_dir):
     """The quantized fixpoint must equal a straight-Python integer
     recurrence exactly (no tolerance — that is the whole point), and stay

@@ -162,6 +162,46 @@ def test_seen_window_tws_matches_apply_in_pandas_twin(
     assert len(tws["alice"].recent_json) == 2
 
 
+def test_tws_time_mode_switch():
+    """TTL requires ProcessingTime mode: Spark rejects ttlDurationMs under
+    timeMode="None" at query start, so the mode must track the ttl knob
+    (regression: the twin hardcoded "None", so every ttl_minutes call
+    failed at start — or silently never expired state)."""
+    from lichess_event_stream_watcher_spark.streaming.state import tws_time_mode
+
+    assert tws_time_mode(None) == "None"
+    assert tws_time_mode(60_000) == "ProcessingTime"
+
+
+def test_seen_window_tws_with_ttl_runs(
+    spark, tmp_path, few_state_partitions, rocksdb_state_store
+):
+    """A ttl_minutes-enabled TWS query must start and produce state (the
+    TTL is far longer than the test, so nothing evicts — this guards the
+    query-start validation path, which rejects TTL state variables unless
+    timeMode is ProcessingTime). protobuf-gated like the twin test."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol requires protobuf",
+    )
+    from lichess_event_stream_watcher_spark.streaming.state import (
+        seen_window_stream_tws,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.ndjson").write_text("\n".join([wire("Alice"), wire("alice")]))
+    events = read_ndjson_stream(spark, str(landing), max_files_per_trigger=1)
+    rows = drain(
+        spark,
+        seen_window_stream_tws(events, ttl_minutes=60, recent_k=2),
+        "seen_tws_ttl",
+        str(tmp_path / "ck_tws_ttl"),
+        "update",
+    ).collect()
+    assert max(r.seen_count for r in rows if r.user_id == "alice") == 2
+
+
 def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path, few_state_partitions):
     """Two live streams (views, clicks) interval-join with bounded state;
     the streaming result must equal the batch twin on the same files, and
