@@ -1677,30 +1677,36 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback below k. All integer arithmetic (the (k-1)*H product exceeds
     double precision, so the division stays in BIGINT on both sides).
 
-    Scale shape: one distinct-reduce then a per-type top-k — at real
-    cardinalities replace the row_number window with a partial-agg
-    min_k-style accumulation, but the sketch's defining property holds
-    regardless: state is k hashes per group no matter how many distinct
-    users exist. Accuracy ~ 1/sqrt(k) ~ 12% at k=64, pytest-asserted."""
+    Scale shape (the sketch's own contract, physically): the k smallest
+    hashes come from operators/sketch.py:kmin_hashes — threshold-pruned
+    exact k-min with bounded state through every exchange (per-salt mins
+    map-side, broadcast threshold, O(k)-expected survivors) — NO per-type
+    rank/sort over the raw distinct set, so a hot type at 10^9 distinct
+    users never concentrates in one task (plan-pinned: no Window node).
+    The exact count keeps its standard distinct+partial-count plan — it
+    is the comparison baseline the sketch exists to avoid. Accuracy ~
+    1/sqrt(k) ~ 12% at k=64, pytest-asserted."""
+    from .operators.sketch import kmin_hashes
+
     ev = testdata.load(spark, sf_dir, "events")
-    uh = ev.select(
+    hashes = ev.select(
         "event_type",
         F.conv(
             F.substring(F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))), 1, 12),
             16,
             10,
         ).cast("bigint").alias("h"),
-    ).distinct()
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(W.partitionBy("event_type").orderBy("h"))
-    stats = (
-        uh.withColumn("rn", rn)
-        .filter(F.col("rn") <= _KMV_K)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_kept"), F.max("h").alias("kth_hash"))
     )
-    exact = uh.groupBy("event_type").agg(F.count("*").alias("exact_users"))
+    stats = kmin_hashes(
+        hashes, "event_type", "h", _KMV_K, hash_ceiling=_KMV_SCALE
+    ).select(
+        "event_type",
+        F.size("ks").cast("bigint").alias("n_kept"),
+        F.element_at("ks", F.size("ks")).alias("kth_hash"),
+    )
+    exact = hashes.distinct().groupBy("event_type").agg(
+        F.count("*").alias("exact_users")
+    )
     est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept")).otherwise(
         F.expr(f"({_KMV_K} - 1) * CAST({_KMV_SCALE} AS BIGINT) div kth_hash")
     )

@@ -1072,6 +1072,41 @@ def test_kmeans_quantized_matches_python_twin(spark, sf_dir):
     assert got == {i: assign(v) for i, v in vecs.items()}
 
 
+def test_kmin_hashes_exact_vs_bruteforce(spark):
+    """Threshold-pruned k-min must equal the brute-force k smallest
+    distinct values per group — including duplicates, groups below k
+    distinct, and the fewer-than-k-non-empty-salts fallback (n_salts just
+    above k forces it on the small group)."""
+    import random
+
+    from lichess_event_stream_watcher_spark.operators.sketch import kmin_hashes
+
+    rng = random.Random(7)
+    rows = []
+    vals = {"big": set(), "small": {5, 900_000_007}}
+    while len(vals["big"]) < 500:
+        vals["big"].add(rng.randrange(1_000_000_000))
+    for g, vs in vals.items():
+        for v in vs:
+            for _ in range(rng.randrange(1, 4)):  # duplicates
+                rows.append((g, v))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, h bigint")
+    for k, n_salts in [(16, 64), (16, 16), (64, 64)]:
+        out = {
+            r.g: list(r.ks)
+            for r in kmin_hashes(
+                df, "g", "h", k, hash_ceiling=1_000_000_000, n_salts=n_salts
+            ).collect()
+        }
+        for g, vs in vals.items():
+            assert out[g] == sorted(vs)[:k], (g, k, n_salts)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmin_hashes(df, "g", "h", 64, hash_ceiling=1, n_salts=8)
+
+
 def test_kmv_sketch_error_bound(spark, sf_dir):
     """KMV at k=64 must land within ~3/sqrt(k) (~38%, generous) of the
     exact distinct count for every event type, and the exact column must

@@ -462,3 +462,18 @@ def test_round3_operator_plan_shapes(spark, sf_dir):
     cents = [[0] * 64 for _ in range(8)]
     p = plan_str(S.kmeans_cells_quantized(emb, cents))
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_kmv_sketch_plan_has_no_rank_over_raw_distinct(spark, sf_dir):
+    """The KMV sketch must realize its own bounded-state contract
+    physically: NO per-type rank/sort window over the raw distinct hash
+    set (one hot type would concentrate its whole cardinality in one
+    task). The threshold-pruned k-min keeps only min/collect aggregates
+    (bounded per-group inputs by construction) and a broadcast threshold
+    join."""
+    import __spark_entry__ as entry
+
+    p = plan_str(entry.queries()["kmv_distinct_sketch"](spark, sf_dir))
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p  # the pruning threshold broadcasts
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
