@@ -33,7 +33,7 @@ map-side filter.  Result is identical to the row_number form row-for-row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,4 +86,77 @@ def kmin_hashes(
         surv.groupBy("g")
         .agg(F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"))
         .select(F.col("g").alias(group_col), "ks")
+    )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[str, int, int]],
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """EXACT type-1 quantiles of an integer value column per group, with
+    bounded per-task state — the scale-safe replacement for
+    ``row_number().over(partitionBy(group).orderBy(value))``, which ships
+    a group's ENTIRE value multiset into one task to sort.
+
+    ``quantiles`` is a list of (name, num, den): each target is the value
+    at rank ceil(num*n/den) of the group's sorted multiset (type-1 — no
+    interpolation, well-defined under ties, integer-exact).
+
+    Two passes, both bounded by CONSTRUCTION (not by data luck):
+
+    1. histogram: bucket = floor(value / bucket_width); groupBy(group,
+       bucket).count() partial-aggregates map-side, so the exchange
+       carries at most (value_range / bucket_width) tiny rows per group.
+       A cumulative window over that BUCKET TABLE (never the raw rows)
+       locates, for each target rank, its containing bucket and in-bucket
+       offset.
+    2. refine: value-counts restricted to the target buckets via a
+       broadcast semi-join (map-side filter of the raw scan). Because
+       values are INTEGERS, a bucket spans at most ``bucket_width``
+       distinct values — so the per-(group, bucket) cumulative window in
+       this pass is over <= bucket_width aggregated rows no matter how
+       many raw rows the corpus holds. The answer for each target is the
+       smallest value whose in-bucket cumulative count reaches the
+       offset.
+
+    Returns (group_col, q, n, val): one row per group per target.
+    """
+    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    bucket = F.floor(F.col("x") / F.lit(bucket_width)).cast("bigint")
+    hist = vals.groupBy("g", bucket.alias("b")).agg(F.count("*").alias("c"))
+    wb = Window.partitionBy("g").orderBy("b")
+    hist = hist.select(
+        "g",
+        "b",
+        (F.sum("c").over(wb) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wb).alias("cum_incl"),
+        F.sum("c").over(Window.partitionBy("g")).alias("n"),
+    )
+    targets = None
+    for name, num, den in quantiles:
+        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
+        t = hist.filter((F.col("cum_before") < rank) & (rank <= F.col("cum_incl"))).select(
+            "g",
+            F.lit(name).alias("q"),
+            "b",
+            (rank - F.col("cum_before")).alias("off"),
+            "n",
+        )
+        targets = t if targets is None else targets.unionByName(t)
+    vc = (
+        vals.withColumn("b", bucket)
+        .join(F.broadcast(targets.select("g", "b").distinct()), ["g", "b"])
+        .groupBy("g", "b", "x")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("g", "b").orderBy("x")
+    vc = vc.select("g", "b", "x", F.sum("c").over(wv).alias("cum"))
+    return (
+        targets.join(vc, ["g", "b"])
+        .filter(F.col("cum") >= F.col("off"))
+        .groupBy(F.col("g").alias(group_col), "q", "n")
+        .agg(F.min("x").alias("val"))
     )

@@ -980,30 +980,172 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.paragraph_dedup(docs, min_df=2)
 
 
-@query("ann_pq_topk")  # sample-trained codebooks -> rows-only driver check
+# ---------------------------------------------------------------------------
+# TRAINED PQ / IVF+PQ serving over FROZEN artifacts (artifacts.py): the
+# codebooks and coarse centroids are genuine Lloyd-converged trainings
+# (pq_fit iters=5 / kmeans_fit iters=3 over sf0.001), trained offline
+# once and shipped as full-precision literals — the production serving
+# shape. With the artifact identical on both sides, encode, ADC lookups,
+# and cell assignment are the proven deterministic left-fold chains, so
+# both queries carry FULL value-hash oracles (they were rows-only while
+# training ran inline with the query).
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_DSUB = 16, 16, 4
+
+
+def _pq_frozen_cents_sql() -> str:
+    """The frozen PQ codebooks as a (j, c, d1..d4, nb) VALUES table —
+    repr'd doubles parse exactly, nb is the same left-fold self-dot
+    literal Spark inlines."""
+    from .artifacts import PQ_BOOKS
+    from .operators.similarity import _self_dot_py
+
+    rows = []
+    for j, book in enumerate(PQ_BOOKS):
+        for c, cv in enumerate(book):
+            ds = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cv)
+            rows.append(f"({j}, {c}, {ds}, CAST({_self_dot_py(cv)!r} AS DOUBLE))")
+    return (
+        "cents AS (SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(rows)
+        + "\n) AS t(j, c, d1, d2, d3, d4, nb))"
+    )
+
+
+def _pq_frozen_serving_sql(query_pred: str) -> str:
+    """codes + qtab CTEs against the frozen codebook table — the exact
+    _pq_adc_codes_sql chains, with literal codewords instead of
+    data-derived ones."""
+    adot = " + ".join(
+        f"CAST(a.embedding[ct.j * {_PQ_DSUB} + {i}] AS DOUBLE) * ct.d{i}"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    qdot = " + ".join(
+        f"CAST(q.embedding[ct.j * {_PQ_DSUB} + {i}] AS DOUBLE) * ct.d{i}"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"""dists AS (
+  SELECT a.vec_id, ct.j, ct.c, -2.0 * ({adot}) + ct.nb AS dist
+  FROM embeddings a CROSS JOIN cents ct
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, ct.j, ct.c, ({qdot}) AS ip
+  FROM embeddings q CROSS JOIN cents ct
+  WHERE {query_pred}
+)"""
+
+
+_PQ_FROZEN_ORACLE = f"""WITH {_pq_frozen_cents_sql()},
+{_pq_frozen_serving_sql("q.vec_id IN (0, 1, 2, 3, 4)")},
+scored AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         ROUND(list_sum(list(t.ip ORDER BY t.j)), 6) AS approx_ip
+  FROM codes cd JOIN qtab t ON t.j = cd.j AND t.c = cd.code
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY t.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_ip DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, approx_ip, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+@query("ann_pq_topk", _PQ_FROZEN_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF's memory-side companion): 64-dim
     float vectors compress to 16 one-byte codes (32x), queries score the
     corpus by asymmetric-distance table lookups — the full vectors are
-    read once to encode and never shuffled. Codebook training is
-    driver-side on a bounded deterministic sample (standard practice);
-    iterative k-means makes this rows-only for the driver, with recall
-    vs the exact baseline pinned in tests/test_pipeline_ops.py."""
+    read once to encode and never shuffled. Codebooks are the FROZEN
+    Lloyd-trained artifact (artifacts.py), so the whole trained serving
+    path hash-checks; recall vs the exact baseline stays pinned in
+    tests/test_pipeline_ops.py."""
+    from .artifacts import pq_books
+
     emb = testdata.load(spark, sf_dir, "embeddings")
-    books = S.pq_fit(emb, m=16, k=16)
-    return S.pq_ann_topk(emb, books, [0, 1, 2, 3, 4], k=10)
+    return S.pq_ann_topk(emb, pq_books(), [0, 1, 2, 3, 4], k=10)
 
 
-@query("ann_ivfpq_topk")  # trained coarse cells + PQ codes -> rows-only
+def _ivf_frozen_cents_sql() -> str:
+    """The frozen IVF coarse centroids as (cent_id, cv list-literal, nb)
+    rows."""
+    from .artifacts import IVF_CENTROIDS
+    from .operators.similarity import _self_dot_py
+
+    rows = []
+    for cid, cv in IVF_CENTROIDS:
+        lit = "[" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cv) + "]"
+        rows.append(
+            f"SELECT {cid} AS cent_id, {lit} AS cv, "
+            f"CAST({_self_dot_py(cv)!r} AS DOUBLE) AS nb"
+        )
+    return "ivf_cents AS (\n  " + "\n  UNION ALL ".join(rows) + "\n)"
+
+
+def _ivf_frozen_assign_sql() -> str:
+    adot = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * ct.cv[{i}]" for i in range(1, 65)
+    )
+    na = _dot_sql("a", "a")
+    return f"""assign AS (
+  SELECT a.vec_id, ct.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(({adot}) / sqrt({na} * ct.nb), 6) DESC, ct.cent_id ASC
+         ) AS rnk
+  FROM embeddings a CROSS JOIN ivf_cents ct
+)"""
+
+
+_IVFPQ_FROZEN_ORACLE = f"""WITH {_pq_frozen_cents_sql()},
+{_pq_frozen_serving_sql("q.vec_id IN (0, 1, 2, 3, 4)")},
+{_ivf_frozen_cents_sql()},
+{_ivf_frozen_assign_sql()},
+cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM assign WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= 2
+),
+cand AS (
+  SELECT p.query_id, c.neighbor_id FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_sum(list(t.ip ORDER BY t.j)), 6) AS approx_ip
+  FROM cand
+  JOIN codes cd ON cd.vec_id = cand.neighbor_id
+  JOIN qtab t ON t.query_id = cand.query_id AND t.j = cd.j AND t.c = cd.code
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY approx_ip DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, approx_ip, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_ivfpq_topk", _IVFPQ_FROZEN_ORACLE)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF+PQ end to end: k-means coarse cells bound candidates, PQ codes
-    make scoring m table lookups — the complete FAISS-style serving
-    composition from trained parts (both trainings iterative, so
-    rows-only for the driver; recall pinned in pytest)."""
+    """IVF+PQ end to end: coarse cells bound candidates, PQ codes make
+    scoring m table lookups — the complete FAISS-style serving
+    composition, with BOTH trained parts (coarse centroids + codebooks)
+    frozen artifacts, so the whole path hash-checks; recall pinned in
+    pytest."""
+    from .artifacts import ivf_centroids_df, pq_books
+
     emb = testdata.load(spark, sf_dir, "embeddings")
-    cents = S.kmeans_fit(emb, k=8, iters=3)
-    books = S.pq_fit(emb, m=16, k=16)
-    return S.ivfpq_ann_topk(emb, cents, books, [0, 1, 2, 3, 4], k=5, nprobe=2)
+    return S.ivfpq_ann_topk(
+        emb, ivf_centroids_df(spark), pq_books(), [0, 1, 2, 3, 4], k=5, nprobe=2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1011,12 +1153,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # init IS the codebook (no Lloyd rounds), which makes the entire encode ->
 # ADC-score -> rank serving path SQL-expressible — the DuckDB twin derives
 # the identical codewords from the data, so the ADC machinery itself gets a
-# full hash check (the TRAINED variants ann_pq_topk/ann_ivfpq_topk keep
-# their rows-only rows: Lloyd iterations are not one SQL query).
+# full hash check, independent of any artifact (the frozen-artifact
+# ann_pq_topk/ann_ivfpq_topk above certify the TRAINED serving path).
 # Determinism contract: every dot product on both sides is the left-fold
 # sum chain (see operators/similarity.py docstring).
 # ---------------------------------------------------------------------------
-_PQ_M, _PQ_K, _PQ_DSUB = 16, 16, 4
 
 
 def _pq_adc_cents_sql() -> str:
@@ -1928,10 +2069,18 @@ def embedding_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-defined regardless of tie order and need no interpolation, so the
     whole query is integer-exact and hash-checks; interpolating quantile
     functions (percentile_cont and friends) interpolate differently per
-    engine. One window per dim (64 independent partitions — each a
-    single-dimension sort, cluster-parallel; for quantiles over MUCH
-    wider state use the KMV-style sketch family instead)."""
-    from pyspark.sql import Window as W
+    engine.
+
+    Scale shape: two-pass exact quantile (operators/sketch.py:
+    grouped_exact_quantiles) — a bucketed histogram pass locates each
+    target rank's bucket, a second pass value-counts only inside target
+    buckets (<= bucket_width distinct integers by construction). NO
+    per-dimension sort over the raw corpus: every window runs over
+    pre-aggregated bucket/value-count tables whose size is independent of
+    the row count, so parallelism is not capped at the dimension count
+    and no task's state grows with the corpus (plan-pinned: no
+    row_number)."""
+    from .operators.sketch import grouped_exact_quantiles
 
     emb = testdata.load(spark, sf_dir, "embeddings")
     expl = emb.select(
@@ -1939,19 +2088,18 @@ def embedding_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.posexplode("v").alias("i", "x")).select(
         (F.col("i") + 1).cast("int").alias("dim"), "x"
     )
-    ranked = expl.select(
+    picked = grouped_exact_quantiles(
+        expl,
         "dim",
         "x",
-        F.row_number().over(W.partitionBy("dim").orderBy("x")).alias("rn"),
-        F.count("*").over(W.partitionBy("dim")).alias("n"),
+        [("p25", 1, 4), ("median", 1, 2), ("p75", 3, 4)],
     )
-    pick = lambda pos: F.max(F.when(F.col("rn") == F.expr(pos), F.col("x")))  # noqa: E731
-    p25 = pick("(n + 3) div 4")
-    p75 = pick("(3 * n + 3) div 4")
-    return ranked.groupBy("dim").agg(
+    wide = lambda name: F.max(F.when(F.col("q") == name, F.col("val")))  # noqa: E731
+    p25, p75 = wide("p25"), wide("p75")
+    return picked.groupBy("dim").agg(
         F.max("n").cast("bigint").alias("n"),
         p25.alias("p25_q"),
-        pick("(n + 1) div 2").alias("median_q"),
+        wide("median").alias("median_q"),
         p75.alias("p75_q"),
         (p75 - p25).alias("iqr_q"),
     )

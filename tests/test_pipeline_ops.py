@@ -588,6 +588,26 @@ def test_pq_ann_recall_beats_noise_floor(spark, sf_dir):
     assert hits / sum(len(v) for v in exact.values()) >= 0.3
 
 
+def test_frozen_artifact_pq_recall(spark, sf_dir):
+    """The frozen-artifact serving queries (ann_pq_topk / ann_ivfpq_topk)
+    must still beat the recall noise floor even though their codebooks
+    were trained at a different scale (sf0.001 artifact serving the test
+    corpus) — the artifact generalizes or it isn't a codebook."""
+    import __spark_entry__ as entry
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {}
+    for r in S.knn_brute_force(emb, qids, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in entry.queries()["ann_pq_topk"](spark, sf_dir).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    assert hits / sum(len(v) for v in exact.values()) >= 0.3
+    assert entry.queries()["ann_ivfpq_topk"](spark, sf_dir).count() > 0
+
+
 def test_ivfpq_candidates_come_from_probed_cells(spark, sf_dir):
     """IVF+PQ composition contract: every returned neighbor lives in one
     of its query's nprobe probed cells (candidate bounding is real), and
@@ -1105,6 +1125,40 @@ def test_kmin_hashes_exact_vs_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         kmin_hashes(df, "g", "h", 64, hash_ceiling=1, n_salts=8)
+
+
+def test_grouped_exact_quantiles_vs_bruteforce(spark):
+    """Two-pass bucketed quantiles must equal brute-force type-1 quantile
+    picks — across bucket widths (forcing single- and many-bucket
+    shapes), negatives, heavy ties, and groups of coprime sizes."""
+    import random
+
+    from lichess_event_stream_watcher_spark.operators.sketch import (
+        grouped_exact_quantiles,
+    )
+
+    rng = random.Random(11)
+    data = {
+        "a": [rng.randrange(-500, 500) for _ in range(997)],
+        "ties": [5] * 40 + [-7] * 13 + [123] * 3,
+        "tiny": [42],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, x bigint")
+    qs = [("p25", 1, 4), ("median", 1, 2), ("p75", 3, 4), ("p99", 99, 100)]
+    for width in (7, 64, 100_000):
+        out = {
+            (r.g, r.q): (r.n, r.val)
+            for r in grouped_exact_quantiles(
+                df, "g", "x", qs, bucket_width=width
+            ).collect()
+        }
+        for g, vs in data.items():
+            s, n = sorted(vs), len(vs)
+            for name, num, den in qs:
+                rank = -(-num * n // den)  # ceil
+                assert out[(g, name)] == (n, s[rank - 1]), (g, name, width)
 
 
 def test_kmv_sketch_error_bound(spark, sf_dir):

@@ -477,3 +477,17 @@ def test_kmv_sketch_plan_has_no_rank_over_raw_distinct(spark, sf_dir):
     assert "Window" not in p, p
     assert "BroadcastHashJoin" in p  # the pruning threshold broadcasts
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_robust_stats_plan_has_no_corpus_sort_window(spark, sf_dir):
+    """embedding_robust_stats must never rank the raw exploded corpus
+    per dimension (that caps parallelism at the dim count and grows one
+    task's sort with the corpus). The two-pass form's windows run only
+    over pre-aggregated bucket/value-count tables: no row_number
+    anywhere, and the target-bucket prune joins broadcast."""
+    import __spark_entry__ as entry
+
+    p = plan_str(entry.queries()["embedding_robust_stats"](spark, sf_dir))
+    assert "row_number" not in p, p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
