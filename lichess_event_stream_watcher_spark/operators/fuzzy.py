@@ -56,9 +56,13 @@ def edit_distance_pairs(
     if max_dist != 1:
         raise ValueError("deletion blocking implemented for max_dist=1 only")
     names = df.select(F.col(col).alias("id")).filter(F.col("id").isNotNull()).distinct()
+    # a deletion can repeat (e.g. "aa" -> "a" twice) — but only WITHIN one
+    # string's own variant array, so array_distinct dedups map-side; a
+    # row-level distinct here would be a second full-data exchange
+    # back-to-back with the variant-bucket shuffle for nothing
     exploded = names.select(
-        "id", F.explode(deletion_variants(F.col("id"))).alias("variant")
-    ).distinct()  # a deletion can repeat (e.g. "aa" -> "a" twice): one row each
+        "id", F.explode(F.array_distinct(deletion_variants(F.col("id")))).alias("variant")
+    )
     cands = (
         _bucket_local_pairs(exploded, ["variant"], [])
         .select(F.col("a.id").alias("name_a"), F.col("b.id").alias("name_b"))

@@ -496,3 +496,113 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
     )
     dense = entries.select("id", vec.alias("_tfv"))
     return cosine_near_dup_pairs(dense, threshold, id_col="id", vec_col="_tfv")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training primitives
+# ---------------------------------------------------------------------------
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) corpus word-frequency table — BPE training's first move.
+
+    Scale shape: THE reduction that makes tokenizer training tractable at
+    100 TB — the corpus collapses to its vocabulary (Heaps' law: ~10^6-7
+    distinct words at web scale) in one partial-aggregated groupBy, and
+    every later per-character pass touches only the vocab table weighted
+    by these counts, never the corpus again."""
+    return (
+        df.select(F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _adjacent_pairs(sym_col: Column) -> Column:
+    """All adjacent symbol pairs of a space-separated symbol string, as
+    'a b' strings (multiplicity preserved — BPE counts every occurrence).
+    Guarded for single-symbol strings: Spark's sequence(1, 0) counts DOWN
+    ([1, 0]), it does not return empty."""
+    syms = F.split(sym_col, " ")
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(pair, cnt): corpus-weighted adjacent CHARACTER-pair counts — one
+    BPE merge-selection step over the un-merged (character-level) corpus.
+    ``pair`` is the 2-character substring; ``cnt`` sums word_count x
+    within-word occurrences. All-integer, so the ranking hash-checks.
+
+    Scale: pair explosion runs over the (word, n) VOCAB table, not the
+    corpus; the pair-count state is bounded by |alphabet|^2."""
+    wc = word_counts(df, text_col)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.substring(F.col("word"), i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        wc.filter(F.length("word") >= 2)
+        .select(pair, "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, int]]:
+    """Learn ``n_merges`` BPE merges (Sennrich et al., ACL'16) over the
+    corpus: repeatedly count adjacent symbol pairs on the weighted vocab
+    table and merge the most frequent (count desc, pair asc tie-break —
+    fully deterministic). Returns the ordered merge list
+    [(\"a b\", count), ...].
+
+    Physical shape per round: one distributed pair-count aggregate over
+    the VOCAB table (bounded by vocab size, never the corpus), ONE
+    (pair, count) row collected to the driver, and a map-side
+    regexp_replace applying the merge. Like kmeans_fit, the driver holds
+    O(n_merges) state total; lineage is cut per round with
+    localCheckpoint so the plan stays O(1) deep.
+
+    Merge application is the standard greedy left-to-right non-overlap
+    pass ('a a a' with merge 'a a' -> 'aa a'), which is exactly Java
+    regexp_replace's semantics with boundary lookarounds."""
+    import re as _re
+
+    vocab = word_counts(df, text_col).select(
+        F.regexp_replace(F.col("word"), "(.)", "$1 ").alias("syms"),
+        "n",
+    ).select(F.trim(F.col("syms")).alias("syms"), "n")
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        counts = (
+            vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not counts:
+            break
+        pair, cnt = counts[0]["pair"], int(counts[0]["cnt"])
+        merges.append((pair, cnt))
+        a, b = pair.split(" ")
+        pat = f"(?<=^|\\s){_re.escape(a)} {_re.escape(b)}(?=\\s|$)"
+        merged = a + b
+        vocab = vocab.select(
+            F.regexp_replace(F.col("syms"), pat, _re.sub(r"([$\\])", r"\\\1", merged)).alias("syms"),
+            "n",
+        ).localCheckpoint()
+    return merges

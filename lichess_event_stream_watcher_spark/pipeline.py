@@ -54,12 +54,25 @@ def curate_corpus(
     ``out_dir`` is set, the chunks are also written as parquet partitioned
     by split (train/val/test directories prune at the file-index level
     for downstream readers).
+
+    Materialization discipline: each stage's survivor frame is persisted
+    (memory-and-disk) before its count so the stage-count actions and the
+    final write never re-execute the upstream DAG (the near-dup pair
+    search is quadratic-ish — re-running it per action would dominate),
+    and each persisted stage unpersists once its successor has
+    materialized, so at most two stages hold storage at a time. The id
+    frames joined back semi-style are O(surviving docs) — unbounded — so
+    they carry NO broadcast hint: AQE picks broadcast when a stage's
+    survivor set is actually small and falls back to a shuffled join when
+    it is not (a forced broadcast of a corpus-sized id set is a driver
+    OOM at real scale). The returned chunks frame stays persisted — the
+    caller owns its lifetime.
     """
     counts: dict[str, int] = {"input": docs.count()}
 
     # 1. exact dedup: keep the min-id doc per content fingerprint
     keep_exact = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
-    docs1 = docs.join(F.broadcast(keep_exact), "doc_id", "left_semi")
+    docs1 = docs.join(keep_exact, "doc_id", "left_semi").persist()
     counts["exact_dedup"] = docs1.count()
 
     # 2. near-dup removal: Jaccard pairs -> connected components -> min-id
@@ -68,8 +81,9 @@ def curate_corpus(
     canon = comp.filter(F.col("id") == F.col("comp")).select(
         F.col("id").alias("doc_id")
     )
-    docs2 = docs1.join(F.broadcast(canon), "doc_id", "left_semi")
+    docs2 = docs1.join(canon, "doc_id", "left_semi").persist()
     counts["near_dedup"] = docs2.count()
+    docs1.unpersist()
 
     # 3. quality gate: repetition + lexicon + language signals, every doc
     #    verdicted; keep only keep=true
@@ -92,8 +106,9 @@ def curate_corpus(
             & F.col("_keep_lang")
         )
         .drop("_keep_rep", "_keep_lex", "_keep_lang")
-    )
+    ).persist()
     counts["quality_gate"] = gated.count()
+    docs2.unpersist()
 
     # 4. PII scrub (map-side; the redacted text replaces the original)
     scrubbed = (
@@ -107,8 +122,9 @@ def curate_corpus(
     kept_ids = C.temperature_mix_sample(scrubbed, source_col=mix_source_col).select(
         F.col("id").alias("doc_id")
     )
-    sampled = scrubbed.join(F.broadcast(kept_ids), "doc_id", "left_semi")
+    sampled = scrubbed.join(kept_ids, "doc_id", "left_semi").persist()
     counts["mix_sample"] = sampled.count()
+    gated.unpersist()
 
     # 6. split assignment (pure function of the id)
     split = C.dataset_split(sampled)
@@ -117,8 +133,9 @@ def curate_corpus(
     chunks = C.chunk_documents(split, chunk_tokens=chunk_tokens, overlap=chunk_overlap)
     chunks = chunks.join(
         split.select(F.col("doc_id").alias("id"), "split", "lang", "source"), "id"
-    )
+    ).persist()
     counts["chunks"] = chunks.count()
+    sampled.unpersist()
 
     if out_dir is not None:
         write_partitioned(chunks, out_dir, ["split"], sort_cols=["id", "chunk_idx"])

@@ -201,87 +201,90 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS harness certifies the FIRST 50 registered
 # queries per round, so registration order IS the verification budget.
-# Curated allocation: the 14 core rule-engine queries first (the reference
-# parity surface — always certified), then the operator families that were
-# REWORKED or never driver-checked in earlier rounds (the whole
-# dedup/similarity/text/curation/multimodal/graph pipeline plus the late
-# analytics additions). The 60+ queries past the window — TPC-H and the
-# long analytics tail, each green in two consecutive prior rounds
-# (CORRECTNESS_r01/r02) — keep their registration order and rotate back
-# into the window in later rounds; all 112 stay covered every session by
-# tests/test_oracle_parity.py regardless of window position.
+# Round-4 allocation (per VERDICT.md round-3 task #1): the thrice-green
+# core shrinks to its 2 anchor slots (rule_scan = the flagship scan path,
+# crit_code_predicate = the whole UDF/translator runtime), and the other
+# 48 slots go to (a) every query that had NEVER had a driver row in
+# rounds 1-3 — the round-3 additions, the TPC-H tail, the rows-only
+# trained-ANN twins (now hash-oracled via frozen artifacts), and the
+# sampling/packing/layout family — (b) this round's new queries
+# (interval_join_attribution, curation_pipeline_counts), and (c) the five
+# stalest greens (r1-only: dedup_exact, ann_lsh_buckets; plus the three
+# TPC-H r2-only rows VERDICT flagged). Result: after this round every
+# registered query has at least one lifetime driver-green row. Rotated-out
+# queries (all with >= 1 green row, most with 2-3) keep coverage every
+# session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
-    # core rule engine (SURVEY.md §2.3-2.10)
+    # anchors (the reference parity surface's two highest-leverage paths)
     "rule_scan",
-    "rule_scan_actions",
-    "would_fire_counts",
-    "crit_ip_match",
-    "crit_print_match",
-    "crit_email_contains",
-    "crit_email_regex",
-    "crit_username_contains",
-    "crit_username_regex",
-    "crit_useragent_length_lte",
-    "crit_susp_ip_gate",
-    "action_schedule",
     "crit_code_predicate",
-    "rule_expiry_sweep",
-    # dedup family (every physical strategy + the skew-guarded forms)
-    "dedup_jaccard_pairs",
-    "dedup_jaccard_inverted",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_containment",
-    "paragraph_dedup",
-    "dedup_incremental",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "semantic_dedup",
-    # embedding similarity / ANN (ann_pq_adc: frozen-codebook PQ serving,
-    # the hash-checkable face of the trained ann_pq/ivfpq rows-only twins;
-    # ann_ivfpq_adc + ann_lsh_multiprobe rotate out r3 — their machinery is
-    # certified through ann_pq_adc + ann_ivf_topk + ann_lsh_topk — to fund
-    # window slots for the round-3 operators)
-    "embedding_near_dup",
-    "knn_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_pq_adc",
-    "embedding_quantize_int8",
-    # text analysis + curation policy
-    "text_profile",
-    "repetition_profile",
-    "lexicon_coverage",
-    "charlm_quality",
-    "pii_scrub",
-    "curation_gate",
-    "source_quality_scorecard",
-    "contamination_check",
-    "temperature_mix_sample",
-    # multimodal plumbing (frames rotates out r3: same mapInPandas batch
-    # machinery as multimodal_features, which stays)
-    "multimodal_manifest",
-    "multimodal_features",
-    # graph + late analytics (added round 2, never checked)
-    "fuzzy_graph_triangles",
-    "fuzzy_graph_kcore",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "user_state_scd2",
-    "value_outliers_3sigma",
-    "purchase_state_attribution",
-    # --- position 51+: next in line if the driver budget grows, and the
-    # head of the round-4 rotation — the round-3 additions past the window
-    # (all locally oracle-parity green every session)
+    # round-3 additions never driver-checked (head of the r3 queue)
     "dup_graph_pagerank_q",
     "ann_kmeans_cells_q",
     "ann_ivf_trained_q",
-    "bloom_admission",
-    "kmv_distinct_sketch",
+    "bloom_admission",       # + round-4 duplicate-key fix
+    "kmv_distinct_sketch",   # + round-4 bounded-state k-min rework
     "event_rate_anomaly",
     "epoch_shuffle",
+    "tf_cosine_pairs",
+    "chunk_documents",
+    "embedding_feature_stats",
+    "embedding_robust_stats",  # + round-4 two-pass quantile rework
+    # dedup / ANN machinery never checked
+    "dedup_corpus",
+    "cross_source_dups",
+    "ann_lsh_multiprobe",
+    "ann_ivfpq_adc",
+    "ann_ivf_trained",       # rows-only (trained float twin)
+    "ann_pq_topk",           # round-4: frozen-artifact hash oracle
+    "ann_ivfpq_topk",        # round-4: frozen-artifact hash oracle
+    "dup_graph_pagerank",    # rows-only (float twin)
+    "sketch_stats",          # rows-only (percentile_approx internals)
+    "username_fuzzy_pairs",
+    # analytics / windowing never checked
+    "windowed_event_rollup",
+    "session_window_rollup",
+    "grouping_sets_pricing",
+    "orders_column_stats",
+    "value_equidepth_histogram",
+    "salted_event_type_counts",
+    # sampling / packing / multimodal never checked
+    "multimodal_frames",
+    "dataset_split_counts",
+    "pack_sequences_bins",
+    "source_quota_sample",
+    "source_rate_sample",
+    # TPC-H tail never checked
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_values",
+    "tpch_q12_late_by_priority",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_loss",
+    "tpch_q18_large_orders",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_balances",
+    # new round-4 queries (certified the round they are born — no backlog)
+    "interval_join_attribution",
+    "curation_pipeline_counts",
+    "bpe_merge_ranks",
+    "bm25_rsj_topk",
+    "bm25_lucene_topk",  # rows-only (ln idf); rsj twin carries the hash
+    # stalest greens (r1-only)
+    "dedup_exact",
+    "ann_lsh_buckets",
+    # --- position 51+: the round-5 rotation queue — twice/thrice-green
+    # rows ordered roughly by staleness (r2-only TPC-H first)
+    "tpch_q13_custdist",
+    "tpch_q6_forecast_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q4_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q19_bracket_revenue",
 ]
 
 

@@ -2131,6 +2131,42 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "interval_join_attribution",
+    """SELECT v.user_id AS key, v.ts AS l_ts, p.ts AS r_ts,
+       CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS lag_seconds,
+       v.event_id AS view_event_id, p.event_id AS purchase_event_id
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (streaming/joins.py:
+    stream_interval_join, pinned stream-equals-batch in pytest): every
+    purchase attributes to each same-user view it follows within 30
+    minutes. Runs the SAME function body the streaming query runs —
+    watermarks are a no-op on batch frames — so the driver row certifies
+    the join logic both modes share. On streams the range condition plus
+    both watermarks bound the symmetric-hash-join state; on batch it is
+    a plain key-equi + range join."""
+    from .streaming.joins import stream_interval_join
+
+    ev = testdata.load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = stream_interval_join(views, purchases, "user_id", "ts", "ts")
+    return out.select(
+        "key",
+        "l_ts",
+        "r_ts",
+        "lag_seconds",
+        F.col("l.event_id").alias("view_event_id"),
+        F.col("r.event_id").alias("purchase_event_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-flavored rate anomaly: EWMA baseline per event type, exact
 # ---------------------------------------------------------------------------

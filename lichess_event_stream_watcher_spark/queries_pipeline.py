@@ -2103,3 +2103,311 @@ def embedding_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         p75.alias("p75_q"),
         (p75 - p25).alias("iqr_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline accounting: the whole composed DAG gets its
+# own hash row. The oracle replays every stage in one DuckDB WITH chain —
+# exact dedup, Jaccard pairs + recursive-CTE connected components over the
+# SURVIVORS (not the raw corpus), the three-signal quality gate with the
+# lexicon rebuilt from the gated stage's own input, the temperature draw
+# over survivors, and the chunk-count arithmetic. PII scrubbing changes no
+# counts (redaction placeholders contain no whitespace, so token counts
+# are invariant — asserted in tests/test_pipeline_ops.py).
+# ---------------------------------------------------------------------------
+_PIPELINE_COUNTS_ORACLE = r"""WITH RECURSIVE
+norm0 AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+keep1 AS (SELECT MIN(id) AS doc_id FROM norm0 GROUP BY md5(t)),
+docs1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+norm1 AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM docs1
+),
+toks1 AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm1),
+sh1 AS (
+  SELECT id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS shingle
+  FROM toks1
+),
+sizes1 AS (SELECT id, COUNT(*) AS n_sh FROM sh1 GROUP BY id),
+inter1 AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh1 a JOIN sh1 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+jp1 AS (
+  SELECT id_a, id_b
+  FROM inter1 JOIN sizes1 sa ON sa.id = id_a JOIN sizes1 sb ON sb.id = id_b
+  WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+),
+edges1 AS (SELECT id_a AS x, id_b AS y FROM jp1 UNION SELECT id_b, id_a FROM jp1),
+reach1(src, node) AS (
+  SELECT doc_id, doc_id FROM docs1
+  UNION
+  SELECT r.src, e.y FROM reach1 r JOIN edges1 e ON e.x = r.node
+),
+comp1 AS (SELECT src AS id, MIN(node) AS comp FROM reach1 GROUP BY src),
+docs2 AS (
+  SELECT d.* FROM docs1 d JOIN comp1 c ON c.id = d.doc_id AND c.comp = d.doc_id
+),
+norm2 AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM docs2
+),
+toks2 AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm2),
+m2 AS (
+  SELECT id AS doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+         floor(CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+               / len(tk) * 10000.0) / 10000.0 AS frac_dup_tokens
+  FROM toks2
+),
+bg2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+  FROM m2
+),
+bc2 AS (SELECT doc_id, bigram, COUNT(*) AS bn FROM bg2 GROUP BY doc_id, bigram),
+agg2 AS (SELECT doc_id, MAX(bn) AS top_bigram_n, SUM(bn) AS n_bigrams FROM bc2 GROUP BY doc_id),
+repkeep2 AS (
+  SELECT m2.doc_id,
+         (m2.n_tokens >= 50
+          AND floor(CAST(agg2.top_bigram_n AS DOUBLE) / CAST(agg2.n_bigrams AS DOUBLE) * 1000000.0)
+              / 1000000.0 <= 0.08
+          AND m2.frac_dup_tokens <= 0.8) AS keep
+  FROM m2 JOIN agg2 USING (doc_id)
+),
+tok2 AS (SELECT id, unnest(tk) AS tok FROM toks2),
+freq2 AS (SELECT tok, COUNT(*) AS cnt FROM tok2 GROUP BY tok),
+lex2 AS (SELECT tok FROM freq2 ORDER BY cnt DESC, tok ASC LIMIT 1000),
+cov2 AS (
+  SELECT t.id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN l.tok IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_in_lex
+  FROM tok2 t LEFT JOIN lex2 l ON l.tok = t.tok
+  GROUP BY t.id
+),
+lexkeep2 AS (
+  SELECT d.doc_id AS id,
+         COALESCE(c.n_tokens, 0) > 0 AND
+         (CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN 0.0
+               ELSE floor(CAST(c.n_in_lex AS DOUBLE) / CAST(c.n_tokens AS DOUBLE) * 1000000.0) / 1000000.0
+          END) >= 0.8 AS keep
+  FROM docs2 d LEFT JOIN cov2 c ON c.id = d.doc_id
+),
+langp2 AS (
+  SELECT n.id, ' ' || n.t || ' ' AS p FROM norm2 n
+),
+langs2 AS (
+  SELECT id,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+       + (length(p) - length(replace(p, ' a ', ''))) / 3
+       + (length(p) - length(replace(p, ' of ', ''))) / 4 AS BIGINT) AS en_score,
+    CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+       + (length(p) - length(replace(p, ' die ', ''))) / 5
+       + (length(p) - length(replace(p, ' und ', ''))) / 5 AS BIGINT) AS de_score,
+    CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+       + (length(p) - length(replace(p, ' la ', ''))) / 4
+       + (length(p) - length(replace(p, ' los ', ''))) / 5 AS BIGINT) AS es_score,
+    CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+       + (length(p) - length(replace(p, ' les ', ''))) / 5
+       + (length(p) - length(replace(p, ' et ', ''))) / 4 AS BIGINT) AS fr_score
+  FROM langp2
+),
+lang2 AS (
+  SELECT id,
+    CASE WHEN en_score = greatest(en_score, de_score, es_score, fr_score) AND en_score > 0 THEN 'en'
+         WHEN de_score = greatest(en_score, de_score, es_score, fr_score) AND de_score > 0 THEN 'de'
+         WHEN es_score = greatest(en_score, de_score, es_score, fr_score) AND es_score > 0 THEN 'es'
+         WHEN fr_score = greatest(en_score, de_score, es_score, fr_score) AND fr_score > 0 THEN 'fr'
+         ELSE 'und' END AS lang_pred
+  FROM langs2
+),
+gated AS (
+  SELECT d.doc_id, d.lang
+  FROM docs2 d
+  JOIN lexkeep2 lk ON lk.id = d.doc_id AND lk.keep
+  JOIN lang2 lg ON lg.id = d.doc_id AND lg.lang_pred <> 'und'
+  LEFT JOIN repkeep2 rk ON rk.doc_id = d.doc_id
+  WHERE COALESCE(rk.keep, FALSE)
+),
+cnts AS (SELECT lang AS source, COUNT(*) AS n_docs FROM gated GROUP BY lang),
+cmin AS (SELECT MIN(n_docs) AS c FROM cnts),
+rates AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(cmin.c AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS rate_q
+  FROM cnts CROSS JOIN cmin
+),
+sampled AS (
+  SELECT g.doc_id FROM gated g JOIN rates r ON r.source = g.lang
+  WHERE CAST(('0x' || substring(md5('temp|' || CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 1000000 < r.rate_q
+),
+chunkn AS (
+  SELECT COALESCE(SUM(GREATEST(1, CAST(ceil(CAST(len(tk) - 8 AS DOUBLE) / 56) AS BIGINT))), 0) AS n
+  FROM toks2 JOIN sampled s ON s.doc_id = toks2.id
+  JOIN norm2 n2 ON n2.id = toks2.id
+  WHERE n2.t <> ''
+)
+SELECT 'input' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n
+UNION ALL SELECT 'exact_dedup', CAST((SELECT COUNT(*) FROM docs1) AS BIGINT)
+UNION ALL SELECT 'near_dedup', CAST((SELECT COUNT(*) FROM docs2) AS BIGINT)
+UNION ALL SELECT 'quality_gate', CAST((SELECT COUNT(*) FROM gated) AS BIGINT)
+UNION ALL SELECT 'mix_sample', CAST((SELECT COUNT(*) FROM sampled) AS BIGINT)
+UNION ALL SELECT 'chunks', CAST((SELECT n FROM chunkn) AS BIGINT)"""
+
+
+@query("curation_pipeline_counts", _PIPELINE_COUNTS_ORACLE)
+def curation_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline's per-stage survivor accounting
+    (pipeline.py:curate_corpus — the real composed function, not a
+    re-derivation): exact dedup -> near-dup components -> quality gate ->
+    PII scrub -> temperature mix -> chunking, one (stage, n) row each.
+    The oracle replays the entire composition in a single DuckDB WITH
+    chain, with each stage computed over the PREVIOUS stage's survivors
+    (the lexicon, mixture rates, and pair graph are all rebuilt from
+    stage input, exactly as the pipeline does) — certifying the
+    composition itself, not just the member operators."""
+    from . import pipeline
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    chunks, counts = pipeline.curate_corpus(docs)
+    chunks.unpersist()
+    rows = [(k, int(v)) for k, v in counts.items()]
+    return spark.createDataFrame(rows, "stage string, n bigint")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: merge selection is pure integer counting, so the
+# whole ranking hash-checks; the iterative multi-merge trainer (bpe_learn)
+# is kmeans-style driver-looped and pinned against a pure-python twin in
+# pytest.
+# ---------------------------------------------------------------------------
+_BPE_RANKS_ORACLE = r"""WITH norm AS (
+  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents
+),
+words AS (
+  SELECT unnest(string_split_regex(t, '\s+')) AS word FROM norm
+),
+wc AS (SELECT word, COUNT(*) AS n FROM words WHERE word <> '' GROUP BY word),
+wp AS (
+  SELECT substring(word, CAST(i AS INT), 2) AS pair, n
+  FROM (SELECT word, n, unnest(range(1, length(word))) AS i FROM wc WHERE length(word) >= 2)
+),
+pc AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM wp GROUP BY pair),
+ranked AS (
+  SELECT pair, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank
+  FROM pc
+)
+SELECT pair, cnt, rank FROM ranked WHERE rank <= 20"""
+
+
+@query("bpe_merge_ranks", _BPE_RANKS_ORACLE)
+def bpe_merge_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge selection (Sennrich et al., ACL'16), first step: the
+    top-20 corpus-weighted adjacent character pairs with deterministic
+    (count desc, pair asc) tie-break — all-integer, full hash check.
+
+    Scale shape: the corpus reduces to its (word, n) vocabulary in one
+    partial-agg groupBy (operators/text.py:word_counts); the per-character
+    pass explodes only the vocab table, and the pair-count state is
+    bounded by |alphabet|^2. The global top-20 is a
+    TakeOrderedAndProject, never a full sort."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pc = X.bpe_pair_counts(docs)
+    top = pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+    from pyspark.sql import Window as W
+
+    return top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("pair"))).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (operators/retrieval.py). Twin split per the repo
+# determinism contract: the rsj_sqrt form hash-checks end to end (sqrt is
+# correctly-rounded IEEE; per-term contributions quantize to integer
+# micro-units before an order-independent integer sum); the textbook
+# ln-idf form is rows-only + pytest-pinned against a python float twin.
+# ---------------------------------------------------------------------------
+_BM25_QUERIES = {
+    0: "hash join query",
+    1: "window sort order",
+    2: "fast vector scan",
+    3: "dup stream",
+}
+
+_BM25_QT_VALUES = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, qs in sorted(_BM25_QUERIES.items())
+    for t in dict.fromkeys(qs.lower().split())
+)
+
+_BM25_CONTRIB = (
+    "sqrt((n_docs - df + 0.5) / (df + 0.5)) * "
+    "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * "
+    "(dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+)
+
+_BM25_ORACLE = rf"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tk AS (SELECT id, unnest(string_split_regex(t, '\s+')) AS term FROM norm),
+qt AS (SELECT * FROM (VALUES {_BM25_QT_VALUES}) AS v(query_id, term)),
+terms AS (SELECT DISTINCT term FROM qt),
+postings AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk JOIN terms USING (term) GROUP BY id, term
+),
+dl AS (SELECT id, CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS dl FROM norm),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl
+),
+matched AS (
+  SELECT q.query_id, p.id, p.tf, d.dl, f.df, s.n_docs, s.sum_dl
+  FROM postings p
+  JOIN qt q USING (term)
+  JOIN dl d USING (id)
+  JOIN (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term) f USING (term)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, id AS doc_id,
+         CAST(SUM(CAST(floor({_BM25_CONTRIB} * 1000000) AS BIGINT)) AS BIGINT) AS score_q
+  FROM matched GROUP BY query_id, id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+@query("bm25_rsj_topk", _BM25_ORACLE)
+def bm25_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval, hash-checkable form: sqrt-damped RSJ idf +
+    integer micro-unit contribution sums (operators/retrieval.py). The
+    query term list inlines map-side, so postings materialize only for
+    query terms — never a full inverted index."""
+    from .operators.retrieval import bm25_topk
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="rsj_sqrt")
+
+
+@query("bm25_lucene_topk")  # ln idf -> rows-only; python twin in pytest
+def bm25_lucene_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook BM25 (Lucene ln(1 + (N-df+0.5)/(df+0.5)) idf) — the
+    production scoring form. Natural log is not bit-reproducible across
+    engines (see determinism contract), so the driver check is rows-only;
+    exact scores are pinned against a python float twin in
+    tests/test_pipeline_ops.py, and the hash-certified rsj_sqrt twin
+    certifies the whole distributed plumbing."""
+    from .operators.retrieval import bm25_topk
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="ln")

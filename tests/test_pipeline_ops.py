@@ -1292,3 +1292,128 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(
         (r.id, r.chunk_idx, r.chunk_text, r.split) for r in rows
     ) == sorted((r.id, r.chunk_idx, r.chunk_text, r.split) for r in chunks2.collect())
+    chunks.unpersist()
+    chunks2.unpersist()
+
+
+def test_bpe_learn_matches_python_twin(spark):
+    """bpe_learn's distributed merge loop must reproduce a pure-python
+    reference BPE (greedy left-to-right merge application, count-desc /
+    pair-asc tie-break) merge-for-merge, including overlapping-run
+    behavior ('aaaa' -> 'aa aa') and multi-char symbol merges."""
+    from collections import Counter
+
+    from lichess_event_stream_watcher_spark.operators.text import bpe_learn
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest",
+        "widest widest widest",
+        "aaaa aaaa banana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string")
+
+    def py_bpe(texts, n_merges):
+        wc = Counter()
+        for t in texts:
+            for w in t.split():
+                wc[w] += 1
+        vocab = {tuple(w): n for w, n in wc.items()}
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += n
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            merges.append((f"{a} {b}", cnt))
+            new_vocab = {}
+            for syms, n in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            vocab = new_vocab
+        return merges
+
+    got = bpe_learn(df, n_merges=8)
+    want = py_bpe(texts, 8)
+    assert got == want, (got, want)
+
+
+def test_bm25_ln_matches_python_twin(spark, sf_dir):
+    """The ln-idf BM25 (rows-only for the driver) must match a from-
+    scratch python float implementation score-for-score (1e-9 rel tol —
+    JVM Math.log vs libm may differ in the last ulp) and rank-for-rank;
+    the rare-term query must rank a 'dup'-containing doc first."""
+    import math as _math
+    from collections import Counter
+
+    from lichess_event_stream_watcher_spark.operators.retrieval import bm25_topk
+    from lichess_event_stream_watcher_spark.queries_pipeline import _BM25_QUERIES
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: " ".join(r.text.lower().strip().split()).split() for r in rows
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    out = bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="ln").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+
+    for qid, qs in _BM25_QUERIES.items():
+        terms = list(dict.fromkeys(qs.lower().split()))
+        dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+        scores = {}
+        for did, tk in toks.items():
+            tf = Counter(tk)
+            s = 0.0
+            for t in terms:
+                if tf[t] == 0 or dfs[t] == 0:
+                    continue
+                idf = _math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                s += idf * (tf[t] * 2.2) / (
+                    tf[t] + 1.2 * (1.0 - 0.75 + 0.75 * (len(tk) / avgdl))
+                )
+            if s > 0:
+                scores[did] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        got_q = sorted(got[qid])
+        assert [d for _, d, _ in got_q] == [d for d, _ in want], qid
+        for (_, _, gs), (_, ws) in zip(got_q, want):
+            assert abs(gs - round(ws, 6)) <= 1e-6, (qid, gs, ws)
+
+    # the 'dup stream' query's top doc must actually contain 'dup'
+    top3 = next(d for r, d, _ in sorted(got[3]) if r == 1)
+    assert "dup" in toks[top3]
+
+
+def test_pii_scrub_preserves_token_counts(spark, sf_dir):
+    """The curation_pipeline_counts oracle counts chunks from UNscrubbed
+    tokens — legal only because redaction placeholders contain no
+    whitespace, so scrubbing never changes a doc's whitespace token
+    count. Pin that invariant on text with embedded emails and IPs."""
+    from lichess_event_stream_watcher_spark.operators import pii as P
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at bob@example.com or 10.1.2.3 today"),
+            (2, "a@b.co x@y.io 1.2.3.4"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    scrubbed = df.join(P.scrub(df, "text", "doc_id"), "doc_id")
+    for r in scrubbed.collect():
+        assert len(r.text.split()) == len(r.redacted.split()), r

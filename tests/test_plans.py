@@ -334,6 +334,8 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "ann_pq_adc",                 # same ADC-table broadcast, frozen books
         "charlm_quality",             # 1-row vocab-size broadcast
         "temperature_mix_sample",     # 1-row min-source-count broadcast
+        "bm25_rsj_topk",              # 1-row (N, sum_dl) stats broadcast
+        "bm25_lucene_topk",           # same 1-row stats broadcast
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
@@ -477,6 +479,27 @@ def test_kmv_sketch_plan_has_no_rank_over_raw_distinct(spark, sf_dir):
     assert "Window" not in p, p
     assert "BroadcastHashJoin" in p  # the pruning threshold broadcasts
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_bpe_and_bm25_plan_shapes(spark, sf_dir):
+    """Round-4 operator pins:
+
+    - bpe_merge_ranks: the global top-20 is TakeOrderedAndProject
+      (per-partition heaps), never a full global sort of the pair table;
+      no joins at all.
+    - bm25: the query-term filter reaches the token stream BEFORE any
+      aggregation (postings only for query terms), the query/df/stats
+      dims all join broadcast, and nothing plans a cartesian product."""
+    import __spark_entry__ as entry
+
+    p = plan_str(entry.queries()["bpe_merge_ranks"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Join" not in p
+
+    p = plan_str(entry.queries()["bm25_rsj_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
 
 
 def test_robust_stats_plan_has_no_corpus_sort_window(spark, sf_dir):
