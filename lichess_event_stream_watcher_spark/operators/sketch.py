@@ -122,8 +122,17 @@ def grouped_exact_quantiles(
        smallest value whose in-bucket cumulative count reaches the
        offset.
 
+    "Two passes" is physical, not just logical: all targets are located
+    in ONE exploded-spec pass over the bucket table, and the resulting
+    target set — bounded by construction at |quantiles| x |groups| rows —
+    is collected eagerly (the ``nearest_cells`` precedent: a
+    bounded-by-construction driver action at compose time) so pass 2
+    joins a literal frame instead of re-deriving the histogram subtree
+    per consumer. Exactly 2 scans of ``df`` at any scale.
+
     Returns (group_col, q, n, val): one row per group per target.
     """
+    spark = df.sparkSession
     vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
     bucket = F.floor(F.col("x") / F.lit(bucket_width)).cast("bigint")
     hist = vals.groupBy("g", bucket.alias("b")).agg(F.count("*").alias("c"))
@@ -135,17 +144,36 @@ def grouped_exact_quantiles(
         F.sum("c").over(wb).alias("cum_incl"),
         F.sum("c").over(Window.partitionBy("g")).alias("n"),
     )
-    targets = None
-    for name, num, den in quantiles:
-        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
-        t = hist.filter((F.col("cum_before") < rank) & (rank <= F.col("cum_incl"))).select(
+    spec = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("q"),
+                F.lit(num).alias("num"),
+                F.lit(den).alias("den"),
+            )
+            for name, num, den in quantiles
+        ]
+    )
+    rank = F.expr("(s.num * n + s.den - 1) div s.den")
+    target_rows = (
+        hist.select("g", "b", "cum_before", "cum_incl", "n", F.explode(spec).alias("s"))
+        .withColumn("rank", rank)
+        .filter((F.col("cum_before") < F.col("rank")) & (F.col("rank") <= F.col("cum_incl")))
+        .select(
             "g",
-            F.lit(name).alias("q"),
+            F.col("s.q").alias("q"),
             "b",
-            (rank - F.col("cum_before")).alias("off"),
+            (F.col("rank") - F.col("cum_before")).alias("off"),
             "n",
         )
-        targets = t if targets is None else targets.unionByName(t)
+        .collect()
+    )
+    targets = spark.createDataFrame(
+        [(r.g, r.q, r.b, r.off, r.n) for r in target_rows],
+        hist.select(
+            "g", F.lit("q").alias("q"), "b", F.col("n").alias("off"), "n"
+        ).schema,
+    )
     vc = (
         vals.withColumn("b", bucket)
         .join(F.broadcast(targets.select("g", "b").distinct()), ["g", "b"])
@@ -155,7 +183,7 @@ def grouped_exact_quantiles(
     wv = Window.partitionBy("g", "b").orderBy("x")
     vc = vc.select("g", "b", "x", F.sum("c").over(wv).alias("cum"))
     return (
-        targets.join(vc, ["g", "b"])
+        F.broadcast(targets).join(vc, ["g", "b"])
         .filter(F.col("cum") >= F.col("off"))
         .groupBy(F.col("g").alias(group_col), "q", "n")
         .agg(F.min("x").alias("val"))
