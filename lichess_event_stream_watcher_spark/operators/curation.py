@@ -95,16 +95,25 @@ def source_quota(
 
     Keeps at most ``per_source`` docs per source, chosen by the md5-hex
     order of the id (a deterministic uniform shuffle — NOT arrival order,
-    which over-samples whatever was crawled first). One window shuffle
-    partitioned by source; a hot source is one partition, so at real scale
-    pair this with a pre-aggregated count filter or salt the rank's
-    partition key. Returns (id, source, rk) for kept docs.
+    which over-samples whatever was crawled first).
+
+    Physical shape: threshold-pruned top-k
+    (operators/sketch.py:grouped_topk_threshold) — per-(source, salt)
+    struct-min partials bound every exchange, the rank window runs only
+    over the ~O(k) survivors, and a hot source at ANY cardinality never
+    concentrates a full sort in one task (the row_number-over-the-raw-
+    corpus form did). Result rows identical. Returns (id, source, rk).
     """
-    w = Window.partitionBy("source").orderBy(_md5_of_id("id"), F.col("id"))
+    from .sketch import grouped_topk_threshold
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        _md5_of_id("id").alias("_hx"),
+    )
     return (
-        df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= per_source)
+        grouped_topk_threshold(base, "source", ["_hx", "id"], per_source)
+        .select("id", "source", "rk")
     )
 
 

@@ -188,3 +188,60 @@ def grouped_exact_quantiles(
         .groupBy(F.col("g").alias(group_col), "q", "n")
         .agg(F.min("x").alias("val"))
     )
+
+
+def grouped_topk_threshold(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    k: int,
+    n_salts: int = 4096,
+) -> DataFrame:
+    """Exact per-group top-k rows by lexicographic ``order_cols``
+    ascending, with bounded per-task state — the general-key sibling of
+    ``kmin_hashes`` (same threshold-pruning proof, structs instead of
+    integer hashes).
+
+    1. rows salt arbitrarily (any assignment preserves the bound) and
+       each (group, salt) reduces to its MIN order-key struct — a
+       map-side partial min, so the exchange carries one tiny struct per
+       group x salt x partition.
+    2. the k-th smallest of a group's salt-minima bounds the group's
+       true k-th smallest key from above (k salts own a value <= it);
+       groups with fewer than k non-empty salts keep a NULL threshold =
+       keep everything (only possible when the group is itself of order
+       n_salts rows, by salt uniformity).
+    3. the raw input filters map-side against the broadcast threshold
+       (~O(k) expected survivors per group); ranking runs as a window
+       over the SURVIVORS only, never the raw group.
+
+    Returns the input rows (original columns) of each group's top-k plus
+    an ``rk`` rank column (1-based, ties broken by the order key itself
+    being total — callers must pass a tie-breaking final column).
+    """
+    if n_salts < k:
+        raise ValueError(f"n_salts ({n_salts}) must be >= k ({k})")
+    key = F.struct(*[F.col(c) for c in order_cols])
+    salted = df.withColumn("_key", key).withColumn(
+        "_salt", F.pmod(F.abs(F.hash(*order_cols)), F.lit(n_salts))
+    )
+    mins = salted.groupBy(group_col, "_salt").agg(F.min("_key").alias("_m"))
+    thr = (
+        mins.groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_list("_m")), 1, k).alias("_ms"))
+        .select(
+            group_col,
+            F.when(F.size("_ms") >= k, F.element_at("_ms", k)).alias("_thr"),
+        )
+    )
+    surv = (
+        salted.join(F.broadcast(thr), group_col)
+        .filter(F.col("_thr").isNull() | (F.col("_key") <= F.col("_thr")))
+        .drop("_salt", "_thr")
+    )
+    w = Window.partitionBy(group_col).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("_key")
+    )

@@ -1127,6 +1127,41 @@ def test_kmin_hashes_exact_vs_bruteforce(spark):
         kmin_hashes(df, "g", "h", 64, hash_ceiling=1, n_salts=8)
 
 
+def test_grouped_topk_threshold_vs_bruteforce(spark):
+    """Threshold-pruned generic top-k must equal brute-force per-group
+    sorting — across a hot group, a sub-k group, multi-column lexicographic
+    keys with ties on the first column, and the n_salts floor."""
+    import random
+
+    from lichess_event_stream_watcher_spark.operators.sketch import (
+        grouped_topk_threshold,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(2000):  # hot group with duplicate first-key values
+        rows.append(("hot", rng.randrange(50), i))
+    for i in range(4):
+        rows.append(("tiny", rng.randrange(50), i))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "g string, a bigint, id bigint")
+    by_g = {}
+    for g, a, i in rows:
+        by_g.setdefault(g, []).append((a, i))
+    for k, n_salts in [(10, 16), (10, 2048)]:
+        out = grouped_topk_threshold(df, "g", ["a", "id"], k, n_salts=n_salts)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, []).append((r.rk, r.a, r.id))
+        for g, vals in by_g.items():
+            want = [(rk + 1, a, i) for rk, (a, i) in enumerate(sorted(vals)[:k])]
+            assert sorted(got[g]) == want, (g, k, n_salts)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grouped_topk_threshold(df, "g", ["a", "id"], 10, n_salts=4)
+
+
 def test_grouped_exact_quantiles_vs_bruteforce(spark):
     """Two-pass bucketed quantiles must equal brute-force type-1 quantile
     picks — across bucket widths (forcing single- and many-bucket

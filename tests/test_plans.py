@@ -199,9 +199,13 @@ def test_curation_plan_shapes(spark, sf_dir):
     # global sort (SinglePartition would serialize the cumsum)
     assert "SinglePartition" not in pack
     assert pack.count("Exchange hashpartitioning") >= 1
+    # source_quota is threshold-pruned top-k: the per-source rank window
+    # runs over broadcast-filtered survivors only — never a sort of the
+    # raw corpus partitioned by source (a hot source would serialize)
     quota = plan_str(C.source_quota(docs))
     assert "SinglePartition" not in quota
-    assert quota.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in quota
+    assert "SortMergeJoin" not in quota
 
 
 def test_tpch_wide_family_plan_shapes(spark, sf_dir):
