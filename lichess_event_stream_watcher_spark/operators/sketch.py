@@ -196,6 +196,7 @@ def grouped_topk_threshold(
     order_cols: list[str],
     k: int,
     n_salts: int = 4096,
+    descending: bool = False,
 ) -> DataFrame:
     """Exact per-group top-k rows by lexicographic ``order_cols``
     ascending, with bounded per-task state — the general-key sibling of
@@ -215,6 +216,18 @@ def grouped_topk_threshold(
        (~O(k) expected survivors per group); ranking runs as a window
        over the SURVIVORS only, never the raw group.
 
+    ``descending=True`` ranks by the key DESCENDING (top-k largest): the
+    same proof with max-partials and the k-th LARGEST salt-max as a
+    lower bound.
+
+    WHEN TO USE: low-cardinality groups (rules, sources, event types)
+    whose per-group cardinality can be huge — the case where a plain
+    per-group rank window concentrates one group in one task. For
+    HIGH-cardinality groups with small per-group row counts (per-user
+    top-k), the plain window is already the right shape: parallelism =
+    group count, and this primitive's per-group threshold table would be
+    an UNBOUNDED broadcast there.
+
     Returns the input rows (original columns) of each group's top-k plus
     an ``rk`` rank column (1-based, ties broken by the order key itself
     being total — callers must pass a tie-breaking final column).
@@ -225,21 +238,31 @@ def grouped_topk_threshold(
     salted = df.withColumn("_key", key).withColumn(
         "_salt", F.pmod(F.abs(F.hash(*order_cols)), F.lit(n_salts))
     )
-    mins = salted.groupBy(group_col, "_salt").agg(F.min("_key").alias("_m"))
+    extremum = F.max("_key") if descending else F.min("_key")
+    mins = salted.groupBy(group_col, "_salt").agg(extremum.alias("_m"))
+    ms = F.array_sort(F.collect_list("_m"))
+    if descending:
+        ms = F.reverse(ms)
     thr = (
         mins.groupBy(group_col)
-        .agg(F.slice(F.array_sort(F.collect_list("_m")), 1, k).alias("_ms"))
+        .agg(F.slice(ms, 1, k).alias("_ms"))
         .select(
             group_col,
             F.when(F.size("_ms") >= k, F.element_at("_ms", k)).alias("_thr"),
         )
     )
+    passes = (
+        (F.col("_key") >= F.col("_thr"))
+        if descending
+        else (F.col("_key") <= F.col("_thr"))
+    )
     surv = (
         salted.join(F.broadcast(thr), group_col)
-        .filter(F.col("_thr").isNull() | (F.col("_key") <= F.col("_thr")))
+        .filter(F.col("_thr").isNull() | passes)
         .drop("_salt", "_thr")
     )
-    w = Window.partitionBy(group_col).orderBy(*[F.asc(c) for c in order_cols])
+    direction = F.desc if descending else F.asc
+    w = Window.partitionBy(group_col).orderBy(*[direction(c) for c in order_cols])
     return (
         surv.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

@@ -270,11 +270,14 @@ _DRIVER_PRIORITY = [
     "bpe_merge_ranks",
     "bm25_rsj_topk",
     "bm25_lucene_topk",  # rows-only (ln idf); rsj twin carries the hash
-    # stalest greens (r1-only)
-    "dedup_exact",
+    # reworked this round (threshold-pruned top-3; needs a fresh row)
+    "last3_caught",
+    # stalest green (r1-only; dedup_exact — also r1-only — yields its
+    # slot to the reworked last3_caught and heads the r5 queue)
     "ann_lsh_buckets",
     # --- position 51+: the round-5 rotation queue — twice/thrice-green
-    # rows ordered roughly by staleness (r2-only TPC-H first)
+    # rows ordered roughly by staleness (r1-only first, then r2-only TPC-H)
+    "dedup_exact",
     "tpch_q13_custdist",
     "tpch_q6_forecast_revenue",
     "tpch_q15_top_supplier",

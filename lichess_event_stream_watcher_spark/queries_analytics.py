@@ -145,16 +145,19 @@ def match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def last3_caught(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (src/signup/rules.rs:153-158): last-3 DISTINCT users per rule by
-    recency. Batch twin: per-(key,user) max(ts), then windowed top-3.
-    Dedup-before-rank mirrors the reference's duplicate short-circuit."""
+    recency. Batch twin: per-(key,user) max(ts), then threshold-pruned
+    descending top-3 (operators/sketch.py:grouped_topk_threshold) — the
+    rank window runs over ~O(k) survivors, so one hot rule at 10^9
+    distinct users never concentrates its whole per-user table in one
+    task. Dedup-before-rank mirrors the reference's duplicate
+    short-circuit."""
+    from .operators.sketch import grouped_topk_threshold
+
     ev = testdata.load(spark, sf_dir, "events")
     per_user = ev.groupBy("event_type", "user_id").agg(F.max("ts").alias("last_ts"))
-    w = Window.partitionBy("event_type").orderBy(F.desc("last_ts"), F.desc("user_id"))
-    return (
-        per_user.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("event_type", "user_id")
-    )
+    return grouped_topk_threshold(
+        per_user, "event_type", ["last_ts", "user_id"], 3, descending=True
+    ).select("event_type", "user_id")
 
 
 @query(

@@ -1156,6 +1156,20 @@ def test_grouped_topk_threshold_vs_bruteforce(spark):
         for g, vals in by_g.items():
             want = [(rk + 1, a, i) for rk, (a, i) in enumerate(sorted(vals)[:k])]
             assert sorted(got[g]) == want, (g, k, n_salts)
+    # descending: top-k LARGEST with the max-partial / lower-bound form
+    for k in (3, 10):
+        out = grouped_topk_threshold(
+            df, "g", ["a", "id"], k, n_salts=64, descending=True
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.g, []).append((r.rk, r.a, r.id))
+        for g, vals in by_g.items():
+            want = [
+                (rk + 1, a, i)
+                for rk, (a, i) in enumerate(sorted(vals, reverse=True)[:k])
+            ]
+            assert sorted(got[g]) == want, (g, k, "desc")
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
