@@ -68,12 +68,16 @@ def pagerank(
         .distinct()
     )
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # the (src, dst, deg) expansion is iteration-INVARIANT: fold the
+    # degree join in once and persist, or every round re-runs the
+    # union+distinct shuffle and the degree join from scratch (10
+    # iterations = 10 redundant edge shuffles)
+    und_deg = und.join(deg, "src").persist()
     ranks = n.select("id", F.lit(1.0).alias("rank"))
     rank_ids: set[int] = set()
     for _ in range(iters):
         contrib = (
-            und.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
+            und_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
@@ -93,6 +97,7 @@ def pagerank(
         )
         unpersist_rdd_ids(edges, rank_ids)
         rank_ids = persisted_rdd_ids(edges) - before
+    und_deg.unpersist()  # final ranks are checkpointed; edges can go
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -179,13 +184,14 @@ def pagerank_quantized(
         .distinct()
     )
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # iteration-invariant edge expansion persisted once (see pagerank)
+    und_deg = und.join(deg, "src").persist()
     teleport = (quant * 15) // 100
     ranks = n.select("id", F.lit(quant).cast("bigint").alias("rank_q"))
     rank_ids: set[int] = set()
     for _ in range(iters):
         contrib = (
-            und.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
+            und_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr("(rank_q * 85) div (100 * deg)").alias("c"),
@@ -205,4 +211,5 @@ def pagerank_quantized(
         )
         unpersist_rdd_ids(edges, rank_ids)
         rank_ids = persisted_rdd_ids(edges) - before
+    und_deg.unpersist()
     return ranks
