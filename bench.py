@@ -78,6 +78,7 @@ HEADLINE = [
     "ann_pq_topk",
     "bpe_merge_ranks",
     "bm25_rsj_topk",
+    "dsir_importance_q",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -299,3 +299,107 @@ def chunk_documents(
             F.size(piece).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str,
+    n_buckets: int = 4096,
+    quant: int = 1_000_000,
+    mode: str = "linear_q",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.,
+    NeurIPS'23): score every document by how much more likely its hashed
+    unigram features are under the TARGET distribution (rows where
+    boolean ``target_col`` is true — e.g. a trusted reference domain)
+    than under the RAW corpus distribution. High scores = "looks like the
+    target domain"; sampling proportional to the weights shifts the
+    pretraining mixture toward the target without hand-written rules.
+
+    Features are hashed unigrams (``md5('dsir|'||word) % n_buckets``),
+    Laplace-smoothed: p(b) = (c_b + 1) / (N + n_buckets).
+
+    ``mode``:
+    - ``"linear_q"`` (hash-checkable): per-bucket weight ratio_q(b) =
+      floor(quant * ((ct_b+1)*(N_r+B)) / ((cr_b+1)*(N_t+B))), and the doc
+      score is the INTEGER sum of c_b * (ratio_q(b) - quant) — positive
+      when the doc's buckets are target-enriched. One exact integer
+      division per bucket (both products stay in BIGINT; document-domain
+      bound: (max_count+1)*(N+B) must stay under 2^63, the same contract
+      style as value_outliers_3sigma), then order-independent integer
+      sums — bit-identical across engines.
+    - ``"log"`` (the paper's form): score = sum c_b * (ln p_t(b) - ln
+      p_r(b)). Natural log is not bit-reproducible across engines, so
+      this form is rows-only for the driver and pinned against a python
+      float twin in pytest.
+
+    Scale shape: the token stream maps to (id, bucket) and reduces with
+    ONE partial-agg groupBy; both distributions are <= n_buckets rows
+    (broadcast); the per-doc score is one more integer-sum groupBy. No
+    window, no join bigger than a broadcast.
+
+    Output: (id, n_toks, score_q) for linear_q / (id, n_toks, score) for
+    log.
+    """
+    if mode not in ("linear_q", "log"):
+        raise ValueError(f"unknown mode {mode!r}")
+    B = n_buckets
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).alias("is_target"),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("word"),
+    ).filter(F.col("word") != "")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("word"))), 1, 12), 16, 10
+        ).cast("bigint")
+        % B
+    )
+    counts = tok.groupBy("id", bucket.alias("b")).agg(
+        F.count("*").alias("c"), F.max("is_target").alias("is_target")
+    )
+    raw = counts.groupBy("b").agg(F.sum("c").alias("cr"))
+    tgt = counts.filter("is_target").groupBy("b").agg(F.sum("c").alias("ct"))
+    totals = raw.agg(F.sum("cr").cast("bigint").alias("n_r")).crossJoin(
+        tgt.agg(F.sum("ct").cast("bigint").alias("n_t"))
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            "cr",
+            "n_t",
+            "n_r",
+        )
+    )
+    if mode == "linear_q":
+        num = ((F.col("ct") + 1) * (F.col("n_r") + B)).cast("double")
+        den = ((F.col("cr") + 1) * (F.col("n_t") + B)).cast("double")
+        w = w.select("b", F.floor(F.lit(quant) * (num / den)).alias("ratio_q"))
+        scored = (
+            counts.join(F.broadcast(w), "b")
+            .groupBy("id")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_toks"),
+                F.sum(F.col("c") * (F.col("ratio_q") - quant)).cast("bigint").alias("score_q"),
+            )
+        )
+    else:
+        lw = (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("n_t") + F.lit(B)))
+            - F.log((F.col("cr") + 1).cast("double") / (F.col("n_r") + F.lit(B)))
+        )
+        w = w.select("b", lw.alias("lw"))
+        scored = (
+            counts.join(F.broadcast(w), "b")
+            .groupBy("id")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_toks"),
+                F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("score"),
+            )
+        )
+    return scored

@@ -272,12 +272,15 @@ _DRIVER_PRIORITY = [
     "bm25_lucene_topk",  # rows-only (ln idf); rsj twin carries the hash
     # reworked this round (threshold-pruned top-3; needs a fresh row)
     "last3_caught",
-    # stalest green (r1-only; dedup_exact — also r1-only — yields its
-    # slot to the reworked last3_caught and heads the r5 queue)
-    "ann_lsh_buckets",
-    # --- position 51+: the round-5 rotation queue — twice/thrice-green
-    # rows ordered roughly by staleness (r1-only first, then r2-only TPC-H)
+    # new round-4 hash query (DSIR importance resampling; its log-mode
+    # twin is rows-only and rides on this row + the pytest float twin)
+    "dsir_importance_q",
+    # --- position 51+: the round-5 rotation queue — r1-only greens first
+    # (both unchanged since r1), then the rows-only log twin and the
+    # r2-only TPC-H staleness tail
     "dedup_exact",
+    "ann_lsh_buckets",
+    "dsir_importance_log",
     "tpch_q13_custdist",
     "tpch_q6_forecast_revenue",
     "tpch_q15_top_supplier",

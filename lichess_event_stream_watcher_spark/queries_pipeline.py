@@ -2411,3 +2411,74 @@ def bm25_lucene_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = testdata.load(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="ln")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/curation.py:dsir_importance). Twin
+# split: the integer-quantized linear-domain weights hash-check end to end
+# (one exact integer division per bucket, integer sums); the paper's
+# log-domain form is rows-only + python-twin-pinned (ln is not
+# bit-reproducible across engines).
+# ---------------------------------------------------------------------------
+_DSIR_B = 4096
+
+_DSIR_ORACLE = rf"""WITH norm AS (
+  SELECT doc_id AS id, lang = 'en' AS is_target,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tk AS (
+  SELECT id, is_target, unnest(string_split_regex(t, '\s+')) AS word FROM norm
+),
+counts AS (
+  SELECT id,
+         CAST(('0x' || substring(md5('dsir|' || word), 1, 12)) AS BIGINT) % {_DSIR_B} AS b,
+         COUNT(*) AS c, MAX(is_target) AS is_target
+  FROM tk WHERE word <> '' GROUP BY 1, 2
+),
+raw AS (SELECT b, SUM(c) AS cr FROM counts GROUP BY b),
+tgt AS (SELECT b, SUM(c) AS ct FROM counts WHERE is_target GROUP BY b),
+totals AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS n_r,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS n_t
+),
+w AS (
+  SELECT raw.b,
+         CAST(floor(1000000 * (CAST((COALESCE(tgt.ct, 0) + 1) * (t.n_r + {_DSIR_B}) AS DOUBLE)
+                               / CAST((raw.cr + 1) * (t.n_t + {_DSIR_B}) AS DOUBLE))) AS BIGINT) AS ratio_q
+  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN totals t
+)
+SELECT counts.id, CAST(SUM(counts.c) AS BIGINT) AS n_toks,
+       CAST(SUM(counts.c * (w.ratio_q - 1000000)) AS BIGINT) AS score_q
+FROM counts JOIN w ON w.b = counts.b
+GROUP BY counts.id"""
+
+
+@query("dsir_importance_q", _DSIR_ORACLE)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, hash-checkable form: per-doc integer-quantized
+    linear-domain importance of hashed unigram features against the
+    English-language target slice — positive scores = target-like docs.
+    Both feature distributions are <= 4096 broadcast rows; the corpus
+    sees one token-bucket reduce and one scoring reduce."""
+    from .operators.curation import dsir_importance
+
+    docs = testdata.load(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return dsir_importance(docs, "is_en", n_buckets=_DSIR_B, mode="linear_q")
+
+
+@query("dsir_importance_log")  # ln weights -> rows-only; python twin in pytest
+def dsir_importance_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR in the paper's log-domain form (score = sum c_b * (ln p_t -
+    ln p_r)) — the production scorer. Rows-only for the driver (ln is not
+    cross-engine bit-reproducible); exact floats pinned against a python
+    twin in pytest, and the hash-certified linear_q twin certifies the
+    distributed plumbing."""
+    from .operators.curation import dsir_importance
+
+    docs = testdata.load(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return dsir_importance(docs, "is_en", n_buckets=_DSIR_B, mode="log")

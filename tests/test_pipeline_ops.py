@@ -1448,6 +1448,62 @@ def test_bm25_ln_matches_python_twin(spark, sf_dir):
     assert "dup" in toks[top3]
 
 
+def test_dsir_log_matches_python_twin_and_separates_target(spark, sf_dir):
+    """The log-domain DSIR scorer must match a from-scratch python float
+    implementation (1e-6 after the round-6), and the semantics must hold:
+    English (target) docs score higher on average than non-target docs,
+    in BOTH modes."""
+    import math as _math
+    from collections import Counter
+
+    import __spark_entry__ as entry
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "lang", "text").collect()
+    B = 4096
+
+    def bucket(w):
+        import hashlib
+
+        return int(hashlib.md5(f"dsir|{w}".encode()).hexdigest()[:12], 16) % B
+
+    per_doc, is_en = {}, {}
+    for r in rows:
+        toks = [w for w in " ".join(r.text.lower().strip().split()).split() if w]
+        per_doc[r.doc_id] = Counter(bucket(w) for w in toks)
+        is_en[r.doc_id] = r.lang == "en"
+    raw, tgt = Counter(), Counter()
+    for did, c in per_doc.items():
+        raw.update(c)
+        if is_en[did]:
+            tgt.update(c)
+    n_r, n_t = sum(raw.values()), sum(tgt.values())
+    want = {}
+    for did, c in per_doc.items():
+        s = sum(
+            n
+            * (
+                _math.log((tgt[b] + 1) / (n_t + B))
+                - _math.log((raw[b] + 1) / (n_r + B))
+            )
+            for b, n in c.items()
+        )
+        want[did] = round(s, 6)
+    got = {
+        r.id: r.score
+        for r in entry.queries()["dsir_importance_log"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for did in got:
+        assert abs(got[did] - want[did]) <= 1e-5, (did, got[did], want[did])
+    # target separation in both modes
+    for qname, col in [("dsir_importance_log", "score"), ("dsir_importance_q", "score_q")]:
+        out = {r.id: r[col] for r in entry.queries()[qname](spark, sf_dir).collect()}
+        en = [out[d] for d in out if is_en[d]]
+        other = [out[d] for d in out if not is_en[d]]
+        assert sum(en) / len(en) > sum(other) / len(other), qname
+
+
 def test_pii_scrub_preserves_token_counts(spark, sf_dir):
     """The curation_pipeline_counts oracle counts chunks from UNscrubbed
     tokens — legal only because redaction placeholders contain no

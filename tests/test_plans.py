@@ -340,6 +340,8 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "temperature_mix_sample",     # 1-row min-source-count broadcast
         "bm25_rsj_topk",              # 1-row (N, sum_dl) stats broadcast
         "bm25_lucene_topk",           # same 1-row stats broadcast
+        "dsir_importance_q",          # 1-row (n_r, n_t) totals broadcast
+        "dsir_importance_log",        # same 1-row totals broadcast
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
