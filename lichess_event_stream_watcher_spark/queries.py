@@ -235,7 +235,7 @@ _DRIVER_PRIORITY = [
     "cross_source_dups",
     "ann_lsh_multiprobe",
     "ann_ivfpq_adc",
-    "ann_ivf_trained",       # rows-only (trained float twin)
+    "ann_ivf_trained",       # round-4: frozen-artifact hash oracle
     "ann_pq_topk",           # round-4: frozen-artifact hash oracle
     "ann_ivfpq_topk",        # round-4: frozen-artifact hash oracle
     "dup_graph_pagerank",    # rows-only (float twin)

@@ -737,16 +737,11 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_components_star(docs, pairs)
 
 
-@query("ann_ivf_trained")  # iterative k-means -> rows-only driver check
-def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end IVF: train 8 coarse centroids with deterministic-init
-    Lloyd's k-means (3 iterations, one tiny-collect job each), then serve
-    the same 5 probes as ann_ivf_topk against the TRAINED cells. Iterative
-    training is not SQL-expressible as one query, so this registers
-    rows-only; the k-means itself is pytest-pinned against a numpy twin."""
-    emb = testdata.load(spark, sf_dir, "embeddings")
-    cents = S.kmeans_fit(emb, k=8, iters=3)
-    return S.ivf_ann_topk(emb, cents, [0, 1, 2, 3, 4], k=5, nprobe=2)
+# (ann_ivf_trained is registered near the frozen-artifact oracle helpers
+# further down — it serves from the frozen Lloyd-trained centroids and
+# carries a full hash oracle; inline float kmeans_fit training stays
+# pytest-pinned via its numpy twin and hash-certified via the quantized
+# ann_kmeans_cells_q / ann_ivf_trained_q pair.)
 
 
 @query(
@@ -2482,3 +2477,47 @@ def dsir_importance_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_en", F.col("lang") == "en"
     )
     return dsir_importance(docs, "is_en", n_buckets=_DSIR_B, mode="log")
+
+
+_IVF_TRAINED_FROZEN_ORACLE = f"""WITH {_ivf_frozen_cents_sql()},
+{_ivf_frozen_assign_sql()},
+cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM assign WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= 2
+),
+cand AS (
+  SELECT p.query_id, c.neighbor_id FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.query_id
+  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
+
+
+@query("ann_ivf_trained", _IVF_TRAINED_FROZEN_ORACLE)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINED IVF serving in floats, hash-checked: the coarse
+    quantizer is the FROZEN Lloyd-trained centroid artifact
+    (artifacts.py, kmeans_fit k=8 iters=3 offline), serving is identical
+    to ann_ivf_topk (rounded-cosine cell assignment, 2-probe, exact
+    in-cell ranking). This retired the rows-only registration that
+    trained inline: offline-train-and-freeze is the production shape,
+    inline float Lloyd stays numpy-twin-pinned in pytest, and the
+    quantized ann_kmeans_cells_q / ann_ivf_trained_q keep hash evidence
+    on the TRAINING trajectory itself."""
+    from .artifacts import ivf_centroids_df
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(
+        emb, ivf_centroids_df(spark), [0, 1, 2, 3, 4], k=5, nprobe=2
+    )
