@@ -79,6 +79,7 @@ HEADLINE = [
     "bpe_merge_ranks",
     "bm25_rsj_topk",
     "dsir_importance_q",
+    "dup_span_profile",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -1303,3 +1303,83 @@ def bloom_probe(
         .agg((F.min("hit") == F.lit(1)).alias("maybe_present"))
         .select("key", "maybe_present", (~F.col("maybe_present")).alias("definitely_new"))
     )
+
+
+def dup_span_profile(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-document duplicated-SPAN coverage — the document-level signal
+    of exact substring deduplication (Lee et al., ACL'22 "Deduplicating
+    Training Data Makes Language Models Better"): what fraction of a
+    doc's token positions lie inside an ``n``-gram that occurs more than
+    once in the corpus (cross-doc or repeated within one doc). Docs with
+    high coverage are memorization risks even when no whole-document
+    near-dup fires.
+
+    Physical shape: positioned shingles are a map-side transform; one
+    partial-agg groupBy counts occurrences per shingle; duplicated
+    shingles (a 1-row-per-key build side, so the join fans out x1 — no
+    pair explosion, AQE splits any stop-shingle skew) mark their n
+    covered token positions, which dedup per doc and count. Nothing in
+    the plan grows faster than the token stream.
+
+    Output: (id, n_tokens, n_dup_tokens, dup_frac_q) for EVERY doc
+    (zero coverage rows included), dup_frac_q = floor(quant * covered /
+    n_tokens) — integer, hash-checkable.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tk"),
+    )
+    base = spread(base)
+    tk = F.col("_tk")
+    idx = F.when(F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos_sh = base.select(
+        "id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"), F.array_join(F.slice(tk, i, n), " ").alias("sh")
+                ),
+            )
+        ).alias("_s"),
+    ).select("id", "n_tokens", F.col("_s.pos").alias("pos"), F.col("_s.sh").alias("sh"))
+    occ = (
+        pos_sh.filter(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("sh")
+    )
+    covered = (
+        pos_sh.filter(F.col("sh").isNotNull())
+        .join(occ, "sh")
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("ti"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    totals = base.select("id", F.size(tk).cast("bigint").alias("n_tokens"))
+    return (
+        totals.join(covered, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+            F.floor(
+                F.lit(quant)
+                * (
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens")
+                )
+            ).cast("bigint").alias("dup_frac_q"),
+        )
+    )

@@ -269,17 +269,18 @@ _DRIVER_PRIORITY = [
     "curation_pipeline_counts",
     "bpe_merge_ranks",
     "bm25_rsj_topk",
-    "bm25_lucene_topk",  # rows-only (ln idf); rsj twin carries the hash
+    "dup_span_profile",
     # reworked this round (threshold-pruned top-3; needs a fresh row)
     "last3_caught",
     # new round-4 hash query (DSIR importance resampling; its log-mode
     # twin is rows-only and rides on this row + the pytest float twin)
     "dsir_importance_q",
     # --- position 51+: the round-5 rotation queue — r1-only greens first
-    # (both unchanged since r1), then the rows-only log twin and the
-    # r2-only TPC-H staleness tail
+    # (both unchanged since r1), then the rows-only twins (their hash
+    # siblings are in-window) and the r2-only TPC-H staleness tail
     "dedup_exact",
     "ann_lsh_buckets",
+    "bm25_lucene_topk",
     "dsir_importance_log",
     "tpch_q13_custdist",
     "tpch_q6_forecast_revenue",

@@ -2521,3 +2521,39 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(
         emb, ivf_centroids_df(spark), [0, 1, 2, 3, 4], k=5, nprobe=2
     )
+
+
+_DUP_SPAN_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (
+  SELECT id, string_split_regex(t, '\s+') AS tk FROM norm
+),
+ps AS (
+  SELECT id, CAST(i AS INT) AS pos, array_to_string(tk[i:i+7], ' ') AS sh
+  FROM (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM base WHERE len(tk) >= 8)
+),
+occ AS (SELECT sh FROM ps GROUP BY sh HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT id, ti FROM (
+    SELECT ps.id, unnest(range(ps.pos, ps.pos + 8)) AS ti
+    FROM ps JOIN occ USING (sh))
+),
+covc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens FROM cov GROUP BY id)
+SELECT b.id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+       COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+       CAST(floor(1000000 * (CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE) / len(b.tk))) AS BIGINT) AS dup_frac_q
+FROM base b LEFT JOIN covc c USING (id)"""
+
+
+@query("dup_span_profile", _DUP_SPAN_ORACLE)
+def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage per document (Lee et al., ACL'22): the
+    fraction of each doc's token positions inside an 8-gram occurring
+    more than once in the corpus — the document-level substring-dedup
+    signal (operators/dedup.py:dup_span_profile). Every doc gets a row;
+    all-integer output hash-checks."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.dup_span_profile(docs, n=8)

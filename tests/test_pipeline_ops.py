@@ -1448,6 +1448,44 @@ def test_bm25_ln_matches_python_twin(spark, sf_dir):
     assert "dup" in toks[top3]
 
 
+def test_dup_span_profile_vs_bruteforce(spark):
+    """Duplicated-span coverage must match a brute-force python
+    computation on a corpus with planted cross-doc spans, within-doc
+    repeats, a fully-unique doc, and a doc shorter than n."""
+    from collections import Counter
+
+    from lichess_event_stream_watcher_spark.operators.dedup import dup_span_profile
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog while rain falls",
+        2: "intro words the quick brown fox jumps over the lazy dog end",
+        3: "completely unique sentence with no overlap to anything else here",
+        4: "tiny doc",
+        5: "rep rep rep rep rep rep rep rep rep rep rep rep",  # within-doc repeats
+    }
+    n = 8
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    toks = {d: t.split() for d, t in texts.items()}
+    occ = Counter()
+    for tk in toks.values():
+        for i in range(len(tk) - n + 1):
+            occ[" ".join(tk[i : i + n])] += 1
+    want = {}
+    for d, tk in toks.items():
+        cov = set()
+        for i in range(len(tk) - n + 1):
+            if occ[" ".join(tk[i : i + n])] >= 2:
+                cov.update(range(i, i + n))
+        want[d] = (len(tk), len(cov), (1_000_000 * len(cov)) // len(tk))
+    got = {
+        r.id: (r.n_tokens, r.n_dup_tokens, r.dup_frac_q)
+        for r in dup_span_profile(df, n=n).collect()
+    }
+    assert got == want, (got, want)
+    assert got[3][1] == 0 and got[4][1] == 0
+    assert got[5][1] == len(toks[5])  # the whole repeated doc is covered
+
+
 def test_dsir_log_matches_python_twin_and_separates_target(spark, sf_dir):
     """The log-domain DSIR scorer must match a from-scratch python float
     implementation (1e-6 after the round-6), and the semantics must hold:
