@@ -24,8 +24,15 @@ def sf_dir():
     return SF_DIR
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def duck(sf_dir):
+    # FUNCTION-scoped on purpose: duckdb 1.0.0's buffer accounting leaks
+    # across a long-lived connection under this suite's 130+ heavy oracle
+    # queries (recursive CTEs, 80 KB literal-codebook SQL) — late tests
+    # start failing with OutOfMemoryException ("failed to allocate 16384
+    # bytes") while the machine has >100 GB free. A fresh connection per
+    # test costs ~ms (views over parquet are lazy) and removes the
+    # accumulation entirely.
     import duckdb
 
     con = duckdb.connect()
