@@ -80,6 +80,7 @@ HEADLINE = [
     "bm25_rsj_topk",
     "dsir_importance_q",
     "dup_span_profile",
+    "substring_dedup",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

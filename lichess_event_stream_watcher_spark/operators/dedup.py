@@ -1383,3 +1383,101 @@ def dup_span_profile(
             ).cast("bigint").alias("dup_frac_q"),
         )
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level deduplication WITH removal (the full Lee et al.,
+    ACL'22 treatment, not just the signal): every corpus-duplicated
+    ``n``-gram keeps its FIRST occurrence (minimum (doc_id, pos) — a
+    deterministic global convention needing no global sort) and every
+    other occurrence marks its n token positions for removal; each doc's
+    text is rebuilt from its surviving positions in order.
+
+    A position covered by BOTH a first occurrence and a non-first one
+    survives: removal takes only positions covered EXCLUSIVELY by
+    non-first duplicated occurrences, so the kept copy of a duplicated
+    span is never chewed up by an overlapping later duplicate.
+
+    Physical shape: positioned shingles map-side; per-shingle min-struct
+    ((id, pos)) partial-aggregates map-side — the same bounded-exchange
+    move as the sketch primitives; the keep/remove classification joins
+    that 1-row-per-key table back (fan-out x1); position sets resolve
+    with two doc-local aggs; the rebuild is a doc-local sorted
+    collect_list over the doc's own surviving tokens (bounded by doc
+    length — the same bound tokenizing the doc already needs).
+
+    Output: (id, clean_text, n_tokens, n_removed) for EVERY doc.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tk"),
+    )
+    base = spread(base)
+    tk = F.col("_tk")
+    idx = F.when(F.size(tk) >= n, F.sequence(F.lit(1), F.size(tk) - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos_sh = base.select(
+        "id",
+        F.explode_outer(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"), F.array_join(F.slice(tk, i, n), " ").alias("sh")
+                ),
+            )
+        ).alias("_s"),
+    ).select("id", F.col("_s.pos").alias("pos"), F.col("_s.sh").alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    per_sh = pos_sh.groupBy("sh").agg(
+        F.count("*").alias("occ"),
+        F.min(F.struct("id", "pos")).alias("first"),
+    )
+    dup_occ = (
+        pos_sh.join(per_sh.filter(F.col("occ") >= 2), "sh")
+        .select(
+            "id",
+            "pos",
+            (
+                (F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos"))
+            ).alias("is_first"),
+        )
+    )
+    marks = dup_occ.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("ti"),
+        "is_first",
+    ).groupBy("id", "ti").agg(F.max("is_first").alias("kept_cover"))
+    removed = marks.filter(~F.col("kept_cover")).groupBy("id").agg(
+        F.collect_list("ti").alias("_rm")
+    )
+    rebuilt = (
+        base.join(removed, "id", "left")
+        .select(
+            "id",
+            F.size(tk).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("_rm"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk)),
+                        lambda i: F.when(
+                            F.coalesce(
+                                F.array_contains(F.col("_rm"), i), F.lit(False)
+                            ),
+                            F.lit(None).cast("string"),
+                        ).otherwise(F.element_at(tk, i)),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return rebuilt.select("id", "clean_text", "n_tokens", "n_removed")

@@ -231,6 +231,9 @@ def grouped_topk_threshold(
     Returns the input rows (original columns) of each group's top-k plus
     an ``rk`` rank column (1-based, ties broken by the order key itself
     being total — callers must pass a tie-breaking final column).
+    ``order_cols`` must be non-null (struct min/max and comparisons treat
+    NULL fields engine-specifically; every current caller keys on
+    non-null hashes/ids/timestamps).
     """
     if n_salts < k:
         raise ValueError(f"n_salts ({n_salts}) must be >= k ({k})")

@@ -275,9 +275,11 @@ _DRIVER_PRIORITY = [
     # new round-4 hash query (DSIR importance resampling; its log-mode
     # twin is rows-only and rides on this row + the pytest float twin)
     "dsir_importance_q",
-    # --- position 51+: the round-5 rotation queue — r1-only greens first
-    # (both unchanged since r1), then the rows-only twins (their hash
-    # siblings are in-window) and the r2-only TPC-H staleness tail
+    # --- position 51+: the round-5 rotation queue — the round-4 late
+    # addition first (born after the window filled; full local parity +
+    # brute-force pytest this round), then r1-only greens, the rows-only
+    # twins (hash siblings in-window), and the r2-only TPC-H tail
+    "substring_dedup",
     "dedup_exact",
     "ann_lsh_buckets",
     "bm25_lucene_topk",

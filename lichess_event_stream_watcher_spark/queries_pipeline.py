@@ -2557,3 +2557,46 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer output hash-checks."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.dup_span_profile(docs, n=8)
+
+
+_SUBSTR_DEDUP_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm),
+ps AS (
+  SELECT id, CAST(i AS INT) AS pos, array_to_string(tk[i:i+7], ' ') AS sh
+  FROM (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM base WHERE len(tk) >= 8)
+),
+ranked AS (
+  SELECT id, pos,
+         ROW_NUMBER() OVER (PARTITION BY sh ORDER BY id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY sh) AS occ
+  FROM ps
+),
+dup_occ AS (SELECT id, pos, rn = 1 AS is_first FROM ranked WHERE occ >= 2),
+marks AS (
+  SELECT id, ti, MAX(is_first) AS kept FROM (
+    SELECT id, unnest(range(pos, pos + 8)) AS ti, is_first FROM dup_occ
+  ) GROUP BY id, ti
+),
+rm AS (SELECT id, list(ti) AS rml FROM marks WHERE NOT kept GROUP BY id)
+SELECT b.id,
+       array_to_string([b.tk[CAST(i AS INT)] for i in range(1, len(b.tk) + 1)
+                        if NOT list_contains(COALESCE(r.rml, CAST([] AS BIGINT[])), i)], ' ') AS clean_text,
+       CAST(len(b.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.rml), 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN rm r USING (id)"""
+
+
+@query("substring_dedup", _SUBSTR_DEDUP_ORACLE)
+def substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup WITH removal (Lee et al., ACL'22): duplicated
+    8-grams keep their first (min (doc_id, pos)) occurrence, every other
+    occurrence's exclusively-covered positions are cut, and each doc's
+    text rebuilds from the survivors (operators/dedup.py:
+    substring_dedup). Every doc gets a row; text + integer counts
+    hash-check."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.substring_dedup(docs, n=8)

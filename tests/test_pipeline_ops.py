@@ -1448,6 +1448,55 @@ def test_bm25_ln_matches_python_twin(spark, sf_dir):
     assert "dup" in toks[top3]
 
 
+def test_substring_dedup_vs_bruteforce(spark):
+    """Removal semantics must match brute force: first (min (id, pos))
+    occurrence of each duplicated n-gram survives, positions covered
+    ONLY by non-first duplicated occurrences are cut, rebuilt text
+    preserves order — across cross-doc dups, within-doc repeats, overlap
+    between a kept first span and a later duplicate, and untouched docs."""
+    from collections import Counter
+
+    from lichess_event_stream_watcher_spark.operators.dedup import substring_dedup
+
+    texts = {
+        1: "a b c d e f g h tail one two three",
+        2: "prefix words a b c d e f g h suffix",      # cross-doc dup of 1's span
+        3: "x x x x x x x x x x x x",                  # within-doc repeats
+        4: "all unique tokens without any duplication at all today now",
+        5: "a b c d e f g h i j k l",                  # overlaps doc1's span
+    }
+    n = 8
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    toks = {d: t.split() for d, t in texts.items()}
+    occ = Counter()
+    first = {}
+    for d in sorted(toks):
+        tk = toks[d]
+        for i in range(len(tk) - n + 1):
+            sh = " ".join(tk[i : i + n])
+            occ[sh] += 1
+            first.setdefault(sh, (d, i))
+    want = {}
+    for d, tk in toks.items():
+        kept_cover, rm_cover = set(), set()
+        for i in range(len(tk) - n + 1):
+            sh = " ".join(tk[i : i + n])
+            if occ[sh] >= 2:
+                (kept_cover if first[sh] == (d, i) else rm_cover).update(
+                    range(i, i + n)
+                )
+        rm = rm_cover - kept_cover
+        clean = " ".join(t for i, t in enumerate(tk) if i not in rm)
+        want[d] = (clean, len(tk), len(rm))
+    got = {
+        r.id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in substring_dedup(df, n=n).collect()
+    }
+    assert got == want, (got, want)
+    assert got[4][2] == 0 and got[4][0] == texts[4]
+    assert got[2][2] > 0  # cross-doc dup removed from the later doc
+
+
 def test_dup_span_profile_vs_bruteforce(spark):
     """Duplicated-span coverage must match a brute-force python
     computation on a corpus with planted cross-doc spans, within-doc
