@@ -270,16 +270,17 @@ _DRIVER_PRIORITY = [
     "bpe_merge_ranks",
     "bm25_rsj_topk",
     "dup_span_profile",
-    # reworked this round (threshold-pruned top-3; needs a fresh row)
-    "last3_caught",
-    # new round-4 hash query (DSIR importance resampling; its log-mode
+    # new round-4 hash queries: DSIR importance resampling (its log-mode
     # twin is rows-only and rides on this row + the pytest float twin)
+    # and the Lee-et-al substring dedup (hash-checkable span removal)
     "dsir_importance_q",
-    # --- position 51+: the round-5 rotation queue — the round-4 late
-    # addition first (born after the window filled; full local parity +
-    # brute-force pytest this round), then r1-only greens, the rows-only
-    # twins (hash siblings in-window), and the r2-only TPC-H tail
     "substring_dedup",
+    # --- position 51+: the round-5 rotation queue — last3_caught first
+    # (r2-green; the round-4 threshold-pruned-top-3 rework is covered by
+    # local oracle parity until its re-cert slot opens), then r1-only
+    # greens, the rows-only twins (hash siblings in-window), and the
+    # r2-only TPC-H tail
+    "last3_caught",
     "dedup_exact",
     "ann_lsh_buckets",
     "bm25_lucene_topk",
