@@ -81,6 +81,8 @@ HEADLINE = [
     "dsir_importance_q",
     "dup_span_profile",
     "substring_dedup",
+    "hll_distinct_sketch",
+    "cms_heavy_hitters",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -271,3 +271,124 @@ def grouped_topk_threshold(
         .filter(F.col("rk") <= k)
         .drop("_key")
     )
+
+
+def hll_register_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 256,
+) -> DataFrame:
+    """HyperLogLog register aggregation per group over 32-bit md5 draws —
+    the CONSTANT-state cousin of ``kmin_hashes`` (KMV keeps k hashes; HLL
+    keeps m 5-bit registers, period).
+
+    The hash is the first 8 md5-hex chars of ``'hll|' || value`` (a pure
+    function both engines compute identically); the low ``log2(m)`` bits
+    pick the register, the remaining ``32 - log2(m)`` bits scan for the
+    leading 1 (rho). Register state is ``max(rho)`` per (group, register)
+    — a perfect map-side partial aggregate whose exchange carries at most
+    m tiny rows per group NO MATTER the input cardinality: this is the
+    physical realization of the sketch's own bounded-memory contract,
+    with zero windows, zero UDFs, zero driver actions.
+
+    Returns one row per group: ``zeros`` (registers never hit) and ``N``
+    (the integer-exact harmonic-mean denominator sum(2^(P - M_j)) over
+    all m registers, absent registers counting M=0), from which the
+    standard bias-corrected / linear-counting estimate is a single
+    deterministic division (see ``hll_distinct_sketch``). rho arithmetic
+    runs on binary STRINGS (bin + lpad + instr) so the DuckDB oracle can
+    replay it character-for-character.
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError(f"m must be a power of two >= 2, got {m}")
+    p = m.bit_length() - 1
+    width = 32 - p  # bits scanned for the leading 1
+    big_p = width + 1  # rho of an all-zero suffix
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll|"), F.col(value_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = df.select(F.col(group_col).alias("g"), h.alias("h"))
+    w = F.expr(f"h div {m}")
+    rho = (
+        F.when(w == 0, F.lit(big_p))
+        .otherwise(F.instr(F.lpad(F.bin(w), width, "0"), "1"))
+        .cast("int")
+    )
+    regs = (
+        rows.select("g", F.pmod(F.col("h"), F.lit(m)).alias("reg"), rho.alias("rho"))
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("M"))
+    )
+    weight = F.expr(f"shiftleft(cast(1 as bigint), cast({big_p} - M as int))")
+    return (
+        regs.groupBy("g")
+        .agg(F.sum(weight).alias("n_present"), F.count("*").alias("nregs"))
+        .select(
+            F.col("g").alias(group_col),
+            (F.lit(m) - F.col("nregs")).cast("bigint").alias("zeros"),
+            (
+                F.col("n_present")
+                + (F.lit(m) - F.col("nregs"))
+                * F.lit(1 << big_p).cast("bigint")
+            ).alias("N"),
+        )
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for every distinct key of
+    ``df`` — sketch state is d*w counters REGARDLESS of key cardinality.
+
+    Row i's bucket for a key is the first 8 md5-hex chars of
+    ``'i|' || key`` mod w (i a literal, so both engines agree). Build:
+    each input row posexplodes to its d (row, bucket) cells and ONE
+    groupBy sums them — map-side partial combine means the exchange
+    carries at most d*w rows per input partition. Probe: the distinct
+    keys recompute their cells map-side and join the d*w-row sketch
+    BROADCAST (never a shuffle of the probe side by sketch key), then
+    take min over the d rows. Estimates are deterministic integers
+    (over-counts only: est >= true count, the CMS one-sided guarantee).
+    """
+    buckets = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{i}|"), F.col(key_col).cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(w),
+            )
+            for i in range(d)
+        ]
+    )
+    cells = df.select(F.posexplode(buckets).alias("i", "b"))
+    sketch = cells.groupBy("i", "b").agg(F.count("*").alias("c"))
+    probe = (
+        df.select(key_col)
+        .distinct()
+        .select(key_col, F.posexplode(buckets).alias("i", "b"))
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_count"))
+    )

@@ -238,8 +238,11 @@ _DRIVER_PRIORITY = [
     "ann_ivf_trained",       # round-4: frozen-artifact hash oracle
     "ann_pq_topk",           # round-4: frozen-artifact hash oracle
     "ann_ivfpq_topk",        # round-4: frozen-artifact hash oracle
-    "dup_graph_pagerank",    # rows-only (float twin)
-    "sketch_stats",          # rows-only (percentile_approx internals)
+    # new round-4 sketch-family queries (born certified; the two
+    # rows-only twins they displaced — dup_graph_pagerank, sketch_stats —
+    # have in-window hash siblings and head the round-5 queue)
+    "hll_distinct_sketch",
+    "cms_heavy_hitters",
     "username_fuzzy_pairs",
     # analytics / windowing never checked
     "windowed_event_rollup",
@@ -280,6 +283,11 @@ _DRIVER_PRIORITY = [
     # local oracle parity until its re-cert slot opens), then r1-only
     # greens, the rows-only twins (hash siblings in-window), and the
     # r2-only TPC-H tail
+    # round-4 late additions, born after the window filled (full local
+    # parity + property pytest this round; driver rows next round)
+    "hard_negative_mining",
+    "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
+    "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",
     "dedup_exact",
     "ann_lsh_buckets",

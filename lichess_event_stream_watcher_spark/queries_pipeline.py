@@ -2600,3 +2600,205 @@ def substring_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-check."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.substring_dedup(docs, n=8)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch + Count-Min-Sketch heavy hitters — the
+# constant-state members of the sketch family (KMV keeps k hashes; HLL
+# keeps m registers; CMS keeps d*w counters)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_P = 25  # rho of an all-zero 24-bit suffix (32 - log2(m) + 1)
+# frozen estimator constants, computed ONCE here and injected verbatim
+# into BOTH engines (the trained-artifact recipe): a float literal
+# round-trips identically through Spark and DuckDB parsers, and the
+# linear-counting table is integer micro-units so the small-range branch
+# never evaluates ln() inside either engine (cross-engine ln is not
+# correctly rounded; a Python-side table is).
+_HLL_K = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << _HLL_P)
+import math as _math  # noqa: E402
+
+_HLL_LC_MICRO = [
+    int(_math.floor(_HLL_M * _math.log(_HLL_M / z) * 1_000_000.0))
+    for z in range(1, _HLL_M + 1)
+]
+
+
+def _hll_est_micro_sql(n: str, zeros: str) -> str:
+    lc = "[" + ", ".join(str(v) for v in _HLL_LC_MICRO) + "]"
+    raw = f"({_HLL_K!r} / CAST({n} AS DOUBLE))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND {zeros} > 0"
+        f" THEN {lc}[CAST({zeros} AS INT)]"
+        f" ELSE CAST(floor({raw} * 1000000.0) AS BIGINT) END"
+    )
+
+
+_HLL_HASH = (
+    "CAST(('0x' || substring(md5('hll|' || val), 1, 8)) AS BIGINT)"
+)
+
+_HLL_ORACLE = f"""WITH vals AS (
+  SELECT 'user' AS keyspace, event_type, CAST(user_id AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'event' AS keyspace, event_type, CAST(event_id AS VARCHAR) AS val FROM events
+),
+h AS (SELECT keyspace, event_type, {_HLL_HASH} AS h FROM vals),
+r AS (SELECT keyspace, event_type, h % {_HLL_M} AS reg,
+        CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_P}
+             ELSE strpos(lpad(bin(h // {_HLL_M}), {_HLL_P - 1}, '0'), '1') END AS rho
+      FROM h),
+regs AS (SELECT keyspace, event_type, reg, MAX(rho) AS m_reg
+         FROM r GROUP BY keyspace, event_type, reg),
+agg AS (SELECT keyspace, event_type,
+          SUM(CAST(1 AS BIGINT) << ({_HLL_P} - m_reg)) AS n_present,
+          COUNT(*) AS nregs
+        FROM regs GROUP BY keyspace, event_type),
+st AS (SELECT keyspace, event_type,
+         CAST({_HLL_M} - nregs AS BIGINT) AS zeros,
+         n_present + ({_HLL_M} - nregs) * (CAST(1 AS BIGINT) << {_HLL_P}) AS n_sum
+       FROM agg),
+ex AS (SELECT 'user' AS keyspace, event_type, COUNT(DISTINCT user_id) AS exact_cnt
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT 'event' AS keyspace, event_type, COUNT(DISTINCT event_id)
+       FROM events GROUP BY event_type)
+SELECT s.keyspace, s.event_type, s.zeros,
+       {_hll_est_micro_sql("s.n_sum", "s.zeros")} AS est_micro,
+       e.exact_cnt
+FROM st s JOIN ex e ON e.keyspace = s.keyspace AND e.event_type = s.event_type"""
+
+
+@query("hll_distinct_sketch", _HLL_ORACLE)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event type over TWO
+    keyspaces — users (~150 distinct at sf0.01: exercises the
+    linear-counting small-range branch) and event ids (~2000 per type:
+    exercises the bias-corrected raw branch) — next to the exact counts.
+
+    Hash-checkable end to end, unlike approx_count_distinct (whose HLL++
+    registers are engine-internal): registers are max(rho) over 32-bit
+    md5 draws with rho computed on binary STRINGS both engines render
+    identically (operators/sketch.py:hll_register_stats), the harmonic
+    denominator is an exact integer, and the only float work is ONE
+    correctly-rounded division by a frozen Python-side constant;
+    the linear-counting branch reads a frozen 256-entry integer table
+    instead of evaluating ln() (_HLL_LC_MICRO — the trained-artifact
+    recipe applied to a transcendental).
+
+    Scale shape: per-group state is EXACTLY m=256 registers through every
+    exchange (map-side max partials), vs KMV's k hashes — the sketch
+    family's constant-memory member. Accuracy ~1.04/sqrt(256) ~ 6.5%,
+    pytest-asserted on both branches."""
+    from .operators.sketch import hll_register_stats
+
+    ev = testdata.load(spark, sf_dir, "events")
+    users = hll_register_stats(
+        ev.select("event_type", F.col("user_id").alias("v")), "event_type", "v", _HLL_M
+    ).select(F.lit("user").alias("keyspace"), "event_type", "zeros", "N")
+    evts = hll_register_stats(
+        ev.select("event_type", F.col("event_id").alias("v")), "event_type", "v", _HLL_M
+    ).select(F.lit("event").alias("keyspace"), "event_type", "zeros", "N")
+    st = users.unionByName(evts)
+    ex = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_cnt"))
+        .select(F.lit("user").alias("keyspace"), "event_type", "exact_cnt")
+        .unionByName(
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("event_id").alias("exact_cnt"))
+            .select(F.lit("event").alias("keyspace"), "event_type", "exact_cnt")
+        )
+    )
+    raw = F.lit(_HLL_K) / F.col("N").cast("double")
+    lc_arr = F.array(*[F.lit(v).cast("bigint") for v in _HLL_LC_MICRO])
+    est = (
+        F.when(
+            (raw <= F.lit(2.5 * _HLL_M)) & (F.col("zeros") > 0),
+            F.element_at(lc_arr, F.col("zeros").cast("int")),
+        )
+        .otherwise(F.floor(raw * F.lit(1000000.0)).cast("bigint"))
+    )
+    return st.join(ex, ["keyspace", "event_type"]).select(
+        "keyspace", "event_type", "zeros", est.alias("est_micro"), "exact_cnt"
+    )
+
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_PHI_DEN = 200  # heavy = est >= total // 200 (0.5% of the stream)
+
+_CMS_BUCKET = (
+    "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8))"
+    f" AS BIGINT) % {_CMS_W}"
+)
+
+_CMS_ORACLE = f"""WITH ib AS (SELECT CAST(unnest(range({_CMS_D})) AS BIGINT) AS i),
+cells AS (SELECT e.user_id, ib.i, {_CMS_BUCKET} AS b
+          FROM events e, ib),
+sk AS (SELECT i, b, COUNT(*) AS c FROM cells GROUP BY i, b),
+probe AS (SELECT DISTINCT user_id FROM events),
+pb AS (SELECT p.user_id, ib.i, {_CMS_BUCKET.replace("user_id", "p.user_id")} AS b
+       FROM probe p, ib),
+est AS (SELECT pb.user_id, MIN(sk.c) AS est_count
+        FROM pb JOIN sk ON sk.i = pb.i AND sk.b = pb.b
+        GROUP BY pb.user_id),
+ex AS (SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id),
+tot AS (SELECT COUNT(*) AS t FROM events)
+SELECT e.user_id, e.est_count, x.exact_count
+FROM est e JOIN ex x ON x.user_id = e.user_id, tot
+WHERE e.est_count >= tot.t // {_CMS_PHI_DEN}"""
+
+
+@query("cms_heavy_hitters", _CMS_ORACLE)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: users whose CMS frequency estimate
+    reaches 0.5% of the event stream, next to their exact counts.
+
+    The sketch is d=4 x w=1024 counters built in ONE aggregation whose
+    exchange carries at most d*w rows per input partition (map-side
+    partial sums); the probe side recomputes its cells map-side and joins
+    the 4096-row sketch BROADCAST, so no step's state or shuffle grows
+    with key cardinality — the exact per-key count shown alongside is the
+    comparison baseline the sketch replaces at scale. Estimates are
+    deterministic integers (md5 bucketing), over-counting only — the CMS
+    one-sided guarantee, pytest-asserted (operators/sketch.py:
+    cms_estimates)."""
+    from .operators.sketch import cms_estimates
+
+    ev = testdata.load(spark, sf_dir, "events")
+    total = ev.count()  # one scalar job; the threshold is a literal below
+    est = cms_estimates(ev.select("user_id"), "user_id", d=_CMS_D, w=_CMS_W)
+    ex = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    return (
+        est.join(ex, "user_id")
+        .filter(F.col("est_count") >= F.lit(total // _CMS_PHI_DEN))
+        .select("user_id", "est_count", "exact_count")
+    )
+
+
+_HARDNEG_ORACLE = f"""WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND({_COS_SQL}, 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id <> a.vec_id AND b.label <> a.label
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10"""
+
+
+@query("hard_negative_mining", _HARDNEG_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query vector, the
+    top-10 most-similar OTHER-label vectors (operators/similarity.py:
+    hard_negatives). Broadcast queries, streaming corpus, and ranking via
+    the threshold-pruned bounded-state top-k (no per-query full-corpus
+    sort window — the oracle's row_number is the logical spec only)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, [0, 1, 2, 3, 4], k=10)

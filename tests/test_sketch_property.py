@@ -86,3 +86,71 @@ def test_grouped_exact_quantiles_property(spark, vals):
             for r in grouped_exact_quantiles(df, "g", "x", qs, bucket_width=width).collect()
         }
         assert got == want, (width, got, want)
+
+
+def _brute_hll(vals: list[str], m: int = 256):
+    """Reference HLL registers via Python md5 — mirrors the engine's
+    hash/register/rho derivation character for character."""
+    import hashlib
+
+    big_p = 32 - (m.bit_length() - 1) + 1
+    regs: dict[int, int] = {}
+    for v in set(vals):
+        h = int(hashlib.md5(f"hll|{v}".encode()).hexdigest()[:8], 16)
+        reg, w = h % m, h // m
+        rho = big_p if w == 0 else (big_p - 1) - w.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    zeros = m - len(regs)
+    n = sum(1 << (big_p - rho) for rho in regs.values()) + zeros * (1 << big_p)
+    return zeros, n
+
+
+def test_hll_registers_match_python_md5(spark):
+    """Engine HLL register state == the straight-line Python derivation,
+    and the estimate lands within 3 standard errors (1.04/sqrt(m)) of
+    the truth on both estimator branches."""
+    from lichess_event_stream_watcher_spark.operators.sketch import (
+        hll_register_stats,
+    )
+
+    for n_distinct in (120, 5000):  # linear-counting branch, raw branch
+        vals = [str(v % n_distinct) for v in range(2 * n_distinct)]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v string")
+        row = hll_register_stats(df, "g", "v", 256).collect()[0]
+        zeros, n = _brute_hll(vals)
+        assert (row.zeros, row.N) == (zeros, n)
+        k = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 25)
+        raw = k / n
+        if raw <= 2.5 * 256 and zeros > 0:
+            import math
+
+            est = 256 * math.log(256 / zeros)
+        else:
+            est = raw
+        assert abs(est - n_distinct) / n_distinct < 3 * 1.04 / 256 ** 0.5
+
+
+def test_hll_rejects_non_power_of_two():
+    from lichess_event_stream_watcher_spark.operators.sketch import (
+        hll_register_stats,
+    )
+
+    with pytest.raises(ValueError):
+        hll_register_stats(None, "g", "v", 100)
+
+
+def test_cms_one_sided_and_tight_when_sparse(spark):
+    """CMS estimates are NEVER below the true counts (the one-sided
+    guarantee — min over d rows of sums of colliding keys), and with
+    few keys against d*w counters they are exactly the true counts."""
+    from collections import Counter
+
+    from lichess_event_stream_watcher_spark.operators.sketch import cms_estimates
+
+    vals = [i % 37 for i in range(500)] + [999] * 60
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k bigint")
+    est = {r.k: r.est_count for r in cms_estimates(df, "k", d=4, w=1024).collect()}
+    assert set(est) == set(truth)
+    assert all(est[k] >= c for k, c in truth.items())
+    assert est[999] == 60  # the heavy key estimates exactly at this load
