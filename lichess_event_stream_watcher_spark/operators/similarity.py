@@ -862,3 +862,61 @@ def kmeans_cells_quantized(
         F.col(id_col),
         _nearest_quantized_cell(_quantize_vec(vec_col, quant), cents_q).alias("cell"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query vector, the top-k most-cosine-similar vectors with a DIFFERENT
+    label — maximally confusable non-positives, the negatives that carry
+    gradient signal.
+
+    Scoring is the broadcast-queries / corpus-streams shape of
+    ``knn_brute_force``; ranking deliberately is NOT its per-query
+    window (which ships each query's entire scored corpus into one task
+    to sort) but ``grouped_topk_threshold`` — few queries x huge
+    per-query candidate sets is exactly that primitive's documented
+    sweet spot, keeping per-task state ~O(k) through every exchange.
+    Ordering runs on integer micro-unit cosines (descending similarity
+    == ascending (-cos_micro, neighbor_id), an exact lexicographic key
+    both engines replay).
+
+    Output: (query_id, neighbor_id, cos_sim, rank), rank 1-based.
+    """
+    from .sketch import grouped_topk_threshold
+
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("clabel") != F.col("qlabel")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "neg_micro",
+            -F.round(F.col("cos_sim") * F.lit(1000000.0)).cast("bigint"),
+        )
+        .select("query_id", "neighbor_id", "cos_sim", "neg_micro")
+    )
+    return (
+        grouped_topk_threshold(scored, "query_id", ["neg_micro", "neighbor_id"], k)
+        .select(
+            "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("bigint").alias("rank")
+        )
+    )
