@@ -2583,8 +2583,10 @@ marks AS (
 ),
 rm AS (SELECT id, list(ti) AS rml FROM marks WHERE NOT kept GROUP BY id)
 SELECT b.id,
-       array_to_string([b.tk[CAST(i AS INT)] for i in range(1, len(b.tk) + 1)
-                        if NOT list_contains(COALESCE(r.rml, CAST([] AS BIGINT[])), i)], ' ') AS clean_text,
+       -- COALESCE: duckdb's array_to_string yields NULL on an empty list
+       -- (every token removed) where Spark's array_join yields ''
+       COALESCE(array_to_string([b.tk[CAST(i AS INT)] for i in range(1, len(b.tk) + 1)
+                        if NOT list_contains(COALESCE(r.rml, CAST([] AS BIGINT[])), i)], ' '), '') AS clean_text,
        CAST(len(b.tk) AS BIGINT) AS n_tokens,
        CAST(COALESCE(len(r.rml), 0) AS BIGINT) AS n_removed
 FROM base b LEFT JOIN rm r USING (id)"""
