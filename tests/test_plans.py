@@ -342,6 +342,11 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "bm25_lucene_topk",           # same 1-row stats broadcast
         "dsir_importance_q",          # 1-row (n_r, n_t) totals broadcast
         "dsir_importance_log",        # same 1-row totals broadcast
+        # |query_ids|-row broadcast x streaming corpus (knn_cosine_topk's
+        # shape); the label-inequality predicate has no equi-key, so BNLJ
+        # is the intended physical join and the broadcast side is bounded
+        # by the query-list parameter, never the corpus
+        "hard_negative_mining",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
