@@ -83,6 +83,10 @@ HEADLINE = [
     "substring_dedup",
     "hll_distinct_sketch",
     "cms_heavy_hitters",
+    "hard_negative_mining",
+    "boilerplate_ngrams",
+    "embedding_random_projection",
+    "corpus_token_accounting",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -1481,3 +1481,49 @@ def substring_dedup(
         )
     )
     return rebuilt.select("id", "clean_text", "n_tokens", "n_removed")
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate n-gram mining: the ``k`` n-grams shared by
+    the most documents (doc frequency >= ``min_docs``) — the analysis
+    report behind every substring-dedup / boilerplate-blocklist decision
+    (which navigation chrome, headers, and license footers dominate the
+    corpus; Lee et al., ACL'22 report exactly this table for C4).
+
+    Physical shape: distinct-per-doc shingles are map-side (``shingles``);
+    doc frequency is one partial-agg groupBy on the shingle; the global
+    top-k runs through ``grouped_topk_threshold`` (single group — its
+    documented sweet spot: one group, unbounded per-group cardinality),
+    never a global rank over the full shingle-frequency table. Ties break
+    on the shingle text, so the report is deterministic.
+
+    Output: (shingle, n_docs, rank), rank 1-based by n_docs desc.
+    """
+    from .sketch import grouped_topk_threshold
+
+    dfreq = (
+        shingles(df, n=n, text_col=text_col, id_col=id_col)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    ranked = grouped_topk_threshold(
+        dfreq.withColumn("_g", F.lit(0)).withColumn(
+            "neg_docs", -F.col("n_docs").cast("bigint")
+        ),
+        "_g",
+        ["neg_docs", "shingle"],
+        k,
+    )
+    return ranked.select(
+        "shingle",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("rk").cast("bigint").alias("rank"),
+    )

@@ -920,3 +920,64 @@ def hard_negatives(
             "query_id", "neighbor_id", "cos_sim", F.col("rk").cast("bigint").alias("rank")
         )
     )
+
+
+def rp_signs(n_proj: int, dim: int) -> list[list[int]]:
+    """Deterministic +/-1 Johnson-Lindenstrauss sign matrix from md5 —
+    a frozen artifact computed at plan-build time and inlined as literals
+    into BOTH engines (the trained-codebook recipe: no RNG, no state)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp|{j}|{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for j in range(n_proj)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    n_proj: int = 8,
+    dim: int = 64,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a dense +/-1
+    sign matrix (Achlioptas'01): proj_j = sum_d sign(j,d) * v_d. The
+    cheap distance-preserving front-end for LSH bucketing and SimHash
+    over embeddings — at 100 TB you project once and run every
+    downstream ANN/near-dup pass on the 8-dim shadow.
+
+    Exact-arithmetic discipline: components quantize to integers FIRST
+    (floor at ``quant``, engine-stable), so every projection is a sum of
+    bigint products — associative, order-independent, bit-identical in
+    Spark and DuckDB. The whole operator is one map-side projection: no
+    shuffle, no UDF, whole-stage codegen end to end.
+
+    Output: (id, proj_id, proj_q) — n_proj rows per vector.
+    """
+    signs = rp_signs(n_proj, dim)
+    qv = _quantize_vec(vec_col, quant)
+    projs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("proj_id"),
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                        lambda a, b: a * b.cast("bigint"),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("proj_q"),
+            )
+            for j in range(n_proj)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(projs).alias("_p")
+    ).select("id", F.col("_p.proj_id").alias("proj_id"), F.col("_p.proj_q").alias("proj_q"))

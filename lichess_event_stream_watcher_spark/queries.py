@@ -286,6 +286,9 @@ _DRIVER_PRIORITY = [
     # round-4 late additions, born after the window filled (full local
     # parity + property pytest this round; driver rows next round)
     "hard_negative_mining",
+    "boilerplate_ngrams",
+    "embedding_random_projection",
+    "corpus_token_accounting",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -2804,3 +2804,139 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort window — the oracle's row_number is the logical spec only)."""
     emb = testdata.load(spark, sf_dir, "embeddings")
     return S.hard_negatives(emb, [0, 1, 2, 3, 4], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram mining, JL random projection, corpus token accounting
+# — round-4 late additions (round-5 certification queue; full local parity)
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm),
+sh AS (
+  SELECT DISTINCT id, array_to_string(tk[i:i+7], ' ') AS shingle
+  FROM (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM base WHERE len(tk) >= 8)
+),
+dfreq AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM sh GROUP BY shingle HAVING COUNT(*) >= 2
+),
+ranked AS (
+  SELECT shingle, n_docs,
+         ROW_NUMBER() OVER (ORDER BY n_docs DESC, shingle) AS rank
+  FROM dfreq
+)
+SELECT shingle, n_docs, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 20"""
+
+
+@query("boilerplate_ngrams", _BOILERPLATE_ORACLE)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus-wide repeated 8-grams by document frequency
+    (operators/dedup.py:repeated_ngrams) — the boilerplate report Lee et
+    al. (ACL'22) publish for C4 and the input to every blocklist
+    decision. Global top-k via the bounded-state threshold-pruned
+    primitive; the oracle's ORDER BY is the logical spec only."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.repeated_ngrams(docs, n=8, min_docs=2, k=20)
+
+
+def _rp_duck_sql(n_proj: int, dim: int, quant: int) -> str:
+    """DuckDB twin of operators/similarity.py:random_projection — the
+    same frozen md5 sign matrix inlined as literal integer arithmetic
+    (sums of bigint products are order-independent, so both engines are
+    bit-identical by construction)."""
+    signs = S.rp_signs(n_proj, dim)
+    arms = "\nUNION ALL\n".join(
+        "SELECT vec_id AS id, CAST({j} AS BIGINT) AS proj_id,\n  CAST({terms} AS BIGINT) AS proj_q FROM q".format(
+            j=j,
+            terms=" + ".join(
+                f"({s})*qv[{d + 1}]" for d, s in enumerate(signs[j])
+            ),
+        )
+        for j in range(n_proj)
+    )
+    return (
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)!r}) AS BIGINT)) AS qv "
+        "FROM embeddings)\n" + arms
+    )
+
+
+@query("embedding_random_projection", _rp_duck_sql(8, 64, 1_000_000))
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-dim Johnson-Lindenstrauss +/-1 projection of the 64-dim corpus
+    (operators/similarity.py:random_projection): quantize-first integer
+    arithmetic, zero shuffle, whole-stage codegen — the projection pass
+    every downstream LSH/SimHash consumer shares at 100 TB."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, n_proj=8, dim=64, quant=1_000_000)
+
+
+_TOKEN_ACCT_ORACLE = r"""WITH base AS (
+  SELECT source, lang, doc_id,
+         CAST(len(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '\s+')) AS BIGINT) AS n_tokens,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp)
+SELECT b.source, b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_unique,
+       CAST(SUM(CASE WHEN b.doc_id = k.keep_id THEN b.n_tokens ELSE 0 END) AS BIGINT) AS unique_tokens,
+       CAST(floor(1000000.0 * (SUM(b.n_tokens) - SUM(CASE WHEN b.doc_id = k.keep_id THEN b.n_tokens ELSE 0 END))
+                  / SUM(b.n_tokens)) AS BIGINT) AS dup_token_frac_q
+FROM base b JOIN keep k USING (fp)
+GROUP BY b.source, b.lang"""
+
+
+@query("corpus_token_accounting", _TOKEN_ACCT_ORACLE)
+def corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus accounting report a 100 TB training-data pipeline
+    publishes per (source, lang): docs and tokens before/after exact
+    dedup (first occurrence by min doc_id keeps) and the duplicated-token
+    fraction in micro-units. Physical shape: fingerprint + token count
+    map-side; the keeps table is 1 row per fingerprint so the join back
+    fans out x1; the final rollup is a tiny (source x lang) partial agg.
+    No step's state grows faster than the distinct-fingerprint count."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        X.token_count(X.normalize_text(F.col("text"))).alias("n_tokens"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    )
+    keep = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = F.col("doc_id") == F.col("keep_id")
+    acc = (
+        base.join(keep, "fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_docs_unique"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("unique_tokens"),
+        )
+    )
+    return acc.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_docs_unique",
+        "unique_tokens",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("total_tokens") - F.col("unique_tokens")).cast("double")
+            / F.col("total_tokens").cast("double")
+        )
+        .cast("bigint")
+        .alias("dup_token_frac_q"),
+    )

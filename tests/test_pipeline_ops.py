@@ -1609,3 +1609,96 @@ def test_pii_scrub_preserves_token_counts(spark, sf_dir):
     scrubbed = df.join(P.scrub(df, "text", "doc_id"), "doc_id")
     for r in scrubbed.collect():
         assert len(r.text.split()) == len(r.redacted.split()), r
+
+
+def test_repeated_ngrams_finds_planted_boilerplate(spark):
+    """The boilerplate report must surface the planted shared footer with
+    its exact doc frequency, rank deterministically on (n_docs desc,
+    shingle asc), and never count a within-doc repeat as extra doc
+    frequency."""
+    from lichess_event_stream_watcher_spark.operators.dedup import repeated_ngrams
+
+    footer = "all rights reserved by the example corp site"  # 8 tokens
+    banner = "subscribe to our newsletter for weekly updates now"
+    rows = []
+    for d in range(6):
+        rows.append((d, f"doc body {d} words vary here " + footer))
+    for d in range(6, 9):
+        rows.append((d, banner + f" trailing text {d}"))
+    # within-doc repetition of the banner must NOT inflate its doc count
+    rows.append((9, banner + " mid " + banner))
+    rows.append((10, "entirely unrelated content with no duplication at all"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.shingle: (r.n_docs, r.rank) for r in repeated_ngrams(df, n=8, k=5).collect()}
+    assert got[footer][0] == 6
+    assert got[footer][1] == 1
+    assert got[banner][0] == 4  # docs 6,7,8,9 — doc 9 counted once
+    ranks = sorted(r for _, r in got.values())
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_random_projection_matches_numpy_and_is_shuffle_free(spark):
+    """Integer-exact JL projection: equals the numpy replay of the same
+    frozen sign matrix on quantized components, and the plan holds ZERO
+    Exchange (pure map projection)."""
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.operators.similarity import (
+        random_projection,
+        rp_signs,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = random_projection(df, n_proj=4, dim=16, quant=1000)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r.id, r.proj_id): r.proj_q for r in out.collect()}
+    signs = np.array(rp_signs(4, 16), dtype="int64")
+    q = np.floor(vecs.astype("float64") * 1000.0).astype("int64")
+    for i in range(20):
+        for j in range(4):
+            assert got[(i, j)] == int((q[i] * signs[j]).sum())
+
+
+def test_corpus_token_accounting_hand_check(spark, sf_dir):
+    """Accounting identities on a constructed corpus: per-(source, lang)
+    doc/token totals, exact-dup-adjusted uniques (min-doc_id keeps,
+    including cross-source dups charged to the non-keeping source), and
+    the micro-unit duplicated-token fraction."""
+    from lichess_event_stream_watcher_spark.queries_pipeline import (
+        corpus_token_accounting,
+    )
+    import lichess_event_stream_watcher_spark.testdata as td
+
+    rows = [
+        (0, "alpha beta gamma", "en", "srcA", 0),
+        (1, "alpha beta gamma", "en", "srcA", 0),   # dup of 0, same cell
+        (2, "alpha beta gamma", "en", "srcB", 0),   # dup of 0, other source
+        (3, "delta epsilon", "en", "srcB", 0),
+        (4, "Alpha  Beta   GAMMA", "de", "srcB", 0),  # dup after normalize
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    orig = td.load
+    td.load = lambda spark, sf, name: df
+    try:
+        got = {
+            (r.source, r.lang): r.asDict()
+            for r in corpus_token_accounting(spark, sf_dir).collect()
+        }
+    finally:
+        td.load = orig
+    a = got[("srcA", "en")]
+    assert (a["n_docs"], a["total_tokens"], a["n_docs_unique"], a["unique_tokens"]) == (
+        2, 6, 1, 3,
+    )
+    assert a["dup_token_frac_q"] == 500000
+    b = got[("srcB", "en")]
+    assert (b["n_docs"], b["n_docs_unique"]) == (2, 1)  # doc 2 lost to doc 0
+    d = got[("srcB", "de")]
+    assert (d["n_docs_unique"], d["unique_tokens"]) == (0, 0)
