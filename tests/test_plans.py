@@ -529,3 +529,20 @@ def test_robust_stats_plan_has_no_corpus_sort_window(spark, sf_dir):
     assert "row_number" not in p, p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round4_late_additions_exchange_budgets(spark, sf_dir):
+    """Declared exchange budgets for the round-4 late additions:
+    corpus_token_accounting = fp groupBy + fp join + (source,lang) rollup
+    (3 hash exchanges at most, keeps side 1-row-per-fp); boilerplate
+    n-gram mining = shingle doc-freq agg + the threshold-pruned top-k's
+    internal salt-partial/threshold passes (<=4); the JL projection's
+    zero-Exchange pin lives with its numpy twin in test_pipeline_ops."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    budgets = {"corpus_token_accounting": 3, "boilerplate_ngrams": 4}
+    for name, budget in budgets.items():
+        p = plan_str(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert p.count("Exchange hashpartitioning") <= budget, (name, p)
