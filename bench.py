@@ -87,6 +87,8 @@ HEADLINE = [
     "boilerplate_ngrams",
     "embedding_random_projection",
     "corpus_token_accounting",
+    "corpus_snapshot_diff",
+    "zorder_key_events",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

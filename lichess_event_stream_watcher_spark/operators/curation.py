@@ -403,3 +403,40 @@ def dsir_importance(
             )
         )
     return scored
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff for continuous training-data refresh: per
+    document id, whether it was added, removed, changed (same id,
+    different content fingerprint), or unchanged between two corpus
+    versions — the incremental-ingestion report that decides which
+    downstream artifacts (dedup indexes, embedding shards, tokenized
+    packs) must be rebuilt.
+
+    Physical shape: one md5 fingerprint projection per side (map-side),
+    one full-outer sort-merge join on the id — both sides partition on
+    the same key, no broadcast of anything corpus-sized, no skew risk
+    (ids are unique per side).
+
+    Output: (id, status) for every id present in either snapshot.
+    """
+    from .text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("_fp_new")
+    )
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "id", "full_outer").select("id", status.alias("status"))

@@ -289,6 +289,8 @@ _DRIVER_PRIORITY = [
     "boilerplate_ngrams",
     "embedding_random_projection",
     "corpus_token_accounting",
+    "corpus_snapshot_diff",
+    "zorder_key_events",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

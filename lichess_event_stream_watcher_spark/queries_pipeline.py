@@ -2940,3 +2940,92 @@ def corpus_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_token_frac_q"),
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = r"""WITH old AS (
+  SELECT doc_id AS id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_old
+  FROM documents WHERE doc_id % 7 <> 3
+),
+new AS (
+  SELECT doc_id AS id,
+         md5(regexp_replace(trim(lower(
+           CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END)), '\s+', ' ', 'g')) AS fp_new
+  FROM documents WHERE doc_id % 11 <> 5
+),
+diff AS (
+  SELECT COALESCE(o.id, n.id) AS id,
+         CASE WHEN o.fp_old IS NULL THEN 'added'
+              WHEN n.fp_new IS NULL THEN 'removed'
+              WHEN o.fp_old <> n.fp_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.id = n.id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+FROM diff GROUP BY status"""
+
+
+@query("corpus_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic views of the corpus
+    (operators/curation.py:snapshot_diff): old drops doc_id%7==3, new
+    drops doc_id%11==5 and rewrites doc_id%13==2 — every status branch
+    exercised. One full-outer id join, fingerprints map-side."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    new = docs.filter(F.col("doc_id") % 11 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    from .operators.curation import snapshot_diff
+
+    return (
+        snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+def _zorder_duck_terms(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of operators/layout.py:zorder_value — the identical
+    Morton bit interleave as literal integer arithmetic."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = (
+    "SELECT event_id, CAST("
+    + _zorder_duck_terms(
+        # floor, not CAST: epoch() yields fractional seconds and duckdb's
+        # double->bigint cast ROUNDS where Spark's unix_timestamp truncates
+        "(user_id & 65535)",
+        "(CAST(floor(epoch(ts)) AS BIGINT) & 65535)",
+    )
+    + " AS BIGINT) AS zkey FROM events"
+)
+
+
+@query("zorder_key_events", _ZORDER_ORACLE)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton key behind write_zorder_clustered (operators/layout.py:
+    zorder_value), hash-checked per event over (user_id, epoch-second)
+    low bits: pure map-side bit arithmetic, zero shuffle — the 2-D
+    locality key a 100 TB events lake writes files by so range predicates
+    on EITHER dimension prune most files."""
+    from .operators.layout import zorder_value
+
+    ev = testdata.load(spark, sf_dir, "events")
+    a = F.col("user_id").cast("long").bitwiseAND(F.lit(65535))
+    b = F.unix_timestamp("ts").cast("long").bitwiseAND(F.lit(65535))
+    return ev.select(
+        "event_id", zorder_value(a, b, bits=16).cast("bigint").alias("zkey")
+    )

@@ -1702,3 +1702,27 @@ def test_corpus_token_accounting_hand_check(spark, sf_dir):
     assert (b["n_docs"], b["n_docs_unique"]) == (2, 1)  # doc 2 lost to doc 0
     d = got[("srcB", "de")]
     assert (d["n_docs_unique"], d["unique_tokens"]) == (0, 0)
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four diff statuses on a constructed pair of snapshots, and
+    whitespace-only edits must NOT count as changed (fingerprints are
+    normalized)."""
+    from lichess_event_stream_watcher_spark.operators.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept text"), (5, "ws   test")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "gamma delta EDITED"), (3, "kept text"), (4, "brand new"), (5, "ws test")],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "changed",
+        3: "unchanged",
+        4: "added",
+        5: "unchanged",  # normalized fingerprint ignores the whitespace run
+    }
