@@ -257,6 +257,7 @@ def chunk_documents(
     overlap: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap — the
     context-window prep stage (long docs become multiple training rows;
@@ -268,18 +269,24 @@ def chunk_documents(
     no shuffle, no state, embarrassingly parallel; output order is pinned
     by (id, chunk_idx), never by partition layout.
 
-    Output: (id, chunk_idx, chunk_text, n_tokens).
+    ``carry_cols`` ride the explode map-side (every chunk repeats its
+    doc's metadata) — callers that need (split, lang, source, ...) on
+    each chunk get them for free instead of paying an id join back
+    against the document table afterward.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens[, *carry_cols]).
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    carry = list(carry_cols or [])
     step = chunk_tokens - overlap
     nt = normalize_text(F.col(text_col))
     # empty/whitespace-only text splits to [''], a phantom 1-token array:
     # gate on the normalized TEXT, not the array size
     base = (
-        df.select(F.col(id_col).alias("id"), nt.alias("_nt"))
+        df.select(F.col(id_col).alias("id"), nt.alias("_nt"), *carry)
         .filter(F.col("_nt") != "")
-        .select("id", tokens(F.col("_nt")).alias("_tk"))
+        .select("id", tokens(F.col("_nt")).alias("_tk"), *carry)
     )
     n_chunks = F.greatest(
         F.lit(1),
@@ -291,12 +298,13 @@ def chunk_documents(
     chunk = F.explode(idx).alias("chunk_idx")
     piece = F.slice(F.col("_tk"), F.col("chunk_idx") * step + 1, chunk_tokens)
     return (
-        base.select("id", "_tk", chunk)
+        base.select("id", "_tk", chunk, *carry)
         .select(
             "id",
             F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
             F.array_join(piece, " ").alias("chunk_text"),
             F.size(piece).cast("bigint").alias("n_tokens"),
+            *carry,
         )
     )
 

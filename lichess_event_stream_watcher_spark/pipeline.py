@@ -129,10 +129,13 @@ def curate_corpus(
     # 6. split assignment (pure function of the id)
     split = C.dataset_split(sampled)
 
-    # 7. context-window chunking (explodes rows; goes last)
-    chunks = C.chunk_documents(split, chunk_tokens=chunk_tokens, overlap=chunk_overlap)
-    chunks = chunks.join(
-        split.select(F.col("doc_id").alias("id"), "split", "lang", "source"), "id"
+    # 7. context-window chunking (explodes rows; goes last) — split/lang/
+    #    source ride the explode map-side, no id join back
+    chunks = C.chunk_documents(
+        split,
+        chunk_tokens=chunk_tokens,
+        overlap=chunk_overlap,
+        carry_cols=["split", "lang", "source"],
     ).persist()
     counts["chunks"] = chunks.count()
     sampled.unpersist()
