@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_token_accounting",
     "corpus_snapshot_diff",
     "zorder_key_events",
+    "bpe_encode_pieces",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

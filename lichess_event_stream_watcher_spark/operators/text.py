@@ -606,3 +606,65 @@ def bpe_learn(
             "n",
         ).localCheckpoint()
     return merges
+
+
+def bpe_apply(col: Column, merges: list[str]) -> Column:
+    """Apply an ordered BPE merge list (["a b", "ab c", ...]) to a WORD
+    column, returning its space-joined piece sequence — the ENCODE side
+    of ``bpe_learn``, as a pure Catalyst expression chain (no UDF).
+
+    Exactness without lookbehind: greedy left-to-right non-overlapping
+    merge of each rank is the classic pain point for plain ``replace``
+    (consuming a shared boundary space makes runs like "a a a a a"
+    merge to "aa a aa" instead of BPE's "aa aa a"). The fix is the
+    DOUBLED-BOUNDARY representation: every inter-symbol boundary is two
+    spaces, the pattern " a  b " consumes ONE space from each side, so
+    adjacent matches still see their leading space and left-to-right
+    ``replace`` semantics coincide exactly with BPE's per-rank merge —
+    in Spark and in any engine with a plain replace (the DuckDB oracle
+    runs the identical chain). Proven against an independent Python BPE
+    in tests (runs, a==b merges, recursive merges).
+    """
+    # "abc" -> " a  b  c " (boundaries doubled, single-space ends)
+    s = F.concat(
+        F.lit(" "), F.rtrim(F.regexp_replace(col, "(.)", "$1  ")), F.lit(" ")
+    )
+    for m in merges:
+        a, b = m.split(" ")
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def bpe_apply_sql(expr: str, merges: list[str]) -> str:
+    """DuckDB twin of ``bpe_apply`` — the same doubled-boundary replace
+    chain, so both engines produce byte-identical piece sequences."""
+    s = f"' ' || rtrim(regexp_replace({expr}, '(.)', '\\1  ', 'g')) || ' '"
+    for m in merges:
+        a, b = m.split(" ")
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+
+
+def bpe_encode_vocab(
+    df: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus under a frozen BPE merge list, vocab-reduced:
+    the corpus collapses to its (word, n) vocabulary first (the same
+    Heaps-law reduction as training — the encode chain runs once per
+    DISTINCT word, never once per token), then every word's piece
+    sequence and piece count come from the ``bpe_apply`` chain map-side.
+
+    Output: (word, n, pieces, n_pieces) — one row per distinct word.
+    Downstream, per-document piece counts are a broadcast-or-hash join
+    of the doc's words against this table (bounded by vocab size).
+    """
+    wc = word_counts(df, text_col)
+    pieces = bpe_apply(F.col("word"), merges)
+    return wc.select(
+        "word",
+        F.col("n").cast("bigint").alias("n"),
+        pieces.alias("pieces"),
+        F.size(F.split(pieces, " ")).cast("bigint").alias("n_pieces"),
+    )

@@ -3029,3 +3029,44 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", zorder_value(a, b, bits=16).cast("bigint").alias("zkey")
     )
+
+
+# Frozen tokenizer artifact (the trained-codebook recipe): an ordered BPE
+# merge list applied verbatim in BOTH engines. Recursive chains (s p ->
+# sp a -> spa r -> spar k) and an a==b rank (t t) exercise every merge
+# mechanic the encoder owns.
+_BPE_MERGES = [
+    "t h", "th e", "e r", "a r", "s p", "sp a", "spa r", "spar k",
+    "o r", "o w", "r ow", "t t", "a t", "b at", "bat ch",
+]
+
+_BPE_ENCODE_ORACLE = (
+    r"""WITH norm AS (
+  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents
+),
+wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(t, '\s+')) AS word FROM norm)
+  WHERE word <> '' GROUP BY word
+)
+SELECT word, n, """
+    + X.bpe_apply_sql("word", _BPE_MERGES)
+    + r""" AS pieces,
+       CAST(len(string_split("""
+    + X.bpe_apply_sql("word", _BPE_MERGES)
+    + r""", ' ')) AS BIGINT) AS n_pieces
+FROM wc"""
+)
+
+
+@query("bpe_encode_pieces", _BPE_ENCODE_ORACLE)
+def bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE under a frozen merge artifact (operators/text.py:
+    bpe_encode_vocab) — the apply side of the tokenizer the corpus
+    trains with bpe_merge_ranks. Vocab-reduced (one encode chain per
+    DISTINCT word, never per token) and UDF-free: the doubled-boundary
+    replace chain is exact greedy BPE (textbook-equivalence proven
+    exhaustively in pytest) and runs identically in DuckDB, so the whole
+    piece table hash-checks."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.bpe_encode_vocab(docs, _BPE_MERGES)

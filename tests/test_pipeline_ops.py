@@ -1726,3 +1726,67 @@ def test_snapshot_diff_statuses(spark):
         4: "added",
         5: "unchanged",  # normalized fingerprint ignores the whitespace run
     }
+
+
+def _py_bpe(word: str, merges: list[str]) -> list[str]:
+    """Independent textbook BPE encode (Sennrich et al.): per rank, one
+    greedy left-to-right non-overlapping merge pass."""
+    syms = list(word)
+    for m in merges:
+        a, b = m.split(" ")
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_textbook_bpe(spark):
+    """The doubled-boundary replace chain must equal textbook greedy BPE
+    on the hard cases: odd/even runs with a==b merges (where naive
+    single-space replace diverges at run length 5), recursive multi-level
+    merges, and merges whose symbols are prefixes of other symbols."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators.text import bpe_apply
+
+    merges = ["a a", "s p", "sp a", "spa r", "spar k", "b c", "aa bc"]
+    words = [
+        "aaaaa", "aaaa", "aaa", "aa", "a",          # runs under "a a"
+        "spark", "sparkle", "sparks", "spar",        # recursive merges
+        "abcbc", "aabc", "aaaabc", "bcbcbc",         # mixed + prefix traps
+        "zzz", "azaza", "xyaax",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: r.pieces
+        for r in df.select("word", bpe_apply(F.col("word"), merges).alias("pieces")).collect()
+    }
+    for w in words:
+        assert got[w] == " ".join(_py_bpe(w, merges)), (w, got[w], _py_bpe(w, merges))
+
+
+def test_bpe_apply_matches_textbook_bpe_exhaustive(spark):
+    """Exhaustive differential over EVERY word of length <= 7 from the
+    two-letter alphabet under merge lists with a==b ranks — the complete
+    run-parity state space where boundary-consumption bugs live."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators.text import bpe_apply
+
+    merges = ["a a", "b b", "aa b", "a bb"]
+    words = ["".join(p) for ln in range(1, 8) for p in product("ab", repeat=ln)]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: r.pieces
+        for r in df.select("word", bpe_apply(F.col("word"), merges).alias("pieces")).collect()
+    }
+    for w in words:
+        assert got[w] == " ".join(_py_bpe(w, merges)), (w, got[w])
