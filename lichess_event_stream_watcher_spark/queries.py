@@ -292,6 +292,7 @@ _DRIVER_PRIORITY = [
     "corpus_snapshot_diff",
     "zorder_key_events",
     "bpe_encode_pieces",
+    "ingestion_admission_counts",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

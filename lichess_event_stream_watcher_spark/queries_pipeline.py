@@ -3070,3 +3070,141 @@ def bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece table hash-checks."""
     docs = testdata.load(spark, sf_dir, "documents")
     return X.bpe_encode_vocab(docs, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end ingestion admission: bloom gate -> exact dedup -> near-dup
+# check, as ONE certified composition (the batch twin of streaming/dedup's
+# foreachBatch hook, with the bloom front-end the docstrings promise)
+# ---------------------------------------------------------------------------
+_FP_SQL = r"md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))"
+
+_ADMISSION_ORACLE = f"""WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  -- re-keyed corpus copies: guaranteed exact dups so the bloom-positive
+  -- and exact-dedup branches carry rows at every sf
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 3 <> 1 AND doc_id % 10 = 0
+),
+bfp AS (SELECT doc_id, {_FP_SQL} AS fp FROM batch),
+cfp AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 3 <> 1
+),
+pos AS (
+  {" UNION ALL ".join(f"SELECT fp, {_bloom_pos_sql('fp', j)} AS p FROM cfp" for j in range(_BLOOM_K))}
+),
+words AS (
+  SELECT CAST(p // 32 AS BIGINT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+bkeys AS (SELECT DISTINCT fp FROM bfp),
+probes AS (
+  {" UNION ALL ".join(f"SELECT fp AS key, {_bloom_pos_sql('fp', j)} AS p FROM bkeys" for j in range(_BLOOM_K))}
+),
+hits AS (
+  SELECT pr.key,
+         CASE WHEN COALESCE(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT)) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probes pr LEFT JOIN words w ON w.word_idx = CAST(pr.p // 32 AS BIGINT)
+),
+verdict AS (SELECT key, MIN(hit) = 1 AS maybe_present FROM hits GROUP BY key),
+exact AS (SELECT b.doc_id FROM bfp b JOIN cfp c USING (fp)),
+norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM norm),
+sh AS (
+  SELECT id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS shingle
+  FROM toks
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+survivors AS (
+  SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+inter AS (
+  SELECT a.id AS new_id, b.id AS old_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.id IN (SELECT doc_id FROM survivors) AND b.id % 3 <> 1
+  GROUP BY a.id, b.id
+),
+near AS (
+  SELECT DISTINCT new_id AS doc_id
+  FROM inter JOIN sizes sa ON sa.id = new_id JOIN sizes sb ON sb.id = old_id
+  WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+),
+status AS (
+  SELECT b.doc_id, v.maybe_present,
+         e.doc_id IS NOT NULL AS is_ex,
+         n.doc_id IS NOT NULL AS is_nr
+  FROM bfp b
+  JOIN verdict v ON v.key = b.fp
+  LEFT JOIN exact e ON e.doc_id = b.doc_id
+  LEFT JOIN near n ON n.doc_id = b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN NOT maybe_present THEN 1 ELSE 0 END) AS BIGINT) AS n_definitely_new,
+       CAST(SUM(CASE WHEN maybe_present THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe_present,
+       CAST(SUM(CASE WHEN is_ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(SUM(CASE WHEN is_nr THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(SUM(CASE WHEN NOT is_ex AND NOT is_nr THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+FROM status"""
+
+
+@query("ingestion_admission_counts", _ADMISSION_ORACLE)
+def ingestion_admission_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete 100 TB ingestion-dedup front door as ONE certified
+    composition: a batch (doc_id%3==1) admits against the corpus (the
+    rest) through (1) the Bloom gate over content fingerprints — a
+    bounded word table regardless of corpus size, definitely-new keys
+    PROVE novelty and skip the exact lookup; (2) the exact fingerprint
+    check; (3) the cross-corpus near-dup probe (jaccard_pairs_between —
+    the inverted join that never re-self-joins history). One summary
+    row: batch / bloom-verdict / exact-dup / near-dup / admitted counts.
+    Within-batch dedup is the separate certified stage
+    (curation_pipeline_counts); this query certifies the batch-vs-corpus
+    path, the one the streaming hook (streaming/dedup.py) runs per
+    micro-batch."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 1)
+    # re-keyed corpus copies guarantee the bloom-positive + exact-dup
+    # branches carry rows at every sf (the synthetic corpus has few
+    # cross-partition exact dups of its own)
+    replayed = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text").unionAll(
+        replayed
+    )
+    bfp = batch.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    cfp = corpus.select(X.fingerprint(F.col("text")).alias("fp")).distinct()
+    words = D.bloom_filter_words(cfp, "fp", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    verdict = D.bloom_probe(bfp, words, "fp", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    exact_ids = bfp.join(cfp, "fp", "left_semi").select("doc_id")
+    survivors = batch.join(exact_ids, "doc_id", "left_anti")
+    near_ids = (
+        D.jaccard_pairs_between(survivors, corpus, n=2, threshold=0.5)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    status = (
+        bfp.join(verdict.withColumnRenamed("key", "fp"), "fp")
+        .join(exact_ids.withColumn("_ex", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("_nr", F.lit(True)), "doc_id", "left")
+    )
+    ex = F.coalesce(F.col("_ex"), F.lit(False))
+    nr = F.coalesce(F.col("_nr"), F.lit(False))
+    return status.agg(
+        F.count("*").cast("bigint").alias("n_batch"),
+        F.sum(F.when(~F.col("maybe_present"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_definitely_new"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_maybe_present"),
+        F.sum(F.when(ex, 1).otherwise(0)).cast("bigint").alias("n_exact_dup"),
+        F.sum(F.when(nr, 1).otherwise(0)).cast("bigint").alias("n_near_dup"),
+        F.sum(F.when(~ex & ~nr, 1).otherwise(0)).cast("bigint").alias("n_admitted"),
+    )
