@@ -91,6 +91,7 @@ HEADLINE = [
     "zorder_key_events",
     "bpe_encode_pieces",
     "ingestion_admission_counts",
+    "bpe_source_token_counts",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -3208,3 +3208,53 @@ def ingestion_admission_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(nr, 1).otherwise(0)).cast("bigint").alias("n_near_dup"),
         F.sum(F.when(~ex & ~nr, 1).otherwise(0)).cast("bigint").alias("n_admitted"),
     )
+
+
+_BPE_SOURCE_ORACLE = (
+    r"""WITH norm AS (
+  SELECT source, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+docwords AS (
+  SELECT source, unnest(string_split_regex(t, '\s+')) AS word FROM norm
+),
+vocab AS (
+  SELECT word,
+         CAST(len(string_split("""
+    + X.bpe_apply_sql("word", _BPE_MERGES)
+    + r""", ' ')) AS BIGINT) AS n_pieces
+  FROM (SELECT DISTINCT word FROM docwords WHERE word <> '')
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.n_pieces) AS BIGINT) AS n_bpe_tokens
+FROM docwords d JOIN vocab v USING (word)
+GROUP BY d.source"""
+)
+
+
+@query("bpe_source_token_counts", _BPE_SOURCE_ORACLE)
+def bpe_source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting under the TRAINED tokenizer: per source,
+    total words and total BPE pieces — the number that actually prices a
+    training run (compute budgets are piece counts, not whitespace
+    counts). Physical shape: the doc word stream joins the encoded VOCAB
+    (Heaps'-law small in practice but corpus-derived, so NO forced
+    broadcast hint — AQE broadcasts when the vocab is actually small and
+    falls back to a hash join when it is not, per the repo's
+    bounded-broadcast discipline; the encode chain ran once per distinct
+    word, never per token), then one partial-agg rollup per source."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    vocab = X.bpe_encode_vocab(docs, _BPE_MERGES).select("word", "n_pieces")
+    words = docs.select(
+        "source",
+        F.explode(X.tokens(X.normalize_text(F.col("text")))).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
