@@ -92,6 +92,8 @@ HEADLINE = [
     "bpe_encode_pieces",
     "ingestion_admission_counts",
     "bpe_source_token_counts",
+    "hybrid_retrieval_rrf",
+    "ccnet_quality_buckets",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -959,12 +959,6 @@ def dup_components_star(
     (quote chains, boilerplate gradients) where diameter, and therefore
     propagation rounds, grows unbounded.
     """
-    ids = (
-        nodes.select(F.col(id_col).alias("id"))
-        .unionAll(pairs.select(F.col("id_a").alias("id")))
-        .unionAll(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
     from .util import persisted_rdd_ids, unpersist_rdd_ids
 
     base = persisted_rdd_ids(pairs)
@@ -1026,6 +1020,19 @@ def dup_components_star(
         edges.select(F.greatest("u", "v").alias("id"), F.least("u", "v").alias("c"))
         .groupBy("id")
         .agg(F.min("c").alias("c"))
+    )
+    # seed ids from nodes UNION the FINAL (checkpointed, still-persisted)
+    # star edges, not the raw pairs frame: star contraction preserves the
+    # non-singleton vertex set, and an ids built on ``pairs`` would
+    # re-execute the (quadratic-ish) pair search one extra time when the
+    # read-off below is consumed. Every pair generator in this repo emits
+    # id_a < id_b, so no endpoint exists only as a self-pair; an id
+    # appearing ONLY as a self-pair must be in nodes.
+    ids = (
+        nodes.select(F.col(id_col).alias("id"))
+        .unionAll(edges.select(F.col("u").alias("id")))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .distinct()
     )
     return ids.join(mins, "id", "left").select(
         "id", F.coalesce("c", F.col("id")).alias("comp")

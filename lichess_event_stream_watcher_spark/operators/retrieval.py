@@ -30,9 +30,10 @@ the order-independent integer sum — fully hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sketch import grouped_topk_threshold
 from .text import normalize_text, tokens
 
 K1 = 1.2
@@ -106,14 +107,68 @@ def bm25_topk(
         scored = matched.groupBy("query_id", id_col).agg(
             F.sum(F.floor(contrib * SCALE).cast("bigint")).alias("score_q")
         )
-        order = [F.desc("score_q"), F.asc(id_col)]
+        score_col = "score_q"
     else:
         scored = matched.groupBy("query_id", id_col).agg(
             F.round(F.sum(contrib), 6).alias("score")
         )
-        order = [F.desc("score"), F.asc(id_col)]
-    w = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        score_col = "score"
+    # Final top-k: queries are FEW and candidates per query are unbounded
+    # (every doc sharing a term) — the hot-group shape where a plain
+    # per-query rank window funnels one query's whole candidate set into
+    # one task. Threshold-pruned top-k keeps per-task state bounded; the
+    # negated score makes (score desc, id asc) a single ascending key.
+    ranked = grouped_topk_threshold(
+        scored.withColumn("_neg", -F.col(score_col)),
+        "query_id",
+        ["_neg", id_col],
+        k,
+    )
+    return ranked.select(
+        "query_id", id_col, score_col, F.col("rk").cast("bigint").alias("rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N retrieval
+    system rankings into one hybrid ranking per query — the standard way
+    a RAG stack combines lexical (BM25) and dense (embedding-cosine)
+    retrieval without score calibration.
+
+    Each input frame carries (query_id, ``id_col``, ``rank_col``); a
+    document's fused score is sum over systems of 1e6 div (c + rank) —
+    INTEGER division of integer literals, so the sum is order-independent
+    and engine-portable (no float reciprocal). Docs absent from a system
+    simply contribute nothing (union semantics — no outer join needed).
+
+    Scale shape: the inputs are already top-k-per-query (bounded), so the
+    union + one groupBy is tiny; the final top-k still routes through the
+    threshold-pruned primitive so the shape stays safe even when callers
+    fuse unbounded candidate lists.
+    """
+    contribs = None
+    for r in rankings:
+        part = r.select(
+            "query_id",
+            F.col(id_col),
+            F.expr(f"1000000 div ({c} + {rank_col})").cast("bigint").alias("_c"),
+        )
+        contribs = part if contribs is None else contribs.unionByName(part)
+    fused = contribs.groupBy("query_id", id_col).agg(
+        F.sum("_c").cast("bigint").alias("rrf_q")
+    )
+    ranked = grouped_topk_threshold(
+        fused.withColumn("_neg", -F.col("rrf_q")),
+        "query_id",
+        ["_neg", id_col],
+        k,
+    )
+    return ranked.select(
+        "query_id", id_col, "rrf_q", F.col("rk").cast("bigint").alias("rank")
     )

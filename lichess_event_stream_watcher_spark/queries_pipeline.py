@@ -3258,3 +3258,212 @@ def bpe_source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and dense
+# (embedding-cosine) rankers for "more-like-this" queries — the standard
+# RAG-stack combiner (Cormack et al., SIGIR'09). doc_id and vec_id are the
+# same key space in this corpus, so fusing by id is exact. All-integer:
+# BM25 micro-unit scores, round-6 cosine ranks, and 1e6 div (60 + rank)
+# fusion contributions — full hash check.
+# ---------------------------------------------------------------------------
+_RRF_QUERY_DOCS = [0, 1, 2, 3, 4]
+_RRF_QLIST = ", ".join(str(i) for i in _RRF_QUERY_DOCS)
+
+_RRF_ORACLE = rf"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+qt AS (
+  SELECT DISTINCT id AS query_id,
+         unnest(list_slice(string_split_regex(t, '\s+'), 1, 8)) AS term
+  FROM norm WHERE id IN ({_RRF_QLIST})
+),
+tk AS (SELECT id, unnest(string_split_regex(t, '\s+')) AS term FROM norm),
+terms AS (SELECT DISTINCT term FROM qt),
+postings AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk JOIN terms USING (term) GROUP BY id, term
+),
+dl AS (SELECT id, CAST(len(string_split_regex(t, '\s+')) AS BIGINT) AS dl FROM norm),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl
+),
+matched AS (
+  SELECT q.query_id, p.id, p.tf, d.dl, f.df, s.n_docs, s.sum_dl
+  FROM postings p
+  JOIN qt q USING (term)
+  JOIN dl d USING (id)
+  JOIN (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term) f USING (term)
+  CROSS JOIN stats s
+),
+lex_scored AS (
+  SELECT query_id, id AS doc_id,
+         CAST(SUM(CAST(floor({{BM25C}} * 1000000) AS BIGINT)) AS BIGINT) AS score_q
+  FROM matched GROUP BY query_id, id
+),
+lex_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, doc_id ASC) AS rank
+  FROM lex_scored
+),
+den_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         ROUND({{COSQ}}, 6) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id IN ({_RRF_QLIST})
+),
+den_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC) AS rank
+  FROM den_scored
+),
+contrib AS (
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+  FROM lex_ranked WHERE rank <= 20 AND doc_id <> query_id
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+  FROM den_ranked WHERE rank <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_q
+  FROM contrib GROUP BY query_id, doc_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_q DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       rrf_q, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10"""
+_RRF_ORACLE = _RRF_ORACLE.replace("{BM25C}", _BM25_CONTRIB).replace("{COSQ}", _COS_SQL)
+
+
+@query("hybrid_retrieval_rrf", _RRF_ORACLE)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this hybrid retrieval: for each query document, fuse the
+    BM25 ranking of its leading 8 tokens (lexical) with its exact cosine
+    neighbor ranking (dense) via integer reciprocal-rank fusion
+    (operators/retrieval.py:rrf_fuse).
+
+    Scale shape: the 5 query texts collect at compose time (bounded by
+    construction — the query set IS driver-sized in retrieval); each
+    system produces bounded top-20-per-query candidates; fusion is a
+    union + one tiny groupBy; the final top-10 routes through the
+    threshold-pruned top-k so no hot-group rank window exists anywhere
+    in the chain."""
+    import re as _re
+
+    from .operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    qrows = (
+        docs.filter(F.col("doc_id").isin(_RRF_QUERY_DOCS))
+        .select("doc_id", "text")
+        .collect()
+    )
+    queries = {
+        int(r.doc_id): " ".join(_re.split(r"\s+", r.text.strip().lower())[:8])
+        for r in qrows
+    }
+    lex = bm25_topk(docs, queries, k=20, idf_mode="rsj_sqrt").filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    den = S.knn_brute_force(emb, _RRF_QUERY_DOCS, k=20).withColumnRenamed(
+        "neighbor_id", "doc_id"
+    )
+    return rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            den.select("query_id", "doc_id", "rank"),
+        ],
+        k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language quality bucketing (Wenzek et al., LREC'20): rank
+# every document by its char-LM likelihood within its language and cut the
+# corpus into head/middle/tail tertiles — the standard web-corpus quality
+# stratification that downstream sampling weights by. Thresholds are exact
+# type-1 tertiles of the integer-quantized scores, computed with the
+# bounded-state two-pass quantile primitive — never a per-language sort of
+# the raw corpus.
+# ---------------------------------------------------------------------------
+_CCNET_ORACLE = rf"""WITH scores AS (
+  SELECT d.lang, s.avg_prob_q
+  FROM ({_CHARLM_ORACLE}) s JOIN documents d ON d.doc_id = s.id
+),
+ranked AS (
+  SELECT lang, avg_prob_q,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY avg_prob_q) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scores
+),
+thr AS (
+  SELECT lang,
+         MAX(CASE WHEN rn <= (1 * n + 2) // 3 THEN avg_prob_q END) AS t1,
+         MAX(CASE WHEN rn <= (2 * n + 2) // 3 THEN avg_prob_q END) AS t2
+  FROM ranked GROUP BY lang
+),
+bucketed AS (
+  SELECT s.lang,
+         CASE WHEN s.avg_prob_q <= t.t1 THEN 'tail'
+              WHEN s.avg_prob_q <= t.t2 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         s.avg_prob_q
+  FROM scores s JOIN thr t USING (lang)
+)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(avg_prob_q) AS BIGINT) AS sum_q
+FROM bucketed GROUP BY lang, bucket"""
+
+
+@query("ccnet_quality_buckets", _CCNET_ORACLE)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail quality tertiles over the char-LM
+    likelihood score (higher avg_prob_q = more corpus-like = head).
+
+    Physical shape at 100 TB: scoring is the certified charlm chain
+    (bounded charset^2 model broadcast); the tertile thresholds come from
+    operators/sketch.py:grouped_exact_quantiles (two bounded passes, no
+    per-language rank over raw rows); the per-language threshold table is
+    tiny and broadcasts back for the map-side bucket assignment; one
+    partial-agg rollup emits the (lang, bucket) summary."""
+    from .operators.sketch import grouped_exact_quantiles
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    scores = X.charlm_score(docs).select("id", "avg_prob_q")
+    # the scored frame feeds three consumers (quantile histogram pass,
+    # quantile refine pass, final bucket rollup); persist so the
+    # multi-shuffle charlm chain executes once — same memory-and-disk
+    # materialization discipline as pipeline.curate_corpus (the returned
+    # rollup keeps the cache alive for the caller's action)
+    scored = (
+        docs.select(F.col("doc_id").alias("id"), "lang").join(scores, "id").persist()
+    )
+    thr = grouped_exact_quantiles(
+        scored, "lang", "avg_prob_q", [("t1", 1, 3), ("t2", 2, 3)]
+    )
+    pivot = thr.groupBy("lang").agg(
+        F.max(F.when(F.col("q") == "t1", F.col("val"))).alias("t1"),
+        F.max(F.when(F.col("q") == "t2", F.col("val"))).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_prob_q") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("avg_prob_q") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return (
+        scored.join(F.broadcast(pivot), "lang")
+        .select("lang", bucket.alias("bucket"), "avg_prob_q")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("avg_prob_q").cast("bigint").alias("sum_q"),
+        )
+    )

@@ -1790,3 +1790,42 @@ def test_bpe_apply_matches_textbook_bpe_exhaustive(spark):
     }
     for w in words:
         assert got[w] == " ".join(_py_bpe(w, merges)), (w, got[w])
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion: integer contributions 1e6 div (c + rank), union
+    semantics for docs absent from one system, (rrf desc, id asc)
+    tie-break."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    den = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    out = {
+        r.doc_id: (r.rrf_q, r.rank)
+        for r in rrf_fuse([lex, den], k=10).collect()
+    }
+    c = lambda rk: 1_000_000 // (60 + rk)
+    # doc 11 appears in both systems (rank 2 + rank 1)
+    assert out[11] == (c(2) + c(1), 1)
+    assert out[10] == (c(1), 2)
+    assert out[13] == (c(2), 3)
+    assert out[12] == (c(3), 4)
+
+
+def test_rrf_fuse_tie_breaks_by_doc_id(spark):
+    from lichess_event_stream_watcher_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 20, 1), (1, 7, 1)],  # identical rank -> identical rrf_q
+        "query_id bigint, doc_id bigint, rank bigint",
+    )
+    rows = rrf_fuse([lex], k=2).orderBy("rank").collect()
+    assert [r.doc_id for r in rows] == [7, 20]

@@ -351,6 +351,11 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         # table is exactly 1 row, and with the constant group key folded
         # away only the <=-threshold predicate remains -> BNLJ by design
         "boilerplate_ngrams",
+        # composes knn_cosine_topk's probe-set broadcast and bm25's 1-row
+        # stats broadcast — both bounded by construction
+        "hybrid_retrieval_rrf",
+        # charlm_quality's 1-row vocab-size broadcast rides along
+        "ccnet_quality_buckets",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
