@@ -289,7 +289,14 @@ def lexicon_coverage(
 
 
 def char_bigrams(col: Column) -> Column:
-    """All overlapping character bigrams of the normalized text, in order."""
+    """All overlapping character bigrams of the normalized text, in order.
+
+    PERF: the normalize regex is inlined into the per-position transform
+    lambda, so Catalyst re-evaluates it once PER BIGRAM — O(len^2) regex
+    work per row. Fine for short strings (usernames, labels); for
+    documents, materialize ``normalize_text`` in a prior projection
+    behind an exchange and transform over the column instead (see
+    charlm_score)."""
     t = normalize_text(col)
     idx = F.when(
         F.length(t) >= 2, F.sequence(F.lit(1), F.length(t) - 1)
@@ -327,11 +334,25 @@ def charlm_score(
     mean quantized bigram probability (higher = more corpus-like) and
     ppl_proxy = quant / avg_prob_q (rounded down; an inverse-likelihood
     stand-in for perplexity)."""
-    base = df.select(
-        F.col(id_col).alias("id"), char_bigrams(F.col(text_col)).alias("_bg")
+    from .util import spread
+
+    # materialize the normalized text ONCE per row behind spread()'s
+    # exchange (a projection-collapse barrier): char_bigrams' inline form
+    # re-evaluates the normalize regex inside the per-position transform
+    # lambda — O(len^2) regex work per document (measured 25x on sf0.1)
+    base = spread(
+        df.select(
+            F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
+        )
     )
+    t = F.col("_t")
+    idx = F.when(
+        F.length(t) >= 2, F.sequence(F.lit(1), F.length(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bg = (
-        base.select("id", F.explode("_bg").alias("bg"))
+        base.select(
+            "id", F.explode(F.transform(idx, lambda i: F.substring(t, i, 2))).alias("bg")
+        )
         .filter(F.length("bg") == 2)
         .groupBy("id", "bg")
         .agg(F.count("*").alias("n"))
