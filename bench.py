@@ -349,6 +349,12 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                # round 4+: full-evaluation noop-sink action (earlier
+                # rounds timed .count(), which underreports map-heavy
+                # queries — see SCALE.md "Benchmark honesty"); totals are
+                # not comparable across that boundary
+                "action": "noop-write",
+                "n_queries": len(timings),
                 "queries": timings,
                 "engine_events_per_sec": round(n_events / engine_sec, 1),
                 "streaming_engine_events_per_sec": round(stream_n / stream_sec, 1),

@@ -32,6 +32,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
 
 
+def _pair_cos() -> Column:
+    """Per-pair cosine from PRE-COMPUTED self-norms ``_qn``/``_cn``
+    (attached to the join inputs, so each is evaluated once per VECTOR,
+    not once per pair — the inline ``cosine`` form re-folds both
+    self-dot-products for every candidate pair, tripling the dominant
+    cost of every query x corpus scoring join). Identical left-fold
+    doubles in the identical order -> the rounded value is bit-equal to
+    the inline form."""
+    return dot(F.col("qvec"), F.col("cvec")) / F.sqrt(F.col("_qn") * F.col("_cn"))
+
+
 def knn_brute_force(
     emb: DataFrame,
     query_ids: list[int],
@@ -46,12 +57,18 @@ def knn_brute_force(
     (query_id, neighbor_id, cos_sim, rank).
     """
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("cos_sim", F.round(_pair_cos(), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -291,6 +308,7 @@ def ivf_ann_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.col("cent_id").alias("cell"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_cn"),
     )
     probes = nearest_cells(
         emb.filter(F.col(id_col).isin(query_ids)), centroids, nprobe, id_col, vec_col
@@ -298,11 +316,12 @@ def ivf_ann_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col("cent_id").alias("cell"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_qn"),
     )
     scored = (
         cells.join(F.broadcast(probes), ["cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("cos_sim", F.round(_pair_cos(), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -327,14 +346,20 @@ def lsh_ann_topk(
     avecs = sorted(anchors.collect(), key=lambda r: r[0])
     with_bucket = emb.withColumn("bucket", _bucket_expr(avecs, vec_col))
     q = with_bucket.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.col("bucket")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("bucket"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_qn"),
     )
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), F.col("bucket")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_cn"),
     )
     scored = c.join(F.broadcast(q), ["bucket"]).filter(
         F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    ).withColumn("cos_sim", F.round(_pair_cos(), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -435,15 +460,19 @@ def lsh_ann_topk_multiprobe(
             F.explode(F.array(F.col("bucket"), *[flip(i) for i in range(1, nb + 1)])).alias(
                 "bucket"
             ),
+            dot(F.col(vec_col), F.col(vec_col)).alias("_qn"),
         )
     )
     c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), F.col("bucket")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("cos_sim", F.round(_pair_cos(), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -692,15 +721,25 @@ def semantic_dedup(
 
     Output: one row PER INPUT VECTOR — (id, cell, keep); keep=false marks
     vectors to drop."""
+    # self-norms are computed ONCE per vector in the pre-join projection
+    # (they are join-input attributes, so they cannot collapse past the
+    # join): the per-pair expression is then a single cross dot product
+    # instead of three — the same left-fold doubles in the same order, so
+    # the rounded cosine is bit-identical to the inline form
     cells = nearest_cells(emb, centroids, 1, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("_v"), F.col("cent_id").alias("cell")
+    ).withColumn("_n", dot(F.col("_v"), F.col("_v")))
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
     )
-    a = cells.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "cell")
-    b = cells.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "cell")
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "cell"
+    )
+    pair_cos = dot(F.col("_va"), F.col("_vb")) / F.sqrt(F.col("_na") * F.col("_nb"))
     dup_pairs = (
         a.join(b, ["cell"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(F.round(pair_cos, 6) >= threshold)
     )
     dups = (
         dup_pairs.select(F.col("id_b").alias(id_col))
@@ -895,11 +934,13 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         F.col(label_col).alias("qlabel"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_qn"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.col(label_col).alias("clabel"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(
@@ -907,7 +948,7 @@ def hard_negatives(
             (F.col("neighbor_id") != F.col("query_id"))
             & (F.col("clabel") != F.col("qlabel")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn("cos_sim", F.round(_pair_cos(), 6))
         .withColumn(
             "neg_micro",
             -F.round(F.col("cos_sim") * F.lit(1000000.0)).cast("bigint"),
