@@ -94,6 +94,7 @@ HEADLINE = [
     "bpe_source_token_counts",
     "hybrid_retrieval_rrf",
     "ccnet_quality_buckets",
+    "regex_token_counts",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -294,6 +294,9 @@ _DRIVER_PRIORITY = [
     "bpe_encode_pieces",
     "ingestion_admission_counts",
     "bpe_source_token_counts",
+    "hybrid_retrieval_rrf",
+    "ccnet_quality_buckets",
+    "regex_token_counts",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

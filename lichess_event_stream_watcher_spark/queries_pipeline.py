@@ -3467,3 +3467,73 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("avg_prob_q").cast("bigint").alias("sum_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex pre-tokenization counting (the GPT-2 pre-tokenizer shape:
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs). Both engines evaluate the SAME pattern with leftmost-first
+# alternation (Java regex and DuckDB's RE2 both follow PCRE submatch
+# semantics here — no lookarounds used, so the simplification is portable).
+# Counting only — the trained-merge piece counts live in bpe_encode_pieces.
+# ---------------------------------------------------------------------------
+_PRETOK_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+_PRETOK_ORACLE = rf"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+per AS (
+  SELECT d.source,
+         len(list_filter(string_split_regex(n.t, '\s+'), x -> x <> '')) AS nws,
+         len(list_filter(regexp_extract_all(n.t, '{_PRETOK_PAT.replace("'", "''")}'),
+                         x -> NOT regexp_matches(x, '^\s+$'))) AS nrx
+  FROM norm n JOIN documents d ON d.doc_id = n.id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nws) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(nrx) AS BIGINT) AS n_regex_tokens,
+       CAST((1000000 * SUM(nrx)) // GREATEST(SUM(nws), 1) AS BIGINT)
+         AS pretok_ratio_micro
+FROM per GROUP BY source"""
+
+
+@query("regex_token_counts", _PRETOK_ORACLE)
+def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting under a GPT-2-style REGEX pre-tokenizer
+    next to plain whitespace counts — the "BPE-ish regex" counting pass a
+    compute-budget estimate runs before any trained tokenizer exists
+    (regex pieces track BPE pieces far better than whitespace words on
+    punctuation- and digit-heavy text).
+
+    Physical shape: both counts are one regexp pass per row over the
+    materialized normalized text (map-side, zero joins), then a single
+    partial-agg rollup on the tiny source dimension. The whitespace-only
+    filter is defensive: normalization collapses runs, so the \\s+
+    fallback branch cannot fire on this corpus."""
+    from .operators.util import spread
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    base = spread(
+        docs.select("source", X.normalize_text(F.col("text")).alias("_t"))
+    )
+    ws = F.size(F.filter(F.split(F.col("_t"), r"\s+"), lambda x: x != ""))
+    rx = F.size(
+        F.filter(
+            F.regexp_extract_all(F.col("_t"), F.lit(_PRETOK_PAT), F.lit(0)),
+            lambda x: ~x.rlike(r"^\s+$"),
+        )
+    )
+    return (
+        base.select("source", ws.alias("_nws"), rx.alias("_nrx"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_nws").cast("bigint").alias("n_ws_tokens"),
+            F.sum("_nrx").cast("bigint").alias("n_regex_tokens"),
+            F.expr(
+                "(1000000 * sum(_nrx)) div greatest(sum(_nws), 1)"
+            ).cast("bigint").alias("pretok_ratio_micro"),
+        )
+    )

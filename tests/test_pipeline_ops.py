@@ -1829,3 +1829,31 @@ def test_rrf_fuse_tie_breaks_by_doc_id(spark):
     )
     rows = rrf_fuse([lex], k=2).orderBy("rank").collect()
     assert [r.doc_id for r in rows] == [7, 20]
+
+
+def test_pretok_regex_matches_python_re(spark):
+    """The GPT-2-style pre-tokenizer pattern must tokenize identically in
+    Spark's Java regex and Python's re (leftmost-first alternation) on
+    adversarial strings; DuckDB RE2 parity is the driver oracle's job."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.queries_pipeline import _PRETOK_PAT
+
+    texts = [
+        "the quick brown fox's 123 jumps, over-the lazy dog!!",
+        "it's we're i'll 42x y3 -- a_b c;d",
+        "don't 'quoted' x''y 'll",
+        "a1b2c3 ... ,,;; '' 9",
+        "one",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.toks
+        for r in df.select(
+            "i", F.regexp_extract_all(F.col("t"), F.lit(_PRETOK_PAT), F.lit(0)).alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == re.findall(_PRETOK_PAT, t), (t, got[i])
