@@ -95,6 +95,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "ccnet_quality_buckets",
     "regex_token_counts",
+    "ngram_novelty_profile",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

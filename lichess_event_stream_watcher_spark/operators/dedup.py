@@ -1534,3 +1534,48 @@ def repeated_ngrams(
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("rk").cast("bigint").alias("rank"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc corpus-novelty counts: of a document's distinct n-gram
+    shingles, how many appear in NO other document (doc frequency == 1)?
+    The complement of ``repeated_ngrams``'s boilerplate view — the
+    "unique n-gram fraction" table dataset cards publish as a
+    memorization-risk / content-originality signal (a doc whose shingles
+    all recur elsewhere is template chrome; a doc that is mostly
+    corpus-unique carries novel text).
+
+    Physical shape — two partial-agg groupBys, NO join back to the
+    exploded shingle table: a df==1 shingle has exactly one owner, so
+    ``min(id)`` computed inside the SAME aggregate as the doc-frequency
+    count IS the owning doc, and the per-doc novel count is a second
+    groupBy over that already-collapsed (distinct-shingle-sized, not
+    corpus-sized) table. Per-doc totals are map-side (``size`` of the
+    un-exploded ``shingle_arrays`` output). A hot boilerplate shingle
+    collapses to a single row in the first partial agg — no skew
+    amplification at any df.
+
+    Output: (id, n_shingles, n_novel) for every doc with >= n tokens.
+    """
+    arrays = shingle_arrays(df, n=n, text_col=text_col, id_col=id_col)
+    totals = arrays.select("id", F.size("_grams").alias("n_shingles")).filter(
+        F.col("n_shingles") > 0
+    )
+    novel = (
+        arrays.select("id", F.explode("_grams").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("_dfq"), F.min("id").alias("id"))
+        .filter(F.col("_dfq") == 1)
+        .groupBy("id")
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return totals.join(novel, "id", "left").select(
+        "id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+    )

@@ -297,6 +297,7 @@ _DRIVER_PRIORITY = [
     "hybrid_retrieval_rrf",
     "ccnet_quality_buckets",
     "regex_token_counts",
+    "ngram_novelty_profile",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -3537,3 +3537,71 @@ def regex_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pretok_ratio_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-novelty accounting: the unique-n-gram-fraction report (the
+# complement of boilerplate_ngrams). df==1 shingles keep their single
+# owner as min(id) inside the doc-frequency aggregate itself, so the
+# per-doc novel count never joins back to the exploded shingle table.
+# ---------------------------------------------------------------------------
+_NOVELTY_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm),
+sh AS (
+  SELECT DISTINCT id, array_to_string(tk[i:i+7], ' ') AS shingle
+  FROM (SELECT id, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM base WHERE len(tk) >= 8)
+),
+per_tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+novel_doc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM (SELECT MIN(id) AS id FROM sh GROUP BY shingle HAVING COUNT(*) = 1)
+  GROUP BY id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(p.id) AS BIGINT) AS n_docs_shingled,
+       CAST(COALESCE(SUM(p.n_sh), 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(SUM(nd.n_novel), 0) AS BIGINT) AS n_novel,
+       CAST((1000000 * COALESCE(SUM(nd.n_novel), 0))
+            // GREATEST(COALESCE(SUM(p.n_sh), 0), 1) AS BIGINT) AS novelty_micro
+FROM documents d
+LEFT JOIN per_tot p ON p.id = d.doc_id
+LEFT JOIN novel_doc nd ON nd.id = d.doc_id
+GROUP BY d.source"""
+
+
+@query("ngram_novelty_profile", _NOVELTY_ORACLE)
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unique-8-gram-fraction accounting
+    (operators/dedup.py:ngram_novelty): total distinct shingles, how many
+    are corpus-unique (df == 1), and the novelty ratio in micro-units —
+    the content-originality table a dataset card publishes next to the
+    boilerplate top-k. All-integer output hash-checks exactly.
+
+    Physical shape: novelty counts are two partial-agg groupBys with no
+    exploded-table join-back (the df==1 owner rides the frequency agg as
+    min(id)); the per-source rollup joins two doc-keyed tables to the
+    (doc_id, source) projection — both equi-joins AQE is free to
+    broadcast or co-partition — then one partial agg on the tiny source
+    dimension."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    per_doc = D.ngram_novelty(docs, n=8)
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        src.join(per_doc, "id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("n_shingles").cast("bigint").alias("n_docs_shingled"),
+            F.coalesce(F.sum("n_shingles"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.sum("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr(
+                "(1000000 * coalesce(sum(n_novel), 0))"
+                " div greatest(coalesce(sum(n_shingles), 0), 1)"
+            ).cast("bigint").alias("novelty_micro"),
+        )
+    )

@@ -1857,3 +1857,20 @@ def test_pretok_regex_matches_python_re(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == re.findall(_PRETOK_PAT, t), (t, got[i])
+
+
+def test_ngram_novelty_counts(spark):
+    """df==1 accounting on a corpus small enough to enumerate by hand;
+    a doc below the shingle width is excluded entirely."""
+    from lichess_event_stream_watcher_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.id: (r.n_shingles, r.n_novel) for r in ngram_novelty(docs, n=2).collect()
+    }
+    # shingles: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y}; "a b" has
+    # df=2 so only the doc-local shingles are novel; doc4 has no bigrams
+    assert rows == {1: (2, 1), 2: (2, 1), 3: (1, 1)}

@@ -546,7 +546,13 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    budgets = {"corpus_token_accounting": 3, "boilerplate_ngrams": 4}
+    budgets = {
+        "corpus_token_accounting": 3,
+        "boilerplate_ngrams": 4,
+        # shingle-df agg + novel-owner re-agg + source rollup; the two
+        # doc-keyed joins broadcast (tiny projections at this SF)
+        "ngram_novelty_profile": 3,
+    }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
