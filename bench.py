@@ -96,6 +96,7 @@ HEADLINE = [
     "ccnet_quality_buckets",
     "regex_token_counts",
     "ngram_novelty_profile",
+    "label_centroid_dispersion",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -1022,3 +1022,86 @@ def random_projection(
     return emb.select(
         F.col(id_col).alias("id"), F.explode(projs).alias("_p")
     ).select("id", F.col("_p.proj_id").alias("proj_id"), F.col("_p.proj_q").alias("proj_q"))
+
+
+def label_centroid_dispersion(
+    emb: DataFrame,
+    dim: int = 64,
+    quant: int = 1_000_000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding cohesion report: the centroid of each label's
+    vectors and the distribution (mean/min/max) of member-to-centroid
+    cosine — the class-compactness table an embedding-quality audit
+    publishes (collapsed labels show mean ~= 1; polluted labels grow a
+    low min tail). The per-dimension global twin is
+    ``embedding_feature_stats``; this is the grouped, vector-level view.
+
+    Exact-arithmetic discipline (the repo's quantize-first recipe):
+    components floor-quantize to integers, per-dim sums are bigint (one
+    wide partial agg — dim sum columns, NOT a posexplode shuffle of
+    n*dim rows), the centroid is truncating integer division (Spark
+    ``div`` == DuckDB ``//`` toward zero, signed-safe), and the cosine
+    is a single identically-shaped expression tree of correctly-rounded
+    IEEE ops (bigint dot / sqrt*sqrt) floored at micro units — both
+    engines produce the same bit pattern, so the output hash-checks.
+
+    Physical shape: one partial-agg groupBy builds the k-row centroid
+    table; it broadcasts back (bounded at k*dim integers by
+    construction); the cosine is map-side; one more partial agg on the
+    label key rolls up. Two exchanges total, no UDF, no explode.
+
+    Output: (label, n_vecs, mean_cos_micro, min_cos_micro, max_cos_micro).
+    """
+    qv = _quantize_vec(vec_col, quant)
+    base = emb.select(F.col(label_col).alias("label"), qv.alias("_qv"))
+    sums = base.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        *[
+            F.sum(F.element_at(F.col("_qv"), i + 1)).cast("bigint").alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = sums.select(
+        "label",
+        F.array(
+            *[F.expr(f"_s{i} div n_vecs").cast("bigint") for i in range(dim)]
+        ).alias("_c"),
+    )
+    dotc = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_c"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nq = F.aggregate(
+        F.transform(F.col("_qv"), lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.transform(F.col("_c"), lambda a: a * a),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cos_q = F.floor(
+        F.lit(1_000_000.0)
+        * (
+            dotc.cast("double")
+            / (
+                F.sqrt(F.greatest(nq, F.lit(1)).cast("double"))
+                * F.sqrt(F.greatest(nc, F.lit(1)).cast("double"))
+            )
+        )
+    ).cast("bigint")
+    return (
+        base.join(F.broadcast(cent), "label")
+        .select("label", cos_q.alias("_cq"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr("sum(_cq) div count(*)").cast("bigint").alias("mean_cos_micro"),
+            F.min("_cq").cast("bigint").alias("min_cos_micro"),
+            F.max("_cq").cast("bigint").alias("max_cos_micro"),
+        )
+    )

@@ -298,6 +298,7 @@ _DRIVER_PRIORITY = [
     "ccnet_quality_buckets",
     "regex_token_counts",
     "ngram_novelty_profile",
+    "label_centroid_dispersion",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

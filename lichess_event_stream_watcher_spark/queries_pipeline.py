@@ -3605,3 +3605,44 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("novelty_micro"),
         )
     )
+
+
+def _centroid_duck_sql(dim: int, quant: int) -> str:
+    """DuckDB twin of operators/similarity.py:label_centroid_dispersion —
+    the same quantize-first bigint sums, truncating `//` centroid
+    division (DuckDB `//` == Spark `div` toward zero, signed-safe), and
+    the identically-shaped 1e6*(dot/(sqrt*sqrt)) cosine tree."""
+    qsum = ", ".join(f"SUM(qv[{i + 1}]) AS s{i}" for i in range(dim))
+    carr = ", ".join(f"CAST(s{i} // n_vecs AS BIGINT)" for i in range(dim))
+    return f"""WITH q AS (
+  SELECT label, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)!r}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sums AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, {qsum} FROM q GROUP BY label),
+cent AS (SELECT label, [{carr}] AS c FROM sums),
+per AS (
+  SELECT q.label,
+         CAST(floor(1000000.0 *
+           (CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qv[i] * c[i])) AS DOUBLE)
+            / (sqrt(CAST(GREATEST(list_sum(list_transform(qv, x -> x * x)), 1) AS DOUBLE))
+               * sqrt(CAST(GREATEST(list_sum(list_transform(c, x -> x * x)), 1) AS DOUBLE)))))
+           AS BIGINT) AS cq
+  FROM q JOIN cent USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(cq) // COUNT(*) AS BIGINT) AS mean_cos_micro,
+       CAST(MIN(cq) AS BIGINT) AS min_cos_micro,
+       CAST(MAX(cq) AS BIGINT) AS max_cos_micro
+FROM per GROUP BY label"""
+
+
+@query("label_centroid_dispersion", _centroid_duck_sql(64, 1_000_000))
+def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion over the embedding corpus
+    (operators/similarity.py:label_centroid_dispersion): the
+    class-compactness audit table — quantize-first integer centroids,
+    map-side cosine against the broadcast k-row centroid table, two
+    partial-agg exchanges total."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.label_centroid_dispersion(emb, dim=64, quant=1_000_000)

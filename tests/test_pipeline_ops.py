@@ -1874,3 +1874,61 @@ def test_ngram_novelty_counts(spark):
     # shingles: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y}; "a b" has
     # df=2 so only the doc-local shingles are novel; doc4 has no bigrams
     assert rows == {1: (2, 1), 2: (2, 1), 3: (1, 1)}
+
+
+def test_label_centroid_dispersion_matches_python_ieee(spark):
+    """The micro-quantized cosine must equal a Python replay of the SAME
+    expression tree (floor-quantized ints, truncating centroid division,
+    1e6*(dot/(sqrt*sqrt))) — IEEE ops are correctly rounded, so all three
+    engines (Spark, DuckDB, CPython) agree bit-for-bit."""
+    import math
+
+    from lichess_event_stream_watcher_spark.operators.similarity import (
+        label_centroid_dispersion,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0, 0.25]),
+        (0, [0.0, 1.0, -0.75]),
+        (0, [0.5, 0.5, 0.1]),
+        (1, [-0.3, 0.9, 0.0]),  # singleton: qv == centroid, cos ~ 1.0
+    ]
+    emb = spark.createDataFrame(
+        [(i, l, v) for i, (l, v) in enumerate(vecs)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r.label: (r.n_vecs, r.mean_cos_micro, r.min_cos_micro, r.max_cos_micro)
+        for r in label_centroid_dispersion(emb, dim=3).collect()
+    }
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    import numpy as np
+
+    by_label: dict[int, list[list[int]]] = {}
+    for l, v in vecs:
+        # the column is array<float>: replay the float32 round-trip the
+        # parquet storage imposes before the double widening
+        by_label.setdefault(l, []).append(
+            [math.floor(float(np.float32(x)) * 1_000_000.0) for x in v]
+        )
+    want = {}
+    for l, qvs in by_label.items():
+        n = len(qvs)
+        cent = [trunc_div(sum(col), n) for col in zip(*qvs)]
+        nc = max(sum(c * c for c in cent), 1)
+        cqs = []
+        for qv in qvs:
+            nq = max(sum(x * x for x in qv), 1)
+            dot = sum(a * b for a, b in zip(qv, cent))
+            cqs.append(
+                math.floor(
+                    1_000_000.0
+                    * (float(dot) / (math.sqrt(float(nq)) * math.sqrt(float(nc))))
+                )
+            )
+        want[l] = (n, trunc_div(sum(cqs), n), min(cqs), max(cqs))
+    assert got == want

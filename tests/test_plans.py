@@ -552,6 +552,9 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # shingle-df agg + novel-owner re-agg + source rollup; the two
         # doc-keyed joins broadcast (tiny projections at this SF)
         "ngram_novelty_profile": 3,
+        # centroid partial agg + label rollup; the k-row centroid table
+        # broadcasts by explicit hint (bounded at k*dim integers)
+        "label_centroid_dispersion": 2,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
