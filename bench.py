@@ -97,6 +97,7 @@ HEADLINE = [
     "regex_token_counts",
     "ngram_novelty_profile",
     "label_centroid_dispersion",
+    "label_centroid_confusion",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -1024,6 +1024,55 @@ def random_projection(
     ).select("id", F.col("_p.proj_id").alias("proj_id"), F.col("_p.proj_q").alias("proj_q"))
 
 
+def _label_centroids(
+    emb: DataFrame,
+    dim: int,
+    quant: int,
+    vec_col: str,
+    label_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared centroid builder for the label-cohesion/-separation audits:
+    (base, cent) where base = (label, _qv bigint array) map-side and cent
+    = (label, n_vecs, _c) — per-dim bigint sums in ONE wide partial agg
+    (dim sum columns, never a posexplode shuffle of n*dim rows), centroid
+    via truncating integer division (Spark ``div`` == DuckDB ``//``
+    toward zero, signed-safe). cent is bounded at k*(dim+2) integers by
+    construction — always broadcastable."""
+    qv = _quantize_vec(vec_col, quant)
+    base = emb.select(F.col(label_col).alias("label"), qv.alias("_qv"))
+    sums = base.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        *[
+            F.sum(F.element_at(F.col("_qv"), i + 1)).cast("bigint").alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = sums.select(
+        "label",
+        "n_vecs",
+        F.array(
+            *[F.expr(f"_s{i} div n_vecs").cast("bigint") for i in range(dim)]
+        ).alias("_c"),
+    )
+    return base, cent
+
+
+def _cos_micro(dot: Column, na: Column, nb: Column) -> Column:
+    """floor(1e6 * (dot / (sqrt(max(na,1)) * sqrt(max(nb,1))))) over bigint
+    inputs — every op correctly-rounded IEEE, so the identical expression
+    tree is bit-identical in Spark, DuckDB, and CPython."""
+    return F.floor(
+        F.lit(1_000_000.0)
+        * (
+            dot.cast("double")
+            / (
+                F.sqrt(F.greatest(na, F.lit(1)).cast("double"))
+                * F.sqrt(F.greatest(nb, F.lit(1)).cast("double"))
+            )
+        )
+    ).cast("bigint")
+
+
 def label_centroid_dispersion(
     emb: DataFrame,
     dim: int = 64,
@@ -1054,21 +1103,7 @@ def label_centroid_dispersion(
 
     Output: (label, n_vecs, mean_cos_micro, min_cos_micro, max_cos_micro).
     """
-    qv = _quantize_vec(vec_col, quant)
-    base = emb.select(F.col(label_col).alias("label"), qv.alias("_qv"))
-    sums = base.groupBy("label").agg(
-        F.count("*").cast("bigint").alias("n_vecs"),
-        *[
-            F.sum(F.element_at(F.col("_qv"), i + 1)).cast("bigint").alias(f"_s{i}")
-            for i in range(dim)
-        ],
-    )
-    cent = sums.select(
-        "label",
-        F.array(
-            *[F.expr(f"_s{i} div n_vecs").cast("bigint") for i in range(dim)]
-        ).alias("_c"),
-    )
+    base, cent = _label_centroids(emb, dim, quant, vec_col, label_col)
     dotc = F.aggregate(
         F.zip_with(F.col("_qv"), F.col("_c"), lambda a, b: a * b),
         F.lit(0).cast("bigint"),
@@ -1084,18 +1119,9 @@ def label_centroid_dispersion(
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    cos_q = F.floor(
-        F.lit(1_000_000.0)
-        * (
-            dotc.cast("double")
-            / (
-                F.sqrt(F.greatest(nq, F.lit(1)).cast("double"))
-                * F.sqrt(F.greatest(nc, F.lit(1)).cast("double"))
-            )
-        )
-    ).cast("bigint")
+    cos_q = _cos_micro(dotc, nq, nc)
     return (
-        base.join(F.broadcast(cent), "label")
+        base.join(F.broadcast(cent.drop("n_vecs")), "label")
         .select("label", cos_q.alias("_cq"))
         .groupBy("label")
         .agg(
@@ -1103,5 +1129,67 @@ def label_centroid_dispersion(
             F.expr("sum(_cq) div count(*)").cast("bigint").alias("mean_cos_micro"),
             F.min("_cq").cast("bigint").alias("min_cos_micro"),
             F.max("_cq").cast("bigint").alias("max_cos_micro"),
+        )
+    )
+
+
+def label_centroid_confusion(
+    emb: DataFrame,
+    dim: int = 64,
+    quant: int = 1_000_000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Inter-label centroid separation: pairwise centroid-to-centroid
+    cosine for every unordered label pair — the confusion side of the
+    embedding-space audit (``label_centroid_dispersion`` is the cohesion
+    side). Labels whose centroids sit at cosine ~1 are candidates for
+    merging or relabeling; a healthy space keeps separation well below
+    cohesion.
+
+    Physical shape: the k-row integer centroid table from the shared
+    builder self-joins under ``label_a < label_b`` — an inequality-only
+    broadcast nested-loop over k*(dim+2) integers per side, bounded by
+    the LABEL DIMENSION, never the corpus (the allow-listed tiny-BNLJ
+    shape). Two exchanges total (the k-row centroid partial agg, once per
+    join branch — the self-join duplicates the tiny subtree); the
+    k(k-1)/2 output rows are computed map-side on the broadcast.
+
+    Output: (label_a, label_b, n_a, n_b, cos_micro).
+    """
+    _, cent = _label_centroids(emb, dim, quant, vec_col, label_col)
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("n_vecs").alias("n_a"),
+        F.col("_c").alias("_ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("n_vecs").alias("n_b"),
+        F.col("_c").alias("_cb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ca"), F.col("_cb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        F.transform(F.col("_ca"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(F.col("_cb"), lambda x: x * x),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            _cos_micro(dot, na, nb).alias("cos_micro"),
         )
     )

@@ -299,6 +299,7 @@ _DRIVER_PRIORITY = [
     "regex_token_counts",
     "ngram_novelty_profile",
     "label_centroid_dispersion",
+    "label_centroid_confusion",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

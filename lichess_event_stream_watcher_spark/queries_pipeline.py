@@ -3646,3 +3646,40 @@ def label_centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg exchanges total."""
     emb = testdata.load(spark, sf_dir, "embeddings")
     return S.label_centroid_dispersion(emb, dim=64, quant=1_000_000)
+
+
+def _confusion_duck_sql(dim: int, quant: int) -> str:
+    """DuckDB twin of operators/similarity.py:label_centroid_confusion —
+    same integer centroid CTE as _centroid_duck_sql, then the k x k
+    inequality self-join and the shared 1e6*(dot/(sqrt*sqrt)) tree."""
+    qsum = ", ".join(f"SUM(qv[{i + 1}]) AS s{i}" for i in range(dim))
+    carr = ", ".join(f"CAST(s{i} // n_vecs AS BIGINT)" for i in range(dim))
+    return f"""WITH q AS (
+  SELECT label, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {float(quant)!r}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sums AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs, {qsum} FROM q GROUP BY label),
+cent AS (SELECT label, n_vecs, [{carr}] AS c FROM sums)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n_vecs AS n_a, b.n_vecs AS n_b,
+       CAST(floor(1000000.0 *
+         (CAST(list_sum(list_transform(range(1, {dim + 1}), i -> a.c[i] * b.c[i])) AS DOUBLE)
+          / (sqrt(CAST(GREATEST(list_sum(list_transform(a.c, x -> x * x)), 1) AS DOUBLE))
+             * sqrt(CAST(GREATEST(list_sum(list_transform(b.c, x -> x * x)), 1) AS DOUBLE)))))
+         AS BIGINT) AS cos_micro
+FROM cent a JOIN cent b ON a.label < b.label"""
+
+
+@query("label_centroid_confusion", _confusion_duck_sql(64, 1_000_000))
+def label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid separation matrix
+    (operators/similarity.py:label_centroid_confusion): pairwise
+    centroid-to-centroid cosine over the k-row integer centroid table —
+    the confusion side of the embedding-space audit next to
+    ``label_centroid_dispersion``'s cohesion side. Two exchanges (the
+    k-row centroid partial agg, once per join branch); the k(k-1)/2
+    pairs are a bounded tiny-BNLJ on the broadcast centroid table,
+    never a corpus-scale join."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.label_centroid_confusion(emb, dim=64, quant=1_000_000)

@@ -1932,3 +1932,30 @@ def test_label_centroid_dispersion_matches_python_ieee(spark):
             )
         want[l] = (n, trunc_div(sum(cqs), n), min(cqs), max(cqs))
     assert got == want
+
+
+def test_label_centroid_confusion_orthogonal_labels(spark):
+    """Two labels concentrated on disjoint axes must separate at cos ~ 0;
+    the pair table is the strict upper triangle."""
+    from lichess_event_stream_watcher_spark.operators.similarity import (
+        label_centroid_confusion,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0, 0.0]),
+            (1, 0, [0.9, 0.1, 0.0]),
+            (2, 1, [0.0, 1.0, 0.0]),
+            (3, 1, [0.0, 0.9, 0.1]),
+            (4, 2, [1.0, 0.0, 0.0]),  # same direction as label 0
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    rows = {
+        (r.label_a, r.label_b): r
+        for r in label_centroid_confusion(emb, dim=3).collect()
+    }
+    assert set(rows) == {(0, 1), (0, 2), (1, 2)}
+    assert rows[(0, 1)].n_a == 2 and rows[(0, 1)].n_b == 2
+    assert rows[(0, 1)].cos_micro < 120_000          # near-orthogonal
+    assert rows[(0, 2)].cos_micro > 990_000          # near-identical

@@ -356,6 +356,9 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "hybrid_retrieval_rrf",
         # charlm_quality's 1-row vocab-size broadcast rides along
         "ccnet_quality_buckets",
+        # k-row centroid table x itself under label_a < label_b — bounded
+        # by the label dimension (k*(dim+2) integers), never the corpus
+        "label_centroid_confusion",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
@@ -555,6 +558,10 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # centroid partial agg + label rollup; the k-row centroid table
         # broadcasts by explicit hint (bounded at k*dim integers)
         "label_centroid_dispersion": 2,
+        # the k x k pair join is on the broadcast centroid table; the two
+        # exchanges are the centroid partial agg computed once per join
+        # branch (the self-join duplicates the tiny k-row subtree)
+        "label_centroid_confusion": 2,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
