@@ -448,3 +448,117 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, "id", "full_outer").select("id", status.alias("status"))
+
+
+def token_budget_prefix_sample(
+    docs: DataFrame,
+    f_num: int = 2,
+    f_den: int = 5,
+    bucket_hex_chars: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Mixture construction under a per-source token budget: admit each
+    source's documents in deterministic md5 order until the source has
+    spent ``f_num/f_den`` of its own token mass — the greedy-prefix rule
+    every fixed-token-budget training mix uses (the kept set is a hash
+    prefix, so growing the budget only ever ADDS documents: subset
+    stability across budget revisions).
+
+    Logical spec: keep doc iff its running token sum over (md5(id), id)
+    order within the source is <= budget. Physically the per-source
+    global sort that spec names is NEVER run — the same two-pass shape
+    as sketch.grouped_exact_quantiles, with token mass as the weight,
+    and EXACTLY TWO corpus scans (verified against the AQE final plan;
+    the pure-DataFrame form of this DAG re-derived the histogram subtree
+    once per consumer — 9 scans, no ReusedExchange):
+
+    1. hash-bucket histogram: 16^k buckets from the md5 prefix (the
+       epoch_shuffle shard argument: uniform by construction), per
+       (source, bucket) token sums partial-agg map-side. The aggregated
+       bucket table — bounded at 16^k rows per source by CONSTRUCTION —
+       is collected eagerly (the grouped_exact_quantiles precedent: a
+       bounded driver action at compose time) and the cumulative
+       admission is replayed over it in plain Python: buckets wholly
+       under budget are admitted by their aggregates alone, and the ONE
+       crossing bucket per source is noted with its remaining budget.
+    2. refine: only crossing-bucket docs (a broadcast literal frame of
+       <= 1 row per source) get a per-doc running sum — a window over
+       ~n/16^k rows per source, not n.
+
+    Output: (source, total_docs, total_tokens, budget_tokens,
+    n_docs_kept, tokens_kept).
+    """
+    from collections import defaultdict
+
+    from .text import normalize_text, token_count
+
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        token_count(normalize_text(F.col(text_col))).alias("n_tokens"),
+        _md5_of_id(id_col).alias("_h"),
+    ).withColumn("_b", F.substring(F.col("_h"), 1, bucket_hex_chars))
+    bucket_rows = (
+        base.groupBy("source", "_b")
+        .agg(F.sum("n_tokens").alias("btok"), F.count("*").alias("bdocs"))
+        .collect()
+    )
+
+    per: dict = defaultdict(list)
+    for r in bucket_rows:
+        per[r.source].append((r._b, int(r.btok), int(r.bdocs)))
+    summary, crossing = [], []
+    for src, lst in per.items():
+        lst.sort()
+        total_tok = sum(t for _, t, _ in lst)
+        total_docs = sum(d for _, _, d in lst)
+        # tokens are non-negative, so Python // == truncating div here
+        budget = (f_num * total_tok) // f_den
+        cum = full_tok = full_docs = 0
+        for b, t, d in lst:
+            if cum + t <= budget:
+                full_tok += t
+                full_docs += d
+            elif cum <= budget:
+                crossing.append((src, b, budget - cum))
+            cum += t
+        summary.append((src, total_docs, total_tok, budget, full_docs, full_tok))
+
+    summary_df = spark.createDataFrame(
+        summary,
+        "source string, total_docs long, total_tokens long, "
+        "budget_tokens long, full_docs long, full_tok long",
+    )
+    zero = F.lit(0).cast("bigint")
+    if crossing:
+        crossing_df = spark.createDataFrame(
+            crossing, "source string, _b string, _rem long"
+        )
+        wd = Window.partitionBy("source").orderBy(F.col("_h"), F.col("id"))
+        refined = (
+            base.join(F.broadcast(crossing_df), ["source", "_b"])
+            .select(
+                "source", "n_tokens", "_rem", F.sum("n_tokens").over(wd).alias("_cum")
+            )
+            .filter(F.col("_cum") <= F.col("_rem"))
+            .groupBy("source")
+            .agg(F.sum("n_tokens").alias("ref_tok"), F.count("*").alias("ref_docs"))
+        )
+        out = summary_df.join(refined, "source", "left")
+    else:
+        out = summary_df.withColumn("ref_tok", zero).withColumn("ref_docs", zero)
+    return out.select(
+        "source",
+        F.col("total_docs").cast("bigint").alias("total_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("budget_tokens").cast("bigint").alias("budget_tokens"),
+        (F.col("full_docs") + F.coalesce("ref_docs", zero))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        (F.col("full_tok") + F.coalesce("ref_tok", zero))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )

@@ -3683,3 +3683,54 @@ def label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a corpus-scale join."""
     emb = testdata.load(spark, sf_dir, "embeddings")
     return S.label_centroid_confusion(emb, dim=64, quant=1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture construction: greedy hash-prefix admission per
+# source. The oracle states the LOGICAL spec (one global running sum per
+# source); the Spark plan replays it as the bucketed two-pass — full
+# buckets admitted by their aggregates, one crossing bucket refined.
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET_ORACLE = r"""WITH base AS (
+  SELECT source, doc_id AS id,
+         CAST(len(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST((2 * SUM(n_tokens)) // 5 AS BIGINT) AS budget_tokens
+  FROM base GROUP BY source
+),
+ordered AS (
+  SELECT b.source, b.n_tokens,
+         SUM(b.n_tokens) OVER (PARTITION BY b.source ORDER BY b.h, b.id) AS cum
+  FROM base b
+),
+kept AS (
+  SELECT o.source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+         CAST(COALESCE(SUM(o.n_tokens), 0) AS BIGINT) AS tokens_kept
+  FROM ordered o JOIN tot t USING (source)
+  WHERE o.cum <= t.budget_tokens
+  GROUP BY o.source
+)
+SELECT t.source, t.total_docs, t.total_tokens, t.budget_tokens,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM tot t LEFT JOIN kept k USING (source)"""
+
+
+@query("token_budget_sample", _TOKEN_BUDGET_ORACLE)
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy hash-prefix admission to 40% of each source's token mass
+    (operators/curation.py:token_budget_prefix_sample) — the mixture-
+    construction step of a fixed-token-budget training run. The logical
+    per-source running sum is replayed physically as the bucketed
+    two-pass: cumulative window over the 16^3-row bucket table, one
+    crossing bucket per source refined per-doc — never a per-source sort
+    of the corpus."""
+    from .operators.curation import token_budget_prefix_sample
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    return token_budget_prefix_sample(docs, f_num=2, f_den=5)

@@ -1959,3 +1959,65 @@ def test_label_centroid_confusion_orthogonal_labels(spark):
     assert rows[(0, 1)].n_a == 2 and rows[(0, 1)].n_b == 2
     assert rows[(0, 1)].cos_micro < 120_000          # near-orthogonal
     assert rows[(0, 2)].cos_micro > 990_000          # near-identical
+
+
+def test_token_budget_prefix_matches_naive_window(spark):
+    """The bucketed two-pass must equal the naive per-source running-sum
+    spec on a corpus with a hot source, and the kept set must be a hash
+    PREFIX: a bigger budget only ever adds documents."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators.curation import (
+        token_budget_prefix_sample,
+    )
+    from lichess_event_stream_watcher_spark.operators.text import (
+        normalize_text,
+        token_count,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hot" if i % 4 else "cold", "w " * (1 + i % 17)) for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+
+    def naive(f_num, f_den):
+        base = docs.select(
+            "source",
+            "doc_id",
+            token_count(normalize_text(F.col("text"))).alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        w = Window.partitionBy("source").orderBy("h", "doc_id")
+        tot = Window.partitionBy("source")
+        cum = base.select(
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum"),
+            F.expr(f"({f_num} * sum(n_tokens) over (partition by source)) div {f_den}").alias("budget"),
+        )
+        return {
+            r.source: (r.n_docs_kept, r.tokens_kept)
+            for r in cum.filter(F.col("cum") <= F.col("budget"))
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs_kept"),
+                F.sum("n_tokens").alias("tokens_kept"),
+            )
+            .collect()
+        }
+
+    for f_num, f_den in [(2, 5), (1, 10), (9, 10), (1, 1)]:
+        got = {
+            r.source: (r.n_docs_kept, r.tokens_kept)
+            for r in token_budget_prefix_sample(docs, f_num=f_num, f_den=f_den).collect()
+        }
+        assert got == naive(f_num, f_den), (f_num, f_den)
+
+    # subset stability: kept counts are monotone in the budget fraction
+    kept = [
+        {r.source: r.n_docs_kept for r in token_budget_prefix_sample(docs, f, 10).collect()}
+        for f in (2, 5, 9)
+    ]
+    for lo, hi in zip(kept, kept[1:]):
+        assert all(lo[s] <= hi[s] for s in lo)

@@ -562,6 +562,9 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # exchanges are the centroid partial agg computed once per join
         # branch (the self-join duplicates the tiny k-row subtree)
         "label_centroid_confusion": 2,
+        # refine-pass action only (the histogram pass is a compose-time
+        # bounded driver action): crossing-bucket window + final rollups
+        "token_budget_sample": 3,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
