@@ -1579,3 +1579,71 @@ def ngram_novelty(
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Inter-corpus contamination matrix: for every source pair, the
+    number of distinct n-gram shingles they share and the set-level
+    Jaccard — the slice-vs-slice overlap report that decides whether two
+    crawl snapshots / corpus slices are independent enough to mix
+    (``cross_source_dups`` lists the individual offending doc pairs;
+    this is the aggregate view).
+
+    Physical shape: the (source, shingle) distinct table partial-aggs
+    map-side; per-shingle source sets are bounded by the SOURCE
+    DIMENSION (collect_set over <= k sources — never a doc list), and
+    the unordered pair explode is map-side over those <= k(k-1)/2
+    element arrays. A shingle shared by every source contributes k(k-1)/2
+    pair rows, not a cross join — no skew amplification. Source pairs
+    sharing zero shingles are absent from the output.
+
+    Output: (source_a, source_b, n_a, n_b, n_common, jaccard_micro).
+    """
+    sh = (
+        shingles(df, n=n, text_col=text_col, id_col=source_col)
+        .withColumnRenamed("id", "source")
+        .distinct()
+    )
+    counts = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    sets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("_ss"))
+        .filter(F.size("_ss") >= 2)
+    )
+    arr = F.col("_ss")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    mat = (
+        sets.select(F.explode(pairs).alias("_p"))
+        .select("_p.source_a", "_p.source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        mat.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )

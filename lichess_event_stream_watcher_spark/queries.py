@@ -301,6 +301,7 @@ _DRIVER_PRIORITY = [
     "label_centroid_dispersion",
     "label_centroid_confusion",
     "token_budget_sample",
+    "source_overlap_matrix",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -3734,3 +3734,45 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = testdata.load(spark, sf_dir, "documents")
     return token_budget_prefix_sample(docs, f_num=2, f_den=5)
+
+
+# ---------------------------------------------------------------------------
+# Inter-corpus contamination: the source-pair shingle-overlap matrix
+# (cross_source_dups lists the offending doc pairs; this is the
+# aggregate slice-vs-slice view that drives mixing decisions).
+# ---------------------------------------------------------------------------
+_SOURCE_OVERLAP_ORACLE = r"""WITH norm AS (
+  SELECT d.source, regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g') AS t
+  FROM documents d
+),
+base AS (SELECT source, string_split_regex(t, '\s+') AS tk FROM norm),
+sh AS (
+  SELECT DISTINCT source, array_to_string(tk[i:i+7], ' ') AS shingle
+  FROM (SELECT source, tk, unnest(range(1, len(tk) - 6)) AS i
+        FROM base WHERE len(tk) >= 8)
+),
+counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, ca.c AS n_a, cb.c AS n_b, p.n_common,
+       CAST((1000000 * p.n_common) // (ca.c + cb.c - p.n_common) AS BIGINT)
+         AS jaccard_micro
+FROM pairs p
+JOIN counts ca ON ca.source = p.source_a
+JOIN counts cb ON cb.source = p.source_b"""
+
+
+@query("source_overlap_matrix", _SOURCE_OVERLAP_ORACLE)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair 8-gram overlap matrix
+    (operators/dedup.py:source_overlap_matrix): distinct shared shingles
+    and set-level Jaccard per source pair. Per-shingle source sets are
+    bounded by the source dimension, the pair explode is map-side over
+    them, and the per-source totals broadcast — a shingle shared
+    everywhere contributes k(k-1)/2 rows, never a cross join."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(docs, n=8)

@@ -2021,3 +2021,29 @@ def test_token_budget_prefix_matches_naive_window(spark):
     ]
     for lo, hi in zip(kept, kept[1:]):
         assert all(lo[s] <= hi[s] for s in lo)
+
+
+def test_source_overlap_matrix_hand_counts(spark):
+    """Hand-enumerable bigram overlap across three sources; pairs with
+    zero shared shingles are absent."""
+    from lichess_event_stream_watcher_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c"),       # {a b, b c}
+            (2, "s1", "a b"),         # dup shingle within source
+            (3, "s2", "a b d"),       # {a b, b d}
+            (4, "s3", "x y z"),       # {x y, y z} — disjoint
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(docs, n=2).collect()
+    }
+    assert set(rows) == {("s1", "s2")}
+    r = rows[("s1", "s2")]
+    assert (r.n_a, r.n_b, r.n_common) == (2, 2, 1)
+    assert r.jaccard_micro == (1_000_000 * 1) // 3

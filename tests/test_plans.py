@@ -565,6 +565,9 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # refine-pass action only (the histogram pass is a compose-time
         # bounded driver action): crossing-bucket window + final rollups
         "token_budget_sample": 3,
+        # (source, shingle) distinct + per-shingle sets + pair rollup,
+        # plus the counts branch re-deriving the distinct subtree
+        "source_overlap_matrix": 6,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
