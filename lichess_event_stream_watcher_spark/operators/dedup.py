@@ -1562,12 +1562,17 @@ def ngram_novelty(
 
     Output: (id, n_shingles, n_novel) for every doc with >= n tokens.
     """
-    arrays = shingle_arrays(df, n=n, text_col=text_col, id_col=id_col)
-    totals = arrays.select("id", F.size("_grams").alias("n_shingles")).filter(
-        F.col("n_shingles") > 0
+    totals = (
+        shingle_arrays(df, n=n, text_col=text_col, id_col=id_col)
+        .select("id", F.size("_grams").alias("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
     )
+    # the exploded side goes through ``shingles`` for its explode_outer
+    # discipline: a plain explode lets InferFiltersFromGenerate push a
+    # size()>0 filter INTO the scan, re-evaluating the whole gram
+    # expression serially below the spread exchange (measured ~4x here)
     novel = (
-        arrays.select("id", F.explode("_grams").alias("shingle"))
+        shingles(df, n=n, text_col=text_col, id_col=id_col)
         .groupBy("shingle")
         .agg(F.count("*").alias("_dfq"), F.min("id").alias("id"))
         .filter(F.col("_dfq") == 1)
@@ -1646,4 +1651,103 @@ def source_overlap_matrix(
             .cast("bigint")
             .alias("jaccard_micro"),
         )
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-gram, slide a w-wide
+    window over the hash sequence, keep each window's minimum. The
+    guarantee the paper proves: any shared run of >= k+w-1 tokens leaves
+    at least one COMMON selected fingerprint in both documents, with
+    only ~2/(w+1) of all gram hashes retained — the density/recall
+    trade the full-shingle index can't make.
+
+    Everything is one map-side projection (the ``shingles`` spread/
+    projection discipline): gram hashes are seeded md5 prefixes (the
+    ``_bloom_positions`` recipe — engine-portable, no murmur), the
+    window minimum is a transform over index sequences, and the distinct
+    collapses repeated minima (consecutive windows usually share their
+    min — that is winnowing's compression). Docs shorter than k+w-1
+    tokens emit nothing.
+
+    Output: (id, fp) — one row per distinct selected fingerprint.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("_tk"),
+    )
+    base = spread(base)
+    tk = F.col("_tk")
+    gidx = F.when(
+        F.size(tk) >= k + w - 1, F.sequence(F.lit(0), F.size(tk) - k)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.conv(
+        F.substring(F.md5(F.array_join(F.slice(tk, i + 1, k), " ")), 1, 8), 16, 10
+    ).cast("bigint")
+    hashed = base.select("id", F.transform(gidx, gram).alias("_h"))
+    h = F.col("_h")
+    wins = F.when(
+        F.size(h) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - w),
+                lambda j: F.array_min(F.slice(h, j + 1, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = hashed.select("id", F.explode_outer(wins).alias("fp"))
+    return out.filter(F.col("fp").isNotNull())
+
+
+def winnowing_dup_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by shared winnowed fingerprints: the MOSS match
+    step — count common selected fingerprints per doc pair, keep pairs
+    with >= ``min_shared``. Winnowing keeps ~2/(w+1) of gram hashes, so
+    this is the Jaccard postings join at a fraction of the index size,
+    with the paper's guarantee that long shared runs cannot be missed.
+
+    ``max_fp_df`` is the same certified skew guard as
+    ``jaccard_pairs(max_shingle_df=...)``: a boilerplate fingerprint
+    shared by m docs would explode m(m-1)/2 pair rows; capping document
+    frequency drops only stop-fingerprints (and REDEFINES the match set
+    accordingly — capped and uncapped runs are different, both exact on
+    their own terms). Shuffles: the postings groupBy(fp) [+ df-count agg
+    under the cap] and the pair rollup — never an all-pairs join.
+
+    Output: (id_a, id_b, n_shared).
+    """
+    fps = winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if max_fp_df is not None:
+        if max_fp_df < 1:
+            raise ValueError("max_fp_df must be >= 1")
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp")
+    a = fps.select(F.col("fp").alias("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp").alias("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

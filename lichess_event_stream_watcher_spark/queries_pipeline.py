@@ -3776,3 +3776,45 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     everywhere contributes k(k-1)/2 rows, never a cross join."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.source_overlap_matrix(docs, n=8)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprint dedup: window-min k-gram hashes at ~2/(w+1)
+# index density with the guaranteed-detection property for runs >= k+w-1.
+# Registered WITH max_fp_df so the skew guard itself is certified (the
+# dedup_jaccard_inverted convention).
+# ---------------------------------------------------------------------------
+_WINNOW_ORACLE = r"""WITH norm AS (
+  SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+base AS (SELECT id, string_split_regex(t, '\s+') AS tk FROM norm),
+g AS (
+  SELECT id,
+         [CAST('0x' || substr(md5(array_to_string(tk[i:i+4], ' ')), 1, 8) AS BIGINT)
+          for i in range(1, len(tk) - 3)] AS hs
+  FROM base WHERE len(tk) >= 8
+),
+wins AS (
+  SELECT DISTINCT id,
+         unnest(list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 2)])) AS fp
+  FROM g
+),
+okfp AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) <= 40),
+kept AS (SELECT w.* FROM wins w JOIN okfp USING (fp))
+SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
+
+
+@query("winnowing_dup_pairs", _WINNOW_ORACLE)
+def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs by shared winnowed fingerprints
+    (operators/dedup.py:winnowing_dup_pairs, k=5 w=4): window-min 5-gram
+    hashes keep ~2/(w+1) of the gram index yet cannot miss a shared run
+    of >= 8 tokens; pairs sharing >= 2 selected fingerprints survive.
+    max_fp_df=40 registers the boilerplate-fingerprint skew guard itself
+    under certification. Postings groupBys only — never an all-pairs
+    join."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.winnowing_dup_pairs(docs, k=5, w=4, min_shared=2, max_fp_df=40)

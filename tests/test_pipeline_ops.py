@@ -2047,3 +2047,36 @@ def test_source_overlap_matrix_hand_counts(spark):
     r = rows[("s1", "s2")]
     assert (r.n_a, r.n_b, r.n_common) == (2, 2, 1)
     assert r.jaccard_micro == (1_000_000 * 1) // 3
+
+
+def test_winnowing_guarantee_shared_run_always_detected(spark):
+    """Schleimer et al.'s detection guarantee: two docs sharing a run of
+    >= k+w-1 tokens must share at least one selected fingerprint —
+    regardless of the surrounding text. Also: selected fingerprints are
+    a (proper, on this input) subset of the full gram-hash set."""
+    from lichess_event_stream_watcher_spark.operators.dedup import (
+        winnowing_dup_pairs,
+        winnowing_fingerprints,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zz yy xx ww {shared}"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_dup_pairs(docs, k=5, w=4, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+    fps = winnowing_fingerprints(docs, k=5, w=4)
+    by_doc = {r[0]: r[1] for r in fps.groupBy("id").count().collect()}
+    # doc 1 has 12 tokens -> 8 grams -> 5 windows; winnowing must select
+    # strictly fewer fingerprints than grams
+    assert 1 <= by_doc[1] < 8

@@ -568,6 +568,9 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # (source, shingle) distinct + per-shingle sets + pair rollup,
         # plus the counts branch re-deriving the distinct subtree
         "source_overlap_matrix": 6,
+        # winnowed postings: fp-df cap agg (partitioning reused by the
+        # fp join) + pair rollup
+        "winnowing_dup_pairs": 3,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
