@@ -101,6 +101,7 @@ HEADLINE = [
     "token_budget_sample",
     "source_overlap_matrix",
     "winnowing_dup_pairs",
+    "retrieval_eval",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

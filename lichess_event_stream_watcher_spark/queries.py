@@ -303,6 +303,7 @@ _DRIVER_PRIORITY = [
     "token_budget_sample",
     "source_overlap_matrix",
     "winnowing_dup_pairs",
+    "retrieval_eval",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

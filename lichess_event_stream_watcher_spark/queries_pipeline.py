@@ -3818,3 +3818,84 @@ def winnowing_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join."""
     docs = testdata.load(spark, sf_dir, "documents")
     return D.winnowing_dup_pairs(docs, k=5, w=4, min_shared=2, max_fp_df=40)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: recall@k and MRR of the LSH ANN ranking against
+# the exact-kNN truth set — the eval-harness stage of a retrieval
+# pipeline, composed from the two already-certified rankers.
+# ---------------------------------------------------------------------------
+_RETRIEVAL_EVAL_ORACLE = f"""WITH truth AS (SELECT * FROM ({_KNN_ORACLE}) t0),
+cand AS (
+  SELECT 'lsh' AS ranker, * FROM ({_LSH_TOPK_ORACLE}) c0
+  UNION ALL
+  SELECT 'lsh_multiprobe' AS ranker, * FROM ({_LSH_MULTIPROBE_ORACLE}) c1
+),
+hits AS (
+  SELECT c.ranker, c.query_id, c.rank
+  FROM cand c JOIN truth t
+    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+),
+per AS (
+  SELECT ranker, query_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(rank) AS fr
+  FROM hits GROUP BY ranker, query_id
+),
+qs AS (
+  SELECT r.ranker, t.query_id
+  FROM (SELECT DISTINCT query_id FROM truth) t
+  CROSS JOIN (SELECT unnest(['lsh', 'lsh_multiprobe']) AS ranker) r
+)
+SELECT q.ranker, q.query_id,
+       CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * COALESCE(p.n_hits, 0)) // 5 AS BIGINT) AS recall_micro,
+       CAST(CASE WHEN p.fr IS NULL THEN 0 ELSE 1000000 // p.fr END AS BIGINT)
+         AS rr_micro
+FROM qs q LEFT JOIN per p ON p.ranker = q.ranker AND p.query_id = q.query_id"""
+
+
+@query("retrieval_eval", _RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 and reciprocal rank of the single-probe and Hamming-1
+    multiprobe LSH rankings against the exact brute-force truth
+    (``knn_cosine_topk``) per probe query — the evaluation table every
+    retrieval deployment builds before swapping an exact ranker for an
+    approximate one, and the quantitative form of the recall>=single-
+    probe guarantee the multiprobe pytest asserts. Pure composition of
+    three certified rankers plus a tiny (10-row) join and rollup; every
+    metric is integer micro units, so the rows hash-check."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    probes = [0, 1, 2, 3, 4]
+    truth = S.knn_brute_force(emb, probes, k=5).select("query_id", "neighbor_id")
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    cand = (
+        S.lsh_ann_topk(emb, anchors, probes, k=5)
+        .select(F.lit("lsh").alias("ranker"), "query_id", "neighbor_id", "rank")
+        .unionAll(
+            S.lsh_ann_topk_multiprobe(emb, anchors, probes, k=5).select(
+                F.lit("lsh_multiprobe").alias("ranker"),
+                "query_id",
+                "neighbor_id",
+                "rank",
+            )
+        )
+    )
+    per = (
+        cand.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("ranker", "query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"), F.min("rank").alias("_fr"))
+    )
+    rankers = emb.sparkSession.createDataFrame(
+        [("lsh",), ("lsh_multiprobe",)], "ranker string"
+    )
+    qs = truth.select("query_id").distinct().crossJoin(F.broadcast(rankers))
+    return qs.join(per, ["ranker", "query_id"], "left").select(
+        "ranker",
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr("(1000000 * coalesce(n_hits, 0)) div 5").cast("bigint").alias(
+            "recall_micro"
+        ),
+        F.expr("coalesce(1000000 div _fr, 0)").cast("bigint").alias("rr_micro"),
+    )

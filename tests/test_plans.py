@@ -359,6 +359,9 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         # k-row centroid table x itself under label_a < label_b — bounded
         # by the label dimension (k*(dim+2) integers), never the corpus
         "label_centroid_confusion",
+        # composes knn_cosine_topk's broadcast probe-set BNLJ as its
+        # truth side — same bounded shape
+        "retrieval_eval",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
