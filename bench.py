@@ -102,6 +102,9 @@ HEADLINE = [
     "source_overlap_matrix",
     "winnowing_dup_pairs",
     "retrieval_eval",
+    "quality_lr_source_scores",
+    "zipf_octave_profile",
+    "distinctive_terms_by_source",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

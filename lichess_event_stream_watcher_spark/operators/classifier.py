@@ -1,0 +1,123 @@
+"""Trained quality classifier for training-data curation.
+
+The GPT-3 / LLaMA-pipeline pattern: train a linear classifier to separate a
+trusted reference slice of the corpus from the rest, then score every
+document and keep/downsample by the score. The reference engine has no
+trained models at all (its rules are hand-written predicates,
+`src/signup/rules.rs:16-60`); this is a beyond-reference operator the
+large-scale curation pipeline needs.
+
+Training is batch gradient descent with a HARD-SIGMOID link, fully
+integer-quantized so the whole trajectory — not just the converged answer —
+is order-independent and bit-identical across engines, partitionings, and
+shuffle orders (the same contract as ``kmeans_fit_quantized`` /
+``pagerank_quantized``): features quantize to milli-units map-side, the
+margin and probability live in micro-units, and every division is an
+explicit floor of a correctly-rounded double quotient with operands far
+below 2^53 at any per-round magnitude (|grad sum| <= n_docs * 1e9 — exact
+through ~9e3 TB of docs; beyond that, shard the gradient agg and sum
+per-shard BIGINTs).
+
+Distributed shape per iteration (the textbook data-parallel GD layout):
+scoring is a map-side projection with the weight vector inlined as
+literals (no join, no broadcast variable, no shuffle of the corpus), and
+the gradient is ONE partial aggregation producing d+1 numbers — d sums and
+a count — to the driver. State through every exchange is d+1 BIGINTs per
+partition, independent of corpus size. A DuckDB recursive CTE carrying the
+weight list replays the identical trajectory for the full hash check.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# feature scale (milli-units: x/1000 in [0, 1]) and weight/probability
+# scale (micro-units)
+FEAT_Q = 1000
+PROB_Q = 1_000_000
+HALF_Q = PROB_Q // 2
+# hard sigmoid: p = clamp(z/4 + 1/2, 0, 1) — rational, so quantizable;
+# the classical piecewise-linear approximation of the logistic link
+SIG_SLOPE_DEN = 4
+# effective learning rate 1/LR_DEN on the mean milli-feature gradient
+LR_DEN = 2
+
+CAP_CHARS = 2000
+
+
+def doc_features(text: Column, n_chars: Column) -> list[Column]:
+    """The 4 milli-unit integer features (bias, capped length, space
+    ratio, digit ratio) — map-side, bounded in [0, 1000], no tokenizer
+    needed.  Ratios floor one correctly-rounded double quotient each."""
+    n_sp = F.length(text) - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    n_dig = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    return [
+        F.lit(FEAT_Q).cast("bigint"),
+        F.floor(
+            F.lit(float(FEAT_Q)) * F.least(n_chars, F.lit(CAP_CHARS)) / F.lit(float(CAP_CHARS))
+        ).cast("bigint"),
+        F.floor(F.lit(float(FEAT_Q)) * n_sp.cast("double") / denom).cast("bigint"),
+        F.floor(F.lit(float(FEAT_Q)) * n_dig.cast("double") / denom).cast("bigint"),
+    ]
+
+
+def _score_q(xs: list[Column], weights: list[int]) -> Column:
+    """Micro-unit hard-sigmoid probability under inlined integer weights:
+    z = floor(w.x / 1000), p = clamp(floor(z/4) + 500000, 0, 1000000)."""
+    dot = None
+    for w, x in zip(weights, xs):
+        term = F.lit(int(w)).cast("bigint") * x
+        dot = term if dot is None else dot + term
+    z = F.floor(dot.cast("double") / F.lit(float(FEAT_Q))).cast("bigint")
+    p = F.floor(z.cast("double") / F.lit(float(SIG_SLOPE_DEN))).cast("bigint") + F.lit(HALF_Q)
+    return F.least(F.greatest(p, F.lit(0).cast("bigint")), F.lit(PROB_Q).cast("bigint"))
+
+
+def lr_fit_quantized(
+    feats: DataFrame,
+    iters: int = 6,
+    label_col: str = "y",
+    feat_cols: tuple[str, ...] = ("x0", "x1", "x2", "x3"),
+) -> list[int]:
+    """Fit the quantized hard-sigmoid linear classifier: ``iters`` rounds
+    of w_j += floor(sum_i((y_i*1e6 - p_i) * x_ij) / (n * 1000 * LR_DEN)),
+    starting from the zero vector.  ``feats``: one row per example with
+    BIGINT milli-unit features and a 0/1 label.  Per round: one map-side
+    scoring projection + one partial agg of d sums and a count (d+1
+    numbers to the driver) — no other exchange, no corpus caching (the
+    lineage is iters map stages deep, linear and checkpoint-free)."""
+    xs = [F.col(c) for c in feat_cols]
+    weights = [0] * len(feat_cols)
+    for _ in range(iters):
+        r = (F.col(label_col).cast("bigint") * F.lit(PROB_Q) - _score_q(xs, weights)).alias("_r")
+        row = (
+            feats.select(r.alias("_r"), *feat_cols)
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.col("_r") * F.col(c)).alias(f"_g{j}") for j, c in enumerate(feat_cols)],
+            )
+            .first()
+        )
+        n = int(row["_n"])
+        weights = [
+            w + math.floor(int(row[f"_g{j}"]) / (n * FEAT_Q * LR_DEN))
+            for j, w in enumerate(weights)
+        ]
+    return weights
+
+
+def lr_score_quantized(
+    feats: DataFrame,
+    weights: list[int],
+    feat_cols: tuple[str, ...] = ("x0", "x1", "x2", "x3"),
+) -> DataFrame:
+    """Map-side scoring under the trained weights: adds micro-unit
+    ``score_q`` and 0/1 ``pred`` (p >= 1/2) columns.  Zero shuffle."""
+    p = _score_q([F.col(c) for c in feat_cols], weights)
+    return feats.withColumn("score_q", p).withColumn(
+        "pred", (F.col("score_q") >= F.lit(HALF_Q)).cast("bigint")
+    )

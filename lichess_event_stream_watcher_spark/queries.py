@@ -304,6 +304,9 @@ _DRIVER_PRIORITY = [
     "source_overlap_matrix",
     "winnowing_dup_pairs",
     "retrieval_eval",
+    "quality_lr_source_scores",
+    "zipf_octave_profile",
+    "distinctive_terms_by_source",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -3899,3 +3899,272 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("coalesce(1000000 div _fr, 0)").cast("bigint").alias("rr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (quantized GD) + Zipf shape diagnostics
+# ---------------------------------------------------------------------------
+_LR_ITERS = 6
+
+
+def _lr_p_sql(w: list[str]) -> str:
+    """Micro-unit hard-sigmoid probability under weight expressions ``w``
+    — the SQL twin of operators/classifier.py:_score_q."""
+    dot = " + ".join(f"{wj} * x{j}" for j, wj in enumerate(w))
+    z = f"CAST(floor(CAST({dot} AS DOUBLE) / 1000.0) AS BIGINT)"
+    return (
+        f"LEAST(GREATEST(CAST(floor(CAST({z} AS DOUBLE) / 4.0) AS BIGINT)"
+        f" + 500000, 0), 1000000)"
+    )
+
+
+_LR_STEP = ",\n     ".join(
+    f"lr.w[{j + 1}] + CAST(floor(SUM(r * x{j}) / (COUNT(*) * 2000.0)) AS BIGINT)"
+    for j in range(4)
+)
+
+_LR_ORACLE = f"""WITH RECURSIVE feats AS MATERIALIZED (
+  SELECT source,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    CAST(1000 AS BIGINT) AS x0,
+    CAST(floor(1000.0 * LEAST(n_chars, 2000) / 2000.0) AS BIGINT) AS x1,
+    CAST(floor(1000.0 * (length(text) - length(replace(text, ' ', ''))) / GREATEST(n_chars, 1)) AS BIGINT) AS x2,
+    CAST(floor(1000.0 * length(regexp_replace(text, '[^0-9]', '', 'g')) / GREATEST(n_chars, 1)) AS BIGINT) AS x3
+  FROM documents
+),
+lr(it, w) AS (
+  SELECT 0, [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+  UNION ALL
+  SELECT lr.it + 1,
+    (SELECT [
+     {_LR_STEP}
+    ] FROM (
+      SELECT y * 1000000 - {_lr_p_sql(['lr.w[1]', 'lr.w[2]', 'lr.w[3]', 'lr.w[4]'])} AS r,
+             x0, x1, x2, x3
+      FROM feats
+    ))
+  FROM lr WHERE lr.it < {_LR_ITERS}
+),
+scored AS (
+  SELECT f.source, f.y,
+         {_lr_p_sql(['fin.w[1]', 'fin.w[2]', 'fin.w[3]', 'fin.w[4]'])} AS p
+  FROM feats f, (SELECT w FROM lr WHERE it = {_LR_ITERS}) fin
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+  CAST(SUM(CASE WHEN (p >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(p) AS BIGINT) AS sum_score_q
+FROM scored GROUP BY source"""
+
+
+@query("quality_lr_source_scores", _LR_ORACLE)
+def quality_lr_source_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier, GPT-3/LLaMA-pipeline style: a
+    hard-sigmoid linear model trained by integer-quantized batch gradient
+    descent to recognize the trusted reference slice (here lang='en' as
+    the weak positive label — features never see the label column), then
+    scored over the full corpus and rolled up per source (docs, predicted
+    positives, agreement with the weak label, summed micro score).  The
+    entire 6-iteration trajectory is order-independent integer
+    arithmetic, replayed by a DuckDB recursive CTE carrying the weight
+    vector — a full hash check of a trained model, same contract as
+    ann_kmeans_cells_q.  Per iteration: map-side scoring with inlined
+    weight literals + ONE partial agg of 4 sums and a count; d+1 BIGINTs
+    of state per partition regardless of corpus size
+    (operators/classifier.py)."""
+    from .operators import classifier as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    xs = C.doc_features(F.col("text"), F.col("n_chars"))
+    feats = docs.select(
+        "source",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        *[x.alias(f"x{j}") for j, x in enumerate(xs)],
+    )
+    w = C.lr_fit_quantized(feats, iters=_LR_ITERS)
+    scored = C.lr_score_quantized(feats, w)
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("pred").cast("bigint").alias("n_pred_pos"),
+        F.sum((F.col("pred") == F.col("y")).cast("bigint")).cast("bigint").alias("n_correct"),
+        F.sum("score_q").cast("bigint").alias("sum_score_q"),
+    )
+
+
+_ZIPF_K = 64
+
+_ZIPF_ORACLE = rf"""WITH tc AS (
+  SELECT source, t AS term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT d.source,
+           unnest(string_split(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'), ' ')) AS t
+    FROM documents d
+  ) WHERE t <> '' GROUP BY source, t
+),
+ranked AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term DESC) AS rk
+  FROM tc
+),
+oct AS (
+  SELECT source, CAST(length(bin(rk)) - 1 AS BIGINT) AS octave,
+         CAST(COUNT(*) AS BIGINT) AS n_terms, CAST(SUM(cnt) AS BIGINT) AS mass
+  FROM ranked WHERE rk <= {_ZIPF_K} GROUP BY source, octave
+),
+o0 AS (SELECT source, mass AS m0 FROM oct WHERE octave = 0)
+SELECT o.source, o.octave, o.n_terms, o.mass,
+       CAST(floor(1000.0 * o.mass / o0.m0) AS BIGINT) AS mass_ratio_m
+FROM oct o JOIN o0 ON o0.source = o.source"""
+
+
+@query("zipf_octave_profile", _ZIPF_ORACLE)
+def zipf_octave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency shape per source: mass and term count per
+    log2-rank octave of the top-64 terms, with each octave's mass as a
+    milli-ratio of the rank-1 term's — the corpus-health diagnostic that
+    catches template/boilerplate-dominated sources (flat head) and
+    synthetic/degenerate ones (collapsed head) without any float log fit.
+    Octave = floor(log2(rank)) computed EXACTLY as length(bin(rank))-1
+    (both engines' log2 are libm calls whose floor can straddle exact
+    powers).  Scale shape: term counts are one (source, term) hash agg;
+    the per-source rank never touches the raw vocab — the
+    threshold-pruned top-k (operators/sketch.py:grouped_topk_threshold)
+    bounds per-task state to ~k survivors per source before the rank
+    window; the octave rollup runs on a (sources x 7)-row table and the
+    octave-0 reference mass comes from a window over that same tiny
+    table (an octave-0 self-join would re-derive the whole corpus-scan
+    subtree — two scans for one tiny lookup).  Milli-ratio uses one
+    double floor — exact while the top term's count < 2^53/1000 (~9e12
+    occurrences)."""
+    from pyspark.sql import Window
+
+    from .operators.sketch import grouped_topk_threshold
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source",
+            F.explode(F.split(X.normalize_text(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = grouped_topk_threshold(tc, "source", ["cnt", "term"], k=_ZIPF_K, descending=True)
+    octaves = (
+        top.select(
+            "source",
+            "cnt",
+            (F.length(F.bin("rk")) - 1).cast("bigint").alias("octave"),
+        )
+        .groupBy("source", "octave")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("cnt").cast("bigint").alias("mass"),
+        )
+    )
+    m0 = F.max(F.when(F.col("octave") == 0, F.col("mass"))).over(
+        Window.partitionBy("source")
+    )
+    return octaves.withColumn("m0", m0).select(
+        "source",
+        "octave",
+        "n_terms",
+        "mass",
+        F.floor(F.lit(1000.0) * F.col("mass") / F.col("m0")).cast("bigint").alias("mass_ratio_m"),
+    )
+
+
+_DISTINCTIVE_K = 8
+
+_DISTINCTIVE_ORACLE = rf"""WITH tok AS (
+  SELECT source, doc_id, term FROM (
+    SELECT d.source, d.doc_id,
+           unnest(string_split(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'), ' ')) AS term
+    FROM documents d
+  ) WHERE term <> ''
+),
+tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf_term FROM tok GROUP BY source, term),
+dfr AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs FROM tok GROUP BY term),
+ts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s FROM tok GROUP BY source),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf_term, dfr.df_docs,
+         CAST(floor(1000000.0 * CAST(tf.tf_term AS DOUBLE) * n.nd
+                    / (CAST(dfr.df_docs AS DOUBLE) * CAST(ts.t_s AS DOUBLE))) AS BIGINT) AS score_q
+  FROM tf JOIN dfr USING (term) JOIN ts USING (source), n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_q DESC, term DESC) AS rk
+  FROM scored
+)
+SELECT source, term, tf_term, df_docs, score_q, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_DISTINCTIVE_K}"""
+
+
+@query("distinctive_terms_by_source", _DISTINCTIVE_ORACLE)
+def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 most DISTINCTIVE terms per source by an integer-quantized
+    tf-idf-style score — floor(1e6 * tf * N / (df * T_s)): term frequency
+    in the source, normalized by the source's token mass, weighted by
+    inverse document frequency as a RATIO (N/df), never ln(N/df) — libm
+    log would break the cross-engine hash; the monotone ratio ranks the
+    same concept.  The per-source corpus fingerprint a curation pipeline
+    uses to spot template/boilerplate sources and topic drift.
+
+    Scale shape: ONE (term, source) aggregate over the corpus token scan
+    feeds everything — tf comes out of it directly, per-term df is the
+    SUM of its per-(term, source) distinct-doc counts (each doc belongs
+    to exactly one source, so the partial distincts partition the global
+    one), and per-source token mass is its per-source tf sum (tiny,
+    broadcast joined).  All three consumer branches hang off the SAME
+    aggregate subtree, so physical exchange reuse (ReuseExchange /
+    AQE stage reuse) scans the corpus once; tf joins df on term (two
+    vocab-sized tables, plain hash join); N is one scalar count job
+    inlined as a literal (the cms_heavy_hitters convention).  The
+    per-source rank never touches the scored vocab: threshold-pruned
+    top-k bounds survivors to ~k per source.  Products stay in doubles
+    with identical association in both engines, so the floor is
+    bit-identical at any magnitude."""
+    from .operators.sketch import grouped_topk_threshold
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    n_docs = float(docs.count())  # one scalar job; inlined literal below
+    tok = (
+        docs.select(
+            "source",
+            "doc_id",
+            F.explode(F.split(X.normalize_text(F.col("text")), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    base = tok.groupBy("term", "source").agg(
+        F.count("*").cast("bigint").alias("tf_term"),
+        F.count_distinct("doc_id").cast("bigint").alias("df_part"),
+    )
+    dfr = base.groupBy("term").agg(F.sum("df_part").cast("bigint").alias("df_docs"))
+    ts = base.groupBy("source").agg(F.sum("tf_term").cast("bigint").alias("t_s"))
+    scored = (
+        base.join(dfr, "term")
+        .join(F.broadcast(ts), "source")
+        .select(
+            "source",
+            "term",
+            "tf_term",
+            "df_docs",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("tf_term").cast("double")
+                * F.lit(n_docs)
+                / (F.col("df_docs").cast("double") * F.col("t_s").cast("double"))
+            )
+            .cast("bigint")
+            .alias("score_q"),
+        )
+    )
+    top = grouped_topk_threshold(
+        scored, "source", ["score_q", "term"], k=_DISTINCTIVE_K, descending=True
+    )
+    return top.select(
+        "source", "term", "tf_term", "df_docs", "score_q", F.col("rk").cast("bigint").alias("rk")
+    )

@@ -2080,3 +2080,66 @@ def test_winnowing_guarantee_shared_run_always_detected(spark):
     # doc 1 has 12 tokens -> 8 grams -> 5 windows; winnowing must select
     # strictly fewer fingerprints than grams
     assert 1 <= by_doc[1] < 8
+
+
+def test_quality_lr_trains_nonzero_and_scores_consistently(spark, sf_dir):
+    """The quantized GD trajectory must actually move (zero-vector weights
+    would make the query a constant p=1/2 table) and the map-side scorer
+    must agree with the hard-sigmoid definition recomputed in Python."""
+    from lichess_event_stream_watcher_spark.operators import classifier as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    xs = C.doc_features(F.col("text"), F.col("n_chars"))
+    feats = docs.select(
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        *[x.alias(f"x{j}") for j, x in enumerate(xs)],
+    )
+    w = C.lr_fit_quantized(feats, iters=6)
+    assert any(wj != 0 for wj in w), w
+    rows = C.lr_score_quantized(feats, w).collect()
+    import math
+
+    for r in rows[:50]:
+        dot = sum(wj * r[f"x{j}"] for j, wj in enumerate(w))
+        z = math.floor(dot / 1000)
+        p = min(max(math.floor(z / 4) + 500_000, 0), 1_000_000)
+        assert r["score_q"] == p, (w, dict(r.asDict()))
+        assert r["pred"] == (1 if p >= 500_000 else 0)
+
+
+def test_quality_lr_separates_planted_classes(spark):
+    """On a linearly separable toy set (positives digit-free, negatives
+    digit-heavy) the trained classifier must beat the majority baseline."""
+    from lichess_event_stream_watcher_spark.operators import classifier as C
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "the quick brown fox jumps over the lazy dog " * 3, 1))
+    for i in range(40, 80):
+        rows.append((i, "1234567890 " * 12, 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y long").withColumn(
+        "n_chars", F.length("text")
+    )
+    xs = C.doc_features(F.col("text"), F.col("n_chars"))
+    feats = docs.select("y", *[x.alias(f"x{j}") for j, x in enumerate(xs)])
+    w = C.lr_fit_quantized(feats, iters=6)
+    scored = C.lr_score_quantized(feats, w)
+    acc = scored.agg(
+        F.avg((F.col("pred") == F.col("y")).cast("double")).alias("a")
+    ).first()["a"]
+    assert acc > 0.9, (w, acc)
+
+
+def test_zipf_octave_invariants(spark, sf_dir):
+    """Octave 0 (the rank-1 term) is the reference: its ratio is exactly
+    1000; every octave k holds <= 2^k terms each counted <= the rank-1
+    term, so mass_ratio_m <= 1000 * 2^octave."""
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    rows = all_queries()["zipf_octave_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["octave"] == 0:
+            assert r["n_terms"] == 1 and r["mass_ratio_m"] == 1000, dict(r.asDict())
+        assert r["n_terms"] <= 2 ** r["octave"]
+        assert r["mass_ratio_m"] <= 1000 * 2 ** r["octave"], dict(r.asDict())

@@ -574,8 +574,36 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # winnowed postings: fp-df cap agg (partitioning reused by the
         # fp join) + pair rollup
         "winnowing_dup_pairs": 3,
+        # trained-LR scoring: map-side projection with inlined weight
+        # literals + the single per-source rollup (training runs as
+        # separate bounded d+1-number aggs at build time, not in this plan)
+        "quality_lr_source_scores": 1,
+        # (source, term) agg + the threshold-pruned top-k's salt-partial /
+        # threshold / survivor-rank passes + octave rollup + the tiny
+        # per-source reference-mass window
+        "zipf_octave_profile": 5,
+        # tf/df/mass all hang off ONE (term, source) aggregate (the
+        # count_distinct expands it two-level); the three consumer
+        # branches and the top-k's threshold branch re-reference that
+        # same subtree, which AQE dedupes at runtime — see
+        # test_distinctive_terms_reuses_base_exchange
+        "distinctive_terms_by_source": 15,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
         assert p.count("Exchange hashpartitioning") <= budget, (name, p)
+
+
+def test_distinctive_terms_reuses_base_exchange(spark, sf_dir):
+    """The tf / per-term df / per-source mass branches all reference one
+    (term, source) aggregate: after execution AQE must have replaced the
+    duplicate subtrees with ReusedExchange nodes (corpus scanned once),
+    not re-run the token explode per branch."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["distinctive_terms_by_source"](spark, sf_dir)
+    df.collect()  # executes THIS DataFrame's own queryExecution (count()
+    # would execute a derived plan and leave df's AQE plan non-final)
+    p = plan_str(df)
+    assert "ReusedExchange" in p, p
