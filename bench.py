@@ -105,6 +105,9 @@ HEADLINE = [
     "quality_lr_source_scores",
     "zipf_octave_profile",
     "distinctive_terms_by_source",
+    "embedding_pca_projection_q",
+    "robust_length_outliers",
+    "weighted_priority_sample",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -1,0 +1,115 @@
+"""Quantized power-iteration PCA over the embedding corpus.
+
+The top principal component is the workhorse diagnostic for embedding
+corpora at curation time: anisotropy (how much variance one direction
+eats), drift between snapshots, and the projection histogram that shows
+whether a source collapses onto one axis. The reference engine has no
+linear algebra at all; this is a beyond-reference operator in the
+hash-certified trained family (``kmeans_fit_quantized``,
+``lr_fit_quantized``).
+
+Power iteration, fully integer-quantized: vectors quantize to micro-units
+once; each round computes per-vector projections s = floor(v_q . w / 1e9)
+(milli-units — the coarse rescale keeps the next sum far inside BIGINT),
+then the un-normalized update u_j = sum_i s_i * v_q[i][j] (order-independent
+integer sum), then re-normalizes DRIVER-SIDE in doubles with a FIXED
+summation order (u_1^2 + ... + u_d^2 left-to-right, then one sqrt — sqrt is
+correctly rounded everywhere, unlike ln/pow) back to a micro-unit direction.
+Every engine replays the identical trajectory, so a DuckDB recursive CTE
+carrying the direction list hash-checks the whole thing.
+
+Distributed shape per round: projection is a map-side expression with the
+direction INLINED AS LITERALS (no join/broadcast of the corpus); the update
+is ONE wide partial agg of d sums — d BIGINTs per partition regardless of
+corpus size; d numbers to the driver. |u_j| <= n * 1e9 worst-case: BIGINT-
+exact to ~9e9 vectors, and DuckDB's HUGEINT accumulator is exact always;
+beyond that, shard the agg and merge per-shard BIGINTs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VEC_Q = 1_000_000  # micro-unit vector / direction scale
+PROJ_DIV = 1_000_000_000.0  # micro^2 -> milli-unit projections
+
+
+def _quantize_vec(vec_col: str, quant: int = VEC_Q) -> Column:
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("bigint")
+    )
+
+
+def _proj_milli(vq: Column, w: list[int]) -> Column:
+    """floor(vq . w / 1e9) with the direction inlined as literals."""
+    dot = None
+    for j, wj in enumerate(w):
+        term = F.element_at(vq, j + 1) * F.lit(int(wj))
+        dot = term if dot is None else dot + term
+    return F.floor(dot.cast("double") / F.lit(PROJ_DIV)).cast("bigint")
+
+
+def _renormalize(u: list[int], quant: int = VEC_Q) -> list[int]:
+    """Driver-side micro-unit re-normalization with a FIXED fold order:
+    identical IEEE doubles (and therefore identical floors) in every
+    engine that evaluates u_1^2 + ... + u_d^2 left-to-right."""
+    ss = 0.0
+    for uj in u:
+        ss = ss + float(uj) * float(uj)
+    nrm = math.sqrt(ss)
+    if nrm == 0.0:
+        return [int(quant)] + [0] * (len(u) - 1)
+    return [math.floor(float(uj) * float(quant) / nrm) for uj in u]
+
+
+def power_iteration_quantized(
+    emb: DataFrame,
+    iters: int = 4,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Top-PC direction in micro-units after ``iters`` quantized power
+    rounds from the deterministic all-equal start (floor(1e6/sqrt(d)) per
+    coordinate). Per round: map-side milli projections + one d-sum agg."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    w = [math.floor(VEC_Q / math.sqrt(dim))] * dim
+    base = emb.select(_quantize_vec(vec_col).alias("vq"))
+    for _ in range(iters):
+        sh = _proj_milli(F.col("vq"), w).alias("sh")
+        row = (
+            base.select(sh, "vq")
+            .agg(
+                *[
+                    F.sum(F.col("sh") * F.element_at("vq", j + 1)).alias(f"_u{j}")
+                    for j in range(dim)
+                ]
+            )
+            .first()
+        )
+        w = _renormalize([int(row[f"_u{j}"]) for j in range(dim)])
+    return w
+
+
+def projection_histogram(
+    emb: DataFrame,
+    w: list[int],
+    bin_width: int = 100,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label histogram of milli-unit top-PC projections: (label, bin,
+    n_vecs) with bin = floor(s / bin_width). Map-side projection with the
+    trained direction inlined + one tiny (label x ~20 bins) agg."""
+    sh = _proj_milli(_quantize_vec(vec_col), w)
+    return (
+        emb.select(
+            F.col(label_col),
+            F.floor(sh.cast("double") / F.lit(float(bin_width))).cast("bigint").alias("bin"),
+        )
+        .groupBy(label_col, "bin")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+    )

@@ -307,6 +307,9 @@ _DRIVER_PRIORITY = [
     "quality_lr_source_scores",
     "zipf_octave_profile",
     "distinctive_terms_by_source",
+    "embedding_pca_projection_q",
+    "robust_length_outliers",
+    "weighted_priority_sample",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -4168,3 +4168,188 @@ def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "source", "term", "tf_term", "df_docs", "score_q", F.col("rk").cast("bigint").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized power-iteration PCA (operators/pca.py)
+# ---------------------------------------------------------------------------
+_PCA_ITERS = 8
+_PCA_DIM = 64
+_PCA_DOT = " + ".join(f"q.v[{j}] * {{w}}[{j}]" for j in range(1, _PCA_DIM + 1))
+_PCA_USUMS = ", ".join(f"CAST(SUM(sh * v[{j}]) AS BIGINT)" for j in range(1, _PCA_DIM + 1))
+_PCA_NRM = "sqrt(" + " + ".join(
+    f"CAST(ul[{j}] AS DOUBLE) * CAST(ul[{j}] AS DOUBLE)" for j in range(1, _PCA_DIM + 1)
+) + ")"
+_PCA_E0 = "[" + ", ".join(
+    ("CAST(1000000 AS BIGINT)" if j == 1 else "CAST(0 AS BIGINT)")
+    for j in range(1, _PCA_DIM + 1)
+) + "]"
+
+_PCA_ORACLE = f"""WITH RECURSIVE vq AS MATERIALIZED (
+  SELECT label,
+         [CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) FOR e IN embedding] AS v
+  FROM embeddings
+),
+pi(it, w) AS (
+  SELECT 0, [CAST(125000 AS BIGINT) FOR i IN range({_PCA_DIM})]
+  UNION ALL
+  SELECT pi.it + 1,
+    (SELECT CASE WHEN {_PCA_NRM} = 0.0 THEN {_PCA_E0}
+            ELSE [CAST(floor(CAST(ul[k] AS DOUBLE) * 1000000.0 / {_PCA_NRM}) AS BIGINT)
+                  FOR k IN range(1, {_PCA_DIM + 1})] END
+     FROM (
+       SELECT (SELECT [{_PCA_USUMS}]
+               FROM (SELECT CAST(floor(CAST({_PCA_DOT.format(w="pi.w")} AS DOUBLE) / 1000000000.0) AS BIGINT) AS sh,
+                            q.v AS v
+                     FROM vq q)) AS ul))
+  FROM pi WHERE pi.it < {_PCA_ITERS}
+),
+proj AS (
+  SELECT q.label,
+         CAST(floor(CAST(CAST(floor(CAST({_PCA_DOT.format(w="f.w")} AS DOUBLE) / 1000000000.0) AS BIGINT) AS DOUBLE) / 100.0) AS BIGINT) AS bin
+  FROM vq q, (SELECT w FROM pi WHERE it = {_PCA_ITERS}) f
+)
+SELECT label, bin, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM proj GROUP BY label, bin"""
+
+
+@query("embedding_pca_projection_q", _PCA_ORACLE)
+def embedding_pca_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED top-principal-component analysis with a full hash check:
+    8 integer-quantized power-iteration rounds (micro-unit vectors and
+    direction, milli-unit projections, driver-side fixed-order double
+    re-normalization — sqrt is correctly rounded everywhere, unlike
+    ln/pow), then the per-label histogram of top-PC projections — the
+    anisotropy / collapse diagnostic an embedding-curation pipeline runs
+    per corpus snapshot.  The DuckDB recursive CTE replays the identical
+    trajectory carrying the direction list.  Per round: map-side
+    projection with the direction inlined as literals + ONE d-sum
+    partial agg (d BIGINTs per partition at any corpus size); the
+    returned plan is a map projection + one tiny (label x ~20 bins)
+    rollup (operators/pca.py)."""
+    from .operators import pca as P
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    w = P.power_iteration_quantized(emb, iters=_PCA_ITERS, dim=_PCA_DIM)
+    return P.projection_histogram(emb, w, bin_width=100)
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source statistics + weighted selection
+# ---------------------------------------------------------------------------
+# 3 * 1.4826 (the MAD-to-sigma consistency factor) in 1e-4 units: the
+# robust-z outlier test dev > 3 * 1.4826 * MAD runs as the exact integer
+# comparison dev * 10000 > 44478 * MAD in both engines.
+_ROBUST_Z3_Q = 44478
+
+_ROBUST_ORACLE = f"""WITH ranked AS (
+  SELECT source, n_chars AS x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+med AS (SELECT source, x AS med, n FROM ranked WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT d.source, abs(d.n_chars - m.med) AS dv, m.med, m.n
+  FROM documents d JOIN med m USING (source)
+),
+devranked AS (
+  SELECT source, dv, med, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY dv) AS rn
+  FROM dev
+),
+mad AS (SELECT source, dv AS mad, med, n FROM devranked WHERE rn = (n + 1) // 2)
+SELECT d.source,
+       CAST(m.n AS BIGINT) AS n_docs,
+       CAST(m.med AS BIGINT) AS median_chars,
+       CAST(m.mad AS BIGINT) AS mad_chars,
+       CAST(SUM(CASE WHEN d.dv * 10000 > {_ROBUST_Z3_Q} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (source)
+GROUP BY d.source, m.n, m.med, m.mad"""
+
+
+@query("robust_length_outliers", _ROBUST_ORACLE)
+def robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length outlier detection — median / MAD (median
+    absolute deviation) instead of mean / sigma, so a source whose
+    lengths are already polluted by the outliers it is being screened
+    for does not have its own threshold dragged toward them.  The
+    outlier test is the exact integer form of the standard robust z:
+    dev > 3 * 1.4826 * MAD == dev * 10000 > 44478 * MAD.
+
+    Both medians are TYPE-1 quantiles from the bounded two-pass
+    histogram primitive (operators/sketch.py:grouped_exact_quantiles) —
+    never a per-source rank over the raw corpus; the MAD pass runs the
+    same primitive over the deviation column after a broadcast join of
+    the per-source medians (sources x 1 rows).  Five corpus scans total
+    (2 per quantile pass + the final flag pass), every exchange bounded
+    by bucket-table size."""
+    from .operators.sketch import grouped_exact_quantiles
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    med = (
+        grouped_exact_quantiles(
+            docs.select("source", "n_chars"), "source", "n_chars", [("p50", 1, 2)]
+        )
+        .select("source", F.col("val").alias("med"), F.col("n").alias("n_docs"))
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source", "med", "n_docs", F.abs(F.col("n_chars") - F.col("med")).alias("dv")
+    )
+    mad = (
+        grouped_exact_quantiles(dev.select("source", "dv"), "source", "dv", [("p50", 1, 2)])
+        .select("source", F.col("val").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), "source")
+    return flagged.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.max("med").cast("bigint").alias("median_chars"),
+        F.max("mad").cast("bigint").alias("mad_chars"),
+        F.sum(
+            (F.col("dv") * 10000 > F.lit(_ROBUST_Z3_Q) * F.col("mad")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+_WPS_K = 100
+
+_WPS_ORACLE = f"""WITH pri AS (
+  SELECT doc_id,
+         CAST(GREATEST(n_chars, 1) AS BIGINT) AS w,
+         CAST(floor(
+           CAST(CAST(('0x' || substring(md5('wps|' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(GREATEST(n_chars, 1) AS BIGINT) AS DOUBLE)) AS BIGINT) AS priority
+  FROM documents
+)
+SELECT doc_id, w, priority FROM pri
+ORDER BY priority, doc_id LIMIT {_WPS_K}"""
+
+
+@query("weighted_priority_sample", _WPS_ORACLE)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional selection: each doc draws the
+    md5 hash of its id and its priority is floor(hash / weight) (weight
+    = character count; one correctly-rounded double quotient, identical
+    in both engines) — a document with twice the weight halves its
+    expected priority, so the global smallest-k skews toward heavy docs
+    while staying fully reproducible (the Efraimidis-Spirakis idea with
+    a division in place of the u^(1/w) key, which would need pow — not
+    hash-safe across engines).  Physical shape: map-side priority +
+    ORDER BY/LIMIT, which Spark executes as TakeOrderedAndProject —
+    per-partition top-k pruning, O(k) state per task, no full sort
+    anywhere (pinned)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wps|"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    pri = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.floor(h.cast("double") / w.cast("double")).cast("bigint").alias("priority"),
+    )
+    return pri.orderBy("priority", "doc_id").limit(_WPS_K)

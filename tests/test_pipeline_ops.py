@@ -2143,3 +2143,79 @@ def test_zipf_octave_invariants(spark, sf_dir):
             assert r["n_terms"] == 1 and r["mass_ratio_m"] == 1000, dict(r.asDict())
         assert r["n_terms"] <= 2 ** r["octave"]
         assert r["mass_ratio_m"] <= 1000 * 2 ** r["octave"], dict(r.asDict())
+
+
+def test_pca_power_iteration_captures_top_variance(spark, sf_dir):
+    """On the (near-isotropic) synthetic embeddings the top-PC direction
+    is ill-conditioned, so the contract is variance capture, not the
+    direction itself: the Rayleigh quotient of the trained direction must
+    reach >= 0.9 of the true top eigenvalue of X^T X."""
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.operators import pca as P
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    w = P.power_iteration_quantized(emb, iters=8, dim=64)
+    X = np.array([r[0] for r in emb.select("embedding").collect()], dtype=float)
+    M = X.T @ X
+    l1 = float(np.linalg.eigvalsh(M)[-1])
+    wv = np.array(w, dtype=float)
+    wv /= np.linalg.norm(wv)
+    assert float(wv @ M @ wv) >= 0.9 * l1
+
+
+def test_pca_recovers_planted_dominant_direction(spark):
+    """With a real eigengap (planted dominant direction + small noise)
+    the quantized iteration must recover the direction itself."""
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.operators import pca as P
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=16)
+    u /= np.linalg.norm(u)
+    vecs = [
+        (i, ((3.0 if i % 2 == 0 else -3.0) * u + 0.3 * rng.normal(size=16)).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    w = P.power_iteration_quantized(emb, iters=8, dim=16)
+    wv = np.array(w, dtype=float)
+    wv /= np.linalg.norm(wv)
+    assert abs(float(wv @ u)) > 0.98, abs(float(wv @ u))
+
+
+def test_robust_outliers_match_brute_force(spark, sf_dir):
+    """Median/MAD/outlier counts must equal the brute-force pandas
+    computation (type-1 medians: value at rank ceil(n/2))."""
+    import math
+
+    docs = testdata.load(spark, sf_dir, "documents").select("source", "n_chars").toPandas()
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    got = {
+        r["source"]: (r["median_chars"], r["mad_chars"], r["n_outliers"])
+        for r in all_queries()["robust_length_outliers"](spark, sf_dir).collect()
+    }
+    for src, grp in docs.groupby("source"):
+        xs = sorted(grp["n_chars"])
+        n = len(xs)
+        med = xs[(n + 1) // 2 - 1]
+        dvs = sorted(abs(x - med) for x in xs)
+        mad = dvs[(n + 1) // 2 - 1]
+        out = sum(1 for x in xs if abs(x - med) * 10000 > 44478 * mad)
+        assert got[src] == (med, mad, out), (src, got[src], (med, mad, out))
+
+
+def test_weighted_priority_sample_skews_toward_heavy_docs(spark, sf_dir):
+    """The selected docs' mean weight must exceed the corpus mean weight
+    — the whole point of weight-proportional selection."""
+    from pyspark.sql import functions as SF
+
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(SF.avg("n_chars")).first()[0]
+    sample = all_queries()["weighted_priority_sample"](spark, sf_dir)
+    sample_mean = sample.agg(SF.avg("w")).first()[0]
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

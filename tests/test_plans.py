@@ -588,6 +588,14 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # same subtree, which AQE dedupes at runtime — see
         # test_distinctive_terms_reuses_base_exchange
         "distinctive_terms_by_source": 15,
+        # trained-PCA projection histogram: map-side projection with the
+        # direction inlined + one tiny (label x ~20 bins) rollup (the 8
+        # power rounds are separate bounded d-sum aggs at build time)
+        "embedding_pca_projection_q": 2,
+        # two grouped_exact_quantiles passes (median + MAD; bucket-table
+        # windows only) + the dev/flag branches re-deriving the cheap
+        # docs-scan subtree; every exchange bounded by bucket-table size
+        "robust_length_outliers": 23,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
@@ -607,3 +615,14 @@ def test_distinctive_terms_reuses_base_exchange(spark, sf_dir):
     # would execute a derived plan and leave df's AQE plan non-final)
     p = plan_str(df)
     assert "ReusedExchange" in p, p
+
+
+def test_weighted_priority_sample_is_top_k_pruned(spark, sf_dir):
+    """Global weighted selection must run as TakeOrderedAndProject
+    (per-partition top-k pruning, O(k) state per task) with zero
+    exchanges — never a full sort."""
+    import __spark_entry__ as entry
+
+    p = plan_str(entry.queries()["weighted_priority_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange hashpartitioning" not in p, p
