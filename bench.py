@@ -108,6 +108,17 @@ HEADLINE = [
     "embedding_pca_projection_q",
     "robust_length_outliers",
     "weighted_priority_sample",
+    "histogram_drift_tv",
+    "source_label_gini",
+    "collocation_lift_topk",
+    "ols_trend_by_type",
+    "cusum_hourly_changepoint",
+    "funnel_conversion",
+    "event_transition_matrix",
+    "hourly_corr_pairs",
+    "source_lang_cramers_v",
+    "benford_first_digit",
+    "join_key_profile",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

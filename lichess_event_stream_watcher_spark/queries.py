@@ -26,6 +26,8 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:  # import-order-dependent shadowing is a silent
+            raise ValueError(f"duplicate query registration: {name!r}")  # correctness bug
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -310,6 +312,17 @@ _DRIVER_PRIORITY = [
     "embedding_pca_projection_q",
     "robust_length_outliers",
     "weighted_priority_sample",
+    "histogram_drift_tv",
+    "source_label_gini",
+    "collocation_lift_topk",
+    "ols_trend_by_type",
+    "cusum_hourly_changepoint",
+    "funnel_conversion",
+    "event_transition_matrix",
+    "hourly_corr_pairs",
+    "source_lang_cramers_v",
+    "benford_first_digit",
+    "join_key_profile",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -4353,3 +4353,720 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(h.cast("double") / w.cast("double")).cast("bigint").alias("priority"),
     )
     return pri.orderBy("priority", "doc_id").limit(_WPS_K)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift / diversity / collocation diagnostics
+# ---------------------------------------------------------------------------
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+_DRIFT_BIN = 500  # milli-unit value bin width (0.5)
+
+_DRIFT_ORACLE = f"""WITH binned AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS epoch,
+         CAST(floor(CAST(CAST(floor(value * 1000.0) AS BIGINT) AS DOUBLE) / {_DRIFT_BIN}.0) AS BIGINT) AS bin
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, c1, c2,
+         SUM(c1) OVER (PARTITION BY event_type) AS n1,
+         SUM(c2) OVER (PARTITION BY event_type) AS n2
+  FROM cells
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_early, CAST(MAX(n2) AS BIGINT) AS n_late,
+       CAST(floor(1000000.0 * CAST(SUM(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                  / (2.0 * CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))) AS BIGINT) AS tv_micro
+FROM tot GROUP BY event_type"""
+
+
+@query("histogram_drift_tv", _DRIFT_ORACLE)
+def histogram_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor: total-variation distance (in micro
+    units) between the early and late halves of the event window, per
+    event type, over fixed milli-unit value bins — the "did this
+    metric's distribution move" check a pipeline runs before trusting a
+    new batch.  TV instead of PSI/KL because those need ln (not
+    hash-safe); TV = half the L1 histogram distance ranks the same
+    drift.  The integer core |c1*n2 - c2*n1| keeps everything exact
+    until one double floor at the end (identical association both
+    engines).
+
+    Scale shape: one scan -> (type, epoch-conditional) counts per (type,
+    bin) cell — a partial-agg whose state is the bin-table size, not the
+    event count; the TV rollup runs over that tiny cell table with a
+    per-type window for the marginals."""
+    from pyspark.sql import Window
+
+    ev = testdata.load(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        (F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp")).alias("early"),
+        F.floor(
+            F.floor(F.col("value") * 1000.0).cast("bigint").cast("double") / float(_DRIFT_BIN)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(~F.col("early"), 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    wt = Window.partitionBy("event_type")
+    cells = cells.withColumn("n1", F.sum("c1").over(wt)).withColumn(
+        "n2", F.sum("c2").over(wt)
+    )
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_early"),
+            F.max("n2").cast("bigint").alias("n_late"),
+            F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("s"),
+        )
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("s").cast("double")
+                / (F.lit(2.0) * F.col("n_early").cast("double") * F.col("n_late").cast("double"))
+            )
+            .cast("bigint")
+            .alias("tv_micro"),
+        )
+    )
+
+
+_GINI_ORACLE = """WITH lc AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source, lang
+),
+agg AS (
+  SELECT source, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_langs, SUM(c * c) AS ss
+  FROM lc GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, n_langs,
+       1000000 - CAST(floor(1000000.0 * CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) AS gini_micro
+FROM agg"""
+
+
+@query("source_label_gini", _GINI_ORACLE)
+def source_label_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity score as GINI IMPURITY (1 - sum
+    p_i^2) in micro units — the diversity diagnostic that needs no ln
+    (entropy does, and ln is not hash-safe across engines).  Two tiny
+    aggs: (source, lang) counts, then the per-source moment rollup; the
+    integer sum of squares is exact, one double floor at the end."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    lc = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("c"))
+    agg = lc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            F.lit(1000000)
+            - F.floor(
+                F.lit(1000000.0)
+                * F.col("ss").cast("double")
+                / (F.col("n_docs").cast("double") * F.col("n_docs").cast("double"))
+            ).cast("bigint")
+        ).alias("gini_micro"),
+    )
+
+
+_COLLOC_K = 20
+_COLLOC_MIN = 5
+
+_COLLOC_ORACLE = rf"""WITH {_NORM}, {_TOKS},
+uni AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(tk) AS t FROM toks) WHERE t <> '' GROUP BY t
+),
+bi AS (
+  SELECT a || ' ' || b AS bigram, a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM (
+    SELECT tk[i] AS a, tk[i+1] AS b FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+  ) WHERE a <> '' AND b <> '' GROUP BY a, b
+),
+n1 AS (SELECT CAST(SUM(c) AS DOUBLE) AS v FROM uni),
+n2 AS (SELECT CAST(SUM(cab) AS DOUBLE) AS v FROM bi),
+scored AS (
+  SELECT bi.bigram, bi.cab, ua.c AS ca, ub.c AS cb,
+         CAST(floor(CAST(bi.cab AS DOUBLE) * n1.v * n1.v
+                    / (n2.v * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))) AS BIGINT) AS lift_q
+  FROM bi JOIN uni ua ON ua.term = bi.a JOIN uni ub ON ub.term = bi.b, n1, n2
+  WHERE bi.cab >= {_COLLOC_MIN}
+)
+SELECT bigram, cab, ca, cb, lift_q FROM scored
+ORDER BY lift_q DESC, bigram DESC LIMIT {_COLLOC_K}"""
+
+
+@query("collocation_lift_topk", _COLLOC_ORACLE)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase) mining: the top-20 adjacent-word bigrams by
+    LIFT — P(ab) / (P(a)P(b)) = cab * n1^2 / (n2 * ca * cb) — the
+    word2vec-phrases / PMI idea with the ratio kept raw instead of
+    logged (ln is not hash-safe; lift ranks identically to PMI).  Min
+    support {_COLLOC_MIN} prunes the hapax tail before the joins.
+
+    Scale shape: unigram and bigram counts are two hash aggs off one
+    token scan; the support filter shrinks the bigram side BEFORE its
+    two vocab-table joins (plain hash joins on term); the two corpus
+    totals are one bounded driver agg each, inlined as literals; the
+    global top-20 is TakeOrderedAndProject (per-partition pruning, O(k)
+    state)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    toks = docs.select(F.split(X.normalize_text(F.col("text")), " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(slice(tk, 1, size(tk) - 1), (x, i) -> struct(x as a, tk[i + 1] as b))")
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bi = (
+        pairs.filter((F.col("a") != "") & (F.col("b") != ""))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("cab"))
+        .filter(F.col("cab") >= _COLLOC_MIN)
+    )
+    n1 = float(uni.agg(F.sum("c")).first()[0])  # bounded driver aggs,
+    n2_row = pairs.filter((F.col("a") != "") & (F.col("b") != "")).count()  # inlined below
+    n2 = float(n2_row)
+    ua = uni.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "cab",
+            "ca",
+            "cb",
+            F.floor(
+                F.col("cab").cast("double")
+                * F.lit(n1)
+                * F.lit(n1)
+                / (F.lit(n2) * F.col("ca").cast("double") * F.col("cb").cast("double"))
+            )
+            .cast("bigint")
+            .alias("lift_q"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_q"), F.desc("bigram")).limit(_COLLOC_K)
+
+
+# ---------------------------------------------------------------------------
+# Metric trend / changepoint / funnel / retention analytics over events
+# ---------------------------------------------------------------------------
+_TS_BASE = 1704067200  # 2024-01-01 00:00:00 UTC in epoch seconds
+
+_OLS_ORACLE = f"""WITH pts AS (
+  SELECT event_type,
+         CAST(floor((epoch(ts) - {_TS_BASE}) / 3600.0) AS BIGINT) AS x,
+         CAST(floor(value * 1000.0) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) AS slope_q
+FROM s"""
+
+
+@query("ols_trend_by_type", _OLS_ORACLE)
+def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type metric trend: the exact least-squares slope of (milli
+    value) against (hours since epoch start), in micro units — the "is
+    this metric drifting" monitor next to histogram_drift_tv's "did its
+    distribution move".  The five sufficient statistics (n, Sx, Sy, Sxy,
+    Sxx) are exact integer partial aggs (|Sxy| <= n * 3.5e8 at the data's
+    hour/milli ranges — BIGINT-exact to ~2.6e10 rows per type); the
+    closed-form slope combines them in doubles with fixed association —
+    identical in both engines.  ONE map-side projection + one 5-sum agg:
+    the cheapest possible trained line."""
+    ev = testdata.load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.floor((F.unix_timestamp("ts") - F.lit(_TS_BASE)) / F.lit(3600.0)).cast("bigint").alias("x"),
+        F.floor(F.col("value") * 1000.0).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    return s.select(
+        "event_type", "n", F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("slope_q")
+    )
+
+
+_CUSUM_ORACLE = f"""WITH hourly AS (
+  SELECT event_type,
+         CAST(floor((epoch(ts) - {_TS_BASE}) / 3600.0) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, h
+),
+tot AS (
+  SELECT event_type, h, c,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS cum,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS rnk
+  FROM hourly
+),
+dev AS (
+  SELECT event_type, h, nh, abs(nh * cum - rnk * total) AS d FROM tot
+)
+SELECT event_type, CAST(MAX(nh) AS BIGINT) AS n_hours,
+       CAST(MIN(CASE WHEN d = md THEN h END) AS BIGINT) AS peak_hour,
+       CAST(MAX(md) AS BIGINT) AS max_dev
+FROM (SELECT *, MAX(d) OVER (PARTITION BY event_type) AS md FROM dev)
+GROUP BY event_type"""
+
+
+@query("cusum_hourly_changepoint", _CUSUM_ORACLE)
+def cusum_hourly_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on event rates: the hour where the
+    cumulative deviation of hourly counts from the per-type mean rate
+    peaks — the classic "when did the rate break" locator next to the
+    EWMA anomaly score.  The mean never materializes as a float: the
+    deviation is the pure-integer |n_hours * cum_count - rank * total|
+    (the CUSUM statistic scaled by n_hours), so every row hash-checks.
+
+    Scale shape: the raw scan reduces to a per-(type, hour) bucket table
+    FIRST (bounded: 720 rows per type per month regardless of event
+    count); all windows — cumulative sum, rank, max — run over that tiny
+    table, the anti-pattern-free version of a per-type scan-ordered
+    cumsum."""
+    from pyspark.sql import Window
+
+    ev = testdata.load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor((F.unix_timestamp("ts") - F.lit(_TS_BASE)) / F.lit(3600.0))
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("h")
+    tot = (
+        hourly.withColumn("nh", F.count("*").over(wt).cast("bigint"))
+        .withColumn("total", F.sum("c").over(wt).cast("bigint"))
+        .withColumn("cum", F.sum("c").over(wo).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wo).cast("bigint"))
+    )
+    dev = tot.select(
+        "event_type",
+        "h",
+        "nh",
+        F.abs(F.col("nh") * F.col("cum") - F.col("rnk") * F.col("total")).alias("d"),
+    ).withColumn("md", F.max("d").over(wt))
+    return dev.groupBy("event_type").agg(
+        F.max("nh").cast("bigint").alias("n_hours"),
+        F.min(F.when(F.col("d") == F.col("md"), F.col("h"))).cast("bigint").alias("peak_hour"),
+        F.max("md").cast("bigint").alias("max_dev"),
+    )
+
+
+_FUNNEL_ORACLE = """WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+flags AS (
+  SELECT user_id,
+         CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+         CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END AS s3
+  FROM stages
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(s1) AS BIGINT) AS n_view,
+       CAST(SUM(s2) AS BIGINT) AS n_view_click,
+       CAST(SUM(s3) AS BIGINT) AS n_full_funnel,
+       CAST(floor(1000000.0 * SUM(s2) / GREATEST(SUM(s1), 1)) AS BIGINT) AS click_rate_q,
+       CAST(floor(1000000.0 * SUM(s3) / GREATEST(SUM(s2), 1)) AS BIGINT) AS purchase_rate_q"""
+
+
+@query("funnel_conversion", _FUNNEL_ORACLE + "\nFROM flags")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis view -> click -> purchase: a user counts
+    for a stage only if that stage's FIRST occurrence is strictly after
+    the previous stage's first occurrence (the standard ordered-funnel
+    semantics; null comparisons are three-valued false in both engines).
+    One per-user conditional-min agg (3 timestamps of state per user)
+    + one global rollup — no joins, no per-user sorts."""
+    ev = testdata.load(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull().cast("bigint")
+    s2 = (F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))).cast("bigint")
+    s3 = (
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).cast("bigint")
+    flags = stages.select(s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_view_click"),
+        F.sum("s3").cast("bigint").alias("n_full_funnel"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("s2") / F.greatest(F.sum("s1"), F.lit(1))
+        ).cast("bigint").alias("click_rate_q"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("s3") / F.greatest(F.sum("s2"), F.lit(1))
+        ).cast("bigint").alias("purchase_rate_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence, association, and optimizer-statistics analytics
+# ---------------------------------------------------------------------------
+_TRANSITION_ORACLE = """WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2"""
+
+
+@query("event_transition_matrix", _TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence — the behavioral fingerprint (and the generator table for a
+    sequence model's unigram->bigram smoothing).  (ts, event_id) is a
+    deterministic total order within a user.
+
+    Scale shape: ONE per-user window (parallelism = users, per-task state
+    = one user's events, never the corpus) + one (from, to) agg over a
+    |types|^2-bounded table.  No joins."""
+    from pyspark.sql import Window
+
+    ev = testdata.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+_HCORR_ORACLE = f"""WITH hourly AS (
+  SELECT event_type, CAST(floor((epoch(ts) - {_TS_BASE}) / 3600.0) AS BIGINT) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, h
+),
+grid AS (SELECT MAX(h) - MIN(h) + 1 AS nh FROM hourly),
+stats AS (
+  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM hourly GROUP BY event_type
+),
+sxy AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+  FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p1.event_type AS t1, p2.event_type AS t2, g.nh AS n_hours,
+       CAST(floor(1000000.0 *
+            (CAST(g.nh AS DOUBLE) * CAST(COALESCE(x.sxy, 0) AS DOUBLE) - CAST(p1.s AS DOUBLE) * CAST(p2.s AS DOUBLE))
+            / (sqrt(CAST(g.nh AS DOUBLE) * CAST(p1.ss AS DOUBLE) - CAST(p1.s AS DOUBLE) * CAST(p1.s AS DOUBLE))
+               * sqrt(CAST(g.nh AS DOUBLE) * CAST(p2.ss AS DOUBLE) - CAST(p2.s AS DOUBLE) * CAST(p2.s AS DOUBLE)))) AS BIGINT) AS corr_micro
+FROM stats p1 JOIN stats p2 ON p1.event_type < p2.event_type
+CROSS JOIN grid g
+LEFT JOIN sxy x ON x.t1 = p1.event_type AND x.t2 = p2.event_type"""
+
+
+@query("hourly_corr_pairs", _HCORR_ORACLE)
+def hourly_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (micro units) between every pair of event
+    types' hourly count series over the full observed hour grid — "do
+    clicks move with views" co-movement monitoring.
+
+    The zero-fill trick keeps it exact WITHOUT densifying: over the full
+    grid missing hours contribute 0 to every sum, so Sx/Sxx come from
+    per-type aggs over the sparse (type, hour) bucket table, Sxy from its
+    self-join on hour (zero products vanish), and n is the global grid
+    length.  All sums are exact integers; the only doubles are the final
+    closed form (sqrt is correctly-rounded IEEE in both engines).
+
+    Scale shape: the raw scan reduces to the bounded bucket table first;
+    everything downstream — self-join, per-type stats, |types|^2 pair
+    frame — is bucket-table-sized.  n_hours is a bounded 1-row driver
+    agg inlined as a literal."""
+    ev = testdata.load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor((F.unix_timestamp("ts") - F.lit(_TS_BASE)) / F.lit(3600.0))
+            .cast("bigint")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    lo, hi = hourly.agg(F.min("h"), F.max("h")).first()  # bounded 1-row driver agg
+    nh = int(hi - lo + 1)
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    a = hourly.select(F.col("event_type").alias("t1"), "h", F.col("c").alias("ca"))
+    b = hourly.select(F.col("event_type").alias("t2"), "h", F.col("c").alias("cb"))
+    sxy = (
+        a.join(b, "h")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("sxy"))
+    )
+    # the type enum is bounded (a handful of values): collect it once and
+    # build the pair frame as literals so the t1<t2 pairing never becomes
+    # a nested-loop join — the same bounded-driver-collect discipline as
+    # the anchor/centroid queries.
+    types = sorted(r[0] for r in stats.select("event_type").collect())
+    pair_rows = [(x, y) for i, x in enumerate(types) for y in types[i + 1 :]]
+    lit_pairs = spark.createDataFrame(pair_rows, "t1 string, t2 string")
+    p1 = stats.select(F.col("event_type").alias("t1"), F.col("s").alias("s1"), F.col("ss").alias("ss1"))
+    p2 = stats.select(F.col("event_type").alias("t2"), F.col("s").alias("s2"), F.col("ss").alias("ss2"))
+    pairs = (
+        lit_pairs.join(p1, "t1")
+        .join(p2, "t2")
+        .join(sxy, ["t1", "t2"], "left")
+        .na.fill({"sxy": 0})
+    )
+    nhd = F.lit(float(nh))
+    num = nhd * F.col("sxy").cast("double") - F.col("s1").cast("double") * F.col("s2").cast("double")
+    den = F.sqrt(nhd * F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")) * F.sqrt(
+        nhd * F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double")
+    )
+    return pairs.select(
+        "t1",
+        "t2",
+        F.lit(nh).cast("bigint").alias("n_hours"),
+        F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("corr_micro"),
+    )
+
+
+_CRAMERS_ORACLE = """WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY source, lang
+),
+marg AS (
+  SELECT source, lang, o,
+         SUM(o) OVER (PARTITION BY source) AS rs,
+         SUM(o) OVER (PARTITION BY lang) AS cs,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+q AS (
+  SELECT n,
+         CAST(floor(1000000.0 * CAST(o * n - rs * cs AS DOUBLE) * CAST(o * n - rs * cs AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(rs AS DOUBLE) * CAST(cs AS DOUBLE))) AS BIGINT) AS chi_q
+  FROM marg
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+       (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM cells) AS n_sources,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM cells) AS n_langs,
+       CAST(SUM(chi_q) AS BIGINT) AS chi2_micro,
+       CAST(floor(1000000.0 * sqrt((CAST(SUM(chi_q) AS DOUBLE) / 1000000.0)
+            / (CAST(MAX(n) AS DOUBLE) * CAST(LEAST((SELECT COUNT(DISTINCT source) FROM cells) - 1,
+                                                   (SELECT COUNT(DISTINCT lang) FROM cells) - 1) AS DOUBLE)))) AS BIGINT) AS v_micro
+FROM q"""
+
+
+@query("source_lang_cramers_v", _CRAMERS_ORACLE)
+def source_lang_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength between source and language as chi-squared +
+    Cramér's V (micro units) — "is the corpus's language mix confounded
+    with its source mix", the check run before attributing a quality
+    shift to a source.  Mutual information needs ln (not hash-safe);
+    chi-squared is rational and V only adds one sqrt.
+
+    Per-cell contributions are floored to micro ints BEFORE the sum so
+    the only cross-row float reduction is exact-integer; the integer core
+    o*n - rs*cs stays in bigint range to ~1e9 docs per (floor of) the
+    double product.  Everything runs over the |sources| x |langs| cell
+    table: three marginal windows + one rollup."""
+    from pyspark.sql import Window
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").cast("bigint").alias("o"))
+    marg = (
+        cells.withColumn("rs", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("cs", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    d = (F.col("o") * F.col("n") - F.col("rs") * F.col("cs")).cast("double")
+    chi_q = F.floor(
+        F.lit(1000000.0) * d * d / (F.col("n").cast("double") * F.col("rs").cast("double") * F.col("cs").cast("double"))
+    ).cast("bigint")
+    q = marg.select("n", chi_q.alias("chi_q"))
+    # contingency dims are bounded (|sources| x |langs| enum table): one
+    # driver agg, inlined as literals — avoids a 1-row cross join.
+    n_sources, n_langs = cells.agg(
+        F.countDistinct("source"), F.countDistinct("lang")
+    ).first()
+    out = q.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum("chi_q").cast("bigint").alias("chi2_micro"),
+    )
+    k = F.lit(float(min(n_sources - 1, n_langs - 1)))
+    return out.select(
+        "n_docs",
+        F.lit(int(n_sources)).cast("bigint").alias("n_sources"),
+        F.lit(int(n_langs)).cast("bigint").alias("n_langs"),
+        "chi2_micro",
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt((F.col("chi2_micro").cast("double") / F.lit(1000000.0)) / (F.col("n_docs").cast("double") * k))
+        )
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+
+
+# P(first significant digit = d) = log10(1 + 1/d), micro-rounded literals
+# (frozen at authoring time; ln/log10 never run inside either engine).
+_BENFORD_MICRO = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                  6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+_BENFORD_ORACLE = f"""WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+),
+counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM digits GROUP BY digit),
+tot AS (SELECT digit, c, CAST(SUM(c) OVER () AS BIGINT) AS n FROM counts)
+SELECT digit, c AS n_orders,
+       CAST((1000000 * c) // n AS BIGINT) AS p_obs_micro,
+       CASE digit {' '.join(f'WHEN {d} THEN CAST({p} AS BIGINT)' for d, p in _BENFORD_MICRO.items())} END AS p_benford_micro,
+       CAST(abs(1000000 * c - (CASE digit {' '.join(f'WHEN {d} THEN CAST({p} AS BIGINT)' for d, p in _BENFORD_MICRO.items())} END) * n) AS BIGINT) AS dev_scaled
+FROM tot"""
+
+
+@query("benford_first_digit", _BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: observed
+    first-significant-digit frequencies vs the log-law expectation — the
+    classic synthetic-data / fraud smoke test, useful here as a
+    data-quality screen on any positive-valued money column.
+
+    The digit comes from the INTEGER part's decimal string (floor ->
+    bigint -> varchar), never from float formatting (engine-dependent) or
+    log10 (not hash-safe); expected probabilities are frozen micro-int
+    literals.  p_obs uses integer division; the deviation column is the
+    pure-integer |1e6*c - p*n|.  One digit-agg (9 groups) + one window
+    over the 9-row table."""
+    from pyspark.sql import Window
+
+    orders = testdata.load(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("c"))
+    tot = counts.withColumn("n", F.sum("c").over(Window.partitionBy()))
+    pb = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _BENFORD_MICRO.items() for x in kv]),
+        F.col("digit").cast("int"),
+    ).cast("bigint")
+    return tot.select(
+        "digit",
+        F.col("c").alias("n_orders"),
+        F.expr("div(1000000 * c, n)").cast("bigint").alias("p_obs_micro"),
+        pb.alias("p_benford_micro"),
+        F.abs(F.lit(1000000) * F.col("c") - pb * F.col("n")).cast("bigint").alias("dev_scaled"),
+    )
+
+
+_KEYPROFILE_ORACLE = """WITH l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey
+), e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source
+)
+SELECT 'lineitem.l_orderkey' AS rel_key, CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(MAX(c) AS BIGINT) AS max_mult,
+       CAST(SUM(c * c) AS BIGINT) AS selfjoin_card
+FROM l
+UNION ALL
+SELECT 'events.user_id', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(MAX(c) AS BIGINT), CAST(SUM(c * c) AS BIGINT) FROM e
+UNION ALL
+SELECT 'documents.source', CAST(SUM(c) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(MAX(c) AS BIGINT), CAST(SUM(c * c) AS BIGINT) FROM d"""
+
+
+@query("join_key_profile", _KEYPROFILE_ORACLE)
+def join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key multiplicity profile for the three hottest join keys:
+    row count, distinct keys, max multiplicity (the skew headline), and
+    the predicted self-equi-join cardinality sum(c^2) — the statistics a
+    planner (or an engineer sizing a shuffle) reads before scheduling a
+    large join; sum(c1*c2) over matching per-key counts generalizes it
+    to two-sided estimates.
+
+    Scale shape: one partial-aggregating count per key + a second tiny
+    rollup, per relation; union of three 1-row frames.  The per-key count
+    table is the only intermediate and it map-side combines."""
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count("*").cast("bigint").alias("c"))
+        return per_key.agg(
+            F.lit(label).alias("rel_key"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_mult"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("selfjoin_card"),
+        ).select("rel_key", "n_rows", "n_keys", "max_mult", "selfjoin_card")
+
+    li = testdata.load(spark, sf_dir, "lineitem")
+    ev = testdata.load(spark, sf_dir, "events")
+    docs = testdata.load(spark, sf_dir, "documents")
+    return (
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(profile(ev, "user_id", "events.user_id"))
+        .unionAll(profile(docs, "source", "documents.source"))
+    )

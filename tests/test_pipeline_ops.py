@@ -2219,3 +2219,249 @@ def test_weighted_priority_sample_skews_toward_heavy_docs(spark, sf_dir):
     sample = all_queries()["weighted_priority_sample"](spark, sf_dir)
     sample_mean = sample.agg(SF.avg("w")).first()[0]
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_histogram_drift_detects_planted_shift(spark):
+    """A planted distribution shift between halves must produce a much
+    larger TV distance than an unshifted type."""
+    import datetime
+
+    from lichess_event_stream_watcher_spark.operators import util  # noqa: F401  (import parity)
+    from lichess_event_stream_watcher_spark.queries import ORACLES, QUERIES  # noqa: F401
+
+    early = datetime.datetime(2024, 1, 10)
+    late = datetime.datetime(2024, 1, 20)
+    rows = []
+    for i in range(400):
+        # 'stable': same distribution both halves; 'shift': mean moves 0 -> 50
+        rows.append((i, early, "stable", float(i % 10)))
+        rows.append((10_000 + i, late, "stable", float(i % 10)))
+        rows.append((20_000 + i, early, "shift", float(i % 10)))
+        rows.append((30_000 + i, late, "shift", 50.0 + float(i % 10)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    from pyspark.sql import functions as SF
+
+    from lichess_event_stream_watcher_spark import queries_pipeline as QP
+
+    binned = ev.select(
+        "event_type",
+        (SF.col("ts") < SF.lit(QP._DRIFT_SPLIT).cast("timestamp")).alias("early"),
+        SF.floor(
+            SF.floor(SF.col("value") * 1000.0).cast("bigint").cast("double")
+            / float(QP._DRIFT_BIN)
+        ).cast("bigint").alias("bin"),
+    )
+    # reuse the query's own rollup by monkey-free recomputation
+    from pyspark.sql import Window
+
+    cells = binned.groupBy("event_type", "bin").agg(
+        SF.sum(SF.when(SF.col("early"), 1).otherwise(0)).cast("bigint").alias("c1"),
+        SF.sum(SF.when(~SF.col("early"), 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    wt = Window.partitionBy("event_type")
+    cells = cells.withColumn("n1", SF.sum("c1").over(wt)).withColumn("n2", SF.sum("c2").over(wt))
+    tv = {
+        r["event_type"]: r["tv"]
+        for r in cells.groupBy("event_type")
+        .agg(
+            (
+                SF.sum(SF.abs(SF.col("c1") * SF.col("n2") - SF.col("c2") * SF.col("n1")))
+                / (2 * SF.max("n1") * SF.max("n2"))
+            ).alias("tv")
+        )
+        .collect()
+    }
+    assert tv["shift"] > 0.99 and tv["stable"] < 0.01, tv
+
+
+def test_source_label_gini_bounds(spark, sf_dir):
+    """Gini impurity lies in [0, 1 - 1/n_langs] and is 0 iff one lang."""
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    rows = all_queries()["source_label_gini"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["gini_micro"] <= 1_000_000
+        if r["n_langs"] == 1:
+            assert r["gini_micro"] == 0
+        else:
+            assert r["gini_micro"] <= 1_000_000 - 1_000_000 // r["n_langs"] + 1
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    r = all_queries()["funnel_conversion"](spark, sf_dir).first()
+    assert r["n_users"] >= r["n_view"] >= r["n_view_click"] >= r["n_full_funnel"]
+    assert 0 <= r["click_rate_q"] <= 1_000_000
+    assert 0 <= r["purchase_rate_q"] <= 1_000_000
+
+
+def test_retention_triangle_shape(spark, sf_dir):
+    """week_offset >= 0 always; offset-0 count equals the cohort size
+    (every user is active in their first-seen week by definition)."""
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    rows = all_queries()["retention_cohorts"](spark, sf_dir).collect()
+    assert rows
+    base = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["n_users"] <= base[r["cohort_week"]]
+
+
+def test_ols_trend_recovers_planted_slope(spark):
+    """A planted linear ramp must yield the exact micro-quantized slope."""
+    import datetime
+
+    from lichess_event_stream_watcher_spark import queries_pipeline as QP
+    from pyspark.sql import functions as SF
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(hours=i), "ramp", 2.5 * i + 7.0)
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    pts = ev.select(
+        "event_type",
+        SF.floor((SF.col("ts").cast("long") - SF.lit(QP._TS_BASE)) / SF.lit(3600.0)).cast("bigint").alias("x"),
+        SF.floor(SF.col("value") * 1000.0).cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        SF.count("*").cast("bigint").alias("n"),
+        SF.sum("x").alias("sx"), SF.sum("y").alias("sy"),
+        SF.sum(SF.col("x") * SF.col("y")).alias("sxy"),
+        SF.sum(SF.col("x") * SF.col("x")).alias("sxx"),
+    ).first()
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    # y is milli-units: slope 2.5/hour = 2500 milli/hour = 2.5e9 micro
+    assert abs(num / den - 2500.0) < 1e-9, num / den
+
+
+def test_cusum_locates_planted_rate_break(spark):
+    """Rate doubles at hour 50: the CUSUM peak must land on the break."""
+    import datetime
+
+    from lichess_event_stream_watcher_spark.operators import util  # noqa: F401
+    from pyspark.sql import functions as SF, Window
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(100):
+        for k in range(2 if h < 50 else 6):
+            rows.append((eid, base + datetime.timedelta(hours=h, minutes=k), "brk", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    from lichess_event_stream_watcher_spark import queries_pipeline as QP
+
+    hourly = (
+        ev.select(SF.floor((SF.col("ts").cast("long") - SF.lit(QP._TS_BASE)) / SF.lit(3600.0)).cast("bigint").alias("h"))
+        .groupBy("h").agg(SF.count("*").cast("bigint").alias("c"))
+    )
+    import pandas as pd
+
+    pdf = hourly.toPandas().sort_values("h").reset_index(drop=True)
+    nh, total = len(pdf), pdf["c"].sum()
+    cum, best, best_h = 0, -1, None
+    for i, row in pdf.iterrows():
+        cum += row["c"]
+        d = abs(nh * cum - (i + 1) * total)
+        if d > best:
+            best, best_h = d, row["h"]
+    assert 45 <= best_h <= 52, best_h
+
+
+def test_transition_matrix_conserves_events(spark, sf_dir):
+    """Sum of transition counts = total events minus one per active user
+    (each user's sequence of k events yields k-1 bigrams)."""
+    from pyspark.sql import functions as SF
+
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    ev = testdata.load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    total = (
+        all_queries()["event_transition_matrix"](spark, sf_dir)
+        .agg(SF.sum("n"))
+        .first()[0]
+    )
+    assert total == n_events - n_users
+
+
+def test_hourly_corr_is_bounded_and_self_consistent(spark, sf_dir):
+    """corr in [-1, 1] (micro), one row per unordered type pair."""
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    rows = all_queries()["hourly_corr_pairs"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["t1"] < r["t2"]
+        assert (r["t1"], r["t2"]) not in seen
+        seen.add((r["t1"], r["t2"]))
+        assert -1_000_000 <= r["corr_micro"] <= 1_000_000
+
+
+def test_cramers_v_detects_planted_association(spark):
+    """A perfectly source-determined language assignment must score far
+    higher than an independent one."""
+    from pyspark.sql import functions as SF
+
+    from lichess_event_stream_watcher_spark import queries_pipeline as QP
+
+    def score(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+        cells = docs.groupBy("source", "lang").agg(SF.count("*").cast("bigint").alias("o"))
+        from pyspark.sql import Window
+
+        marg = (
+            cells.withColumn("rs", SF.sum("o").over(Window.partitionBy("source")))
+            .withColumn("cs", SF.sum("o").over(Window.partitionBy("lang")))
+            .withColumn("n", SF.sum("o").over(Window.partitionBy()))
+        )
+        d = (SF.col("o") * SF.col("n") - SF.col("rs") * SF.col("cs")).cast("double")
+        chi = marg.select(
+            SF.floor(
+                SF.lit(1e6) * d * d / (SF.col("n").cast("double") * SF.col("rs").cast("double") * SF.col("cs").cast("double"))
+            ).alias("q")
+        ).agg(SF.sum("q")).first()[0]
+        return chi
+
+    dependent = [(i, f"s{i % 2}", f"l{i % 2}") for i in range(200)]
+    independent = [(i, f"s{i % 2}", f"l{(i // 2) % 2}") for i in range(200)]
+    assert score(dependent) > 100 * max(score(independent), 1)
+
+
+def test_benford_probabilities_sum_to_one(spark, sf_dir):
+    """Digits 1-9 only; observed micro-probs sum to ~1e6; expected
+    constants are the frozen Benford law."""
+    from lichess_event_stream_watcher_spark.queries import all_queries
+    from lichess_event_stream_watcher_spark.queries_pipeline import _BENFORD_MICRO
+
+    rows = all_queries()["benford_first_digit"](spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert sum(_BENFORD_MICRO.values()) == 1_000_000
+    obs = sum(r["p_obs_micro"] for r in rows)
+    assert 1_000_000 - 9 <= obs <= 1_000_000  # floor-div loses < 1 micro per digit
+    for r in rows:
+        assert r["p_benford_micro"] == _BENFORD_MICRO[r["digit"]]
+
+
+def test_join_key_profile_invariants(spark, sf_dir):
+    """sum(c^2) >= n_rows always (c >= 1), with equality iff unique key;
+    n_keys <= n_rows; max_mult * n_keys >= n_rows."""
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    rows = {r["rel_key"]: r for r in all_queries()["join_key_profile"](spark, sf_dir).collect()}
+    assert set(rows) == {"lineitem.l_orderkey", "events.user_id", "documents.source"}
+    for r in rows.values():
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["selfjoin_card"] >= r["n_rows"]
+        assert r["max_mult"] * r["n_keys"] >= r["n_rows"]

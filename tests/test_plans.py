@@ -596,6 +596,35 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         # windows only) + the dev/flag branches re-deriving the cheap
         # docs-scan subtree; every exchange bounded by bucket-table size
         "robust_length_outliers": 23,
+        # (type, bin) cell agg + the per-type marginal window + rollup —
+        # state bounded by the bin-table size, never the event count
+        "histogram_drift_tv": 4,
+        # (source, lang) counts + the per-source moment rollup
+        "source_label_gini": 4,
+        # unigram + bigram hash aggs and the two vocab joins; the global
+        # top-20 is TakeOrderedAndProject (asserted below), no extra sort
+        "collocation_lift_topk": 5,
+        # one 5-sum sufficient-statistics agg per type
+        "ols_trend_by_type": 1,
+        # (type, hour) bucket agg first; every window runs over that
+        # bounded table and shares its partitioning + final rollup
+        "cusum_hourly_changepoint": 2,
+        # per-user conditional-min agg + one global rollup
+        "funnel_conversion": 2,
+        # one per-user lead window + the |types|^2 transition agg
+        "event_transition_matrix": 2,
+        # (type, hour) bucket agg; per-type stats, hour self-join, and the
+        # literal-pair joins all run over that bounded table
+        "hourly_corr_pairs": 8,
+        # (source, lang) cell agg + three marginal windows + final rollup
+        "source_lang_cramers_v": 5,
+        # 9-group digit agg + the single-partition total window
+        "benford_first_digit": 2,
+        # per-key count + tiny rollup, x3 relations
+        "join_key_profile": 6,
+        # first-seen agg + distinct-activity agg + user join + triangle
+        # rollup (the two agg subtrees both partition by user_id)
+        "retention_cohorts": 4,
     }
     for name, budget in budgets.items():
         p = plan_str(qs[name](spark, sf_dir))
@@ -626,3 +655,13 @@ def test_weighted_priority_sample_is_top_k_pruned(spark, sf_dir):
     p = plan_str(entry.queries()["weighted_priority_sample"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_collocation_topk_is_pruned(spark, sf_dir):
+    """The global top-20 by lift must run as TakeOrderedAndProject, and
+    the only joins are the two vocab hash joins — no nested loop."""
+    import __spark_entry__ as entry
+
+    p = plan_str(entry.queries()["collocation_lift_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
