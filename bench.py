@@ -119,6 +119,7 @@ HEADLINE = [
     "source_lang_cramers_v",
     "benford_first_digit",
     "join_key_profile",
+    "k_anonymity_audit",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -323,6 +323,7 @@ _DRIVER_PRIORITY = [
     "source_lang_cramers_v",
     "benford_first_digit",
     "join_key_profile",
+    "k_anonymity_audit",
     "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
     "sketch_stats",          # rows-only (percentile_approx internals)
     "last3_caught",

@@ -5070,3 +5070,52 @@ def join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile(ev, "user_id", "events.user_id"))
         .unionAll(profile(docs, "source", "documents.source"))
     )
+
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""WITH qi AS (
+  SELECT source, lang, n_chars // 200 AS len_bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang, len_bucket
+),
+bucketed AS (
+  SELECT CASE WHEN c = 1 THEN 'unique'
+              WHEN c < {_KANON_K} THEN 'small'
+              ELSE 'anonymous' END AS risk_bucket,
+         c
+  FROM qi
+)
+SELECT risk_bucket, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(c) AS BIGINT) AS n_docs
+FROM bucketed GROUP BY risk_bucket"""
+
+
+@query("k_anonymity_audit", _KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (source, lang,
+    200-char length bucket): how many documents sit in equivalence
+    classes of size 1 (re-identifiable), < k=5 (suppression
+    candidates), or >= k — the privacy screen run before releasing a
+    derived corpus, next to pii_scrub's content-level pass.
+
+    Scale shape: one partial-aggregating count over the QI tuple (the
+    only corpus-sized exchange) + a 3-row rollup.  The audit's output is
+    the suppression policy's input: joining the small/unique classes
+    back by QI key is a broadcast semi-join."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    qi = docs.groupBy(
+        "source", "lang", F.expr("div(n_chars, 200)").alias("len_bucket")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    bucket = (
+        F.when(F.col("c") == 1, "unique")
+        .when(F.col("c") < _KANON_K, "small")
+        .otherwise("anonymous")
+    )
+    return (
+        qi.select(bucket.alias("risk_bucket"), "c")
+        .groupBy("risk_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+        )
+    )

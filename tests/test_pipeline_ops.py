@@ -2465,3 +2465,29 @@ def test_join_key_profile_invariants(spark, sf_dir):
         assert r["n_keys"] <= r["n_rows"]
         assert r["selfjoin_card"] >= r["n_rows"]
         assert r["max_mult"] * r["n_keys"] >= r["n_rows"]
+
+
+def test_k_anonymity_partitions_the_corpus(spark, sf_dir):
+    """The three risk buckets partition the corpus exactly, and bucket
+    membership matches a brute-force group-size recount."""
+    from pyspark.sql import functions as SF
+
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.queries import all_queries
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = {r["risk_bucket"]: r for r in all_queries()["k_anonymity_audit"](spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == n
+    sizes = [
+        r[0]
+        for r in docs.groupBy("source", "lang", SF.expr("div(n_chars, 200)"))
+        .count()
+        .select("count")
+        .collect()
+    ]
+    assert rows.get("unique", {"n_groups": 0})["n_groups"] == sum(1 for c in sizes if c == 1) or \
+        ("unique" not in rows and not any(c == 1 for c in sizes))
+    small = [c for c in sizes if 1 < c < 5]
+    if small:
+        assert rows["small"]["n_docs"] == sum(small)

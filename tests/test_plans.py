@@ -622,6 +622,8 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
         "benford_first_digit": 2,
         # per-key count + tiny rollup, x3 relations
         "join_key_profile": 6,
+        # one QI-tuple count (the only corpus-sized exchange) + 3-row rollup
+        "k_anonymity_audit": 2,
         # first-seen agg + distinct-activity agg + user join + triangle
         # rollup (the two agg subtrees both partition by user_id)
         "retention_cohorts": 4,
