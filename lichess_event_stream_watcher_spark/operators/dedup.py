@@ -1550,40 +1550,56 @@ def ngram_novelty(
     all recur elsewhere is template chrome; a doc that is mostly
     corpus-unique carries novel text).
 
-    Physical shape — two partial-agg groupBys, NO join back to the
-    exploded shingle table: a df==1 shingle has exactly one owner, so
-    ``min(id)`` computed inside the SAME aggregate as the doc-frequency
-    count IS the owning doc, and the per-doc novel count is a second
-    groupBy over that already-collapsed (distinct-shingle-sized, not
-    corpus-sized) table. Per-doc totals are map-side (``size`` of the
-    un-exploded ``shingle_arrays`` output). A hot boilerplate shingle
-    collapses to a single row in the first partial agg — no skew
-    amplification at any df.
+    Physical shape — ONE evaluation of the gram scan, NO join back to
+    the exploded shingle table: grouping sets (shingle) + (id) compute
+    doc frequencies and per-doc totals in a single Expand(x2) partial
+    agg. A df==1 shingle has exactly one owner, so ``min(id)`` computed
+    inside the SAME aggregate as the doc-frequency count IS the owning
+    doc; a second groupBy over the already-collapsed (distinct-shingle +
+    doc-sized, not corpus-sized) table folds totals and novelty credits
+    into one row per doc. A hot boilerplate shingle collapses to a
+    single row in the first partial agg — no skew amplification at any
+    df.
 
     Output: (id, n_shingles, n_novel) for every doc with >= n tokens.
     """
-    totals = (
-        shingle_arrays(df, n=n, text_col=text_col, id_col=id_col)
-        .select("id", F.size("_grams").alias("n_shingles"))
-        .filter(F.col("n_shingles") > 0)
+    # ONE evaluation of the (regex-heavy) gram scan for BOTH outputs:
+    # grouping sets (shingle) + (id) over the exploded table compute the
+    # doc-frequency groups and the per-doc totals in a single Expand(x2)
+    # + partial agg — vs evaluating the shingle scan twice (once for the
+    # map-side totals, once for the exploded df count; measured ~1.9x
+    # here, the scan dominates). Both grouping-set outputs then collapse
+    # into ONE per-doc rollup: an id-group row carries the doc's total
+    # (its group count), a df==1 shingle-group row carries one novelty
+    # unit credited to its only owner (min(id) == the owner).
+    ex = shingles(df, n=n, text_col=text_col, id_col=id_col).withColumn(
+        "_idc", F.col("id")  # aggregable copy: `id` itself is a grouping column
     )
-    # the exploded side goes through ``shingles`` for its explode_outer
-    # discipline: a plain explode lets InferFiltersFromGenerate push a
-    # size()>0 filter INTO the scan, re-evaluating the whole gram
-    # expression serially below the spread exchange (measured ~4x here)
-    novel = (
-        shingles(df, n=n, text_col=text_col, id_col=id_col)
-        .groupBy("shingle")
-        .agg(F.count("*").alias("_dfq"), F.min("id").alias("id"))
-        .filter(F.col("_dfq") == 1)
+    g = (
+        ex.groupingSets([["shingle"], ["id"]], "shingle", "id")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.min("_idc").alias("_owner"),
+            F.grouping_id().alias("_gid"),
+        )
+    )
+    # grouping_id bits follow the groupBy column order (shingle, id):
+    # the (id) set aggregates shingle away -> gid 0b10 == 2
+    is_id_group = F.col("_gid") == 2
+    per_doc = (
+        g.filter(is_id_group | (F.col("_cnt") == 1))
+        .select(
+            F.coalesce(F.col("id"), F.col("_owner")).alias("id"),
+            F.when(is_id_group, F.col("_cnt")).otherwise(F.lit(0)).alias("_tot"),
+            F.when(is_id_group, F.lit(0)).otherwise(F.lit(1)).alias("_nov"),
+        )
         .groupBy("id")
-        .agg(F.count("*").alias("n_novel"))
+        .agg(
+            F.sum("_tot").cast("bigint").alias("n_shingles"),
+            F.sum("_nov").cast("bigint").alias("n_novel"),
+        )
     )
-    return totals.join(novel, "id", "left").select(
-        "id",
-        F.col("n_shingles").cast("bigint").alias("n_shingles"),
-        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
-    )
+    return per_doc.select("id", "n_shingles", "n_novel")
 
 
 def source_overlap_matrix(

@@ -44,11 +44,22 @@ def _quantize_vec(vec_col: str, quant: int = VEC_Q) -> Column:
 
 
 def _proj_milli(vq: Column, w: list[int]) -> Column:
-    """floor(vq . w / 1e9) with the direction inlined as literals."""
-    dot = None
-    for j, wj in enumerate(w):
-        term = F.element_at(vq, j + 1) * F.lit(int(wj))
-        dot = term if dot is None else dot + term
+    """floor(vq . w / 1e9) with the direction as ONE array literal.
+
+    The array literal matters for iterative use: a complex-typed literal
+    is carried in the codegen references array, not inlined into the
+    generated Java source, so every power-iteration round produces the
+    IDENTICAL source and hits the codegen cache — vs ~1 s/round of
+    recompilation when the direction is spelled as d scalar literals
+    (measured 8.7 s -> ~1 s for 8 rounds at d=64). The integer dot
+    product itself is unchanged (bigint zip_with/aggregate fold ==
+    left-to-right term sum), so quantized trajectories are bit-identical."""
+    w_arr = F.lit([int(wj) for wj in w])
+    dot = F.aggregate(
+        F.zip_with(vq, w_arr, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     return F.floor(dot.cast("double") / F.lit(PROJ_DIV)).cast("bigint")
 
 
@@ -77,20 +88,31 @@ def power_iteration_quantized(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     w = [math.floor(VEC_Q / math.sqrt(dim))] * dim
-    base = emb.select(_quantize_vec(vec_col).alias("vq"))
-    for _ in range(iters):
-        sh = _proj_milli(F.col("vq"), w).alias("sh")
-        row = (
-            base.select(sh, "vq")
-            .agg(
-                *[
-                    F.sum(F.col("sh") * F.element_at("vq", j + 1)).alias(f"_u{j}")
-                    for j in range(dim)
-                ]
+    # Iterative algorithm: quantize ONCE and persist the integer vectors
+    # across all `iters` passes (MEMORY_AND_DISK — at 100 TB the quantized
+    # corpus spills to local disk instead of re-reading + re-quantizing the
+    # source parquet every round, an iters-fold scan saving).
+    from pyspark import StorageLevel
+
+    base = emb.select(_quantize_vec(vec_col).alias("vq")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for _ in range(iters):
+            sh = _proj_milli(F.col("vq"), w).alias("sh")
+            row = (
+                base.select(sh, "vq")
+                .agg(
+                    *[
+                        F.sum(F.col("sh") * F.element_at("vq", j + 1)).alias(f"_u{j}")
+                        for j in range(dim)
+                    ]
+                )
+                .first()
             )
-            .first()
-        )
-        w = _renormalize([int(row[f"_u{j}"]) for j in range(dim)])
+            w = _renormalize([int(row[f"_u{j}"]) for j in range(dim)])
+    finally:
+        base.unpersist()
     return w
 
 

@@ -3582,12 +3582,14 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the content-originality table a dataset card publishes next to the
     boilerplate top-k. All-integer output hash-checks exactly.
 
-    Physical shape: novelty counts are two partial-agg groupBys with no
-    exploded-table join-back (the df==1 owner rides the frequency agg as
-    min(id)); the per-source rollup joins two doc-keyed tables to the
-    (doc_id, source) projection — both equi-joins AQE is free to
-    broadcast or co-partition — then one partial agg on the tiny source
-    dimension."""
+    Physical shape: ONE evaluation of the regex-heavy gram scan —
+    grouping sets (shingle)+(id) over the exploded table compute doc
+    frequencies and per-doc totals in a single Expand(x2) partial agg
+    (the df==1 owner rides the frequency agg as min(id)), which a second
+    per-doc agg collapses into (id, n_shingles, n_novel); the per-source
+    rollup joins that one doc-keyed table to the (doc_id, source)
+    projection — an equi-join AQE is free to broadcast or co-partition —
+    then one partial agg on the tiny source dimension."""
     docs = testdata.load(spark, sf_dir, "documents")
     per_doc = D.ngram_novelty(docs, n=8)
     src = docs.select(F.col("doc_id").alias("id"), "source")

@@ -555,8 +555,9 @@ def test_round4_late_additions_exchange_budgets(spark, sf_dir):
     budgets = {
         "corpus_token_accounting": 3,
         "boilerplate_ngrams": 4,
-        # shingle-df agg + novel-owner re-agg + source rollup; the two
-        # doc-keyed joins broadcast (tiny projections at this SF)
+        # ONE gram scan: grouping-sets Expand(x2) mixed-key agg + the
+        # per-doc total/novel rollup + source rollup; doc-keyed joins
+        # broadcast (tiny projections at this SF)
         "ngram_novelty_profile": 3,
         # centroid partial agg + label rollup; the k-row centroid table
         # broadcasts by explicit hint (bounded at k*dim integers)
