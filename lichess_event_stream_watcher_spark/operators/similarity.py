@@ -16,6 +16,7 @@ bucket-local.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -535,23 +536,50 @@ def pq_fit(
 
 
 def _pq_code_expr(books, vec_col: str):
-    """Map-side PQ encoding expression: per subspace, the argmin-L2
-    codeword index via min over (−2·x·c + |c|², code) structs — |x|² is
-    constant per row so it never needs computing. Pure Catalyst, inlined
-    codeword literals, zero shuffle."""
+    """Map-side PQ encoding: per subspace, the argmin-L2 codeword index
+    via min over (−2·x·c + |c|²) — |x|² is constant per row so it never
+    needs computing. Arrow-batched Pandas UDF, zero shuffle.
+
+    Why a Pandas UDF and not Catalyst: exact encode is m·k·dsub FLOPs
+    per row (16·256·4 = 16k here). Spelled as a scalar expression tree
+    that's 16k nodes — far past the JIT method-size limit, so it
+    evaluates INTERPRETED at ~1 ms/row (9 CPU-days per 1e9 vectors);
+    higher-order functions are interpreted per element too. The numpy
+    form runs the same arithmetic vectorized over the Arrow batch at
+    ~µs/row. Determinism is preserved exactly: the per-codeword dot is
+    an explicit left fold of elementwise vector ops — acc = (((0 +
+    x₁c₁) + x₂c₂) + …) — each step IEEE-identical to the scalar chain
+    the DuckDB oracle evaluates, the norms are the same driver-side
+    ``_self_dot_py`` doubles, and ``np.argmin``'s first-minimum tie
+    break equals the (distance, code) struct-min's ascending-code rule."""
+    import numpy as np
+
     m = len(books)
     dsub = books[0].shape[1]
-    codes = []
-    for j in range(m):
-        lo = j * dsub + 1  # slice() is 1-based
-        sub = f"slice(cast({vec_col} as array<double>), {lo}, {dsub})"
-        cands = []
-        for c, cv in enumerate(books[j]):
-            dot = _dot_sql(sub, list(map(float, cv)))
-            nb = _self_dot_py(cv)
-            cands.append(F.struct(F.expr(f"-2.0D * ({dot}) + {nb!r}D"), F.lit(c)))
-        codes.append(F.array_min(F.array(*cands))["col2"])
-    return F.array(*codes)
+    books_py = [[[float(x) for x in cv] for cv in book] for book in books]
+    norms_py = [[_self_dot_py(cv) for cv in book] for book in books]
+    k = len(books_py[0])
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        n = len(X)
+        out = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            scores = np.empty((n, k), dtype=np.float64)
+            for c in range(k):
+                cv = books_py[j][c]
+                acc = np.zeros(n, dtype=np.float64)
+                for t in range(dsub):
+                    acc = acc + sub[:, t] * cv[t]
+                scores[:, c] = -2.0 * acc + norms_py[j][c]
+            out[:, j] = np.argmin(scores, axis=1)
+        return pd.Series(list(out))
+
+    return encode(F.col(vec_col).cast("array<double>"))
 
 
 def pq_encode(
@@ -591,25 +619,20 @@ def pq_ann_topk(
     m = len(books)
     dsub = books[0].shape[1]
     coded = pq_encode(emb, books, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
-    qtabs = []
-    for qid in sorted(qrows):
-        qv = qrows[qid]
-        tab = [
-            [_fold_dot_py(qv[j * dsub : (j + 1) * dsub], cv) for cv in books[j]]
-            for j in range(m)
-        ]
-        tab_sql = (
-            "array(" + ", ".join(
-                "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in tab
-            ) + ")"
+    qtab_rows = [
+        (
+            int(qid),
+            [
+                [_fold_dot_py(qrows[qid][j * dsub : (j + 1) * dsub], cv) for cv in books[j]]
+                for j in range(m)
+            ],
         )
-        qtabs.append((qid, tab_sql))
-    q = None
-    for qid, tab_sql in qtabs:
-        row = F.expr(f"named_struct('query_id', {qid}L, 'tab', {tab_sql})")
-        q = F.array(row) if q is None else F.concat(q, F.array(row))
-    queries = emb.sparkSession.range(1).select(F.explode(q).alias("q")).select(
-        F.col("q.query_id"), F.col("q.tab")
+        for qid in sorted(qrows)
+    ]
+    # createDataFrame instead of an m*k-literal SQL string per query: the
+    # ADC tables arrive as data (zero parse/analyze cost), same doubles
+    queries = emb.sparkSession.createDataFrame(
+        qtab_rows, "query_id bigint, tab array<array<double>>"
     )
     score = F.expr(
         "aggregate(zip_with(codes, tab, (c, row) -> element_at(row, cast(c as int) + 1)),"
