@@ -751,14 +751,26 @@ _HEX = "0123456789abcdef"
 
 def hamming_hex_sql(a: str, b: str, n_hex: int = 16, xor_fn: str = "spark") -> str:
     """Hamming distance between two n_hex-char hex strings as a statically
-    unrolled SQL expression (per-nibble XOR popcount) — dialect-portable:
-    Spark spells xor ``^``, DuckDB spells it ``xor()``."""
+    unrolled SQL expression — dialect-portable. The Spark variant converts
+    4-hex-char words through ``conv`` (2 string ops per word pair instead
+    of 8 per-nibble instr probes — the verification is the per-candidate
+    hot path); the DuckDB variant keeps the per-nibble XOR popcount
+    (DuckDB has no conv). Identical values."""
     terms = []
+    if xor_fn == "spark":
+        for i in range(0, n_hex - n_hex % 4, 4):
+            wa = f"CAST(conv(substr({a}, {i + 1}, 4), 16, 10) AS BIGINT)"
+            wb = f"CAST(conv(substr({b}, {i + 1}, 4), 16, 10) AS BIGINT)"
+            terms.append(f"bit_count({wa} ^ {wb})")
+        for i in range(n_hex - n_hex % 4 + 1, n_hex + 1):
+            va = f"(instr('{_HEX}', substr({a}, {i}, 1)) - 1)"
+            vb = f"(instr('{_HEX}', substr({b}, {i}, 1)) - 1)"
+            terms.append(f"bit_count({va} ^ {vb})")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
     for i in range(1, n_hex + 1):
         va = f"(instr('{_HEX}', substr({a}, {i}, 1)) - 1)"
         vb = f"(instr('{_HEX}', substr({b}, {i}, 1)) - 1)"
-        x = f"({va} ^ {vb})" if xor_fn == "spark" else f"xor({va}, {vb})"
-        terms.append(f"bit_count({x})")
+        terms.append(f"bit_count(xor({va}, {vb}))")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
@@ -834,11 +846,28 @@ def simhash64(
         .withColumn("th", F.md5(F.col("tok")))
     )
 
-    def bit(j: int) -> Column:
-        nibble_val = F.expr(f"instr('{_HEX}', substr(th, {j // 4 + 1}, 1))") - 1
-        return F.floor(nibble_val / F.lit(2 ** (j % 4))).cast("int") % 2
+    # 4 conv() hex->int words per token instead of 64 per-bit substr+instr
+    # string probes (measured ~1.5 s of the agg stage at sf0.1): word i
+    # packs hex chars [4i, 4i+4) with char 4i most significant, so hex
+    # char k = (w[k//4] >> 4*(3 - k%4)) & 15 and signature bit j (bit j%4
+    # of nibble j//4, LSB-first — the original convention) is one
+    # shiftright+mask. Bit values are identical; the oracle is untouched.
+    words = toks.select(
+        "id",
+        *[
+            F.conv(F.substring("th", 1 + 4 * i, 4), 16, 10)
+            .cast("int")
+            .alias(f"_w{i}")
+            for i in range(4)
+        ],
+    )
 
-    sums = toks.groupBy("id").agg(
+    def bit(j: int) -> Column:
+        k = j // 4  # hex char index
+        shift = 4 * (3 - k % 4) + (j % 4)
+        return F.shiftright(F.col(f"_w{k // 4}"), shift).bitwiseAND(F.lit(1))
+
+    sums = words.groupBy("id").agg(
         *[F.sum(bit(j) * 2 - 1).alias(f"_s{j}") for j in range(64)]
     )
     nib_chars = [
