@@ -841,17 +841,27 @@ def _quantize_vec(vec_col: str, quant: int):
 def _nearest_quantized_cell(vq, cents_q: list[list[int]]):
     """Argmin-L2 cell over literal integer centroids as a map-side Column:
     integer fold distances (order-free), lexicographic struct sort breaks
-    ties by cent_id. Everything integer -> bit-identical in any engine."""
-    structs = []
-    for cid, c in enumerate(cents_q):
-        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        d = F.aggregate(
-            F.zip_with(vq, lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        structs.append(F.struct(d.alias("d"), F.lit(cid).cast("bigint").alias("cid")))
-    return F.array_sort(F.array(*structs))[0]["cid"]
+    ties by cent_id. Everything integer -> bit-identical in any engine.
+
+    The centroids ride as ONE nested array literal (not k*dim scalar
+    literals): complex literals sit in the codegen references array, so
+    every Lloyd iteration — whose centroid VALUES change — generates the
+    identical Java source and hits the codegen cache instead of
+    recompiling a k*dim-node tree per round (same finding as
+    operators/pca.py)."""
+    cents_lit = F.lit([[int(x) for x in c] for c in cents_q])
+    structs = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vq, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("bigint").alias("cid"),
+        ),
+    )
+    return F.array_sort(structs)[0]["cid"]
 
 
 def kmeans_fit_quantized(
