@@ -76,6 +76,8 @@ HEADLINE = [
     "embedding_robust_stats",
     "interval_join_attribution",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_kmeans_cells_q",
     "bpe_merge_ranks",
     "bm25_rsj_topk",
     "dsir_importance_q",
