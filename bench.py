@@ -343,6 +343,16 @@ def main() -> None:
     # warm the JVM + parquet footer cache once so timings measure the query
     evaluate(registry[names[0]](spark, sf_dir))
 
+    def full_gc() -> None:
+        # Between-entry hygiene, OUTSIDE every timed region: a ~100-query
+        # single-JVM run accumulates broadcast blocks, shuffle files, and
+        # codegen/GC debt whose asynchronous cleanup otherwise lands
+        # inside LATER queries' measurements (observed +30-50% inflation
+        # on late-run entries vs a fresh JVM). A synchronous full GC per
+        # entry makes the ContextCleaner's reference-queue processing
+        # happen between measurements instead of during them.
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -354,17 +364,22 @@ def main() -> None:
             evaluate(registry[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        full_gc()
     timings["dedup_pipeline_shared"] = round(
         min(bench_dedup_pipeline_shared(spark, sf_dir) for _ in range(2)), 3
     )
+    full_gc()
     t0 = time.perf_counter()
     registry["curation_pipeline_counts"](spark, sf_dir).count()
     timings["curation_pipeline_counts"] = round(time.perf_counter() - t0, 3)
+    full_gc()
     probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
     timings["dedup_incremental_indexed"] = round(min(r[0] for r in probe_runs), 3)
     timings["dedup_incremental_smj"] = round(min(r[1] for r in probe_runs), 3)
+    full_gc()
     engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(2)), 3)
     timings["engine_batch"] = engine_sec
+    full_gc()
     # wall-time at small SF is dominated by fixed per-batch overhead;
     # events/sec is the quantity that scales, so report it alongside
     n_events = testdata.signups_df(spark, sf_dir).count()

@@ -66,12 +66,20 @@ def doc_features(text: Column, n_chars: Column) -> list[Column]:
 
 
 def _score_q(xs: list[Column], weights: list[int]) -> Column:
-    """Micro-unit hard-sigmoid probability under inlined integer weights:
-    z = floor(w.x / 1000), p = clamp(floor(z/4) + 500000, 0, 1000000)."""
-    dot = None
-    for w, x in zip(weights, xs):
-        term = F.lit(int(w)).cast("bigint") * x
-        dot = term if dot is None else dot + term
+    """Micro-unit hard-sigmoid probability under integer weights:
+    z = floor(w.x / 1000), p = clamp(floor(z/4) + 500000, 0, 1000000).
+
+    The weight vector rides as ONE array literal so every GD iteration —
+    whose weight VALUES change — generates identical codegen source and
+    hits the compiler cache (see SCALE.md "Expression-size regimes").
+    The dot is an integer fold — order-independent, same values as the
+    inlined term chain."""
+    w_lit = F.lit([int(w) for w in weights])
+    dot = F.aggregate(
+        F.zip_with(F.array(*xs), w_lit, lambda x, w: x * w),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
     z = F.floor(dot.cast("double") / F.lit(float(FEAT_Q))).cast("bigint")
     p = F.floor(z.cast("double") / F.lit(float(SIG_SLOPE_DEN))).cast("bigint") + F.lit(HALF_Q)
     return F.least(F.greatest(p, F.lit(0).cast("bigint")), F.lit(PROB_Q).cast("bigint"))
@@ -88,25 +96,34 @@ def lr_fit_quantized(
     starting from the zero vector.  ``feats``: one row per example with
     BIGINT milli-unit features and a 0/1 label.  Per round: one map-side
     scoring projection + one partial agg of d sums and a count (d+1
-    numbers to the driver) — no other exchange, no corpus caching (the
-    lineage is iters map stages deep, linear and checkpoint-free)."""
+    numbers to the driver) — no other exchange. The (tiny — d+1 bigints
+    per example) feature frame persists across the ``iters`` passes so
+    the upstream feature extraction (regex-heavy when derived from raw
+    text) runs once, not once per round; spilled to local disk at scale
+    instead of re-reading the source."""
+    from pyspark import StorageLevel
+
     xs = [F.col(c) for c in feat_cols]
     weights = [0] * len(feat_cols)
-    for _ in range(iters):
-        r = (F.col(label_col).cast("bigint") * F.lit(PROB_Q) - _score_q(xs, weights)).alias("_r")
-        row = (
-            feats.select(r.alias("_r"), *feat_cols)
-            .agg(
-                F.count("*").alias("_n"),
-                *[F.sum(F.col("_r") * F.col(c)).alias(f"_g{j}") for j, c in enumerate(feat_cols)],
+    feats = feats.select(label_col, *feat_cols).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(iters):
+            r = (F.col(label_col).cast("bigint") * F.lit(PROB_Q) - _score_q(xs, weights)).alias("_r")
+            row = (
+                feats.select(r.alias("_r"), *feat_cols)
+                .agg(
+                    F.count("*").alias("_n"),
+                    *[F.sum(F.col("_r") * F.col(c)).alias(f"_g{j}") for j, c in enumerate(feat_cols)],
+                )
+                .first()
             )
-            .first()
-        )
-        n = int(row["_n"])
-        weights = [
-            w + math.floor(int(row[f"_g{j}"]) / (n * FEAT_Q * LR_DEN))
-            for j, w in enumerate(weights)
-        ]
+            n = int(row["_n"])
+            weights = [
+                w + math.floor(int(row[f"_g{j}"]) / (n * FEAT_Q * LR_DEN))
+                for j, w in enumerate(weights)
+            ]
+    finally:
+        feats.unpersist()
     return weights
 
 
