@@ -588,6 +588,49 @@ def test_pq_ann_recall_beats_noise_floor(spark, sf_dir):
     assert hits / sum(len(v) for v in exact.values()) >= 0.3
 
 
+def test_pq_encode_matches_scalar_reference(spark, sf_dir):
+    """The Arrow-batched encode must be BIT-EQUAL to the scalar
+    left-fold argmin chain the DuckDB oracle evaluates: same fold order
+    (acc = (((0 + x1*c1) + x2*c2) + ...)), first-minimum tie break ==
+    ascending code id. Checked on the real corpus plus an adversarial
+    vector equidistant between two codewords (the tie must go to the
+    LOWER code)."""
+    emb = testdata.load(spark, sf_dir, "embeddings").limit(64)
+    books = S.pq_fit(emb, m=16, k=16)
+
+    def scalar_codes(vec):
+        out = []
+        for j, book in enumerate(books):
+            sub = vec[j * 4 : (j + 1) * 4]
+            best = None
+            for c, cv in enumerate(book):
+                acc = 0.0
+                for x, y in zip(sub, cv):
+                    acc += float(x) * float(y)
+                nb = 0.0
+                for y in cv:
+                    nb += float(y) * float(y)
+                d = -2.0 * acc + nb
+                if best is None or d < best[0]:
+                    best = (d, c)
+            out.append(best[1])
+        return out
+
+    got = {r.vec_id: list(r.codes) for r in S.pq_encode(emb, books).collect()}
+    rows = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    assert got.keys() == rows.keys()
+    for vid, vec in rows.items():
+        assert got[vid] == scalar_codes(vec), vid
+    # adversarial tie: a vector exactly between codewords 0 and 1 of every
+    # subspace must encode to the LOWER code wherever the distances tie
+    mid = []
+    for book in books:
+        mid.extend((float(a) + float(b)) / 2.0 for a, b in zip(book[0], book[1]))
+    tie_df = spark.createDataFrame([(0, mid)], "vec_id bigint, embedding array<double>")
+    tie_codes = S.pq_encode(tie_df, books).collect()[0].codes
+    assert list(tie_codes) == scalar_codes(mid)
+
+
 def test_frozen_artifact_pq_recall(spark, sf_dir):
     """The frozen-artifact serving queries (ann_pq_topk / ann_ivfpq_topk)
     must still beat the recall noise floor even though their codebooks
