@@ -16,7 +16,6 @@ bucket-local.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -553,33 +552,59 @@ def _pq_code_expr(books, vec_col: str):
     ``_self_dot_py`` doubles, and ``np.argmin``'s first-minimum tie
     break equals the (distance, code) struct-min's ascending-code rule."""
     import numpy as np
+    import pandas as pd
 
     m = len(books)
     dsub = books[0].shape[1]
+    dim = m * dsub
     books_py = [[[float(x) for x in cv] for cv in book] for book in books]
     norms_py = [[_self_dot_py(cv) for cv in book] for book in books]
     k = len(books_py[0])
 
-    @F.pandas_udf("array<int>")
-    def encode(vecs: pd.Series) -> pd.Series:
+    def encode(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        n = len(X)
-        out = np.empty((n, m), dtype=np.int32)
-        for j in range(m):
-            sub = X[:, j * dsub : (j + 1) * dsub]
-            scores = np.empty((n, k), dtype=np.float64)
-            for c in range(k):
-                cv = books_py[j][c]
-                acc = np.zeros(n, dtype=np.float64)
-                for t in range(dsub):
-                    acc = acc + sub[:, t] * cv[t]
-                scores[:, c] = -2.0 * acc + norms_py[j][c]
-            out[:, j] = np.argmin(scores, axis=1)
-        return pd.Series(list(out))
+        rows = vecs.tolist()
+        # a NULL or short embedding row yields NULL codes — the row-level
+        # verdict the Catalyst expression form returned — instead of
+        # np.array raising on the ragged batch and aborting the task
+        valid = [
+            i
+            for i, v in enumerate(rows)
+            if v is not None
+            and len(v) >= dim
+            and not any(x is None for x in v[:dim])
+        ]
+        result = [None] * len(rows)
+        if valid:
+            X = np.array([rows[i][:dim] for i in valid], dtype=np.float64)
+            n = len(X)
+            out = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                scores = np.empty((n, k), dtype=np.float64)
+                for c in range(k):
+                    cv = books_py[j][c]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for t in range(dsub):
+                        acc = acc + sub[:, t] * cv[t]
+                    scores[:, c] = -2.0 * acc + norms_py[j][c]
+                # NaN distance = "infinitely far": Spark's struct min and
+                # the DuckDB oracle both sort NaN GREATEST; np.argmin
+                # would sort it first, so remap before the argmin (ties
+                # among +inf resolve to the lowest code, same as the
+                # struct-min's cid tie break on equal NaNs)
+                scores[np.isnan(scores)] = np.inf
+                out[:, j] = np.argmin(scores, axis=1)
+            for row_idx, codes in zip(valid, out):
+                result[row_idx] = [int(c) for c in codes]
+        return pd.Series(result)
 
-    return encode(F.col(vec_col).cast("array<double>"))
+    # annotations set programmatically so pandas stays a lazy import
+    # (module convention: heavy deps import inside the functions needing
+    # them) while pandas_udf's type-hint inference sees real class objects
+    encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<int>")(encode)(F.col(vec_col).cast("array<double>"))
 
 
 def pq_encode(
@@ -664,11 +689,11 @@ def ivfpq_ann_topk(
     """The full FAISS-style serving path: IVF coarse cells bound the
     candidate set (each query touches ``nprobe`` cells, not the corpus),
     PQ codes make the per-candidate cost m table lookups instead of a
-    d-dim dot product. Corpus side = one map-side projection (cell id +
-    codes, both inlined-literal Catalyst); query side = tiny driver
-    tables; the join is cell-local with the probe side broadcast. At
-    100 TB: corpus scanned once, never shuffled, candidates ~ corpus/
-    (cells/nprobe), each candidate scored in m adds."""
+    d-dim dot product. Corpus side = one map-side projection (cell id via
+    inlined-literal Catalyst, codes via the Arrow-batched encode); query
+    side = tiny driver tables; the join is cell-local with the probe side
+    broadcast. At 100 TB: corpus scanned once, never shuffled, candidates
+    ~ corpus/(cells/nprobe), each candidate scored in m adds."""
     import numpy as np
 
     m = len(books)
@@ -684,22 +709,21 @@ def ivfpq_ann_topk(
     probes = nearest_cells(
         emb.filter(F.col(id_col).isin(query_ids)), centroids, nprobe, id_col, vec_col
     ).select(F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell"))
-    tab_rows = []
-    for qid in sorted(qvecs):
-        qv = qvecs[qid]
-        tab = [
-            [_fold_dot_py(qv[j * dsub : (j + 1) * dsub], cv) for cv in books[j]]
-            for j in range(m)
-        ]
-        tab_sql = (
-            "array(" + ", ".join(
-                "array(" + ", ".join(f"{x!r}D" for x in row) + ")" for row in tab
-            ) + ")"
+    # ADC tables arrive as data via createDataFrame (zero parse/analyze
+    # cost — same rationale as pq_ann_topk), same doubles
+    tab_rows = [
+        (
+            int(qid),
+            [
+                [_fold_dot_py(qvecs[qid][j * dsub : (j + 1) * dsub], cv) for cv in books[j]]
+                for j in range(m)
+            ],
         )
-        tab_rows.append(f"named_struct('query_id', {qid}L, 'tab', {tab_sql})")
-    tabs = emb.sparkSession.range(1).select(
-        F.explode(F.expr("array(" + ", ".join(tab_rows) + ")")).alias("q")
-    ).select(F.col("q.query_id"), F.col("q.tab"))
+        for qid in sorted(qvecs)
+    ]
+    tabs = emb.sparkSession.createDataFrame(
+        tab_rows, "query_id bigint, tab array<array<double>>"
+    )
     score = F.expr(
         "aggregate(zip_with(codes, tab, (c, row) -> element_at(row, cast(c as int) + 1)),"
         " 0.0D, (acc, x) -> acc + x)"

@@ -2511,8 +2511,10 @@ def test_join_key_profile_invariants(spark, sf_dir):
 
 
 def test_k_anonymity_partitions_the_corpus(spark, sf_dir):
-    """The three risk buckets partition the corpus exactly, and bucket
-    membership matches a brute-force group-size recount."""
+    """The three risk buckets partition the corpus exactly: EVERY
+    bucket's (n_groups, n_docs) equals a brute-force group-size recount
+    — a bug that misroutes groups between buckets with compensating doc
+    counts cannot pass."""
     from pyspark.sql import functions as SF
 
     from lichess_event_stream_watcher_spark import testdata
@@ -2520,8 +2522,10 @@ def test_k_anonymity_partitions_the_corpus(spark, sf_dir):
 
     docs = testdata.load(spark, sf_dir, "documents")
     n = docs.count()
-    rows = {r["risk_bucket"]: r for r in all_queries()["k_anonymity_audit"](spark, sf_dir).collect()}
-    assert sum(r["n_docs"] for r in rows.values()) == n
+    rows = {
+        r["risk_bucket"]: (r["n_groups"], r["n_docs"])
+        for r in all_queries()["k_anonymity_audit"](spark, sf_dir).collect()
+    }
     sizes = [
         r[0]
         for r in docs.groupBy("source", "lang", SF.expr("div(n_chars, 200)"))
@@ -2529,8 +2533,10 @@ def test_k_anonymity_partitions_the_corpus(spark, sf_dir):
         .select("count")
         .collect()
     ]
-    assert rows.get("unique", {"n_groups": 0})["n_groups"] == sum(1 for c in sizes if c == 1) or \
-        ("unique" not in rows and not any(c == 1 for c in sizes))
-    small = [c for c in sizes if 1 < c < 5]
-    if small:
-        assert rows["small"]["n_docs"] == sum(small)
+    expected = {}
+    for c in sizes:
+        b = "unique" if c == 1 else ("small" if c < 5 else "anonymous")
+        g, d = expected.get(b, (0, 0))
+        expected[b] = (g + 1, d + c)
+    assert rows == expected
+    assert sum(d for _, d in rows.values()) == n
