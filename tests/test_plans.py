@@ -90,6 +90,23 @@ def test_ann_primitives_are_map_side(spark, sf_dir):
     assert "Exchange" not in p and "Join" not in p
 
 
+def test_pq_encode_is_arrow_batched_and_map_side(spark, sf_dir):
+    """PQ encode must stay on the Arrow path (ArrowEvalPython) with zero
+    shuffle and zero join: the exact argmin-L2 encode is 16k FLOPs/row —
+    as a Catalyst scalar tree it exceeds the JIT method limit and runs
+    interpreted at ~1 ms/row (see SCALE.md "Expression-size regimes"), so
+    a revert to an expression spelling is a ~1000x per-row regression
+    this pin exists to catch."""
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    from lichess_event_stream_watcher_spark.artifacts import pq_books
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    p = plan_str(S.pq_encode(emb, pq_books()))
+    assert "ArrowEvalPython" in p, p
+    assert "Exchange" not in p and "Join" not in p
+
+
 def test_ivf_candidate_join_is_broadcast(spark, sf_dir):
     """The IVF probe join must broadcast the tiny probe side; the corpus
     side must not be exchanged for the join itself."""
