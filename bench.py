@@ -1,9 +1,15 @@
 """Headline benchmark: runs the engine's flagship queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is collected to the driver (count only) to force full execution.
+Output contract (round 5+): the FINAL stdout line is ONE compact JSON
+summary — {"metric": ..., "value": total_sec, "unit": "sec", "n_queries":
+N, "engine_events_per_sec": ..., "streaming_engine_events_per_sec": ...,
+"sf": ...} — sized to survive a bounded stdout-tail capture. The full
+per-query timing dict (plus the curation pipeline's per-stage breakdown)
+is written to BENCH_DETAIL.json at the repo root.
+
+Each query is evaluated through a noop-sink write (full-column evaluation;
+see SCALE.md "Benchmark honesty").
 """
 
 from __future__ import annotations
@@ -343,6 +349,13 @@ def main() -> None:
     # warm the JVM + parquet footer cache once so timings measure the query
     evaluate(registry[names[0]](spark, sf_dir))
 
+    # The incremental-probe pair runs FIRST, in a freshly-warmed JVM:
+    # rounds 3-4 showed +30% driver-vs-local swings on this family when it
+    # ran ~90 queries deep (accumulated shuffle-file/codegen-cache debt
+    # landing inside its measurement). Front-running it separates
+    # bench-order debt from real probe cost.
+    probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
+
     def full_gc() -> None:
         # Between-entry hygiene, OUTSIDE every timed region: a ~100-query
         # single-JVM run accumulates broadcast blocks, shuffle files, and
@@ -354,6 +367,8 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    timings["dedup_incremental_indexed"] = round(min(r[0] for r in probe_runs), 3)
+    timings["dedup_incremental_smj"] = round(min(r[1] for r in probe_runs), 3)
     for name in names:
         best = float("inf")
         # min-of-3: strip first-touch JIT/codegen noise AND the occasional
@@ -369,13 +384,19 @@ def main() -> None:
         min(bench_dedup_pipeline_shared(spark, sf_dir) for _ in range(2)), 3
     )
     full_gc()
+    # The composed pipeline is timed through curate_corpus directly (same
+    # work the curation_pipeline_counts query runs) so the 25-30 s
+    # composition is attributable stage by stage in the detail file.
+    from lichess_event_stream_watcher_spark import testdata as _td
+    from lichess_event_stream_watcher_spark.pipeline import curate_corpus
+
+    curation_stages: dict[str, float] = {}
     t0 = time.perf_counter()
-    registry["curation_pipeline_counts"](spark, sf_dir).count()
+    chunks, _counts = curate_corpus(
+        _td.load(spark, sf_dir, "documents"), stage_seconds=curation_stages
+    )
+    chunks.unpersist()
     timings["curation_pipeline_counts"] = round(time.perf_counter() - t0, 3)
-    full_gc()
-    probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
-    timings["dedup_incremental_indexed"] = round(min(r[0] for r in probe_runs), 3)
-    timings["dedup_incremental_smj"] = round(min(r[1] for r in probe_runs), 3)
     full_gc()
     engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(2)), 3)
     timings["engine_batch"] = engine_sec
@@ -386,24 +407,49 @@ def main() -> None:
     import tempfile
 
     stream_sec, stream_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
+    total = round(sum(timings.values()), 3)
+    engine_eps = round(n_events / engine_sec, 1)
+    stream_eps = round(stream_n / stream_sec, 1)
+    # Full per-query detail goes to a repo file (the ~3.5 KB queries dict
+    # outgrew the driver's stdout-tail capture in round 4 — BENCH_r04.json
+    # came back parsed:null); stdout's FINAL line is a compact ~200-byte
+    # summary that always fits the tail.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        # round 4+: full-evaluation noop-sink action (earlier rounds
+        # timed .count(), which underreports map-heavy queries — see
+        # SCALE.md "Benchmark honesty"); totals are not comparable
+        # across that boundary
+        "action": "noop-write",
+        "n_queries": len(timings),
+        "queries": timings,
+        "curation_stage_seconds": curation_stages,
+        "engine_events_per_sec": engine_eps,
+        "streaming_engine_events_per_sec": stream_eps,
+        "sf": sf,
+    }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                # round 4+: full-evaluation noop-sink action (earlier
-                # rounds timed .count(), which underreports map-heavy
-                # queries — see SCALE.md "Benchmark honesty"); totals are
-                # not comparable across that boundary
                 "action": "noop-write",
                 "n_queries": len(timings),
-                "queries": timings,
-                "engine_events_per_sec": round(n_events / engine_sec, 1),
-                "streaming_engine_events_per_sec": round(stream_n / stream_sec, 1),
+                "engine_events_per_sec": engine_eps,
+                "streaming_engine_events_per_sec": stream_eps,
                 "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
-        )
+        ),
+        flush=True,
     )
 
 

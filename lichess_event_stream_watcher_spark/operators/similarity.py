@@ -568,16 +568,24 @@ def _pq_code_expr(books, vec_col: str):
         # a NULL or short embedding row yields NULL codes — the row-level
         # verdict the Catalyst expression form returned — instead of
         # np.array raising on the ragged batch and aborting the task
-        valid = [
-            i
-            for i, v in enumerate(rows)
-            if v is not None
-            and len(v) >= dim
-            and not any(x is None for x in v[:dim])
-        ]
+        cand = [i for i, v in enumerate(rows) if v is not None and len(v) >= dim]
         result = [None] * len(rows)
+        if cand:
+            X = np.array([rows[i][:dim] for i in cand], dtype=np.float64)
+            # In-list NULL elements arrive as NaN inside the float64
+            # ndarray (Arrow's list<double> null slots — `x is None` never
+            # fires on this path), so the NULL-element check must be a NaN
+            # check on the converted batch. Rows with any NaN/NULL element
+            # get NULL codes, same row-level verdict as a NULL embedding;
+            # a genuine NaN payload value is indistinguishable from a NULL
+            # slot post-Arrow and deliberately shares that verdict
+            # (pinned in tests/test_similarity.py).
+            ok = ~np.isnan(X).any(axis=1)
+            valid = [i for i, good in zip(cand, ok) if good]
+            X = X[ok]
+        else:
+            valid = []
         if valid:
-            X = np.array([rows[i][:dim] for i in valid], dtype=np.float64)
             n = len(X)
             out = np.empty((n, m), dtype=np.int32)
             for j in range(m):

@@ -29,6 +29,8 @@ the dedup graph machinery.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,6 +48,7 @@ def curate_corpus(
     chunk_tokens: int = 64,
     chunk_overlap: int = 8,
     mix_source_col: str = "lang",
+    stage_seconds: dict[str, float] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation DAG over a ``documents``-shaped frame
     (doc_id, text, lang, source, n_chars).
@@ -68,12 +71,25 @@ def curate_corpus(
     OOM at real scale). The returned chunks frame stays persisted — the
     caller owns its lifetime.
     """
+    # Stage attribution (bench only): each persist+count materializes its
+    # stage, so wall time between consecutive counts IS that stage's cost.
+    _t = time.perf_counter()
+
+    def _stamp(stage: str) -> None:
+        nonlocal _t
+        if stage_seconds is not None:
+            now = time.perf_counter()
+            stage_seconds[stage] = round(now - _t, 3)
+            _t = now
+
     counts: dict[str, int] = {"input": docs.count()}
+    _stamp("input")
 
     # 1. exact dedup: keep the min-id doc per content fingerprint
     keep_exact = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
     docs1 = docs.join(keep_exact, "doc_id", "left_semi").persist()
     counts["exact_dedup"] = docs1.count()
+    _stamp("exact_dedup")
 
     # 2. near-dup removal: Jaccard pairs -> connected components -> min-id
     pairs = D.jaccard_pairs(docs1, n=2, threshold=jaccard_threshold)
@@ -83,6 +99,7 @@ def curate_corpus(
     )
     docs2 = docs1.join(canon, "doc_id", "left_semi").persist()
     counts["near_dedup"] = docs2.count()
+    _stamp("near_dedup")
     docs1.unpersist()
 
     # 3. quality gate: repetition + lexicon + language signals, every doc
@@ -108,6 +125,7 @@ def curate_corpus(
         .drop("_keep_rep", "_keep_lex", "_keep_lang")
     ).persist()
     counts["quality_gate"] = gated.count()
+    _stamp("quality_gate")
     docs2.unpersist()
 
     # 4. PII scrub (map-side; the redacted text replaces the original)
@@ -124,6 +142,7 @@ def curate_corpus(
     )
     sampled = scrubbed.join(kept_ids, "doc_id", "left_semi").persist()
     counts["mix_sample"] = sampled.count()
+    _stamp("mix_sample")
     gated.unpersist()
 
     # 6. split assignment (pure function of the id)
@@ -138,6 +157,7 @@ def curate_corpus(
         carry_cols=["split", "lang", "source"],
     ).persist()
     counts["chunks"] = chunks.count()
+    _stamp("chunks")
     sampled.unpersist()
 
     if out_dir is not None:

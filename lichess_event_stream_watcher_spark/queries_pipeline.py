@@ -4591,7 +4591,7 @@ s AS (
 )
 SELECT event_type, n,
        CAST(floor(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) AS slope_q
+                  / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)) AS BIGINT) AS slope_q
 FROM s"""
 
 
@@ -4625,9 +4625,14 @@ def ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col("sx").cast(
         "double"
     ) * F.col("sx").cast("double")
-    return s.select(
-        "event_type", "n", F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("slope_q")
-    )
+    # den == 0 (a type whose points all share one hour) must be NULL on
+    # BOTH engines: unguarded, Spark's floor(inf)->bigint silently nulls
+    # while DuckDB errors on CAST(nan AS BIGINT) — a data-dependent
+    # parity break. The explicit when() + oracle nullif pin it.
+    slope = F.when(
+        den != F.lit(0.0), F.floor(F.lit(1000000.0) * num / den).cast("bigint")
+    ).alias("slope_q")
+    return s.select("event_type", "n", slope)
 
 
 _CUSUM_ORACLE = f"""WITH hourly AS (
@@ -4815,8 +4820,8 @@ sxy AS (
 SELECT p1.event_type AS t1, p2.event_type AS t2, g.nh AS n_hours,
        CAST(floor(1000000.0 *
             (CAST(g.nh AS DOUBLE) * CAST(COALESCE(x.sxy, 0) AS DOUBLE) - CAST(p1.s AS DOUBLE) * CAST(p2.s AS DOUBLE))
-            / (sqrt(CAST(g.nh AS DOUBLE) * CAST(p1.ss AS DOUBLE) - CAST(p1.s AS DOUBLE) * CAST(p1.s AS DOUBLE))
-               * sqrt(CAST(g.nh AS DOUBLE) * CAST(p2.ss AS DOUBLE) - CAST(p2.s AS DOUBLE) * CAST(p2.s AS DOUBLE)))) AS BIGINT) AS corr_micro
+            / nullif(sqrt(CAST(g.nh AS DOUBLE) * CAST(p1.ss AS DOUBLE) - CAST(p1.s AS DOUBLE) * CAST(p1.s AS DOUBLE))
+               * sqrt(CAST(g.nh AS DOUBLE) * CAST(p2.ss AS DOUBLE) - CAST(p2.s AS DOUBLE) * CAST(p2.s AS DOUBLE)), 0.0)) AS BIGINT) AS corr_micro
 FROM stats p1 JOIN stats p2 ON p1.event_type < p2.event_type
 CROSS JOIN grid g
 LEFT JOIN sxy x ON x.t1 = p1.event_type AND x.t2 = p2.event_type"""
@@ -4884,12 +4889,14 @@ def hourly_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(nhd * F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")) * F.sqrt(
         nhd * F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2").cast("double")
     )
-    return pairs.select(
-        "t1",
-        "t2",
-        F.lit(nh).cast("bigint").alias("n_hours"),
-        F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("corr_micro"),
-    )
+    # A constant hourly series makes its sqrt-variance factor 0: Spark's
+    # floor(inf/nan)->bigint silently nulls while DuckDB errors on the
+    # cast — guard den == 0 to NULL explicitly on both sides (oracle:
+    # nullif), so zero-variance pairs return NULL consistently.
+    corr = F.when(
+        den != F.lit(0.0), F.floor(F.lit(1000000.0) * num / den).cast("bigint")
+    ).alias("corr_micro")
+    return pairs.select("t1", "t2", F.lit(nh).cast("bigint").alias("n_hours"), corr)
 
 
 _CRAMERS_ORACLE = """WITH cells AS (

@@ -34,5 +34,9 @@ def get_spark(app_name: str = "lesw-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-parseable: console progress bars write \r
+        # frames that can interleave with (and truncate) the final JSON
+        # line a harness captures from the stdout tail
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

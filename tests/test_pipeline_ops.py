@@ -631,6 +631,33 @@ def test_pq_encode_matches_scalar_reference(spark, sf_dir):
     assert list(tie_codes) == scalar_codes(mid)
 
 
+def test_pq_encode_null_and_nan_elements_yield_null_codes(spark, sf_dir):
+    """Row-level NULL verdict for damaged embeddings: a NULL row, a short
+    row, a row with a NULL element, and a row with a NaN element must ALL
+    encode to NULL codes. The NULL-element case is the subtle one — Arrow
+    delivers list<double> null slots as NaN inside the float64 batch, so
+    an `x is None` check never fires; the encode validates via np.isnan
+    on the converted batch (similarity.py) and this test pins that both
+    arrival shapes share the verdict. A clean row in the same batch must
+    still encode."""
+    emb = testdata.load(spark, sf_dir, "embeddings").limit(32)
+    books = S.pq_fit(emb, m=16, k=16)
+    dim = 64
+    clean = [float(i % 7) / 7.0 for i in range(dim)]
+    withnull = list(clean)
+    withnull[5] = None
+    withnan = list(clean)
+    withnan[5] = float("nan")
+    df = spark.createDataFrame(
+        [(0, clean), (1, None), (2, clean[:10]), (3, withnull), (4, withnan)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: r.codes for r in S.pq_encode(df, books).collect()}
+    assert got[0] is not None and len(got[0]) == 16
+    for vid in (1, 2, 3, 4):
+        assert got[vid] is None, f"vec {vid} should have NULL codes"
+
+
 def test_frozen_artifact_pq_recall(spark, sf_dir):
     """The frozen-artifact serving queries (ann_pq_topk / ann_ivfpq_topk)
     must still beat the recall noise floor even though their codebooks
