@@ -19,7 +19,45 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sketch import grouped_topk_threshold
 from .util import spread
+
+
+def _serving_topk(
+    scored: DataFrame, score_col: str, k: int, descending: bool = True
+) -> DataFrame:
+    """Final top-k of an ANN serving path: (query_id, neighbor_id,
+    score) -> each query's k best with a 1-based ``rank``.
+
+    Queries are FEW and each one's scored candidate set is unbounded in
+    the corpus (PQ scores ALL n rows per query; IVF/IVF-PQ score
+    ~n·nprobe/cells) — the hot-group shape where a plain per-query rank
+    window funnels one query's entire candidate set into one task (at
+    1e9 vectors that task sorts 1e9 rows). Threshold-pruned top-k
+    (``grouped_topk_threshold``, the bm25_topk recipe) keeps per-task
+    state bounded: salt-partial extrema bound the k-th best, the raw
+    candidates filter map-side against the broadcast threshold, and the
+    rank window runs over ~O(k) survivors per query.
+
+    ``descending=True`` ranks best = highest score (similarities); the
+    score is negated into a single ascending (neg, neighbor_id) key —
+    exact for IEEE doubles and integers, and the neighbor_id tie-break
+    matches the window form's (desc score, asc id) ordering. Plan shape
+    pinned in tests/test_plans.py (no rank window over the scored
+    corpus)."""
+    neg = (-F.col(score_col)) if descending else F.col(score_col)
+    ranked = grouped_topk_threshold(
+        scored.withColumn("_neg", neg),
+        "query_id",
+        ["_neg", "neighbor_id"],
+        k,
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        score_col,
+        F.col("rk").cast("bigint").alias("rank"),
+    )
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -323,12 +361,7 @@ def ivf_ann_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_sim", F.round(_pair_cos(), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _serving_topk(scored, "cos_sim", k)
 
 
 def lsh_ann_topk(
@@ -676,12 +709,7 @@ def pq_ann_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(score, 6).alias("approx_ip"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_ip", "rank")
-    )
+    return _serving_topk(scored, "approx_ip", k)
 
 
 def ivfpq_ann_topk(
@@ -741,12 +769,7 @@ def ivfpq_ann_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(score, 6).alias("approx_ip"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_ip"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "approx_ip", "rank")
-    )
+    return _serving_topk(scored, "approx_ip", k)
 
 
 def semantic_dedup(

@@ -217,76 +217,22 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (all with >= 1 green row, most with 2-3) keep coverage every
 # session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
+    # ---- the round-5 50-row driver window -------------------------------
+    # Aim (r4 verdict task #2): close the never-driver-checked backlog —
+    # 2 anchors + the 41 round-4 late additions + the last3_caught re-cert
+    # + the stalest r1 green (dedup_exact) + 5 re-certs of the ANN serving
+    # queries whose final top-k was threshold-pruned this round (r4 task
+    # #3 touched their code, so their r4 evidence is stale). Registry
+    # growth is FROZEN this round: no new registrations ahead of closure.
     # anchors (the reference parity surface's two highest-leverage paths)
     "rule_scan",
     "crit_code_predicate",
-    # round-3 additions never driver-checked (head of the r3 queue)
-    "dup_graph_pagerank_q",
-    "ann_kmeans_cells_q",
-    "ann_ivf_trained_q",
-    "bloom_admission",       # + round-4 duplicate-key fix
-    "kmv_distinct_sketch",   # + round-4 bounded-state k-min rework
-    "event_rate_anomaly",
-    "epoch_shuffle",
-    "tf_cosine_pairs",
-    "chunk_documents",
-    "embedding_feature_stats",
-    "embedding_robust_stats",  # + round-4 two-pass quantile rework
-    # dedup / ANN machinery never checked
-    "dedup_corpus",
-    "cross_source_dups",
-    "ann_lsh_multiprobe",
-    "ann_ivfpq_adc",
-    "ann_ivf_trained",       # round-4: frozen-artifact hash oracle
-    "ann_pq_topk",           # round-4: frozen-artifact hash oracle
-    "ann_ivfpq_topk",        # round-4: frozen-artifact hash oracle
-    # new round-4 sketch-family queries (born certified; the two
-    # rows-only twins they displaced — dup_graph_pagerank, sketch_stats —
-    # have in-window hash siblings and head the round-5 queue)
-    "hll_distinct_sketch",
-    "cms_heavy_hitters",
-    "username_fuzzy_pairs",
-    # analytics / windowing never checked
-    "windowed_event_rollup",
-    "session_window_rollup",
-    "grouping_sets_pricing",
-    "orders_column_stats",
-    "value_equidepth_histogram",
-    "salted_event_type_counts",
-    # sampling / packing / multimodal never checked
-    "multimodal_frames",
-    "dataset_split_counts",
-    "pack_sequences_bins",
-    "source_quota_sample",
-    "source_rate_sample",
-    # TPC-H tail never checked
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_values",
-    "tpch_q12_late_by_priority",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_loss",
-    "tpch_q18_large_orders",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_balances",
-    # new round-4 queries (certified the round they are born — no backlog)
-    "interval_join_attribution",
-    "curation_pipeline_counts",
-    "bpe_merge_ranks",
-    "bm25_rsj_topk",
-    "dup_span_profile",
-    # new round-4 hash queries: DSIR importance resampling (its log-mode
-    # twin is rows-only and rides on this row + the pytest float twin)
-    # and the Lee-et-al substring dedup (hash-checkable span removal)
-    "dsir_importance_q",
-    "substring_dedup",
-    # --- position 51+: the round-5 rotation queue — last3_caught first
-    # (r2-green; the round-4 threshold-pruned-top-3 rework is covered by
-    # local oracle parity until its re-cert slot opens), then r1-only
-    # greens, the rows-only twins (hash siblings in-window), and the
-    # r2-only TPC-H tail
-    # round-4 late additions, born after the window filled (full local
-    # parity + property pytest this round; driver rows next round)
+    # round-4 late additions, never driver-checked (the whole backlog).
+    # The three the advisor flagged as highest cross-engine-arithmetic
+    # risk go first: trained-trajectory + grouping-sets queries.
+    "quality_lr_source_scores",
+    "embedding_pca_projection_q",
+    "ngram_novelty_profile",
     "hard_negative_mining",
     "boilerplate_ngrams",
     "embedding_random_projection",
@@ -299,38 +245,99 @@ _DRIVER_PRIORITY = [
     "hybrid_retrieval_rrf",
     "ccnet_quality_buckets",
     "regex_token_counts",
-    "ngram_novelty_profile",
     "label_centroid_dispersion",
     "label_centroid_confusion",
     "token_budget_sample",
     "source_overlap_matrix",
     "winnowing_dup_pairs",
     "retrieval_eval",
-    "quality_lr_source_scores",
     "zipf_octave_profile",
     "distinctive_terms_by_source",
-    "embedding_pca_projection_q",
     "robust_length_outliers",
     "weighted_priority_sample",
     "histogram_drift_tv",
     "source_label_gini",
     "collocation_lift_topk",
-    "ols_trend_by_type",
+    "ols_trend_by_type",       # + round-5 zero-variance NULL guard
     "cusum_hourly_changepoint",
     "funnel_conversion",
     "event_transition_matrix",
-    "hourly_corr_pairs",
+    "hourly_corr_pairs",       # + round-5 zero-variance NULL guard
     "source_lang_cramers_v",
     "benford_first_digit",
     "join_key_profile",
     "k_anonymity_audit",
-    "dup_graph_pagerank",    # rows-only (float twin of dup_graph_pagerank_q)
-    "sketch_stats",          # rows-only (percentile_approx internals)
-    "last3_caught",
-    "dedup_exact",
-    "ann_lsh_buckets",
-    "bm25_lucene_topk",
+    # formerly rows-only, upgraded to hash oracles round 5 (task #7):
+    # float pagerank via a recursive-CTE round-6 twin, log-DSIR via a
+    # round-6 ln twin, BM25-ln as a rank-only registration
+    "dup_graph_pagerank",
     "dsir_importance_log",
+    "bm25_lucene_topk",
+    # rows-only by nature (percentile_approx internals) — its weaker
+    # rows-only driver row is still a first
+    "sketch_stats",
+    # re-cert: reworked r4 (threshold-pruned top-3), driver evidence r2
+    "last3_caught",
+    # stalest green: r1-only evidence, code untouched since
+    "dedup_exact",
+    # re-certs: ANN serving top-k threshold-pruned this round (the five
+    # distinct serving paths; ann_pq_adc / ann_ivfpq_adc / ann_lsh_buckets
+    # share the same helper and head the r6 rotation queue below)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_ivf_trained_q",
+    # ---- position 51+: the round-6 rotation queue -----------------------
+    # first: the remaining touched-code ANN twins, then the stalest greens
+    "ann_pq_adc",
+    "ann_ivfpq_adc",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    # r2-r4 greens, code untouched, freshest-last
+    "dup_graph_pagerank_q",
+    "ann_kmeans_cells_q",
+    "bloom_admission",
+    "kmv_distinct_sketch",
+    "event_rate_anomaly",
+    "epoch_shuffle",
+    "tf_cosine_pairs",
+    "chunk_documents",
+    "embedding_feature_stats",
+    "embedding_robust_stats",
+    "dedup_corpus",
+    "cross_source_dups",
+    "hll_distinct_sketch",
+    "cms_heavy_hitters",
+    "username_fuzzy_pairs",
+    "windowed_event_rollup",
+    "session_window_rollup",
+    "grouping_sets_pricing",
+    "orders_column_stats",
+    "value_equidepth_histogram",
+    "salted_event_type_counts",
+    "multimodal_frames",
+    "dataset_split_counts",
+    "pack_sequences_bins",
+    "source_quota_sample",
+    "source_rate_sample",
+    "interval_join_attribution",
+    "curation_pipeline_counts",
+    "bpe_merge_ranks",
+    "bm25_rsj_topk",
+    "dup_span_profile",
+    "dsir_importance_q",
+    "substring_dedup",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_values",
+    "tpch_q12_late_by_priority",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_loss",
+    "tpch_q18_large_orders",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_balances",
     "tpch_q13_custdist",
     "tpch_q6_forecast_revenue",
     "tpch_q15_top_supplier",

@@ -1281,15 +1281,46 @@ def ann_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_ann_topk(emb, cents, books, [0, 1, 2, 3, 4], k=5, nprobe=2)
 
 
-@query("dup_graph_pagerank")  # iterative; float sums -> rows-only check
+_PAGERANK_F_ORACLE = rf"""WITH RECURSIVE jp AS MATERIALIZED ({_JACCARD_ORACLE}),
+e AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+allnodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+pr(it, ids, rs) AS (
+  SELECT 0,
+         (SELECT list(id ORDER BY id) FROM allnodes),
+         (SELECT list(CAST(1.0 AS DOUBLE) ORDER BY id) FROM allnodes)
+  UNION ALL
+  SELECT s.it + 1,
+         s.ids,
+         (SELECT list(CAST({1.0 - 0.85!r} + 0.85 * COALESCE(contrib.c, 0.0) AS DOUBLE) ORDER BY n.id)
+          FROM (SELECT unnest(s.ids) AS id) n
+          LEFT JOIN (
+            SELECT e.dst AS id,
+                   SUM(s.rs[list_position(s.ids, e.src)] / d.deg) AS c
+            FROM e JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) contrib ON contrib.id = n.id)
+  FROM pr s WHERE s.it < 10
+)
+SELECT unnest(ids) AS id, ROUND(unnest(rs), 6) AS rank FROM pr WHERE it = 10"""
+
+
+@query("dup_graph_pagerank", _PAGERANK_F_ORACLE)
 def dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup pair graph (10 fixed iterations,
     d=0.85): the canonical iterative DataFrame algorithm — per round one
     rank-onto-edges join + one per-dst sum, lineage truncated with
-    localCheckpoint so the plan stays O(1) deep. Deterministic iteration
-    count, but cross-engine float summation differs in last-ulp order, so
-    the driver check is rows-only; exact values are pinned against a
-    numpy twin in tests/test_pipeline_ops.py."""
+    localCheckpoint so the plan stays O(1) deep. Hash-certified round 5
+    (retiring the rows-only check): the output rank is round-6, the
+    DuckDB twin carries the float rank vector through a recursive CTE
+    with the SAME teleport constant Python produces for 1.0-0.85
+    (0.15000000000000002 — lit(1.0 - damping) is computed driver-side),
+    and per-dst contribution sums are few-term (near-dup components are
+    tiny), so last-ulp summation-order divergence vanishes under the
+    rounding. Exact unrounded values remain pinned against a numpy twin
+    in tests/test_pipeline_ops.py."""
     from .operators.graph import pagerank
 
     docs = testdata.load(spark, sf_dir, "documents")
@@ -1901,21 +1932,15 @@ def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    from pyspark.sql import Window as W
-
     scored = (
         cells.join(F.broadcast(probes), ["cell"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("dist_q"))
     )
-    rk = F.row_number().over(
-        W.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
-    )
-    return (
-        scored.withColumn("rank", rk.cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "dist_q", "rank")
-    )
+    # distance ascends, so the threshold-pruned top-k takes the key
+    # directly (descending=False) — never a per-query rank window over
+    # the probed-cell candidate set (~n·nprobe/cells rows per query)
+    return S._serving_topk(scored, "dist_q", 5, descending=False)
 
 
 _TF_COSINE_ORACLE = rf"""WITH {_NORM},
@@ -2394,18 +2419,46 @@ def bm25_rsj_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="rsj_sqrt")
 
 
-@query("bm25_lucene_topk")  # ln idf -> rows-only; python twin in pytest
+_BM25_LN_CONTRIB = (
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * "
+    "((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * "
+    "(dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+)
+
+# same CTE chain as the hash-certified rsj oracle up through `matched`;
+# only the contribution formula and the final projection differ
+_BM25_LN_ORACLE = (
+    _BM25_ORACLE.split("scored AS")[0]
+    + rf"""scored AS (
+  SELECT query_id, id AS doc_id, ROUND(SUM({_BM25_LN_CONTRIB}), 6) AS score
+  FROM matched GROUP BY query_id, id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10"""
+)
+
+
+@query("bm25_lucene_topk", _BM25_LN_ORACLE)
 def bm25_lucene_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Textbook BM25 (Lucene ln(1 + (N-df+0.5)/(df+0.5)) idf) — the
-    production scoring form. Natural log is not bit-reproducible across
-    engines (see determinism contract), so the driver check is rows-only;
-    exact scores are pinned against a python float twin in
-    tests/test_pipeline_ops.py, and the hash-certified rsj_sqrt twin
-    certifies the whole distributed plumbing."""
+    production scoring form. Hash-certified round 5 as a RANK-ONLY
+    registration (retiring the rows-only check): the ln score itself is
+    dropped from the output — natural log is not bit-reproducible across
+    engines (see determinism contract) — but the RANKING is computed on
+    the round-6 score in both engines, where sub-ulp ln divergence
+    cannot reorder. Exact float scores stay pinned against a python twin
+    in tests/test_pipeline_ops.py; the rsj_sqrt twin hash-certifies the
+    score column end to end."""
     from .operators.retrieval import bm25_topk
 
     docs = testdata.load(spark, sf_dir, "documents")
-    return bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="ln")
+    return bm25_topk(docs, _BM25_QUERIES, k=10, idf_mode="ln").select(
+        "query_id", "doc_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2464,13 +2517,49 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(docs, "is_en", n_buckets=_DSIR_B, mode="linear_q")
 
 
-@query("dsir_importance_log")  # ln weights -> rows-only; python twin in pytest
+_DSIR_LOG_ORACLE = rf"""WITH norm AS (
+  SELECT doc_id AS id, lang = 'en' AS is_target,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+tk AS (
+  SELECT id, is_target, unnest(string_split_regex(t, '\s+')) AS word FROM norm
+),
+counts AS (
+  SELECT id,
+         CAST(('0x' || substring(md5('dsir|' || word), 1, 12)) AS BIGINT) % {_DSIR_B} AS b,
+         COUNT(*) AS c, MAX(is_target) AS is_target
+  FROM tk WHERE word <> '' GROUP BY 1, 2
+),
+raw AS (SELECT b, SUM(c) AS cr FROM counts GROUP BY b),
+tgt AS (SELECT b, SUM(c) AS ct FROM counts WHERE is_target GROUP BY b),
+totals AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS n_r,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS n_t
+),
+w AS (
+  SELECT raw.b,
+         ln(CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / (t.n_t + {_DSIR_B}))
+         - ln(CAST(raw.cr + 1 AS DOUBLE) / (t.n_r + {_DSIR_B})) AS lw
+  FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN totals t
+)
+SELECT counts.id, CAST(SUM(counts.c) AS BIGINT) AS n_toks,
+       ROUND(SUM(counts.c * w.lw), 6) AS score
+FROM counts JOIN w ON w.b = counts.b
+GROUP BY counts.id"""
+
+
+@query("dsir_importance_log", _DSIR_LOG_ORACLE)
 def dsir_importance_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR in the paper's log-domain form (score = sum c_b * (ln p_t -
-    ln p_r)) — the production scorer. Rows-only for the driver (ln is not
-    cross-engine bit-reproducible); exact floats pinned against a python
-    twin in pytest, and the hash-certified linear_q twin certifies the
-    distributed plumbing."""
+    ln p_r)) — the production scorer. Hash-certified round 5 (retiring
+    the rows-only check): the per-doc score rounds to 6 decimals, wide
+    enough to absorb both the <=1-ulp ln divergence between the JVM and
+    DuckDB's libm and few-hundred-term summation-order noise — the same
+    round-6 contract every cosine/sqrt query in the registry already
+    hash-checks under. Exact unrounded floats stay pinned against a
+    python twin in pytest; the linear_q twin still certifies the
+    integer-exact plumbing."""
     from .operators.curation import dsir_importance
 
     docs = testdata.load(spark, sf_dir, "documents").withColumn(
