@@ -354,6 +354,14 @@ def main() -> None:
     # ran ~90 queries deep (accumulated shuffle-file/codegen-cache debt
     # landing inside its measurement). Front-running it separates
     # bench-order debt from real probe cost.
+    # Engine batch measures FIRST, min-of-3: round 4's driver run showed
+    # -15% (2.87 -> 3.37 s) at its old ~100-queries-deep position while a
+    # fresh-JVM profile held 2.84-2.94 s (35.2k ev/s) across 5
+    # back-to-back runs — position debt, not code (engine.py was
+    # untouched r3->r4). It runs BEFORE the probe pair too: the probes'
+    # broadcast-disabled sort-merge shuffles leave enough JVM debt to
+    # still cost ~0.4 s (measured 3.32 s after vs 2.94 s before them).
+    engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(3)), 3)
     probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
 
     def full_gc() -> None:
@@ -398,7 +406,6 @@ def main() -> None:
     chunks.unpersist()
     timings["curation_pipeline_counts"] = round(time.perf_counter() - t0, 3)
     full_gc()
-    engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(2)), 3)
     timings["engine_batch"] = engine_sec
     full_gc()
     # wall-time at small SF is dominated by fixed per-batch overhead;
