@@ -568,6 +568,41 @@ def test_paragraph_dedup_edge_cases(spark):
     assert set(got) == {1, 2, 3, 4}
 
 
+def test_serving_topk_equals_plain_window(spark, sf_dir):
+    """The threshold-pruned serving top-k must return EXACTLY what the
+    per-query rank window it replaced returned — same neighbors, same
+    scores, same ranks — on an adversarial frame with duplicate scores
+    (id tie-breaks), negative/zero scores (the -score key), and a query
+    whose candidate count is below k. Both directions (similarity
+    descending, distance ascending) are checked."""
+    from pyspark.sql import Window
+
+    rows = []
+    for q in range(3):
+        n = [40, 17, 3][q]  # query 2 has fewer candidates than k
+        for i in range(n):
+            score = float((i * 7 + q) % 11 - 5) / 4.0  # dup/neg/zero scores
+            rows.append((q, i + 100, score))
+    df = spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, score double"
+    )
+    k = 5
+    for desc in (True, False):
+        got = S._serving_topk(df, "score", k, descending=desc).collect()
+        order = [F.desc("score"), F.asc("neighbor_id")] if desc else [
+            F.asc("score"), F.asc("neighbor_id")
+        ]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        want = (
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+            .collect()
+        )
+        key = lambda r: (r.query_id, r.rank)
+        assert sorted(got, key=key) == sorted(want, key=key), desc
+
+
 def test_pq_ann_recall_beats_noise_floor(spark, sf_dir):
     """PQ ADC top-10 recall vs exact cosine: deterministic training
     (md5-sample, first-k init) pins recall at ~0.46 on this corpus —
