@@ -361,7 +361,16 @@ def main() -> None:
     # untouched r3->r4). It runs BEFORE the probe pair too: the probes'
     # broadcast-disabled sort-merge shuffles leave enough JVM debt to
     # still cost ~0.4 s (measured 3.32 s after vs 2.94 s before them).
-    engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(3)), 3)
+    # min-of-5, not 3: the engine path needs ~2 runs to finish warming
+    # its own codegen (fresh-JVM profile: 9.5/3.6/2.9/2.9/2.8), and this
+    # box's shared-infra swings (±20%) need more draws for a stable min.
+    engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(5)), 3)
+    # Streaming throughput is the other order-sensitive headline metric
+    # (it ran dead-last through round 4, swinging 12.6k -> 21.4k -> 17.5k
+    # ev/s round to round): measure it in the same clean early slot.
+    import tempfile
+
+    stream_sec, stream_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
     probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
 
     def full_gc() -> None:
@@ -411,9 +420,6 @@ def main() -> None:
     # wall-time at small SF is dominated by fixed per-batch overhead;
     # events/sec is the quantity that scales, so report it alongside
     n_events = testdata.signups_df(spark, sf_dir).count()
-    import tempfile
-
-    stream_sec, stream_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
     total = round(sum(timings.values()), 3)
     engine_eps = round(n_events / engine_sec, 1)
     stream_eps = round(stream_n / stream_sec, 1)
