@@ -139,7 +139,10 @@ class Engine:
         self.notified_cap = RECENTLY_NOTIFIED_CAP
         self.matched_collect_cap = MATCHED_COLLECT_CAP
         self.recently_checked: deque[str] = deque()
-        self.recently_checked_info: dict[str, list[str]] = {}
+        # raw row dicts; wire-JSON serialization is deferred to the (rare)
+        # seen-command read path — serializing 10k tail rows per batch was
+        # ~10% of driver-side batch cost for data almost never read
+        self.recently_checked_info: dict[str, list[dict[str, Any]]] = {}
         self.recently_notified: deque[str] = deque()
         self.latest_event_utc: dt.datetime = MIN_UTC
         # Column-expression caches: Columns are immutable expression trees
@@ -290,7 +293,7 @@ class Engine:
         for d in tail:
             user_id = (d.get("username") or "").lower()
             self.recently_checked.append(user_id)
-            self.recently_checked_info.setdefault(user_id, []).append(_user_wire_json(d))
+            self.recently_checked_info.setdefault(user_id, []).append(d)
             if len(self.recently_checked) > self.checked_cap:
                 popped = self.recently_checked.popleft()
                 infos = self.recently_checked_info.get(popped)
@@ -446,7 +449,7 @@ class Engine:
         user_id = username.lower()
         if user_id in self.recently_checked:
             infos = self.recently_checked_info.get(user_id, [])
-            info_string = "\n".join("`" + j + "`" for j in infos)
+            info_string = "\n".join("`" + _user_wire_json(d) + "`" for d in infos)
             return (
                 f"Yes, that user has been seen in the latest 10K sign-ins. "
                 f"Seen {len(infos)} times:\n{info_string}"

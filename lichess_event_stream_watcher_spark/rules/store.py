@@ -37,8 +37,26 @@ class SignupRulesManager:
         self.rules_path = rules_path
         self._lock = threading.RLock()
         self.rules: list[Rule] = []
+        # name -> Rule index for the per-match hot path: the engine calls
+        # find_rule twice per matched event (dispatch + stats commit), so
+        # a 60k-match micro-batch paid 120k linear scans of the rule list.
+        # Staleness check = (list identity, length): every mutation either
+        # replaces the list (load/remove_rule), changes its length
+        # (add_rule, sweep-delete, direct .rules.append in tests/bench),
+        # or leaves names untouched (enable/renew mutate fields in place —
+        # Rule names never change in place anywhere in the codebase).
+        self._by_name: dict[str, Rule] = {}
+        self._by_name_src: list[Rule] | None = None
         if rules_path and os.path.exists(rules_path):
             self.load()
+
+    def _index(self) -> dict[str, Rule]:
+        if self._by_name_src is not self.rules or len(self._by_name) != len(
+            self.rules
+        ):
+            self._by_name = {r.name: r for r in self.rules}
+            self._by_name_src = self.rules
+        return self._by_name
 
     # -- persistence (src/signup/rules.rs:27-47) ---------------------------
     def load(self) -> None:
@@ -66,7 +84,7 @@ class SignupRulesManager:
     # -- CRUD (src/signup/rules.rs:49-126) ---------------------------------
     def find_rule(self, name: str) -> Rule | None:
         with self._lock:
-            return next((r for r in self.rules if r.name == name), None)
+            return self._index().get(name)
 
     def add_rule(self, rule: Rule) -> None:
         with self._lock:
