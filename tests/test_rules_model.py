@@ -149,3 +149,52 @@ def test_expiry_sweep_classify_matches_store(tmp_path, spark):
         ).collect()
     )
     assert dist == driver
+
+
+def test_find_rule_index_tracks_every_mutation_shape(tmp_path):
+    # find_rule is served from a name index whose staleness check is
+    # (list identity, length) — rules/store.py:_index. Every mutation in
+    # the codebase either replaces the list (load/remove_rule), changes
+    # its length (add_rule, sweep-delete, the bench's direct
+    # .rules.append), or mutates fields of an existing Rule in place
+    # without touching its name (enable/renew). Exercise each shape and
+    # assert the index never serves a stale answer.
+    path = str(tmp_path / "rules.json")
+    mgr = SignupRulesManager(path)
+    mgr.add_rule(mk("a"))
+    assert mgr.find_rule("a") is mgr.rules[0]  # warm the index
+
+    # append after a warm index (length change)
+    mgr.add_rule(mk("b"))
+    assert mgr.find_rule("b") is mgr.rules[1]
+
+    # list replacement (remove_rule rebuilds self.rules)
+    mgr.find_rule("a")
+    assert mgr.remove_rule("a") is True
+    assert mgr.find_rule("a") is None
+    assert mgr.find_rule("b") is not None
+
+    # direct append without going through add_rule (the bench pattern)
+    mgr.find_rule("b")
+    mgr.rules.append(mk("c"))
+    assert mgr.find_rule("c") is mgr.rules[-1]
+
+    # in-place sweep deletion (list identity unchanged, length shrinks)
+    exp = NOW - dt.timedelta(days=4)
+    mgr.add_rule(mk("doomed", expiry=exp))
+    mgr.find_rule("doomed")  # warm with doomed present
+    kinds = sorted(k for k, _ in mgr.expiry_sweep(NOW))
+    assert "deleted" in kinds
+    assert mgr.find_rule("doomed") is None
+
+    # in-place field mutation (names untouched -> cached index stays valid
+    # AND serves the mutated object, not a copy)
+    mgr.find_rule("b")
+    mgr.set_enabled("b", False)
+    assert mgr.find_rule("b").enabled is False
+
+    # list replacement via load()
+    mgr2 = SignupRulesManager(path)
+    mgr2.find_rule("b")
+    mgr2.load()
+    assert mgr2.find_rule("b") is mgr2.rules[[r.name for r in mgr2.rules].index("b")]
