@@ -110,31 +110,30 @@ def curate_corpus(
     lex = X.lexicon_coverage(docs2).select(
         F.col("id").alias("doc_id"), F.col("keep").alias("_keep_lex")
     )
-    lang_ok = docs2.select(
-        "doc_id", (X.lang_id(F.col("text")) != "und").alias("_keep_lang")
-    )
+    # lang_id is map-side, so it gates as a COLUMN on docs2 — never a
+    # docs2-derived frame joined back to docs2 (a corpus-sized self-join
+    # that shuffles the full text column twice at any scale where the
+    # corpus doesn't broadcast). Only the two aggregated signals (rep,
+    # lex) genuinely need a join back.
     gated = (
         docs2.join(rep, "doc_id", "left")
         .join(lex, "doc_id")
-        .join(lang_ok, "doc_id")
         .filter(
             F.coalesce("_keep_rep", F.lit(False))
             & F.col("_keep_lex")
-            & F.col("_keep_lang")
+            & (X.lang_id(F.col("text")) != "und")
         )
-        .drop("_keep_rep", "_keep_lex", "_keep_lang")
+        .drop("_keep_rep", "_keep_lex")
     ).persist()
     counts["quality_gate"] = gated.count()
     _stamp("quality_gate")
     docs2.unpersist()
 
-    # 4. PII scrub (map-side; the redacted text replaces the original)
-    scrubbed = (
-        gated.join(P.scrub(gated, "text", "doc_id"), "doc_id")
-        .drop("text")
-        .withColumnRenamed("redacted", "text")
-        .drop("n_emails", "n_ips")
-    )
+    # 4. PII scrub — redact() applied as a column in place (the scrub()
+    #    REPORT frame exists for pipelines that route on the hit counts;
+    #    this one discards them, so joining the report back to its own
+    #    input would be a second corpus-sized self-join for nothing)
+    scrubbed = gated.withColumn("text", P.redact(F.col("text")))
 
     # 5. temperature (alpha=1/2) mixture rebalancing over the language dim
     kept_ids = C.temperature_mix_sample(scrubbed, source_col=mix_source_col).select(
