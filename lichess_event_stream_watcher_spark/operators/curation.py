@@ -14,7 +14,7 @@ pipeline would need"). Design rules shared by all four:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -189,6 +189,21 @@ def temperature_mix_rates(
     )
 
 
+def _mix_draw(id_col: str, seed: str, quant: int) -> Column:
+    """The seeded deterministic keep draw shared by the sample/filter
+    forms: first 8 md5 hex chars of "seed|id" as an integer, mod quant."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % quant
+    )
+
+
 def temperature_mix_sample(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -203,22 +218,36 @@ def temperature_mix_sample(
     cluster sizes, and a late-arriving doc gets the same verdict forever.
     Output: kept rows (id, source, rate_q)."""
     rates = temperature_mix_rates(df, source_col=source_col, quant=quant)
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % quant
-    )
     return (
         df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
         .join(F.broadcast(rates.select("source", "rate_q")), "source")
-        .withColumn("_draw", draw)
+        .withColumn("_draw", _mix_draw("id", seed, quant))
         .filter(F.col("_draw") < F.col("rate_q"))
         .select("id", "source", "rate_q")
+    )
+
+
+def temperature_mix_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "temp",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """The FILTER form of ``temperature_mix_sample``: the identical keep
+    decision (same rates, same seeded draw — pinned equal in
+    tests/test_pipeline_ops.py) applied directly to ``df``, all original
+    columns riding through. For compositions that keep the surviving rows
+    themselves, this is the right shape: the only join is the broadcast
+    rate table on the source key — never the kept-id frame semi-joined
+    back to its own corpus-sized input (which shuffles the corpus twice
+    once it outgrows the broadcast threshold)."""
+    rates = temperature_mix_rates(df, source_col=source_col, quant=quant)
+    r = rates.select(F.col("source").alias(source_col), "rate_q")
+    return (
+        df.join(F.broadcast(r), source_col)
+        .filter(_mix_draw(id_col, seed, quant) < F.col("rate_q"))
+        .select(*df.columns)  # the join hoists its key to the front
     )
 
 

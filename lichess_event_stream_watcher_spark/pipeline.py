@@ -136,10 +136,10 @@ def curate_corpus(
     scrubbed = gated.withColumn("text", P.redact(F.col("text")))
 
     # 5. temperature (alpha=1/2) mixture rebalancing over the language dim
-    kept_ids = C.temperature_mix_sample(scrubbed, source_col=mix_source_col).select(
-        F.col("id").alias("doc_id")
-    )
-    sampled = scrubbed.join(kept_ids, "doc_id", "left_semi").persist()
+    #    — the filter form: the keep decision is a broadcast-rate lookup
+    #    plus a map-side hash draw, so it applies directly to scrubbed
+    #    (semi-joining the kept-id frame back would re-shuffle the corpus)
+    sampled = C.temperature_mix_filter(scrubbed, source_col=mix_source_col).persist()
     counts["mix_sample"] = sampled.count()
     _stamp("mix_sample")
     gated.unpersist()

@@ -1070,6 +1070,22 @@ def test_temperature_mix_rates_monotone(spark):
     assert 120 <= by_src["big"] <= 280
 
 
+def test_temperature_mix_filter_equals_sample_form(spark, sf_dir):
+    """The filter form (map-side draw over the original frame, used by the
+    curation pipeline) keeps EXACTLY the ids the projection form keeps —
+    same rates, same seeded draw — and preserves every input column."""
+    from lichess_event_stream_watcher_spark.operators.curation import (
+        temperature_mix_filter,
+        temperature_mix_sample,
+    )
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    sample_ids = {r.id for r in temperature_mix_sample(docs, source_col="lang").collect()}
+    filtered = temperature_mix_filter(docs, source_col="lang")
+    assert filtered.columns == docs.columns
+    assert {r.doc_id for r in filtered.select("doc_id").collect()} == sample_ids
+
+
 def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark, sf_dir):
     from lichess_event_stream_watcher_spark.operators.curation import epoch_shuffle
 
