@@ -754,16 +754,20 @@ WHERE comp.id = comp.comp""",
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup REMOVAL: the full dedup pipeline applied —
     shingle -> Jaccard pairs -> connected components -> keep one canonical
-    doc (the min doc_id) per cluster, singletons untouched. The component
-    map is tiny relative to the corpus (ids only), so the final keep-filter
-    is a broadcast semi join against the scan — at 100 TB the text column
-    is read once and never shuffled; only ids flow through the pair graph."""
+    doc (the min doc_id) per cluster, singletons untouched. The keep-set
+    (id == comp) includes every singleton, so it is CORPUS-sized — a
+    forced broadcast of it is a driver OOM at real scale. The filter
+    therefore anti-joins the DROPPED ids (id != comp — non-canonical dup
+    members only, bounded by pair membership, empty when nothing
+    duplicates) with no hint: AQE broadcasts the drop-set when it is
+    small (the common case) and falls back to a shuffled anti join when
+    a dup-heavy corpus makes it large."""
     docs = testdata.load(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     comp = D.dup_components_star(docs, pairs)
-    keep = comp.filter(F.col("id") == F.col("comp")).select("id")
+    drop = comp.filter(F.col("id") != F.col("comp")).select("id")
     return docs.join(
-        F.broadcast(keep), docs["doc_id"] == keep["id"], "left_semi"
+        drop, docs["doc_id"] == drop["id"], "left_anti"
     ).select("doc_id", "source", "lang", "n_chars")
 
 
