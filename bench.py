@@ -364,7 +364,19 @@ def main() -> None:
     # min-of-5, not 3: the engine path needs ~2 runs to finish warming
     # its own codegen (fresh-JVM profile: 9.5/3.6/2.9/2.9/2.8), and this
     # box's shared-infra swings (±20%) need more draws for a stable min.
-    engine_sec = round(min(bench_engine_batch(spark, sf_dir) for _ in range(5)), 3)
+    # Synchronous full GC between draws: the warmup query's broadcast and
+    # shuffle blocks otherwise get cleaned up asynchronously INSIDE the
+    # engine timing (same rationale as full_gc below; this runs before
+    # that helper is defined).
+    def _gc() -> None:
+        spark.sparkContext._jvm.System.gc()
+
+    _gc()
+    engine_draws = []
+    for _ in range(5):
+        engine_draws.append(bench_engine_batch(spark, sf_dir))
+        _gc()
+    engine_sec = round(min(engine_draws), 3)
     # Streaming throughput is the other order-sensitive headline metric
     # (it ran dead-last through round 4, swinging 12.6k -> 21.4k -> 17.5k
     # ev/s round to round): measure it in the same clean early slot.
