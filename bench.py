@@ -139,14 +139,20 @@ HEADLINE = [
 # real pipeline does.
 
 
-def bench_dedup_pipeline_shared(spark, sf_dir: str) -> float:
+def bench_dedup_pipeline_shared(
+    spark, sf_dir: str, phase_seconds: dict[str, float] | None = None
+) -> float:
     """The realistic consumption shape for the near-dup pair search: pairs
     are computed ONCE and materialized as a WRITTEN parquet table (what
     production does — a localCheckpoint would hold executor-local blocks
     that die with their executor on a real cluster), then THREE consumers
     read the table — duplicate clustering (large/small-star CC),
     cross-source provenance, and pair-graph PageRank. The timing includes
-    the write + re-read round-trip the pipeline actually pays."""
+    the write + re-read round-trip the pipeline actually pays.
+
+    ``phase_seconds`` (bench detail only) receives the per-phase split —
+    pair write vs each consumer — so a total-time swing is attributable
+    to one phase instead of re-profiling the whole composition."""
     import shutil
     import tempfile
 
@@ -160,9 +166,23 @@ def bench_dedup_pipeline_shared(spark, sf_dir: str) -> float:
     pair_dir = os.path.join(tempfile.gettempdir(), "bench_pair_table")
     shutil.rmtree(pair_dir, ignore_errors=True)
     t0 = time.perf_counter()
+    last = t0
+
+    def _stamp(phase: str) -> None:
+        nonlocal last
+        now = time.perf_counter()
+        if phase_seconds is not None:
+            # keep the faster draw's split, matching the min-of-N total
+            prev = phase_seconds.get(phase)
+            cur = round(now - last, 3)
+            phase_seconds[phase] = cur if prev is None else min(prev, cur)
+        last = now
+
     D.jaccard_pairs(docs, n=2, threshold=0.5).write.parquet(pair_dir)
     pairs = spark.read.parquet(pair_dir)
+    _stamp("pair_write")
     D.dup_components_star(docs, pairs).count()
+    _stamp("components")
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
     b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
@@ -172,7 +192,9 @@ def bench_dedup_pipeline_shared(spark, sf_dir: str) -> float:
         .filter(F.col("source_a") != F.col("source_b"))
         .count()
     )
+    _stamp("provenance")
     pagerank(docs.select(F.col("doc_id").alias("id")), pairs, iters=10).count()
+    _stamp("pagerank")
     dt = time.perf_counter() - t0
     shutil.rmtree(pair_dir, ignore_errors=True)
     return dt
@@ -410,8 +432,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         full_gc()
     shared_draws = []
+    shared_phases: dict[str, float] = {}
     for _ in range(2):
-        shared_draws.append(bench_dedup_pipeline_shared(spark, sf_dir))
+        shared_draws.append(
+            bench_dedup_pipeline_shared(spark, sf_dir, phase_seconds=shared_phases)
+        )
         full_gc()  # the write+drop churn otherwise lands in draw 2
     timings["dedup_pipeline_shared"] = round(min(shared_draws), 3)
     # The composed pipeline is timed through curate_corpus directly (same
@@ -452,6 +477,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "curation_stage_seconds": curation_stages,
+        "shared_pipeline_phase_seconds": shared_phases,
         "engine_events_per_sec": engine_eps,
         "streaming_engine_events_per_sec": stream_eps,
         "sf": sf,
