@@ -184,15 +184,19 @@ def jaccard_pairs(
         # no broadcast hint: the per-doc size table scales with the corpus,
         # so let AQE pick broadcast-vs-shuffle from runtime stats
         sh = sh.join(sizes, "id")
-    # distributed probe: one map-side-partial agg job, ~1.05x-accurate HLL
-    probe = sh.agg(
-        F.approx_count_distinct("shingle").alias("v"),
-        F.approx_count_distinct("id").alias("nd"),
-    ).first()
-    est_bytes = int(probe["nd"]) * int(probe["v"]) * 4
-    if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
-        id_type = df.schema[id_col].dataType.simpleString()
-        return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
+    # distributed probe: one map-side-partial agg job, ~1.05x-accurate HLL.
+    # Skipped entirely when the caller pins the sparse path (a limit of 0
+    # can never admit dense) — the gate's corpus pass shouldn't run when
+    # its answer is predetermined.
+    if dense_vocab_limit > 0 and dense_bytes_limit > 0:
+        probe = sh.agg(
+            F.approx_count_distinct("shingle").alias("v"),
+            F.approx_count_distinct("id").alias("nd"),
+        ).first()
+        est_bytes = int(probe["nd"]) * int(probe["v"]) * 4
+        if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
+            id_type = df.schema[id_col].dataType.simpleString()
+            return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
     if sparse_strategy == "prefix":
         return _jaccard_pairs_prefix(
             shingle_arrays(df, n, text_col, id_col), threshold
