@@ -612,7 +612,8 @@ def _pq_code_expr(books, vec_col: str):
             # get NULL codes, same row-level verdict as a NULL embedding;
             # a genuine NaN payload value is indistinguishable from a NULL
             # slot post-Arrow and deliberately shares that verdict
-            # (pinned in tests/test_similarity.py).
+            # (pinned in tests/test_pipeline_ops.py::
+            # test_pq_encode_null_and_nan_elements_yield_null_codes).
             ok = ~np.isnan(X).any(axis=1)
             valid = [i for i, good in zip(cand, ok) if good]
             X = X[ok]
