@@ -150,9 +150,12 @@ def bench_dedup_pipeline_shared(
     cross-source provenance, and pair-graph PageRank. The timing includes
     the write + re-read round-trip the pipeline actually pays.
 
-    ``phase_seconds`` (bench detail only) receives the per-phase split —
-    pair write vs each consumer — so a total-time swing is attributable
-    to one phase instead of re-profiling the whole composition."""
+    ``phase_seconds`` (bench detail only) receives this draw's per-phase
+    split — pair write vs each consumer — so a total-time swing is
+    attributable to one phase instead of re-profiling the whole
+    composition. The caller keeps the split of whichever draw it reports
+    (phases must sum to the published total; per-phase minima across
+    draws would not)."""
     import shutil
     import tempfile
 
@@ -172,10 +175,7 @@ def bench_dedup_pipeline_shared(
         nonlocal last
         now = time.perf_counter()
         if phase_seconds is not None:
-            # keep the faster draw's split, matching the min-of-N total
-            prev = phase_seconds.get(phase)
-            cur = round(now - last, 3)
-            phase_seconds[phase] = cur if prev is None else min(prev, cur)
+            phase_seconds[phase] = round(now - last, 3)
         last = now
 
     D.jaccard_pairs(docs, n=2, threshold=0.5).write.parquet(pair_dir)
@@ -434,9 +434,13 @@ def main() -> None:
     shared_draws = []
     shared_phases: dict[str, float] = {}
     for _ in range(2):
+        draw_phases: dict[str, float] = {}
         shared_draws.append(
-            bench_dedup_pipeline_shared(spark, sf_dir, phase_seconds=shared_phases)
+            bench_dedup_pipeline_shared(spark, sf_dir, phase_seconds=draw_phases)
         )
+        # publish the fastest draw's own split so phases sum to the total
+        if shared_draws[-1] == min(shared_draws):
+            shared_phases = draw_phases
         full_gc()  # the write+drop churn otherwise lands in draw 2
     timings["dedup_pipeline_shared"] = round(min(shared_draws), 3)
     # The composed pipeline is timed through curate_corpus directly (same
