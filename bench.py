@@ -386,18 +386,21 @@ def main() -> None:
     # min-of-5, not 3: the engine path needs ~2 runs to finish warming
     # its own codegen (fresh-JVM profile: 9.5/3.6/2.9/2.9/2.8), and this
     # box's shared-infra swings (±20%) need more draws for a stable min.
-    # Synchronous full GC between draws: the warmup query's broadcast and
-    # shuffle blocks otherwise get cleaned up asynchronously INSIDE the
-    # engine timing (same rationale as full_gc below; this runs before
-    # that helper is defined).
-    def _gc() -> None:
+    def full_gc() -> None:
+        # Between-measurement hygiene, OUTSIDE every timed region: a
+        # ~100-query single-JVM run accumulates broadcast blocks, shuffle
+        # files, and codegen/GC debt whose asynchronous cleanup otherwise
+        # lands inside LATER queries' measurements (observed +30-50%
+        # inflation on late-run entries vs a fresh JVM). A synchronous
+        # full GC per entry makes the ContextCleaner's reference-queue
+        # processing happen between measurements instead of during them.
         spark.sparkContext._jvm.System.gc()
 
-    _gc()
+    full_gc()
     engine_draws = []
     for _ in range(5):
         engine_draws.append(bench_engine_batch(spark, sf_dir))
-        _gc()
+        full_gc()
     engine_sec = round(min(engine_draws), 3)
     # Streaming throughput is the other order-sensitive headline metric
     # (it ran dead-last through round 4, swinging 12.6k -> 21.4k -> 17.5k
@@ -406,16 +409,6 @@ def main() -> None:
 
     stream_sec, stream_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
     probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
-
-    def full_gc() -> None:
-        # Between-entry hygiene, OUTSIDE every timed region: a ~100-query
-        # single-JVM run accumulates broadcast blocks, shuffle files, and
-        # codegen/GC debt whose asynchronous cleanup otherwise lands
-        # inside LATER queries' measurements (observed +30-50% inflation
-        # on late-run entries vs a fresh JVM). A synchronous full GC per
-        # entry makes the ContextCleaner's reference-queue processing
-        # happen between measurements instead of during them.
-        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     timings["dedup_incremental_indexed"] = round(min(r[0] for r in probe_runs), 3)

@@ -243,10 +243,16 @@ def temperature_mix_filter(
     back to its own corpus-sized input (which shuffles the corpus twice
     once it outgrows the broadcast threshold)."""
     rates = temperature_mix_rates(df, source_col=source_col, quant=quant)
-    r = rates.select(F.col("source").alias(source_col), "rate_q")
+    # internal alias: the input frame may legitimately carry a rate_q
+    # column (e.g. a prior mix pass's output) — joining the broadcast
+    # table under the public name would make the filter's reference
+    # ambiguous
+    r = rates.select(
+        F.col("source").alias(source_col), F.col("rate_q").alias("_mix_rate_q")
+    )
     return (
         df.join(F.broadcast(r), source_col)
-        .filter(_mix_draw(id_col, seed, quant) < F.col("rate_q"))
+        .filter(_mix_draw(id_col, seed, quant) < F.col("_mix_rate_q"))
         .select(*df.columns)  # the join hoists its key to the front
     )
 

@@ -23,11 +23,19 @@ from .sketch import grouped_topk_threshold
 from .util import spread
 
 
-def _serving_topk(
+def serving_topk(
     scored: DataFrame, score_col: str, k: int, descending: bool = True
 ) -> DataFrame:
     """Final top-k of an ANN serving path: (query_id, neighbor_id,
     score) -> each query's k best with a 1-based ``rank``.
+
+    Degenerate-score contract: candidates whose score is NULL or NaN
+    (a zero-norm or NULL embedding makes cosine 0/0) are EXCLUDED before
+    ranking — the one guarded filter below. This is deliberate and
+    DIFFERS from a raw ``row_number`` window, where Spark's descending
+    sort places NaN first and would SERVE the meaningless neighbor at
+    rank 1; an unscorable candidate is not a near neighbor. It also
+    satisfies ``grouped_topk_threshold``'s non-null key requirement.
 
     Queries are FEW and each one's scored candidate set is unbounded in
     the corpus (PQ scores ALL n rows per query; IVF/IVF-PQ score
@@ -45,9 +53,19 @@ def _serving_topk(
     matches the window form's (desc score, asc id) ordering. Plan shape
     pinned in tests/test_plans.py (no rank window over the scored
     corpus)."""
-    neg = (-F.col(score_col)) if descending else F.col(score_col)
+    from pyspark.sql.types import DoubleType, FloatType
+
+    s = F.col(score_col)
+    # NOT spelled `s == s`: Catalyst folds a self-equality on the same
+    # expression tree into a trivially-true predicate, which would let
+    # NaN through — the guard must be explicit (isnan exists only for
+    # floating types; integer scores can only be NULL)
+    keep = s.isNotNull()
+    if isinstance(scored.schema[score_col].dataType, (DoubleType, FloatType)):
+        keep = keep & ~F.isnan(s)
+    neg = (-s) if descending else s
     ranked = grouped_topk_threshold(
-        scored.withColumn("_neg", neg),
+        scored.filter(keep).withColumn("_neg", neg),
         "query_id",
         ["_neg", "neighbor_id"],
         k,
@@ -58,6 +76,10 @@ def _serving_topk(
         score_col,
         F.col("rk").cast("bigint").alias("rank"),
     )
+
+
+# the name several certified queries shipped against; the helper is public
+_serving_topk = serving_topk
 
 
 def dot(a: Column, b: Column) -> Column:

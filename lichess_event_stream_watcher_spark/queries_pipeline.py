@@ -761,8 +761,15 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     members only, bounded by pair membership, empty when nothing
     duplicates) with no hint: AQE broadcasts the drop-set when it is
     small (the common case) and falls back to a shuffled anti join when
-    a dup-heavy corpus makes it large."""
-    docs = testdata.load(spark, sf_dir, "documents")
+    a dup-heavy corpus makes it large.
+
+    NULL ``doc_id`` rows are dropped explicitly: the keep-set semi join
+    this replaced never matched them (NULL equals nothing), but an ANTI
+    join inverts that default and would silently KEEP them — the filter
+    preserves the original (and the oracle's) semantics."""
+    docs = testdata.load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     comp = D.dup_components_star(docs, pairs)
     drop = comp.filter(F.col("id") != F.col("comp")).select("id")
@@ -1944,7 +1951,7 @@ def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distance ascends, so the threshold-pruned top-k takes the key
     # directly (descending=False) — never a per-query rank window over
     # the probed-cell candidate set (~n·nprobe/cells rows per query)
-    return S._serving_topk(scored, "dist_q", 5, descending=False)
+    return S.serving_topk(scored, "dist_q", 5, descending=False)
 
 
 _TF_COSINE_ORACLE = rf"""WITH {_NORM},
@@ -2374,7 +2381,9 @@ _BM25_CONTRIB = (
     "(dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
 )
 
-_BM25_ORACLE = rf"""WITH norm AS (
+# the CTE chain both BM25 oracles share verbatim — everything up through
+# `matched`; each variant appends its own `scored` + `ranked` + projection
+_BM25_CTE_PREFIX = rf"""WITH norm AS (
   SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
   FROM documents
 ),
@@ -2398,7 +2407,9 @@ matched AS (
   JOIN (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY term) f USING (term)
   CROSS JOIN stats s
 ),
-scored AS (
+"""
+
+_BM25_ORACLE = rf"""{_BM25_CTE_PREFIX}scored AS (
   SELECT query_id, id AS doc_id,
          CAST(SUM(CAST(floor({_BM25_CONTRIB} * 1000000) AS BIGINT)) AS BIGINT) AS score_q
   FROM matched GROUP BY query_id, id
@@ -2432,7 +2443,7 @@ _BM25_LN_CONTRIB = (
 # same CTE chain as the hash-certified rsj oracle up through `matched`;
 # only the contribution formula and the final projection differ
 _BM25_LN_ORACLE = (
-    _BM25_ORACLE.split("scored AS")[0]
+    _BM25_CTE_PREFIX
     + rf"""scored AS (
   SELECT query_id, id AS doc_id, ROUND(SUM({_BM25_LN_CONTRIB}), 6) AS score
   FROM matched GROUP BY query_id, id

@@ -40,28 +40,42 @@ class SignupRulesManager:
         # name -> Rule index for the per-match hot path: the engine calls
         # find_rule twice per matched event (dispatch + stats commit), so
         # a 60k-match micro-batch paid 120k linear scans of the rule list.
-        # Staleness check = (list identity, length): every mutation either
-        # replaces the list (load/remove_rule), changes its length
-        # (add_rule, sweep-delete, direct .rules.append in tests/bench),
-        # or leaves names untouched (enable/renew mutate fields in place —
-        # Rule names never change in place anywhere in the codebase).
+        # Every mutating METHOD invalidates explicitly (the reliable
+        # path); the (list identity, length-at-build) heuristic remains
+        # only as a backstop for direct .rules mutations from tests/bench
+        # — which append to fresh or same-identity lists and so change
+        # the length. It cannot catch a same-length delete+append done
+        # directly on .rules with no method call between; mutate through
+        # the methods.
         self._by_name: dict[str, Rule] = {}
         self._by_name_src: list[Rule] | None = None
+        self._by_name_len: int = -1
         if rules_path and os.path.exists(rules_path):
             self.load()
 
+    def _invalidate_index(self) -> None:
+        self._by_name_src = None
+
     def _index(self) -> dict[str, Rule]:
-        if self._by_name_src is not self.rules or len(self._by_name) != len(
+        if self._by_name_src is not self.rules or self._by_name_len != len(
             self.rules
         ):
-            self._by_name = {r.name: r for r in self.rules}
+            # first-wins on duplicate names, matching the linear scan this
+            # index replaced (duplicates only arise via direct .rules
+            # appends that bypass add_rule's uniqueness check)
+            idx: dict[str, Rule] = {}
+            for r in self.rules:
+                idx.setdefault(r.name, r)
+            self._by_name = idx
             self._by_name_src = self.rules
+            self._by_name_len = len(self.rules)
         return self._by_name
 
     # -- persistence (src/signup/rules.rs:27-47) ---------------------------
     def load(self) -> None:
         with self._lock, open(self.rules_path) as f:
             self.rules = [Rule.from_json_obj(o) for o in json.load(f)]
+            self._invalidate_index()
 
     def save(self) -> None:
         """Full rewrite on every mutation, as the reference does — but we do
@@ -91,6 +105,7 @@ class SignupRulesManager:
             if self.find_rule(rule.name) is not None:  # uniqueness (:49-55)
                 raise ValueError(f"a rule with name {rule.name!r} already exists")
             self.rules.append(rule)
+            self._invalidate_index()
             self.save()
 
     def remove_rule(self, name: str) -> bool:
@@ -99,6 +114,7 @@ class SignupRulesManager:
         with self._lock:
             before = len(self.rules)
             self.rules = [r for r in self.rules if r.name != name]
+            self._invalidate_index()
             self.save()
             return len(self.rules) != before
 
@@ -190,6 +206,7 @@ class SignupRulesManager:
                     to_remove.append(rule)
             for rule in to_remove:
                 self.rules.remove(rule)
+                self._invalidate_index()
                 out.append(("deleted", rule))
             if out:
                 self.save()

@@ -603,6 +603,31 @@ def test_serving_topk_equals_plain_window(spark, sf_dir):
         assert sorted(got, key=key) == sorted(want, key=key), desc
 
 
+def test_serving_topk_excludes_null_and_nan_scores(spark, sf_dir):
+    """Degenerate-score contract (similarity.serving_topk docstring): a
+    NULL or NaN score — e.g. cosine 0/0 from a zero-norm embedding — is
+    EXCLUDED from the served top-k rather than ranked first the way
+    Spark's descending sort would place NaN in a raw row_number window.
+    The clean candidates must come back with unchanged ranks, and a query
+    whose every candidate is degenerate must return no rows."""
+    rows = [
+        (0, 100, 0.9),
+        (0, 101, float("nan")),  # would out-sort 0.9 in a desc window
+        (0, 102, 0.5),
+        (0, 103, None),
+        (1, 200, float("nan")),  # query 1: nothing servable
+        (1, 201, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, score double"
+    )
+    got = S.serving_topk(df, "score", 3).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
+        (0, 100, 1),
+        (0, 102, 2),
+    ]
+
+
 def test_pq_ann_recall_beats_noise_floor(spark, sf_dir):
     """PQ ADC top-10 recall vs exact cosine: deterministic training
     (md5-sample, first-k init) pins recall at ~0.46 on this corpus —
@@ -1084,6 +1109,14 @@ def test_temperature_mix_filter_equals_sample_form(spark, sf_dir):
     filtered = temperature_mix_filter(docs, source_col="lang")
     assert filtered.columns == docs.columns
     assert {r.doc_id for r in filtered.select("doc_id").collect()} == sample_ids
+
+    # composability: an input already carrying a rate_q column (e.g. a
+    # prior mix pass's output) must not collide with the broadcast rate
+    # table's column — the helper joins it under an internal alias
+    with_rate = docs.withColumn("rate_q", F.lit(7))
+    refiltered = temperature_mix_filter(with_rate, source_col="lang")
+    assert refiltered.columns == with_rate.columns
+    assert {r.doc_id for r in refiltered.select("doc_id").collect()} == sample_ids
 
 
 def test_epoch_shuffle_is_a_permutation_and_epoch_sensitive(spark, sf_dir):

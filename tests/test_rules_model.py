@@ -198,3 +198,37 @@ def test_find_rule_index_tracks_every_mutation_shape(tmp_path):
     mgr2.find_rule("b")
     mgr2.load()
     assert mgr2.find_rule("b") is mgr2.rules[[r.name for r in mgr2.rules].index("b")]
+
+
+def test_find_rule_survives_same_length_sweep_then_append(tmp_path):
+    # The (identity, length) heuristic ALONE cannot see a sweep-delete
+    # followed by an append that restores the original length with no
+    # find_rule call in between — the methods must invalidate explicitly
+    # (rules/store.py:_invalidate_index). Regression for exactly that
+    # sequence: the deleted name must be gone and the new name servable.
+    mgr = SignupRulesManager(str(tmp_path / "rules.json"))
+    exp = NOW - dt.timedelta(days=4)
+    mgr.add_rule(mk("keeper"))
+    mgr.add_rule(mk("doomed", expiry=exp))
+    assert mgr.find_rule("doomed") is not None  # warm index at length 2
+    kinds = [k for k, _ in mgr.expiry_sweep(NOW)]  # in-place delete -> 1
+    assert "deleted" in kinds
+    mgr.add_rule(mk("fresh"))  # back to length 2, same list identity
+    assert mgr.find_rule("doomed") is None
+    assert mgr.find_rule("fresh") is mgr.rules[-1]
+    assert mgr.find_rule("keeper") is not None
+
+
+def test_find_rule_duplicate_names_serve_first_match(tmp_path):
+    # Direct .rules appends can bypass add_rule's uniqueness check; the
+    # index must serve the FIRST rule with a name — what the linear scan
+    # it replaced returned — and must not thrash (rebuild per call) just
+    # because the dict is smaller than the list.
+    mgr = SignupRulesManager(str(tmp_path / "rules.json"))
+    first, second = mk("dup"), mk("dup")
+    mgr.rules.append(first)
+    mgr.rules.append(second)
+    assert mgr.find_rule("dup") is first
+    idx_before = mgr._by_name
+    mgr.find_rule("dup")
+    assert mgr._by_name is idx_before  # no per-call rebuild
