@@ -175,7 +175,9 @@ def bench_dedup_pipeline_shared(
         nonlocal last
         now = time.perf_counter()
         if phase_seconds is not None:
-            phase_seconds[phase] = round(now - last, 3)
+            # unrounded; rounded at publish via _publish_phases so the
+            # published phases sum exactly to the published total
+            phase_seconds[phase] = now - last
         last = now
 
     D.jaccard_pairs(docs, n=2, threshold=0.5).write.parquet(pair_dir)
@@ -198,6 +200,20 @@ def bench_dedup_pipeline_shared(
     dt = time.perf_counter() - t0
     shutil.rmtree(pair_dir, ignore_errors=True)
     return dt
+
+
+def _publish_phases(phases: dict[str, float], total: float) -> dict[str, float]:
+    """Round phase seconds for publication so they SUM EXACTLY to the
+    already-published (rounded) total: every phase but the last rounds
+    independently; the last is derived as the difference, absorbing both
+    the rounding drift and any sub-ms residual between the phase stamps
+    and the total's own clock span."""
+    if not phases:
+        return {}
+    names = list(phases)
+    out = {n: round(phases[n], 3) for n in names[:-1]}
+    out[names[-1]] = round(total - sum(out.values()), 3)
+    return out
 
 
 def _drop_table_and_location(spark, table: str) -> None:
@@ -473,8 +489,12 @@ def main() -> None:
         "action": "noop-write",
         "n_queries": len(timings),
         "queries": timings,
-        "curation_stage_seconds": curation_stages,
-        "shared_pipeline_phase_seconds": shared_phases,
+        "curation_stage_seconds": _publish_phases(
+            curation_stages, timings["curation_pipeline_counts"]
+        ),
+        "shared_pipeline_phase_seconds": _publish_phases(
+            shared_phases, timings["dedup_pipeline_shared"]
+        ),
         "engine_events_per_sec": engine_eps,
         "streaming_engine_events_per_sec": stream_eps,
         "sf": sf,

@@ -246,13 +246,17 @@ def temperature_mix_filter(
     # internal alias: the input frame may legitimately carry a rate_q
     # column (e.g. a prior mix pass's output) — joining the broadcast
     # table under the public name would make the filter's reference
-    # ambiguous
+    # ambiguous. Any FIXED internal name has the same latent collision
+    # (a caller could have materialized it), so suffix until absent.
+    rq = "_mix_rate_q"
+    while rq in df.columns:
+        rq += "_"
     r = rates.select(
-        F.col("source").alias(source_col), F.col("rate_q").alias("_mix_rate_q")
+        F.col("source").alias(source_col), F.col("rate_q").alias(rq)
     )
     return (
         df.join(F.broadcast(r), source_col)
-        .filter(_mix_draw(id_col, seed, quant) < F.col("_mix_rate_q"))
+        .filter(_mix_draw(id_col, seed, quant) < F.col(rq))
         .select(*df.columns)  # the join hoists its key to the front
     )
 

@@ -407,6 +407,7 @@ def tf_cosine_pairs(
     id_col: str = "doc_id",
     max_token_df: int | None = None,
     dense_vocab_limit: int = 4096,
+    sparse_strategy: str | None = None,
 ) -> DataFrame:
     """Term-frequency cosine similarity for all document pairs sharing a
     token — the bag-of-words companion to the Jaccard family (Jaccard
@@ -429,18 +430,47 @@ def tf_cosine_pairs(
       through a shuffle (measured 124 s vs ~3 s at sf0.1). Integer tf
       sums stay exact in float64 regardless of BLAS summation order, so
       the dense path is just as hash-stable.
-    - **sparse vocabulary** (the realistic web corpus): single-shuffle
-      inverted-index form — per-token posting lists generate pair
-      contributions, per-doc norms ride map-side. ``max_token_df`` caps
-      stop-token posting lists (same recall contract as the Jaccard df
-      cap: pairs sharing ONLY capped tokens drop; forces the sparse
-      path, which is the only one that can honor it).
+    - **sparse vocabulary** (the realistic web corpus), two exact
+      sub-strategies selected by ``sparse_strategy``:
+
+      * ``"prefix"`` (the default when no df cap is set): AllPairs
+        prefix-filtered candidate
+        generation (Bayardo/Ma/Srikant WWW'07 — cosine is the family's
+        NATIVE case; see ``_tf_cosine_pairs_prefix`` for the L2
+        suffix-norm completeness bound). Only each doc's rarest-first
+        prefix is indexed, so a Zipfian stop token's posting list never
+        explodes: its sum(df^2) pair blowup — the shape this module's
+        own warning above calls catastrophic — collapses with NO df cap
+        and no recall loss. This is the strategy that survives a web
+        corpus, hence the default.
+      * ``"postings"``: single-shuffle inverted-index form — per-token
+        posting lists generate pair contributions, per-doc norms ride
+        map-side. Shuffle volume is sum over tokens of df^2: only safe
+        under ``max_token_df``, which caps stop-token posting lists
+        (same recall contract as the Jaccard df cap: pairs sharing ONLY
+        capped tokens drop). Setting ``max_token_df`` selects this
+        strategy (``sparse_strategy=None`` means auto: cap -> postings,
+        no cap -> prefix) — the prefix path verifies on full tf maps and
+        cannot honor the cap, so EXPLICITLY combining it with the cap
+        raises (mirror of the Jaccard parameter contract).
 
     The vocabulary probe is a distributed ``approx_count_distinct`` —
-    never a collect.
+    never a collect. A ``dense_vocab_limit`` of 0 pins the sparse path
+    and skips the probe pass entirely.
 
     Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
     """
+    if sparse_strategy not in (None, "prefix", "postings"):
+        raise ValueError(f"unknown sparse_strategy: {sparse_strategy!r}")
+    if sparse_strategy == "prefix" and max_token_df is not None:
+        raise ValueError(
+            "sparse_strategy='prefix' is incompatible with max_token_df: "
+            "the prefix path verifies on full per-doc tf maps and would not "
+            "honor the df cap; use sparse_strategy='postings' with the cap, "
+            "or drop the cap (the prefix filter needs none)"
+        )
+    if sparse_strategy is None:
+        sparse_strategy = "postings" if max_token_df is not None else "prefix"
     tok = (
         df.select(
             F.col(id_col).alias("id"),
@@ -456,10 +486,13 @@ def tf_cosine_pairs(
             F.broadcast(keep.filter(F.col("df_") <= max_token_df).select("tok")), "tok"
         )
     elif (
-        tok.agg(F.approx_count_distinct("tok").alias("v")).collect()[0]["v"]
+        dense_vocab_limit > 0
+        and tok.agg(F.approx_count_distinct("tok").alias("v")).collect()[0]["v"]
         <= dense_vocab_limit
     ):
         return _tf_cosine_dense(tok, threshold)
+    elif sparse_strategy == "prefix":
+        return _tf_cosine_pairs_prefix(tok, threshold)
     norms = tok.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a = tok.select(F.col("id").alias("id_a"), "tok", F.col("tf").alias("tf_a"))
     b = tok.select(F.col("id").alias("id_b"), "tok", F.col("tf").alias("tf_b"))
@@ -479,6 +512,125 @@ def tf_cosine_pairs(
     return (
         dots.join(na, "id_a")
         .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _tf_cosine_pairs_prefix(tok: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact tf-cosine (AllPairs, Bayardo/Ma/Srikant WWW'07
+    — the algorithm's native, weighted-cosine case; the Jaccard twin at
+    ``dedup._jaccard_pairs_prefix`` is the set adaptation).
+
+    Completeness bound — NOTE it is the L2 suffix-norm bound, not the
+    Jaccard set-count bound (``|s| - ceil(t|s|) + 1`` is NOT valid for
+    weighted cosine: two docs sharing one hot token can have cos = 1
+    while their set overlap is a single element). Order the token
+    universe by ANY global total order and, per doc, index the minimal
+    head (prefix) of its token list such that the remaining suffix has
+    sum(tf^2) < t^2 * n2 — i.e. normalized suffix L2 norm < t. If
+    cos(x, y) >= t and no common token falls in BOTH prefixes, then (with
+    e_x = last prefix token of the earlier-ending prefix) every common
+    token sorts after e_x, so all common mass lives in x's suffix and
+    dot(x, y) <= |suffix(x)| * |y| < t * |x| * |y| — contradiction. So a
+    bucket join on prefix tokens alone generates every qualifying pair.
+
+    The global order is (corpus df ASC, token): rarest-first. Unlike the
+    Jaccard twin's free xxhash64 order, the df order costs one extra
+    token-keyed shuffle (the df table join) — paid deliberately, because
+    for COSINE a hash order only shrinks a stop token's bucket by the
+    constant prefix fraction (~1-t^2), leaving the sum(df^2) blowup
+    intact, while rarest-first puts Zipfian stop tokens at the suffix
+    end where they are (almost) never indexed: prefix bucket sizes are
+    bounded by RARE-token df and stay flat as the corpus grows.
+
+    Candidates explode bucket-locally (``dedup._bucket_local_pairs`` —
+    one shuffle, chunked against degenerate buckets, no self-join), then
+    each distinct candidate verifies EXACTLY: integer dot product via a
+    per-doc token->tf map (HOF aggregate over the smaller map's entries
+    is per-candidate work, not corpus work), same rounding as the
+    postings path, so all three strategies are hash-identical.
+
+    Shuffles: df agg + df join (token-keyed), per-doc array agg (id),
+    bucket groupBy, candidate distinct, two id-keyed verify joins — all
+    on doc- or token-scoped keys; none moves text, and no stop-token
+    posting list is ever self-joined.
+    """
+    from .dedup import _bucket_local_pairs
+
+    t = threshold - 1e-6
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("_dfreq"))
+    arr = (
+        tok.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_dfreq").alias("d"),
+                        F.col("tok").alias("g"),
+                        F.col("tf").cast("bigint").alias("w"),
+                    )
+                )
+            ).alias("_arr"),
+            F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2"),
+        )
+    )
+    # index position i iff presum(tf^2 before i) <= (1 - t^2) * n2; presum
+    # is nondecreasing so the indexed set is a head, and the first
+    # unindexed position onward has suffix norm^2 < t^2 * n2 (the bound
+    # above). t is slacked by 1e-6 so float compare can only over-index.
+    bound = (F.lit(1.0) - F.lit(t * t)) * F.col("n2").cast("double")
+    plen = F.aggregate(
+        F.transform("_arr", lambda x: x["w"] * x["w"]),
+        F.struct(
+            F.lit(0).cast("bigint").alias("s"), F.lit(0).cast("int").alias("p")
+        ),
+        lambda st, v: F.struct(
+            (st["s"] + v).alias("s"),
+            (
+                st["p"]
+                + F.when(st["s"].cast("double") <= bound, F.lit(1)).otherwise(F.lit(0))
+            ).alias("p"),
+        ),
+        lambda st: st["p"],
+    )
+    docs = arr.select(
+        "id",
+        "n2",
+        F.transform(F.slice("_arr", F.lit(1), plen), lambda x: x["g"]).alias("_pre"),
+        F.map_from_entries(
+            F.transform("_arr", lambda x: F.struct(x["g"], x["w"]))
+        ).alias("_m"),
+    )
+    pre = docs.select("id", F.explode_outer("_pre").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    cands = (
+        _bucket_local_pairs(pre, ["tok"], [])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("id").alias("_ia"), F.col("_m").alias("_ma"), F.col("n2").alias("na2")
+    )
+    db = docs.select(
+        F.col("id").alias("_ib"), F.col("_m").alias("_mb"), F.col("n2").alias("nb2")
+    )
+    dot = F.aggregate(
+        F.map_entries("_ma"),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + e["value"] * F.coalesce(F.col("_mb")[e["key"]], F.lit(0).cast("bigint")),
+    )
+    cos = F.round(
+        dot.cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return (
+        cands.join(da, cands["id_a"] == da["_ia"])
+        .join(db, cands["id_b"] == db["_ib"])
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

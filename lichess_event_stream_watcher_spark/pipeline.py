@@ -79,7 +79,11 @@ def curate_corpus(
         nonlocal _t
         if stage_seconds is not None:
             now = time.perf_counter()
-            stage_seconds[stage] = round(now - _t, 3)
+            # UNROUNDED: the bench publisher rounds at publish time with
+            # the last phase derived by difference, so the published
+            # phases sum exactly to the published total (rounding each
+            # independently here would drift by a few ms)
+            stage_seconds[stage] = now - _t
             _t = now
 
     counts: dict[str, int] = {"input": docs.count()}

@@ -217,137 +217,113 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (all with >= 1 green row, most with 2-3) keep coverage every
 # session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
-    # ---- the round-5 50-row driver window -------------------------------
-    # Aim (r4 verdict task #2): close the never-driver-checked backlog —
-    # 2 anchors + the 41 round-4 late additions + the last3_caught re-cert
-    # + the stalest r1 green (dedup_exact) + 5 re-certs of the ANN serving
-    # queries whose final top-k was threshold-pruned this round (r4 task
-    # #3 touched their code, so their r4 evidence is stale). Registry
-    # growth is FROZEN this round: no new registrations ahead of closure.
-    # anchors (the reference parity surface's two highest-leverage paths)
-    "rule_scan",
-    "crit_code_predicate",
-    # round-4 late additions, never driver-checked (the whole backlog).
-    # The three the advisor flagged as highest cross-engine-arithmetic
-    # risk go first: trained-trajectory + grouping-sets queries.
-    "quality_lr_source_scores",
-    "embedding_pca_projection_q",
-    "ngram_novelty_profile",
-    "hard_negative_mining",
-    "boilerplate_ngrams",
-    "embedding_random_projection",
-    "corpus_token_accounting",
-    "corpus_snapshot_diff",
-    "zorder_key_events",
-    "bpe_encode_pieces",
-    "ingestion_admission_counts",
-    "bpe_source_token_counts",
-    "hybrid_retrieval_rrf",
-    "ccnet_quality_buckets",
-    "regex_token_counts",
-    "label_centroid_dispersion",
-    "label_centroid_confusion",
-    "token_budget_sample",
-    "source_overlap_matrix",
-    "winnowing_dup_pairs",
-    "retrieval_eval",
-    "zipf_octave_profile",
-    "distinctive_terms_by_source",
-    "robust_length_outliers",
-    "weighted_priority_sample",
-    "histogram_drift_tv",
-    "source_label_gini",
-    "collocation_lift_topk",
-    "ols_trend_by_type",       # + round-5 zero-variance NULL guard
-    "cusum_hourly_changepoint",
-    "funnel_conversion",
-    "event_transition_matrix",
-    "hourly_corr_pairs",       # + round-5 zero-variance NULL guard
-    "source_lang_cramers_v",
-    "benford_first_digit",
-    "join_key_profile",
-    "k_anonymity_audit",
-    # formerly rows-only, upgraded to hash oracles round 5 (task #7):
-    # float pagerank via a recursive-CTE round-6 twin, log-DSIR via a
-    # round-6 ln twin, BM25-ln as a rank-only registration
-    "dup_graph_pagerank",
-    "dsir_importance_log",
-    "bm25_lucene_topk",
-    # rows-only by nature (percentile_approx internals) — its weaker
-    # rows-only driver row is still a first
-    "sketch_stats",
-    # re-cert: reworked r4 (threshold-pruned top-3), driver evidence r2
-    "last3_caught",
-    # stalest green: r1-only evidence, code untouched since
-    "dedup_exact",
-    # re-certs: ANN serving top-k threshold-pruned this round (the five
-    # distinct serving paths; ann_pq_adc / ann_ivfpq_adc / ann_lsh_buckets
-    # share the same helper and head the r6 rotation queue below)
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained",
-    "ann_ivf_trained_q",
-    # ---- position 51+: the round-6 rotation queue -----------------------
-    # first: the remaining touched-code ANN twins, then the stalest greens
-    "ann_pq_adc",
-    "ann_ivfpq_adc",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    # r2-r4 greens, code untouched, freshest-last
-    "dup_graph_pagerank_q",
-    "ann_kmeans_cells_q",
-    "bloom_admission",
-    "kmv_distinct_sketch",
-    "event_rate_anomaly",
-    "epoch_shuffle",
+    # ---- the round-6 50-row driver window -------------------------------
+    # The backlog is closed (every query holds a lifetime green row), so
+    # from this round the window is allocated by the FRESHNESS rotation
+    # rule (r5 verdict task #3), mechanically:
+    #   1. new registrations and queries whose implementing files changed
+    #      this round (they must re-certify through the changed code);
+    #   2. the stalest lifetime greens (ascending last-green round, then
+    #      name) until the 50 slots fill.
+    # tests/test_registry_policy.py::test_no_stale_green_outside_window
+    # enforces the result: nothing may sit outside the window with its
+    # newest green row more than 3 rounds old.
+    # -- (1) changed this round: tf-cosine grew the AllPairs prefix sparse
+    #    path (text.py) + a forced-sparse twin registration; the curation
+    #    pipeline's quality gate was re-staged (pipeline.py); curation.py
+    #    took the _mix_rate_q collision fix; enrich.py grew the generic
+    #    from-scratch UA parser.
+    "tf_cosine_pairs_sparse",  # new: the at-scale sparse path, own oracle
     "tf_cosine_pairs",
-    "chunk_documents",
-    "embedding_feature_stats",
-    "embedding_robust_stats",
-    "dedup_corpus",
-    "cross_source_dups",
-    "hll_distinct_sketch",
-    "cms_heavy_hitters",
-    "username_fuzzy_pairs",
-    "windowed_event_rollup",
-    "session_window_rollup",
-    "grouping_sets_pricing",
-    "orders_column_stats",
-    "value_equidepth_histogram",
-    "salted_event_type_counts",
-    "multimodal_frames",
-    "dataset_split_counts",
-    "pack_sequences_bins",
-    "source_quota_sample",
-    "source_rate_sample",
-    "interval_join_attribution",
     "curation_pipeline_counts",
-    "bpe_merge_ranks",
-    "bm25_rsj_topk",
-    "dup_span_profile",
-    "dsir_importance_q",
-    "substring_dedup",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_values",
-    "tpch_q12_late_by_priority",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_loss",
-    "tpch_q18_large_orders",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_balances",
+    "temperature_mix_sample",
+    "curation_gate",
+    "device_enrich",
+    # -- (2) stalest greens: the r1 row, all 34 remaining r2 rows, then
+    #    the alphabetically-first r3 rows up to slot 50
+    "ann_lsh_buckets",  # r1
+    "asof_join_orders",  # r2 from here
+    "cube_pricing",
+    "date_functions",
+    "first_event_per_user",
+    "geoip_enrich",
+    "json_extract_props",
+    "match_stats",
+    "max_order_per_cust_subquery",
+    "notify_dedup_anti",
+    "percentiles_exact",
+    "pivot_event_counts",
+    "rollup_pricing",
+    "scalar_encoding",
+    "scalar_suite",
+    "seen_lookup_semi",
+    "seen_window_counts",
+    "sessionize",
+    "set_ops",
+    "topk_recent_events",
+    "tpch_q10_returned_items",
     "tpch_q13_custdist",
-    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
+    "tpch_q19_bracket_revenue",
+    "tpch_q1_pricing",
+    "tpch_q3_revenue",
     "tpch_q4_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_profit",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_effect",
-    "tpch_q19_bracket_revenue",
+    "unpivot_measures",
+    "window_suite",
+    "action_schedule",  # r3 from here
+    "ann_lsh_topk",
+    "ann_pq_adc",
+    "charlm_quality",
+    "contamination_check",
+    "crit_email_contains",
+    "crit_email_regex",
+    "crit_ip_match",
+    "crit_print_match",
+    # ---- position 51+: the round-7 rotation queue ------------------------
+    # the remaining r3 greens, staleness order (these hit the 3-round
+    # staleness bound at round 7 and must rotate in then)
+    "crit_susp_ip_gate",
+    "crit_useragent_length_lte",
+    "crit_username_contains",
+    "crit_username_regex",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_jaccard_inverted",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_near_dup",
+    "embedding_quantize_int8",
+    "funnel_view_click_purchase",
+    "fuzzy_graph_kcore",
+    "fuzzy_graph_triangles",
+    "knn_cosine_topk",
+    "lexicon_coverage",
+    "multimodal_features",
+    "multimodal_manifest",
+    "paragraph_dedup",
+    "pii_scrub",
+    "purchase_state_attribution",
+    "repetition_profile",
+    "retention_cohorts",
+    "rule_expiry_sweep",
+    "rule_scan_actions",
+    "semantic_dedup",
+    "source_quality_scorecard",
+    "text_profile",
+    "user_state_scd2",
+    "value_outliers_3sigma",
+    "would_fire_counts",
 ]
 
 

@@ -1979,9 +1979,31 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.8"""
 @query("tf_cosine_pairs", _TF_COSINE_ORACLE)
 def tf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words tf-cosine near-dup pairs at 0.8 — integer numerators
-    and norms, one sqrt per pair (operators/text.py:tf_cosine_pairs)."""
+    and norms, one sqrt per pair (operators/text.py:tf_cosine_pairs).
+    The adaptive gate takes the dense-BLAS path on this tiny-vocab corpus;
+    past the vocab gate the default sparse strategy is now the AllPairs
+    PREFIX filter (round-6 fix: the uncapped postings self-join — shuffle
+    volume sum(df^2) over tokens — is no longer any registration's
+    at-scale shape; plan-pinned in tests/test_plans.py)."""
     docs = testdata.load(spark, sf_dir, "documents")
     return X.tf_cosine_pairs(docs, threshold=0.8)
+
+
+@query("tf_cosine_pairs_sparse", _TF_COSINE_ORACLE)
+def tf_cosine_pairs_sparse_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FORCED sparse prefix path of tf_cosine_pairs (dense gate pinned
+    off), certified against the same oracle as the adaptive flagship —
+    this is the strategy that runs on a realistic (vocab >> dense gate)
+    web corpus, so it needs its own hash-green row, not just strategy-
+    equivalence pytest. NOTE this synthetic corpus is adversarially DENSE
+    (31-token vocab: every token is a stop token and prefixes overlap
+    corpus-wide), so its absolute time here is the worst case, not the
+    web-corpus case the strategy exists for — the dense gate exists
+    precisely to route this corpus to BLAS."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return X.tf_cosine_pairs(
+        docs, threshold=0.8, dense_vocab_limit=0, sparse_strategy="prefix"
+    )
 
 
 _CHUNK_ORACLE = r"""WITH norm AS (

@@ -1409,10 +1409,12 @@ def test_tf_cosine_separates_counts_from_sets(spark):
 
 
 def test_tf_cosine_strategies_agree(spark, sf_dir):
-    """The dense-BLAS and postings strategies are the same logical
-    operator: identical pair sets and rounded cosines on the corpus (the
-    tiny-vocab corpus drives the dense path by default; max_token_df high
-    enough to drop nothing forces the postings path)."""
+    """All THREE physical strategies are the same logical operator:
+    identical pair sets and rounded cosines on the corpus (the tiny-vocab
+    corpus drives the dense path by default; max_token_df high enough to
+    drop nothing forces the postings path; dense_vocab_limit=0 pins the
+    sparse prefix path). Checked at a loose threshold too so the prefix
+    filter's candidate generation is stressed, not just the verify."""
     from lichess_event_stream_watcher_spark.operators.text import tf_cosine_pairs
 
     docs = testdata.load(spark, sf_dir, "documents")
@@ -1424,8 +1426,95 @@ def test_tf_cosine_strategies_agree(spark, sf_dir):
         (r.id_a, r.id_b): r.cos_sim
         for r in tf_cosine_pairs(docs, threshold=0.8, max_token_df=10**9).collect()
     }
-    assert dense == postings
+    prefix = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tf_cosine_pairs(
+            docs, threshold=0.8, dense_vocab_limit=0, sparse_strategy="prefix"
+        ).collect()
+    }
+    assert dense == postings == prefix
     assert dense, "corpus should contain high-tf-cosine pairs"
+
+
+def test_tf_cosine_prefix_completeness_adversarial(spark):
+    """Hand-built corpus aimed at the prefix filter's failure modes:
+
+    - a pair whose entire similarity rides ONE hot (max-df) token — the
+      Jaccard-style set-count prefix bound would prune it (set overlap 1
+      < ceil(t * |set|)), the L2 suffix-norm bound must not;
+    - skewed tf so the norm mass concentrates at the suffix end of the
+      rarest-first order;
+    - singleton-token docs (prefix must never be empty).
+
+    Plus the parameter contract: prefix + max_token_df raises, unknown
+    strategy raises."""
+    import pytest as _pytest
+
+    from lichess_event_stream_watcher_spark.operators.text import tf_cosine_pairs
+
+    rows = [
+        # docs 1/2: cosine ~0.917 driven almost entirely by hot token
+        # 'the' (tf 10 each); their rare tokens are disjoint
+        (1, "the " * 10 + "a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+        (2, "the " * 10 + "b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+        # exact copy pair with a single distinct token
+        (3, "the the the"),
+        (4, "the"),
+        # a moderately-similar pair through mixed rare/hot mass
+        (5, "the the a1 a2 a3 z9"),
+        (6, "the the a1 a2 a3 y8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tf_cosine_pairs(
+            df, threshold=0.5, dense_vocab_limit=0, sparse_strategy="postings"
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tf_cosine_pairs(
+            df, threshold=0.5, dense_vocab_limit=0, sparse_strategy="prefix"
+        ).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] >= 0.9  # the hot-token pair the set bound would lose
+    assert got[(3, 4)] == 1.0  # singleton-token docs pair at exactly 1
+    with _pytest.raises(ValueError, match="incompatible"):
+        tf_cosine_pairs(df, sparse_strategy="prefix", max_token_df=5)
+    with _pytest.raises(ValueError, match="unknown sparse_strategy"):
+        tf_cosine_pairs(df, sparse_strategy="blas")
+
+
+def test_tf_cosine_prefix_randomized_equivalence(spark):
+    """Randomized differential check (fixed seed): Zipf-ish token draws
+    over 40 docs, prefix vs postings pair-for-pair at two thresholds."""
+    import random
+
+    from lichess_event_stream_watcher_spark.operators.text import tf_cosine_pairs
+
+    rng = random.Random(6)
+    vocab = [f"w{i}" for i in range(30)]
+    weights = [1.0 / (i + 1) for i in range(30)]  # Zipf: w0 is a stop token
+    rows = [
+        (i, " ".join(rng.choices(vocab, weights=weights, k=rng.randint(1, 60))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.4, 0.85):
+        want = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in tf_cosine_pairs(
+                df, threshold=t, dense_vocab_limit=0, sparse_strategy="postings"
+            ).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in tf_cosine_pairs(
+                df, threshold=t, dense_vocab_limit=0, sparse_strategy="prefix"
+            ).collect()
+        }
+        assert got == want, f"threshold {t}: {len(got)} vs {len(want)}"
 
 
 def test_chunk_documents_edges(spark):
