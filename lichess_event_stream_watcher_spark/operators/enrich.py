@@ -106,20 +106,89 @@ def device_info_column(ua: Column) -> Column:
 def enrich_device(df: DataFrame, ua_col: str = "user_agent", use_ua_parser: str = "auto") -> DataFrame:
     """P2: add the ``device`` struct column (src/eventhandler.rs:86-88).
 
-    ``use_ua_parser``: "auto" upgrades the GENERIC fallback to the real
-    ua-parser regexes.yaml when the ``ua_parser`` package is importable
-    (full fidelity with the reference's uap crate, src/event.rs:148-167),
-    and silently keeps the built-in Catalyst regex chain otherwise;
-    "never" pins the regex chain; "require" raises if the lib is missing.
+    ``use_ua_parser`` selects the GENERIC fallback (reference path (d),
+    src/event.rs:148-167); the three lichess fast paths always run in
+    Catalyst ahead of it:
+
+    - "auto": the real ``ua_parser`` package when importable, else the
+      from-scratch uap engine (``functions/uap.py`` — the public
+      regexes.yaml format and first-match-wins algorithm reimplemented,
+      same move as the ``.mmdb`` reader). Path (d) is therefore always a
+      real family+major parser; the environment only changes WHICH
+      ruleset answers.
+    - "builtin": pin the from-scratch engine (deterministic ruleset,
+      used by differential tests).
+    - "never": pin the legacy Catalyst regex chain (no Python stage at
+      all — the zero-UDF plan shape).
+    - "require": the real lib or ImportError.
     """
-    if use_ua_parser != "never":
+    if use_ua_parser not in ("auto", "builtin", "never", "require"):
+        raise ValueError(f"unknown use_ua_parser: {use_ua_parser!r}")
+    if use_ua_parser in ("auto", "require"):
         try:
             col = _device_info_ua_parser_column(F.col(ua_col))
             return df.withColumn("device", col)
         except ImportError:
             if use_ua_parser == "require":
                 raise
+            use_ua_parser = "builtin"
+    if use_ua_parser == "builtin":
+        return df.withColumn(
+            "device", _device_info_uap_builtin_column(F.col(ua_col))
+        )
     return df.withColumn("device", device_info_column(F.col(ua_col)))
+
+
+def _device_info_uap_builtin_column(ua: Column) -> Column:
+    """Generic fallback via the from-scratch uap engine (functions/uap.py):
+    an Arrow-batched pandas UDF whose compiled ruleset is a process-wide
+    singleton per executor. Fast paths (a)-(c) stay in Catalyst ahead of
+    it, mirroring parse_user_agent's order (src/event.rs:169-177)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _parse(uas):
+        from lichess_event_stream_watcher_spark.functions.uap import device_info
+
+        out = {"device": [], "os": [], "client": []}
+        for s in uas:
+            device, os_s, client = device_info(s or "")
+            out["device"].append(device)
+            out["os"].append(os_s)
+            out["client"].append(client)
+        return pd.DataFrame(out)
+
+    _parse.__annotations__ = {"uas": pd.Series, "return": pd.DataFrame}
+    generic = pandas_udf("struct<device:string,os:string,client:string>")(_parse)(ua)
+    return _fast_paths_then(ua, generic)
+
+
+def _fast_paths_then(ua: Column, generic: Column) -> Column:
+    """The shared (a)-(c) Catalyst fast-path chain with ``generic`` as the
+    path-(d) fallback (src/event.rs:169-177 precedence)."""
+    bot_ver = F.split(F.substring(ua, len(BOT_PREFIX) + 1, 2147483647), " ").getItem(0)
+    bot = _device_struct(F.lit("Computer"), F.lit("Other"), F.concat(F.lit("lichess-bot "), bot_ver))
+    mob = _device_struct(
+        F.regexp_extract(ua, MOB_UA_RE, 6),
+        F.concat(F.regexp_extract(ua, MOB_UA_RE, 4), F.lit(" "), F.regexp_extract(ua, MOB_UA_RE, 5)),
+        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_RE, 1)),
+    )
+    trim = _device_struct(
+        F.regexp_extract(ua, MOB_UA_TRIM_RE, 4),
+        F.concat(
+            F.regexp_extract(ua, MOB_UA_TRIM_RE, 2),
+            F.lit(" "),
+            F.regexp_extract(ua, MOB_UA_TRIM_RE, 3),
+        ),
+        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_TRIM_RE, 1)),
+    )
+    return (
+        F.when(ua.isNull(), F.lit(None).cast("struct<device:string,os:string,client:string>"))
+        .when(ua.startswith(BOT_PREFIX), bot)
+        .when(ua.rlike(MOB_UA_RE), mob)
+        .when(ua.rlike(MOB_UA_TRIM_RE), trim)
+        .otherwise(generic)
+    )
 
 
 def _device_info_ua_parser_column(ua: Column) -> Column:
@@ -152,30 +221,7 @@ def _device_info_ua_parser_column(ua: Column) -> Column:
 
     _parse.__annotations__ = {"uas": pd.Series, "return": pd.DataFrame}
     generic = pandas_udf("struct<device:string,os:string,client:string>")(_parse)(ua)
-
-    bot_ver = F.split(F.substring(ua, len(BOT_PREFIX) + 1, 2147483647), " ").getItem(0)
-    bot = _device_struct(F.lit("Computer"), F.lit("Other"), F.concat(F.lit("lichess-bot "), bot_ver))
-    mob = _device_struct(
-        F.regexp_extract(ua, MOB_UA_RE, 6),
-        F.concat(F.regexp_extract(ua, MOB_UA_RE, 4), F.lit(" "), F.regexp_extract(ua, MOB_UA_RE, 5)),
-        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_RE, 1)),
-    )
-    trim = _device_struct(
-        F.regexp_extract(ua, MOB_UA_TRIM_RE, 4),
-        F.concat(
-            F.regexp_extract(ua, MOB_UA_TRIM_RE, 2),
-            F.lit(" "),
-            F.regexp_extract(ua, MOB_UA_TRIM_RE, 3),
-        ),
-        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_TRIM_RE, 1)),
-    )
-    return (
-        F.when(ua.isNull(), F.lit(None).cast("struct<device:string,os:string,client:string>"))
-        .when(ua.startswith(BOT_PREFIX), bot)
-        .when(ua.rlike(MOB_UA_RE), mob)
-        .when(ua.rlike(MOB_UA_TRIM_RE), trim)
-        .otherwise(generic)
-    )
+    return _fast_paths_then(ua, generic)
 
 
 def enrich_geoip(df: DataFrame, ranges: DataFrame, ip_col: str = "ip") -> DataFrame:
