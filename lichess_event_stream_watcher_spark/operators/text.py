@@ -81,13 +81,30 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Predict language as argmax of marker scores with fixed precedence
-    (en > de > es > fr); no marker hit -> 'und'."""
+    (en > de > es > fr); no marker hit -> 'und'.
+
+    Expression-size discipline (round 6): the naive form — a when-chain
+    over ``lang_scores`` with a ``greatest`` tiebreak — repeats every
+    marker-score subexpression (each of which re-expands normalize_text)
+    in every branch, ~100+ copies of the regexp/replace block. Fused into
+    the curation pipeline's gate stage that single filter blew janino's
+    64 KB method limit and knocked the WHOLE fused stage (two broadcast
+    joins + filter) back to interpreted evaluation. Binding the four
+    scores ONCE as a 1-element array<struct> and doing the argmax inside
+    a ``transform`` lambda makes each score expression appear exactly
+    once: the expensive block stays in codegen'd projection territory and
+    the lambda is four integer comparisons over bound variables."""
     s = lang_scores(col)
-    best = F.greatest(*s.values())
-    out = F.lit("und")
-    for lang in reversed(list(LANG_MARKERS)):
-        out = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
-    return out
+    packed = F.array(F.struct(*[v.alias(k) for k, v in s.items()]))
+
+    def pick(st: Column) -> Column:
+        best = F.greatest(*[st[k] for k in LANG_MARKERS])
+        out = F.lit("und")
+        for lang in reversed(list(LANG_MARKERS)):
+            out = F.when((st[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+        return out
+
+    return F.element_at(F.transform(packed, pick), 1)
 
 
 def punct_count(col: Column) -> Column:
@@ -442,7 +459,12 @@ def tf_cosine_pairs(
         explodes: its sum(df^2) pair blowup — the shape this module's
         own warning above calls catastrophic — collapses with NO df cap
         and no recall loss. This is the strategy that survives a web
-        corpus, hence the default.
+        corpus, hence the default. (Measured forced-sparse at sf0.1 on
+        the 31-token synthetic corpus — the ADVERSARIAL dense case where
+        prefixes overlap corpus-wide and candidates degenerate to
+        all-pairs: prefix ~58 s vs postings ~124 s vs the dense-BLAS
+        gate's ~4 s; the gate exists precisely to route such corpora
+        around both sparse forms.)
       * ``"postings"``: single-shuffle inverted-index form — per-token
         posting lists generate pair contributions, per-doc norms ride
         map-side. Shuffle volume is sum over tokens of df^2: only safe

@@ -1,0 +1,36 @@
+"""bench.py publication invariants (no SparkSession needed): the per-phase
+splits written to BENCH_DETAIL.json must sum EXACTLY to their published
+(independently rounded) totals — round-5 published phases that drifted a
+few ms from the total because each phase rounded independently."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _publish_phases  # noqa: E402
+
+
+def test_phases_sum_exactly_to_published_total():
+    phases = {"a": 1.23456, "b": 0.00049, "c": 7.89012}
+    total = round(sum(phases.values()), 3)  # what the bench publishes
+    out = _publish_phases(phases, total)
+    assert round(sum(out.values()), 3) == total
+    assert list(out) == ["a", "b", "c"]  # insertion order preserved
+    # non-final phases round plainly; the final one absorbs the drift
+    assert out["a"] == 1.235 and out["b"] == 0.0
+
+
+def test_phases_absorb_total_residual():
+    # the curation total includes a few ms outside the stamped stages
+    # (call overhead, unpersist); the derived last phase absorbs it so
+    # the invariant holds against the PUBLISHED total, not the stamp sum
+    phases = {"x": 1.0, "y": 2.0}
+    out = _publish_phases(phases, 3.01)
+    assert out == {"x": 1.0, "y": 2.01}
+
+
+def test_empty_phases():
+    assert _publish_phases({}, 5.0) == {}

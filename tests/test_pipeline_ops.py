@@ -1382,6 +1382,37 @@ def test_kmv_sketch_error_bound(spark, sf_dir):
         assert abs(r.est_users - r.exact_users) <= 0.38 * r.exact_users, r
 
 
+def test_lang_id_expression_stays_codegen_sized(spark):
+    """Round-6 regression pin: lang_id must bind its marker scores once
+    (1-element array<struct> + transform argmax), not repeat them per
+    argmax branch. The naive when-chain form expanded normalize_text
+    ~100+ times; fused into the curation gate that single filter blew
+    janino's 64 KB method limit and knocked the whole fused stage to
+    interpreted evaluation (SCALE.md "Known divergences", round-6 entry).
+    Budget: the regexp/replace block appears once per marker occurrence
+    term (2 per marker x 12 markers), with slack for minor refactors but
+    far below the repeated-per-branch blowup."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators.text import lang_id
+
+    expr = lang_id(F.col("text"))._jc.toString()
+    assert expr.count("regexp_replace") <= 30, expr.count("regexp_replace")
+    # and the argmax still honors precedence + the no-hit default
+    rows = [
+        (1, "the cat of a hat the"),
+        (2, "der hund und die katze"),
+        (3, "zzz qqq"),
+        (4, "the der"),  # tie at 1 hit each -> en precedence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lang
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "und", 4: "en"}
+
+
 def test_tf_cosine_separates_counts_from_sets(spark):
     """tf-cosine must distinguish documents Jaccard cannot: same token SET
     but different counts scores below 1.0, while an exact copy scores 1.0;
