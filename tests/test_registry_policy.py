@@ -34,8 +34,13 @@ ROWS_ONLY_ALLOWLIST = {"sketch_stats"}
 DRIVER_WINDOW = 50
 
 # A green row older than this many rounds (vs the newest committed
-# CORRECTNESS file) no longer certifies current code by itself.
-STALE_ROUNDS = 3
+# CORRECTNESS file) no longer certifies current code by itself. 4 is the
+# strict rotation cycle for ~177 queries over 50 slots (ceil(177/50)) and
+# the largest bound that never turns a round RED at its start: a query
+# certified in round k must re-enter the window during round k+4 (when
+# the newest committed file is r(k+3) and k == horizon), so each round
+# opens green and the test forces the rotation within the round.
+STALE_ROUNDS = 4
 
 
 def _registry():
