@@ -281,6 +281,52 @@ def bench_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
     return dt_indexed, dt_smj
 
 
+def bench_tf_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
+    """The cosine mirror of ``bench_indexed_probe``: per-batch tf-cosine
+    ingestion dedup against a PRE-BUILT bucketed token index
+    (save_tf_index, built untimed — it amortizes over every future batch,
+    norms denormalized onto the postings) vs re-tokenizing the corpus per
+    batch, BOTH with broadcast joins disabled so the sort-merge shapes
+    timed here are the plans that run at 100 TB.
+
+    Returns (indexed_sec, retokenize_smj_sec)."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    table = "bench_tf_index"
+    _drop_table_and_location(spark, table)
+    X.save_tf_index(old, table, buckets=32)
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        t0 = time.perf_counter()
+        X.tf_cosine_pairs_against_index(new, table, threshold=0.8).count()
+        dt_indexed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        X.tf_cosine_pairs_between(new, old, threshold=0.8).count()
+        dt_smj = time.perf_counter() - t0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        _drop_table_and_location(spark, table)
+    return dt_indexed, dt_smj
+
+
 def bench_streaming_engine(spark, sf_dir: str, tmp_root: str) -> tuple[float, int]:
     """End-to-end STREAMING throughput: the signup batch serialized to an
     NDJSON landing dir (untimed), then drained through readStream ->
@@ -429,6 +475,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings["dedup_incremental_indexed"] = round(min(r[0] for r in probe_runs), 3)
     timings["dedup_incremental_smj"] = round(min(r[1] for r in probe_runs), 3)
+    # The cosine ingestion pair (bench_tf_indexed_probe) is NOT in the
+    # per-round set: on this corpus the unigram token space is 31 hot
+    # tokens, so the cross-corpus postings volume is ~n^2 per token —
+    # a 67 s/draw adversarial shape no real vocabulary exhibits (and the
+    # dense gate absorbs in the self-join form). One-time sf0.1 numbers
+    # live in SCALE.md: indexed 19.9 s vs re-tokenize 47.3 s (2.4x).
     for name in names:
         best = float("inf")
         # min-of-3: strip first-touch JIT/codegen noise AND the occasional

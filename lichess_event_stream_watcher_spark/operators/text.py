@@ -493,15 +493,7 @@ def tf_cosine_pairs(
         )
     if sparse_strategy is None:
         sparse_strategy = "postings" if max_token_df is not None else "prefix"
-    tok = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("tok"),
-        )
-        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-        .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
+    tok = _tf_tokens(df, text_col, id_col)
     if max_token_df is not None:
         keep = tok.groupBy("tok").agg(F.count("*").alias("df_"))
         tok = tok.join(
@@ -535,6 +527,201 @@ def tf_cosine_pairs(
         dots.join(na, "id_a")
         .join(nb, "id_b")
         .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _tf_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok, tf) term-frequency relation — the shared front end of the
+    tf-cosine family (one explode + one doc-scoped partial-agg shuffle)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(tokens(normalize_text(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_cosine_pairs_between(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Incremental (cross-corpus) tf-cosine: for each NEW document, its
+    near-duplicates among an EXISTING corpus — the cosine companion to
+    ``dedup.jaccard_pairs_between``, completing the ingestion-time story
+    for the counts-sensitive operator (a continuously-fed pipeline never
+    re-runs the quadratic self-join over all history).
+
+    Shape: inverted-index join between the two tf relations — the corpus
+    postings shuffle by token once (bucketable, exactly like the Jaccard
+    twin's ``bucketBy`` index) and the small batch probes them, so the
+    pair volume is sum over tokens of df_new * df_corpus: LINEAR in the
+    corpus per batch, vs the self-join's quadratic sum(df^2). Stop
+    tokens still dominate that linear term on a Zipfian corpus;
+    ``max_token_df`` caps the CORPUS-side posting lists (same recall
+    contract as the Jaccard cap: pairs whose only shared tokens are
+    capped drop — the cap table is computed on corpus df, so a new
+    batch's verdicts don't depend on batch composition).
+
+    Same integer-exact arithmetic as ``tf_cosine_pairs`` (bigint dot and
+    norms, one rounded sqrt/div per pair). Output: (new_id, old_id,
+    cos_sim) with cos_sim >= threshold; a new doc with no qualifying
+    match is absent (left-anti against this = the admission filter).
+    """
+    tok_new = _tf_tokens(new, text_col, id_col)
+    tok_old = _tf_tokens(corpus, text_col, id_col)
+    if max_token_df is not None:
+        keep = tok_old.groupBy("tok").agg(F.count("*").alias("df_"))
+        keep = F.broadcast(keep.filter(F.col("df_") <= max_token_df).select("tok"))
+        tok_old = tok_old.join(keep, "tok")
+        tok_new = tok_new.join(keep, "tok")
+    n_new = tok_new.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    n_old = tok_old.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tok_new.select(F.col("id").alias("new_id"), "tok", F.col("tf").alias("tf_a"))
+    b = tok_old.select(F.col("id").alias("old_id"), "tok", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "tok")
+        .groupBy("new_id", "old_id")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = n_new.select(F.col("id").alias("new_id"), F.col("n2").alias("na2"))
+    nb = n_old.select(F.col("id").alias("old_id"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return (
+        dots.join(na, "new_id")
+        .join(nb, "old_id")
+        .select("new_id", "old_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# versions the normalize/tokenize recipe baked into a saved tf index; a
+# recipe change must invalidate old indexes (mirrors dedup._SHINGLE_RECIPE)
+_TF_RECIPE = "v1:trim-lower-collapse-ws-split"
+
+
+def save_tf_index(
+    corpus: DataFrame,
+    table: str,
+    buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> None:
+    """Materialize the corpus's tf posting table BUCKETED BY token — the
+    cosine mirror of ``dedup.save_shingle_index``: every later
+    ``tf_cosine_pairs_against_index`` probe sort-merges against
+    bucket-aligned splits with ZERO corpus-side shuffle, so per-batch
+    ingestion cost scales with the batch, not with history.
+
+    Per-doc squared norms are DENORMALIZED onto the postings (one n2
+    column) so a probe needs no second corpus pass and no corpus-sized
+    id-keyed join — the cost is one bigint per posting row.
+
+    ``max_token_df`` caps stop-token posting lists AT BUILD TIME (norms
+    are computed post-cap, so capped and uncapped indexes are different,
+    internally-consistent vector spaces); the cap and the tokenize recipe
+    are recorded as table properties and re-checked by every probe — a
+    mismatch would silently yield near-empty joins instead of an error.
+    """
+    tok = _tf_tokens(corpus, text_col, id_col)
+    if max_token_df is not None:
+        keep = tok.groupBy("tok").agg(F.count("*").alias("df_"))
+        tok = tok.join(
+            F.broadcast(keep.filter(F.col("df_") <= max_token_df).select("tok")),
+            "tok",
+        )
+    n2 = tok.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    (
+        tok.join(n2, "id")
+        .write.mode("overwrite")
+        .bucketBy(buckets, "tok")
+        .sortBy("tok")
+        .saveAsTable(table)
+    )
+    corpus.sparkSession.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ("
+        f"'lesw.tf_recipe' = '{_TF_RECIPE}', "
+        f"'lesw.tf_df_cap' = '{'' if max_token_df is None else int(max_token_df)}')"
+    )
+
+
+def tf_cosine_pairs_against_index(
+    new: DataFrame,
+    index_table: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """``tf_cosine_pairs_between`` with the corpus side served from a
+    ``save_tf_index`` bucketed table instead of re-tokenizing raw
+    documents: the corpus postings arrive bucket-aligned on the join key
+    (zero corpus-side exchange, pinned in tests/test_plans.py) with their
+    norms riding along, so the probe's only corpus-sized work is the
+    sort-merge read itself.
+
+    ``max_token_df`` must MATCH the index's build-time cap (the stored n2
+    was computed under it; applying a different cap at probe time would
+    mix vector spaces) — checked against the recorded table properties,
+    as is the tokenize recipe."""
+    spark = new.sparkSession
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {index_table}").collect()
+    }
+    stored_recipe = props.get("lesw.tf_recipe")
+    stored_cap = props.get("lesw.tf_df_cap")
+    probe_cap = "" if max_token_df is None else str(int(max_token_df))
+    if stored_recipe is not None and (
+        stored_recipe != _TF_RECIPE or (stored_cap or "") != probe_cap
+    ):
+        raise ValueError(
+            f"tf-index mismatch for table {index_table!r}: index was built "
+            f"with recipe={stored_recipe!r}, max_token_df={stored_cap!r}; "
+            f"probe uses recipe={_TF_RECIPE!r}, max_token_df={probe_cap!r}. "
+            "Rebuild the index with save_tf_index or match the probe "
+            "parameters."
+        )
+    old = spark.table(index_table)
+    tok_new = _tf_tokens(new, text_col, id_col)
+    if max_token_df is not None:
+        # the new side must see the same token universe the index stores;
+        # the index's own rows are already capped at build time
+        keep = old.select("tok").distinct()
+        tok_new = tok_new.join(keep, "tok", "left_semi")
+    n_new = tok_new.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tok_new.select(F.col("id").alias("new_id"), "tok", F.col("tf").alias("tf_a"))
+    b = old.select(
+        F.col("id").alias("old_id"), "tok", F.col("tf").alias("tf_b"), F.col("n2").alias("nb2")
+    )
+    dots = (
+        a.join(b, "tok")
+        .groupBy("new_id", "old_id", "nb2")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = n_new.select(F.col("id").alias("new_id"), F.col("n2").alias("na2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return (
+        dots.join(na, "new_id")
+        .select("new_id", "old_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -660,14 +847,30 @@ def _tf_cosine_pairs_prefix(tok: DataFrame, threshold: float) -> DataFrame:
 
 def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
     """Dense-vocab tf-cosine: assemble per-doc tf vectors over the (small,
-    broadcastable) vocabulary and hand them to the sharded blocked-BLAS
-    cosine pair search. The vocab index is deterministic (row_number by
-    token text); zero-token docs never enter ``tok`` so no zero vector can
-    reach the norm division."""
+    broadcastable) vocabulary and run the sharded blocked-BLAS pair
+    search. The vocab index is deterministic (row_number by token text);
+    zero-token docs never enter ``tok`` so no zero vector exists.
+
+    Hash-parity discipline (round 6 — a property test caught the dense
+    and sparse paths rounding a boundary pair apart): the BLAS block
+    computes only EXACT integers — ``a @ ref.T`` on raw tf vectors is an
+    exact integer dot in float64 (terms bounded by n2^2 * vocab << 2^53),
+    norms are exact integer self-sums — and emits (dot, na2, nb2); the
+    one inexact step, ``round(dot / sqrt(na2 * nb2), 6)``, runs in the
+    SAME Spark expression the sparse paths use, so all three strategies
+    produce bit-identical doubles by construction. (The earlier delegate,
+    similarity.cosine_near_dup_pairs, normalizes each vector before the
+    matmul — a different float association that can land a hair across a
+    rounding boundary from dot/sqrt.) The block pre-filters with a 1e-9
+    margin and the exact threshold applies after the Spark-side round.
+    """
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.window import Window
 
-    from .similarity import cosine_near_dup_pairs
+    from .util import spread
 
+    spark = tok.sparkSession
     vocab = (
         tok.select("tok")
         .distinct()
@@ -676,6 +879,14 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
         )
     )
     v_size = vocab.count()
+    if v_size == 0:
+        # a corpus whose every document normalizes to zero tokens (empty/
+        # null text) has no pairs; the BLAS block must not probe an empty
+        # frame for its dimension
+        id_t = tok.schema["id"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
+        )
     entries = (
         tok.join(F.broadcast(vocab), "tok")
         .groupBy("id")
@@ -690,7 +901,64 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
         lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast("double"),
     )
     dense = entries.select("id", vec.alias("_tfv"))
-    return cosine_near_dup_pairs(dense, threshold, id_col="id", vec_col="_tfv")
+    # sharded reference, same blocking discipline as
+    # similarity.cosine_near_dup_pairs: no broadcast, task intermediate,
+    # or Arrow batch scales with the whole corpus — only with one shard
+    n = dense.count()
+    rows_per_shard = max(1, (256 << 20) // (v_size * 8))
+    n_shards = int((n + rows_per_shard - 1) // rows_per_shard)
+    margin = threshold - 1e-9
+
+    def shard_pairs(shard_idx: int):
+        rows = dense.filter(F.pmod(F.col("id"), n_shards) == shard_idx).collect()
+        if not rows:
+            return None
+        ref_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        ref = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        ref_n2 = (ref * ref).sum(axis=1)  # exact integer self-sums
+        bc = spark.sparkContext.broadcast((ref_ids, ref, ref_n2))
+
+        def block(batches):
+            rids, rmat, rn2 = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                a = np.array([list(v) for v in pdf["_tfv"]], dtype=np.float64)
+                dots = a @ rmat.T  # exact integer dots in float64
+                an2 = (a * a).sum(axis=1)
+                aid = pdf["id"].to_numpy(dtype=np.int64)
+                sims = dots / np.sqrt(an2[:, None] * rn2[None, :])
+                mask = (aid[:, None] < rids[None, :]) & (sims >= margin)
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": aid[ai],
+                            "id_b": rids[bj],
+                            "dot": dots[ai, bj].astype(np.int64),
+                            "na2": an2[ai].astype(np.int64),
+                            "nb2": rn2[bj].astype(np.int64),
+                        }
+                    )
+
+        return spread(dense).mapInPandas(
+            block, "id_a bigint, id_b bigint, dot bigint, na2 bigint, nb2 bigint"
+        )
+
+    parts = [p for p in (shard_pairs(s) for s in range(n_shards)) if p is not None]
+    if not parts:
+        return spark.createDataFrame([], "id_a bigint, id_b bigint, cos_sim double")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return out.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------

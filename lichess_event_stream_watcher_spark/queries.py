@@ -234,6 +234,7 @@ _DRIVER_PRIORITY = [
     #    took the _mix_rate_q collision fix; enrich.py grew the generic
     #    from-scratch UA parser.
     "tf_cosine_pairs_sparse",  # new: the at-scale sparse path, own oracle
+    "tf_cosine_incremental",  # new: the ingestion-time cross-corpus probe
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",
@@ -284,10 +285,11 @@ _DRIVER_PRIORITY = [
     "crit_email_contains",
     "crit_email_regex",
     "crit_ip_match",
-    "crit_print_match",
     # ---- position 51+: the round-7 rotation queue ------------------------
-    # the remaining r3 greens, staleness order (these hit the 3-round
-    # staleness bound at round 7 and must rotate in then)
+    # the remaining r3 greens, staleness order (these hit the staleness
+    # bound during round 7/8 and must rotate in; crit_print_match ceded
+    # its slot to the new tf_cosine_incremental registration)
+    "crit_print_match",
     "crit_susp_ip_gate",
     "crit_useragent_length_lte",
     "crit_username_contains",

@@ -1989,6 +1989,41 @@ def tf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.tf_cosine_pairs(docs, threshold=0.8)
 
 
+_TF_COSINE_BETWEEN_ORACLE = rf"""WITH {_NORM},
+{_TOKS},
+tok AS (
+  SELECT id, tok, COUNT(*) AS tf FROM (
+    SELECT id, unnest(tk) AS tok FROM toks
+  ) WHERE tok IS NOT NULL AND tok <> ''
+  GROUP BY id, tok
+),
+norms AS (SELECT id, SUM(tf * tf) AS n2 FROM tok GROUP BY id),
+dots AS (
+  SELECT a.id AS new_id, b.id AS old_id, SUM(a.tf * b.tf) AS dot
+  FROM tok a JOIN tok b ON a.tok = b.tok
+  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+  GROUP BY a.id, b.id
+),
+scored AS (
+  SELECT new_id, old_id,
+         ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos_sim
+  FROM dots JOIN norms na ON na.id = new_id JOIN norms nb ON nb.id = old_id
+)
+SELECT new_id, old_id, cos_sim FROM scored WHERE cos_sim >= 0.8"""
+
+
+@query("tf_cosine_incremental", _TF_COSINE_BETWEEN_ORACLE)
+def tf_cosine_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time tf-cosine dedup: near-dups of a NEW batch (odd doc
+    ids) against the EXISTING corpus (even ids) — the counts-sensitive
+    companion to dedup_incremental's Jaccard probe; pair volume linear in
+    the corpus per batch (operators/text.py:tf_cosine_pairs_between)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    return X.tf_cosine_pairs_between(new, old, threshold=0.8)
+
+
 @query("tf_cosine_pairs_sparse", _TF_COSINE_ORACLE)
 def tf_cosine_pairs_sparse_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FORCED sparse prefix path of tf_cosine_pairs (dense gate pinned

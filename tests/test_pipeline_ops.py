@@ -1517,6 +1517,96 @@ def test_tf_cosine_prefix_completeness_adversarial(spark):
         tf_cosine_pairs(df, sparse_strategy="blas")
 
 
+def test_tf_cosine_between_matches_self_join_cross_pairs(spark, sf_dir):
+    """The incremental form must produce exactly the CROSS pairs of the
+    self-join form (odd new vs even old, both orientations of id order),
+    with identical rounded cosines; the corpus-df cap drops pairs whose
+    only shared tokens are capped."""
+    from lichess_event_stream_watcher_spark.operators.text import (
+        tf_cosine_pairs,
+        tf_cosine_pairs_between,
+    )
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.new_id, r.old_id): r.cos_sim
+        for r in tf_cosine_pairs_between(new, old, threshold=0.6).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tf_cosine_pairs(docs, threshold=0.6).collect()
+    }
+    want = {}
+    for (a, b), v in full.items():
+        if a % 2 == 1 and b % 2 == 0:
+            want[(a, b)] = v
+        elif b % 2 == 1 and a % 2 == 0:
+            want[(b, a)] = v
+    assert got == want
+    assert got, "split corpus should contain cross near-dups"
+    # cap sanity on a hand corpus: the new doc shares ONLY the hot token
+    # 'the' (corpus df 2 > cap 1) with both corpus docs -> capped drops
+    # both pairs, uncapped keeps them
+    n2 = spark.createDataFrame([(1, "the aaa")], "doc_id long, text string")
+    o2 = spark.createDataFrame(
+        [(2, "the bbb"), (4, "the ccc")], "doc_id long, text string"
+    )
+    uncapped = {
+        (r.new_id, r.old_id)
+        for r in tf_cosine_pairs_between(n2, o2, threshold=0.1).collect()
+    }
+    capped = {
+        (r.new_id, r.old_id)
+        for r in tf_cosine_pairs_between(
+            n2, o2, threshold=0.1, max_token_df=1
+        ).collect()
+    }
+    assert uncapped == {(1, 2), (1, 4)}
+    assert capped == set()
+
+
+def test_tf_index_capped_probe_matches_between(spark, sf_dir):
+    """A df-capped tf index stores post-cap norms; probing it with the
+    SAME cap must reproduce tf_cosine_pairs_between under that cap
+    (including the new-side norm contract: tokens outside the capped
+    corpus vocabulary do not count toward na2)."""
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    # hand corpus: 'the' is a corpus-wide stop token (df over the cap),
+    # rare tokens survive; new docs carry a token unseen in the corpus
+    # (must not count toward na2 under the cap contract) — the synthetic
+    # corpus can't exercise this (its 31 tokens all exceed any useful cap)
+    old = spark.createDataFrame(
+        [(2, "the aaa bbb"), (4, "the aaa ccc"), (6, "the ddd"), (8, "the eee")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "the aaa bbb zzz"), (3, "the ddd"), (5, "qqq rrr")],
+        "doc_id long, text string",
+    )
+    cap = 3  # 'the' (df 4) capped out; aaa (2), bbb/ccc/ddd/eee (1) kept
+    want = {
+        (r.new_id, r.old_id, r.cos_sim)
+        for r in X.tf_cosine_pairs_between(
+            new, old, threshold=0.5, max_token_df=cap
+        ).collect()
+    }
+    assert want, "capped corpus should still contain qualifying pairs"
+    X.save_tf_index(old, "tf_idx_capped_t", buckets=4, max_token_df=cap)
+    try:
+        got = {
+            (r.new_id, r.old_id, r.cos_sim)
+            for r in X.tf_cosine_pairs_against_index(
+                new, "tf_idx_capped_t", threshold=0.5, max_token_df=cap
+            ).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tf_idx_capped_t")
+    assert got == want
+
+
 def test_tf_cosine_prefix_randomized_equivalence(spark):
     """Randomized differential check (fixed seed): Zipf-ish token draws
     over 40 docs, prefix vs postings pair-for-pair at two thresholds."""

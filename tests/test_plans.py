@@ -429,6 +429,51 @@ def test_shingle_index_probe_is_corpus_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS corpus_sh_idx_t")
 
 
+def test_tf_index_probe_is_corpus_shuffle_free(spark, sf_dir):
+    """The cosine mirror of the shingle-index amortization: with the
+    corpus tf posting table materialized bucketed-by-token (norms
+    denormalized onto the postings), a new batch's cosine probe
+    sort-merges against bucket-aligned splits — the CORPUS side holds
+    zero Exchange, and the stored n2 rides the join so no corpus-sized
+    id-keyed norm join exists anywhere in the plan. Results pinned equal
+    to the direct two-corpus form; parameter-mismatch probes fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    base = {
+        (r.new_id, r.old_id, r.cos_sim)
+        for r in X.tf_cosine_pairs_between(new, old, threshold=0.6).collect()
+    }
+    X.save_tf_index(old, "corpus_tf_idx_t", buckets=8)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = X.tf_cosine_pairs_against_index(new, "corpus_tf_idx_t", threshold=0.6)
+        p = plan_str(df)  # pre-execution plan (AQE rewrites after collect)
+        assert "Bucketed: true" in p, p
+        # the corpus branch — from its SMJ-side sort down to the bucketed
+        # scan — holds NO Exchange: bucket-aligned splits feed the token
+        # sort-merge directly (every other exchange belongs to batch-sized
+        # subtrees: batch tf agg, batch-side token sort, dot/norm aggs)
+        scan_i = p.index("FileScan parquet spark_catalog.default.corpus_tf_idx_t")
+        sort_i = p.rindex("Sort [tok", 0, scan_i)
+        assert "Exchange" not in p[sort_i:scan_i], p[sort_i:scan_i]
+        got = {(r.new_id, r.old_id, r.cos_sim) for r in df.collect()}
+        assert got == base
+        with _pytest.raises(ValueError, match="tf-index mismatch"):
+            X.tf_cosine_pairs_against_index(
+                new, "corpus_tf_idx_t", threshold=0.6, max_token_df=5
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS corpus_tf_idx_t")
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """Runtime skew evidence for the 100 TB story: a join whose left side
     is 90% one hot key must come out of AQE with the hot partition SPLIT
