@@ -121,6 +121,7 @@ def jaccard_pairs(
     dense_vocab_limit: int = 1 << 16,
     dense_bytes_limit: int = 1 << 30,
     sparse_strategy: str = "postings",
+    prefix_order: str = "hash",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
@@ -143,11 +144,15 @@ def jaccard_pairs(
         ``max_shingle_df`` drops stop-shingles to bound its skew.
       * ``"prefix"``: AllPairs-style prefix-filtered candidate generation
         (Bayardo/Ma/Srikant, WWW'07) — only each doc's
-        ``|s| - ceil(t|s|) + 1`` smallest shingles under a global hash
-        order are indexed, then surviving candidate pairs verify exactly
-        on the full per-doc arrays. Hot stop-shingles almost never land
-        in a prefix, so the quadratic posting-list explosion collapses
-        with NO df cap (and no recall loss, unlike the cap).
+        ``|s| - ceil(t|s|) + 1`` smallest shingles under a global order
+        are indexed, then surviving candidate pairs verify exactly
+        on the full per-doc arrays. The quadratic posting-list explosion
+        collapses with NO df cap (and no recall loss, unlike the cap).
+        ``prefix_order`` picks the global order: ``"hash"`` (free,
+        map-side, default) or ``"df"`` (rarest-first — the canonical
+        AllPairs order whose prefix buckets stay flat on a Zipfian
+        corpus, at the cost of a df join; see ``_jaccard_pairs_prefix``
+        for the measured tradeoff).
 
       Measured on the driver corpus at sf0.1 (5K docs, mild shingle
       skew): postings ~7 s, prefix ~11 s — the verify joins cost more
@@ -167,6 +172,8 @@ def jaccard_pairs(
     """
     if sparse_strategy not in ("prefix", "postings"):
         raise ValueError(f"unknown sparse_strategy: {sparse_strategy!r}")
+    if prefix_order not in ("hash", "df"):
+        raise ValueError(f"unknown prefix_order: {prefix_order!r}")
     if sparse_strategy == "prefix" and max_shingle_df is not None:
         raise ValueError(
             "sparse_strategy='prefix' is incompatible with max_shingle_df: "
@@ -199,7 +206,7 @@ def jaccard_pairs(
             return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
     if sparse_strategy == "prefix":
         return _jaccard_pairs_prefix(
-            shingle_arrays(df, n, text_col, id_col), threshold
+            shingle_arrays(df, n, text_col, id_col), threshold, order=prefix_order
         )
     return _jaccard_pairs_inverted(sh, threshold)
 
@@ -378,7 +385,9 @@ def _jaccard_pairs_inverted(sh: DataFrame, threshold: float) -> DataFrame:
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _jaccard_pairs_prefix(arrays: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs_prefix(
+    arrays: DataFrame, threshold: float, order: str = "hash"
+) -> DataFrame:
     """Prefix-filtered exact Jaccard (AllPairs family, Bayardo et al.
     WWW'07 "Scaling Up All Pairs Similarity Search").
 
@@ -391,34 +400,83 @@ def _jaccard_pairs_prefix(arrays: DataFrame, threshold: float) -> DataFrame:
     ceil(t|a|), so indexing each doc's first ``|s| - ceil(t|s|) + 1``
     shingles can never miss a qualifying pair.
 
-    The global order here is xxhash64(shingle) — chosen so the prefix is a
-    MAP-SIDE ``array_sort + slice`` on the per-doc gram array (a
-    frequency-based rarest-first order would shrink buckets further but
-    costs a df-table shuffle + per-doc window; the hash order costs
-    nothing). Candidates then explode only inside prefix-shingle buckets
-    (vs ALL shingle buckets on the postings path — stop-shingles
-    effectively vanish), and each surviving distinct candidate verifies
-    EXACTLY via array_intersect on the full gram arrays, re-derived
-    map-side on the probe side of the joins.
+    Two global orders (``order``), trading one shuffle for bucket shape:
 
-    Three shuffles beyond the map work: bucket groupBy, candidate
+    - ``"hash"`` (default): xxhash64(shingle) — the prefix is a MAP-SIDE
+      ``array_sort + slice`` on the per-doc gram array, zero extra cost.
+      BUT a stop-shingle still lands in a doc's prefix with probability
+      ~(1-t) (the prefix is the first 1-t fraction of a uniformly-hashed
+      order), so its bucket keeps ~(1-t)·df members — the sum(df^2)
+      blowup survives with a (1-t)^2 constant, which a growing corpus
+      eventually overwhelms.
+    - ``"df"``: rarest-first (corpus document frequency ASC, shingle) —
+      the canonical AllPairs order (Bayardo §3.1, Chaudhuri et al.). Hot
+      shingles sort LAST and are (almost) never indexed: prefix bucket
+      sizes are bounded by rare-shingle df and stay flat as the corpus
+      grows. Costs one df aggregation + one shingle-keyed join + a
+      per-doc re-collect (three extra exchanges over doc/shingle-scoped
+      keys — the price of the at-scale shape). Measured forced-sparse at
+      sf0.1 (synthetic ~900-shingle corpus, mild skew), two draws each:
+      hash 8.7-9.9 s, df 9.6-9.7 s — a wash at this scale (the extra
+      exchanges roughly cancel the shrunken buckets), so the free hash
+      order stays the default; on a Zipfian web corpus, where stop-
+      shingle df grows with the corpus while rare-shingle df does not,
+      rarest-first is the shape that survives — same reasoning as the
+      tf-cosine twin, which defaults to it.
+
+    Candidates then explode only inside prefix-shingle buckets (vs ALL
+    shingle buckets on the postings path), and each surviving distinct
+    candidate verifies EXACTLY via array_intersect on the full gram
+    arrays, re-derived map-side on the probe side of the joins.
+
+    Shuffles beyond the map work (hash order): bucket groupBy, candidate
     distinct, and the two id-keyed verify joins (AQE-planned); none moves
     the corpus text, only ids + gram arrays of candidate docs.
     """
     t = threshold - 1e-6
-    hashed = F.array_sort(
-        F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
-    )
     n_sh = F.size("_grams")
     plen = (n_sh - F.ceil(F.lit(t) * n_sh) + 1).cast("int")
-    pre = (
-        arrays.select(
+    if order == "hash":
+        hashed = F.array_sort(
+            F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
+        )
+        pre_src = arrays.select(
             "id",
             n_sh.alias("n_sh"),
             F.transform(F.slice(hashed, F.lit(1), plen), lambda s: s["g"]).alias("_pre"),
         )
-        .select("id", "n_sh", F.explode_outer("_pre").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
+    elif order == "df":
+        ex = arrays.select(
+            "id", n_sh.alias("n_sh"), F.explode_outer("_grams").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
+        dfreq = ex.groupBy("shingle").agg(F.count("*").alias("_dfreq"))
+        by_rarity = (
+            ex.join(dfreq, "shingle")
+            .groupBy("id", "n_sh")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_dfreq").alias("d"), F.col("shingle").alias("g"))
+                    )
+                ).alias("_sorted")
+            )
+        )
+        # plen re-derived from n_sh (grams are distinct per doc, so
+        # size(_sorted) == n_sh and the map-side formula carries over)
+        plen_s = (
+            F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+        ).cast("int")
+        pre_src = by_rarity.select(
+            "id",
+            "n_sh",
+            F.transform(
+                F.slice("_sorted", F.lit(1), plen_s), lambda s: s["g"]
+            ).alias("_pre"),
+        )
+    else:
+        raise ValueError(f"unknown prefix order: {order!r}")
+    pre = pre_src.select("id", "n_sh", F.explode_outer("_pre").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
     )
     cands = (
         _bucket_local_pairs(pre, ["shingle"], ["n_sh"])

@@ -41,7 +41,7 @@ def _brute_force(texts, n=2, threshold=0.5):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["dense", "postings", "prefix"])
+@pytest.mark.parametrize("strategy", ["dense", "postings", "prefix", "prefix-df"])
 @settings(
     max_examples=12,
     deadline=None,
@@ -52,11 +52,18 @@ def test_jaccard_strategies_match_brute_force(spark, strategy, texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
     )
-    kw = (
-        {}
-        if strategy == "dense"
-        else {"dense_bytes_limit": 0, "sparse_strategy": strategy}
-    )
+    kw = {
+        "dense": {},
+        "postings": {"dense_bytes_limit": 0, "sparse_strategy": "postings"},
+        "prefix": {"dense_bytes_limit": 0, "sparse_strategy": "prefix"},
+        # the rarest-first AllPairs order must be pair-for-pair identical
+        # to the hash order (same lemma, different global total order)
+        "prefix-df": {
+            "dense_bytes_limit": 0,
+            "sparse_strategy": "prefix",
+            "prefix_order": "df",
+        },
+    }[strategy]
     got = {
         (r.id_a, r.id_b, r.jaccard)
         for r in D.jaccard_pairs(df, n=2, threshold=0.5, **kw).collect()
