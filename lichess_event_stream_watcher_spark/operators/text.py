@@ -907,7 +907,12 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
     n = dense.count()
     rows_per_shard = max(1, (256 << 20) // (v_size * 8))
     n_shards = int((n + rows_per_shard - 1) // rows_per_shard)
-    margin = threshold - 1e-9
+    # pre-filter margin must admit every pair whose ROUNDED cosine reaches
+    # the threshold: round-half-up at 6 decimals keeps unrounded values
+    # from threshold - 0.5e-6 upward, so the block filters at a full grid
+    # step below and the exact Spark-side round/filter decides the edge
+    # (a 1e-9 margin here would drop a true 0.7999996 that rounds to 0.8)
+    margin = threshold - 1e-6
 
     def shard_pairs(shard_idx: int):
         rows = dense.filter(F.pmod(F.col("id"), n_shards) == shard_idx).collect()

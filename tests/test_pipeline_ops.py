@@ -1607,6 +1607,32 @@ def test_tf_index_capped_probe_matches_between(spark, sf_dir):
     assert got == want
 
 
+def test_tf_cosine_round_up_boundary_pair_survives_every_strategy(spark):
+    """Round-6 regression pin for the dense block's pre-filter margin: a
+    pair whose UNROUNDED cosine sits just below the threshold but ROUNDS
+    UP to it (2/sqrt(6) = 0.8164965809... -> 0.816497) must be kept by
+    all three strategies — the dense BLAS block once pre-filtered at
+    threshold - 1e-9 and silently dropped exactly this pair while the
+    sparse paths kept it. The margin must sit a full rounding grid step
+    (1e-6) below the threshold; the exact Spark-side round decides."""
+    from lichess_event_stream_watcher_spark.operators.text import tf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb")], "doc_id long, text string"
+    )
+    t = 0.816497  # == round(2/sqrt(6), 6), strictly above the unrounded cos
+    for kwargs in (
+        {},  # dense (vocab 3)
+        {"dense_vocab_limit": 0, "sparse_strategy": "postings"},
+        {"dense_vocab_limit": 0, "sparse_strategy": "prefix"},
+    ):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in tf_cosine_pairs(df, threshold=t, **kwargs).collect()
+        }
+        assert got == {(1, 2): 0.816497}, (kwargs, got)
+
+
 def test_tf_cosine_prefix_randomized_equivalence(spark):
     """Randomized differential check (fixed seed): Zipf-ish token draws
     over 40 docs, prefix vs postings pair-for-pair at two thresholds."""
