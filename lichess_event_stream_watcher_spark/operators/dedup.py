@@ -573,6 +573,18 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
     # chunk so each task's chunk x N intermediates stay ~<=256 MB
     chunk = max(1, (1 << 25) // max(n_docs, 1))
 
+    # Rounding parity (round 6): Jaccard values are RATIONAL, so exact
+    # decimal ties are reachable (1/128 = 0.0078125 -> np.round half-even
+    # gives ...812, Spark/DuckDB HALF_UP give ...813). The block therefore
+    # emits only exact integers (inter, na, nb); the one inexact step —
+    # round(inter / union, 6) — runs in the SAME Spark expression as the
+    # postings/prefix paths, so all strategies and the oracle agree on
+    # ties by construction. The in-block pre-filter sits a full rounding
+    # grid step (1e-6) below the threshold so a pair that rounds UP to
+    # the threshold is never dropped early.
+    margin = threshold - 1e-6
+    inter_schema = f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint"
+
     def block(batches):
         ref_ids, ref, ref_sz = bc.value
         for pdf in batches:
@@ -583,10 +595,10 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
                 idx = rows[s : s + chunk]
                 a, asz = ref[idx], ref_sz[idx]
                 inter = (a @ ref.T).astype(np.int64)
-                jacc = np.round(inter / (asz[:, None] + ref_sz[None, :] - inter), 6)
+                jacc = inter / (asz[:, None] + ref_sz[None, :] - inter)
                 # rows are id-sorted: index order IS id order
                 mask = (idx[:, None] < np.arange(len(ref_ids))[None, :]) & (
-                    jacc >= threshold
+                    jacc >= margin
                 ) & (inter > 0)
                 ai, bj = np.nonzero(mask)
                 if len(ai):
@@ -594,12 +606,22 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
                         {
                             "id_a": ref_ids[idx[ai]],
                             "id_b": ref_ids[bj],
-                            "jaccard": jacc[ai, bj],
+                            "n_inter": inter[ai, bj],
+                            "na": asz[ai],
+                            "nb": ref_sz[bj],
                         }
                     )
 
     idx_df = spark.range(n_docs).select(F.col("id").cast("int").alias("i"))
-    return idx_df.repartition(n_cpus).mapInPandas(block, out_schema)
+    cand = idx_df.repartition(n_cpus).mapInPandas(block, inter_schema)
+    j = F.round(
+        F.col("n_inter")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return cand.select("id_a", "id_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def minhash_signature_arrays(

@@ -194,6 +194,11 @@ def cosine_near_dup_pairs(
                     continue
                 a = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
                 a /= np.linalg.norm(a, axis=1, keepdims=True)
+                # np.round is half-even vs Spark's HALF_UP, but embedding
+                # cosines are irrational (float inputs, sqrt norms): an
+                # exact decimal tie is measure-zero, unlike the RATIONAL
+                # jaccard/tf-cosine values whose dense blocks emit
+                # integers and round Spark-side (see dedup/text round-6)
                 sims = np.round(a @ rmat.T, 6)
                 aid = pdf[id_col].to_numpy(dtype=np.int64)
                 mask = (aid[:, None] < rids[None, :]) & (sims >= threshold)

@@ -71,6 +71,31 @@ def test_jaccard_strategies_match_brute_force(spark, strategy, texts):
     assert got == _brute_force(texts), (strategy, texts)
 
 
+def test_jaccard_dense_rounds_dyadic_ties_like_spark(spark):
+    """Round-6 regression pin: Jaccard values are rational, so EXACT
+    decimal ties occur — jaccard 1/128 = 0.0078125 rounds to 0.007813
+    under Spark/DuckDB HALF_UP but to 0.007812 under numpy's half-even.
+    The dense BLAS block must therefore emit integers and round in the
+    same Spark expression as the sparse paths: at threshold 0.007813 the
+    tie pair must be KEPT by every strategy with the HALF_UP value."""
+    # |a| = 65 bigrams, |b| = 64, sharing exactly the bigram "s t":
+    # union 128, intersection 1 -> jaccard = 1/128 (a dyadic tie)
+    a = "s t " + " ".join(f"a{i}" for i in range(64))
+    b = " ".join(f"b{i}" for i in range(63)) + " s t"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+    t = 0.007813
+    for kw in (
+        {},  # dense (tiny incidence matrix)
+        {"dense_bytes_limit": 0, "sparse_strategy": "postings"},
+        {"dense_bytes_limit": 0, "sparse_strategy": "prefix"},
+    ):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in D.jaccard_pairs(df, n=2, threshold=t, **kw).collect()
+        }
+        assert got == {(1, 2): 0.007813}, (kw, got)
+
+
 _NAME = st.text(alphabet="ab_", min_size=0, max_size=6)
 
 
