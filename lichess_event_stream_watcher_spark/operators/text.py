@@ -755,10 +755,14 @@ def _tf_cosine_pairs_prefix(tok: DataFrame, threshold: float) -> DataFrame:
 
     Candidates explode bucket-locally (``dedup._bucket_local_pairs`` —
     one shuffle, chunked against degenerate buckets, no self-join), then
-    each distinct candidate verifies EXACTLY: integer dot product via a
-    per-doc token->tf map (HOF aggregate over the smaller map's entries
-    is per-candidate work, not corpus work), same rounding as the
-    postings path, so all three strategies are hash-identical.
+    each distinct candidate verifies EXACTLY by a SORT-MERGE integer dot
+    product: both docs' (df, token, tf) arrays are already sorted under
+    the shared global order, so concat + array_sort + one linear HOF
+    aggregate (adjacent equal tokens multiply — a token appears at most
+    once per side) computes the dot in O(k log k) per pair. NOT a
+    per-entry map lookup: Spark map element_at is a LINEAR key scan (no
+    hash index), which would make each verify O(|a|*|b|). Same rounding
+    as the postings path, so all three strategies are hash-identical.
 
     Shuffles: df agg + df join (token-keyed), per-doc array agg (id),
     bucket groupBy, candidate distinct, two id-keyed verify joins — all
@@ -808,9 +812,7 @@ def _tf_cosine_pairs_prefix(tok: DataFrame, threshold: float) -> DataFrame:
         "id",
         "n2",
         F.transform(F.slice("_arr", F.lit(1), plen), lambda x: x["g"]).alias("_pre"),
-        F.map_from_entries(
-            F.transform("_arr", lambda x: F.struct(x["g"], x["w"]))
-        ).alias("_m"),
+        "_arr",
     )
     pre = docs.select("id", F.explode_outer("_pre").alias("tok")).filter(
         F.col("tok").isNotNull()
@@ -821,16 +823,33 @@ def _tf_cosine_pairs_prefix(tok: DataFrame, threshold: float) -> DataFrame:
         .distinct()
     )
     da = docs.select(
-        F.col("id").alias("_ia"), F.col("_m").alias("_ma"), F.col("n2").alias("na2")
+        F.col("id").alias("_ia"), F.col("_arr").alias("_sa"), F.col("n2").alias("na2")
     )
     db = docs.select(
-        F.col("id").alias("_ib"), F.col("_m").alias("_mb"), F.col("n2").alias("nb2")
+        F.col("id").alias("_ib"), F.col("_arr").alias("_sb"), F.col("n2").alias("nb2")
     )
+    # sort-merge dot: entries of the same token share (d, g) and land
+    # adjacent after the sort; per-doc tokens are distinct, so an
+    # adjacent equal-token pair is always one entry from each side
+    merged = F.array_sort(F.concat("_sa", "_sb"))
     dot = F.aggregate(
-        F.map_entries("_ma"),
-        F.lit(0).cast("bigint"),
-        lambda acc, e: acc
-        + e["value"] * F.coalesce(F.col("_mb")[e["key"]], F.lit(0).cast("bigint")),
+        merged,
+        F.struct(
+            F.lit(None).cast("string").alias("pg"),
+            F.lit(0).cast("bigint").alias("pw"),
+            F.lit(0).cast("bigint").alias("acc"),
+        ),
+        lambda st, x: F.struct(
+            x["g"].alias("pg"),
+            x["w"].alias("pw"),
+            (
+                st["acc"]
+                + F.when(st["pg"] == x["g"], st["pw"] * x["w"]).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("acc"),
+        ),
+        lambda st: st["acc"],
     )
     cos = F.round(
         dot.cast("double")
