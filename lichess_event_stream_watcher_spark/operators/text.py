@@ -906,20 +906,28 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
         return spark.createDataFrame(
             [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
         )
+    # SPARSE transfer, dense only inside numpy (the _jaccard_pairs_dense
+    # recipe): shipping (idx, tf) entry lists instead of a V-length array
+    # per doc keeps the shuffle/collect/Arrow bytes at O(nnz) — and
+    # avoids densifying in Catalyst, where filling V positions from a map
+    # costs O(V * |entries|) per doc (map element_at is a linear scan)
     entries = (
         tok.join(F.broadcast(vocab), "tok")
         .groupBy("id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("_idx"), F.col("tf")))
-            ).alias("_m")
-        )
+        .agg(F.collect_list(F.struct(F.col("_idx"), F.col("tf"))).alias("_e"))
     )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(v_size - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)).cast("double"),
+    dense = entries.select(
+        "id",
+        F.transform("_e", lambda e: e["_idx"]).alias("_ix"),
+        F.transform("_e", lambda e: e["tf"].cast("double")).alias("_tv"),
     )
-    dense = entries.select("id", vec.alias("_tfv"))
+
+    def densify(ix_col, tv_col):
+        mat = np.zeros((len(ix_col), v_size), dtype=np.float64)
+        for i, (ix, tv) in enumerate(zip(ix_col, tv_col)):
+            mat[i, np.asarray(ix, dtype=np.int64)] = np.asarray(tv, dtype=np.float64)
+        return mat
+
     # sharded reference, same blocking discipline as
     # similarity.cosine_near_dup_pairs: no broadcast, task intermediate,
     # or Arrow batch scales with the whole corpus — only with one shard
@@ -937,8 +945,8 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
         rows = dense.filter(F.pmod(F.col("id"), n_shards) == shard_idx).collect()
         if not rows:
             return None
-        ref_ids = np.array([r[0] for r in rows], dtype=np.int64)
-        ref = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        ref_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        ref = densify([r["_ix"] for r in rows], [r["_tv"] for r in rows])
         ref_n2 = (ref * ref).sum(axis=1)  # exact integer self-sums
         bc = spark.sparkContext.broadcast((ref_ids, ref, ref_n2))
 
@@ -947,7 +955,7 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                a = np.array([list(v) for v in pdf["_tfv"]], dtype=np.float64)
+                a = densify(pdf["_ix"], pdf["_tv"])
                 dots = a @ rmat.T  # exact integer dots in float64
                 an2 = (a * a).sum(axis=1)
                 aid = pdf["id"].to_numpy(dtype=np.int64)
