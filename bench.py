@@ -128,6 +128,8 @@ HEADLINE = [
     "benford_first_digit",
     "join_key_profile",
     "k_anonymity_audit",
+    "gopher_rule_failures",
+    "c4_line_stats",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

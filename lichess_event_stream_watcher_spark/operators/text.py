@@ -1163,3 +1163,183 @@ def bpe_encode_vocab(
         pieces.alias("pieces"),
         F.size(F.split(pieces, " ")).cast("bigint").alias("n_pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery + C4 line-level cleaning
+# ---------------------------------------------------------------------------
+
+# The Gopher stopword list (Rae et al. 2021, "Scaling Language Models",
+# appendix A.1.1): a doc must contain at least 2 of these to pass the
+# stop-word rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, appendix A.1.1)
+    as one map-side projection — every rule a named boolean column so a
+    pipeline can report WHICH rule dropped a document, not just that one
+    did (the reference's filter criteria expose per-criterion verdicts the
+    same way, src/filter.rs-style; this is the LLM-corpus analogue).
+
+    Rules (each True = passes):
+      r_word_count    min_tokens <= n_tokens <= max_tokens
+      r_mean_word_len mean token length in [3, 10] chars
+      r_symbol_ratio  ('#' + '...') occurrences / n_tokens <= 0.1
+      r_bullet_lines  fraction of lines starting with a bullet <= 0.9
+      r_ellipsis_lines fraction of lines ending with '...' <= 0.3
+      r_alpha_words   fraction of tokens containing a letter >= 0.8
+      r_stopwords     doc contains >= 2 distinct GOPHER_STOPWORDS
+      keep            conjunction of all seven
+
+    Engine-stability discipline: every threshold is compared in integer
+    cross-multiplied form (10*symbols <= n_tokens, 3*n <= total_len <=
+    10*n, ...) — no float division anywhere, so the DuckDB oracle hashes
+    bit-identically with zero quantization machinery. The letter test is
+    ``t != upper(t)``: tokens are already lowercased by normalize_text,
+    so any character that changes under upper() is a letter — a codegen'd
+    string compare instead of a per-token regex in an interpreted lambda
+    (SCALE.md regime note #4). Lines come from the RAW text column
+    (normalize_text collapses newlines); a single-line corpus passes both
+    line rules by construction.
+
+    Scale: pure per-row projection, no shuffle, no state — embarrassingly
+    parallel at 100 TB. All HOF lambdas are O(1) string ops per element
+    (the measured-fine HOF regime). ``carry_cols`` pass through map-side
+    (the chunk_documents convention) so per-source rollups never join the
+    verdicts back to the corpus.
+
+    Output: (doc_id, *carry_cols, n_tokens, r_* x7, keep).
+    """
+    c = F.col(text_col)
+    tk = tokens(normalize_text(c))
+    n = F.size(tk).cast("bigint")
+    total_len = F.aggregate(tk, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    norm = normalize_text(c)
+    n_hash = (F.length(norm) - F.length(F.replace(norm, F.lit("#"), F.lit("")))).cast("bigint")
+    n_ell = (
+        (F.length(norm) - F.length(F.replace(norm, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("bigint")
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda line: F.trim(line)),
+        lambda line: F.length(line) > 0,
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda line: line.startswith("-") | line.startswith("*") | line.startswith("•"),
+        )
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda line: line.endswith("...") | line.endswith("…"))
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(tk, lambda t: t != F.upper(t))).cast("bigint")
+    n_stops = sum(
+        (F.array_contains(tk, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    ).cast("bigint")
+    rules = {
+        "r_word_count": (n >= min_tokens) & (n <= max_tokens),
+        "r_mean_word_len": (F.lit(3) * n <= total_len) & (total_len <= F.lit(10) * n),
+        "r_symbol_ratio": F.lit(10) * (n_hash + n_ell) <= n,
+        "r_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "r_ellipsis_lines": F.lit(10) * n_ell_lines <= F.lit(3) * n_lines,
+        "r_alpha_words": F.lit(10) * n_alpha >= F.lit(8) * n,
+        "r_stopwords": n_stops >= 2,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *(carry_cols or []),
+        n.alias("n_tokens"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """C4 line-level cleaning stats (Raffel et al. 2020, section 2.2):
+    a line survives iff it ends in terminal punctuation (. ! ? \"), has at
+    least ``min_words`` whitespace words, and does not mention
+    'javascript'; a page survives iff it contains neither 'lorem ipsum'
+    nor '{' and keeps at least ``min_kept_lines`` lines.
+
+    Physical shape: per the measured HOF-vs-explode regime (SCALE.md note
+    #4), the per-line predicate carries branching + a regex-ish word
+    split, so lines are EXPLODED into Tungsten hash aggregation rather
+    than evaluated in an interpreted HOF lambda: trimmed nonempty lines
+    explode (explode_outer so zero-line docs keep their row), each line's
+    kept flag is a codegen'd projection, and one doc-keyed partial agg
+    folds the counts. The page-level flags and ``carry_cols`` ride the
+    groupBy keys (functionally dependent on doc_id), so no join back is
+    ever needed. Doc-scoped shuffle keys distribute evenly at 100 TB (no
+    global hot key can form).
+
+    The synthetic `documents` corpus is single-line without terminal
+    punctuation, so there every page reports n_kept_lines = 0; the
+    multi-line semantics are pinned by unit tests on crafted strings.
+
+    Output: (doc_id, *carry_cols, n_lines, n_kept_lines, n_kept_chars,
+    keep).
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda line: F.trim(line)),
+        lambda line: F.length(line) > 0,
+    )
+    carry = list(carry_cols or [])
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        *carry,
+        (
+            ~F.contains(F.lower(c), F.lit("lorem ipsum")) & ~F.contains(c, F.lit("{"))
+        ).alias("_page_ok"),
+        F.explode_outer(lines).alias("line"),
+    )
+    ln = F.col("line")
+    kept = (
+        F.right(ln, F.lit(1)).isin(".", "!", "?", '"')
+        & (F.size(F.split(ln, r"\s+")) >= min_words)
+        & ~F.contains(F.lower(ln), F.lit("javascript"))
+    )
+    agg = (
+        base.select(
+            "doc_id",
+            *carry,
+            "_page_ok",
+            ln.isNotNull().cast("bigint").alias("_is_line"),
+            F.when(ln.isNotNull() & kept, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("_kept"),
+            F.when(ln.isNotNull() & kept, F.length(ln)).otherwise(F.lit(0)).cast("bigint").alias("_kept_chars"),
+        )
+        .groupBy("doc_id", *carry, "_page_ok")
+        .agg(
+            F.sum("_is_line").alias("n_lines"),
+            F.sum("_kept").alias("n_kept_lines"),
+            F.sum("_kept_chars").alias("n_kept_chars"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        *carry,
+        "n_lines",
+        "n_kept_lines",
+        "n_kept_chars",
+        (F.col("_page_ok") & (F.col("n_kept_lines") >= min_kept_lines)).alias("keep"),
+    )

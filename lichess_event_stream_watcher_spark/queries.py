@@ -235,6 +235,8 @@ _DRIVER_PRIORITY = [
     #    from-scratch UA parser.
     "tf_cosine_pairs_sparse",  # new: the at-scale sparse path, own oracle
     "tf_cosine_incremental",  # new: the ingestion-time cross-corpus probe
+    "gopher_rule_failures",  # new: Gopher appendix-A rule battery rollup
+    "c4_line_stats",  # new: C4 line-cleaning accounting
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

@@ -5289,3 +5289,150 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery + C4 line cleaning (round 6)
+# ---------------------------------------------------------------------------
+
+# Mirrors X.gopher_quality_rules exactly: all-integer cross-multiplied
+# thresholds (no float division anywhere), lines from the RAW text, the
+# t <> upper(t) letter test over already-lowercased tokens.
+_GOPHER_ORACLE = r"""WITH norm AS (
+  SELECT doc_id, source, text,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+    string_split_regex(t, '\s+') AS tk,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS ls,
+    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+    CAST((length(t) - length(replace(t, '...', ''))) / 3 AS BIGINT) AS n_ell
+  FROM norm
+),
+r AS (
+  SELECT doc_id, source,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS total_len,
+    n_hash, n_ell,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…')) AS BIGINT) AS n_ell_lines,
+    CAST(len(list_filter(tk, x -> x <> upper(x))) AS BIGINT) AS n_alpha,
+    CAST(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'be') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'that') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'have') THEN 1 ELSE 0 END
+       + CASE WHEN list_contains(tk, 'with') THEN 1 ELSE 0 END AS BIGINT) AS n_stops
+  FROM m
+),
+v AS (
+  SELECT doc_id, source, n_tokens,
+    (n_tokens >= 50 AND n_tokens <= 100000) AS r_word_count,
+    (3 * n_tokens <= total_len AND total_len <= 10 * n_tokens) AS r_mean_word_len,
+    (10 * (n_hash + n_ell) <= n_tokens) AS r_symbol_ratio,
+    (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+    (10 * n_ell_lines <= 3 * n_lines) AS r_ellipsis_lines,
+    (10 * n_alpha >= 8 * n_tokens) AS r_alpha_words,
+    (n_stops >= 2) AS r_stopwords
+  FROM r
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+  CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_word_len,
+  CAST(SUM(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol_ratio,
+  CAST(SUM(CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet_lines,
+  CAST(SUM(CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis_lines,
+  CAST(SUM(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha_words,
+  CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f_stopwords,
+  CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                 AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+                 AND r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM v GROUP BY source"""
+
+
+@query("gopher_rule_failures", _GOPHER_ORACLE)
+def gopher_rule_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher quality-rule failure accounting (Rae et al. 2021,
+    appendix A.1.1): for each of the seven rules, how many documents each
+    source loses to it, plus the survivors — the report a curation team
+    reads before deciding which rule to tune. Physical shape: the rule
+    battery is one map-side projection (X.gopher_quality_rules) with
+    source carried through, then a 20-row partial agg — the ONLY exchange
+    is the per-source rollup, so 100 TB is a single scan."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    g = X.gopher_quality_rules(docs, carry_cols=["source"])
+    fail = lambda r: F.sum((~F.col(r)).cast("int")).cast("bigint")  # noqa: E731
+    return g.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        fail("r_word_count").alias("f_word_count"),
+        fail("r_mean_word_len").alias("f_mean_word_len"),
+        fail("r_symbol_ratio").alias("f_symbol_ratio"),
+        fail("r_bullet_lines").alias("f_bullet_lines"),
+        fail("r_ellipsis_lines").alias("f_ellipsis_lines"),
+        fail("r_alpha_words").alias("f_alpha_words"),
+        fail("r_stopwords").alias("f_stopwords"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+    )
+
+
+# Mirrors X.c4_line_filter: trimmed nonempty lines, a line survives iff it
+# ends in terminal punctuation AND has >= 3 whitespace words AND does not
+# mention 'javascript'; a page survives iff no 'lorem ipsum', no '{', and
+# >= 3 kept lines. The synthetic corpus is single-line so n_kept_lines is
+# 0 everywhere here; the multi-line semantics are pinned by unit tests.
+_C4_ORACLE = r"""WITH pages AS (
+  SELECT doc_id, source,
+    (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')) AS page_ok,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS ls
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source, page_ok,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, x ->
+        right(x, 1) IN ('.', '!', '?', '"')
+        AND len(string_split_regex(x, '\s+')) >= 3
+        AND NOT contains(lower(x), 'javascript'))) AS BIGINT) AS n_kept_lines,
+    CAST(coalesce(list_sum(list_transform(list_filter(ls, x ->
+        right(x, 1) IN ('.', '!', '?', '"')
+        AND len(string_split_regex(x, '\s+')) >= 3
+        AND NOT contains(lower(x), 'javascript')), x -> length(x))), 0) AS BIGINT)
+      AS n_kept_chars
+  FROM pages
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+  CAST(SUM(n_kept_lines) AS BIGINT) AS kept_lines,
+  CAST(SUM(n_kept_chars) AS BIGINT) AS kept_chars,
+  CAST(SUM(CASE WHEN page_ok AND n_kept_lines >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM per_doc GROUP BY source"""
+
+
+@query("c4_line_stats", _C4_ORACLE)
+def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source C4 line-cleaning accounting (Raffel et al. 2020,
+    section 2.2): lines seen / lines surviving the terminal-punctuation +
+    min-words + no-javascript rule, chars retained, and pages surviving
+    the lorem-ipsum / brace / >= 3-kept-lines page rule. Physical shape:
+    X.c4_line_filter's exploded-line Tungsten agg (doc-keyed, evenly
+    distributed) then a 20-row per-source partial agg."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    c = X.c4_line_filter(docs, carry_cols=["source"])
+    return c.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("total_lines"),
+        F.sum("n_kept_lines").cast("bigint").alias("kept_lines"),
+        F.sum("n_kept_chars").cast("bigint").alias("kept_chars"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+    )

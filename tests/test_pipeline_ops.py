@@ -12,6 +12,7 @@ from lichess_event_stream_watcher_spark import testdata
 from lichess_event_stream_watcher_spark.operators import dedup as D
 from lichess_event_stream_watcher_spark.operators import multimodal as M
 from lichess_event_stream_watcher_spark.operators import similarity as S
+from lichess_event_stream_watcher_spark.operators import text as X
 
 
 def test_lsh_dedup_recovers_planted_near_dups(spark, sf_dir):
@@ -2887,3 +2888,85 @@ def test_k_anonymity_partitions_the_corpus(spark, sf_dir):
         expected[b] = (g + 1, d + c)
     assert rows == expected
     assert sum(d for _, d in rows.values()) == n
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery + C4 line cleaning (round 6) — the multi-line
+# semantics the single-line synthetic corpus cannot exercise
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_filter_multiline_semantics(spark):
+    rows = [
+        # 5 lines: 3 proper sentences survive, 'short' fails min-words,
+        # the bullet fails terminal punctuation -> kept
+        (1, "This is a good line with words.\nshort\n- bullet item\n"
+            "Another proper sentence here!\nAnd a third good sentence here."),
+        # lorem ipsum kills the page even with 4 surviving lines
+        (2, "lorem ipsum dolor sit amet.\nA fine sentence right here.\n"
+            "Another one lands properly.\nThird full sentence here too."),
+        # '{' kills the page
+        (3, "code { brace } stuff.\nA fine sentence right here.\n"
+            "B fine sentence right here.\nC fine sentence right here."),
+        # javascript line dropped; only one kept line -> page dropped
+        (4, "uses javascript everywhere today.\nOnly one good sentence here."),
+        # blank lines are not lines; quote-terminated line survives
+        (5, 'He said "stop right there."\n\n  \nSecond good sentence here.\n'
+            "Third good sentence lands here."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept_lines"], r["keep"])
+        for r in X.c4_line_filter(df).collect()
+    }
+    assert got[1] == (5, 3, True)
+    assert got[2] == (4, 4, False)  # lorem ipsum page rule
+    assert got[3] == (4, 4, False)  # brace page rule
+    assert got[4] == (2, 1, False)  # javascript line + too few kept
+    assert got[5] == (3, 3, True)   # blanks skipped, quote-final kept
+
+
+def test_c4_line_filter_kept_chars_and_zero_line_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "One good sentence here.\nxx"), (2, "   \n  ")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in X.c4_line_filter(df).collect()}
+    assert got[1]["n_kept_chars"] == len("One good sentence here.")
+    # whitespace-only doc: zero lines, still reported (explode_outer)
+    assert (got[2]["n_lines"], got[2]["n_kept_lines"], got[2]["keep"]) == (0, 0, False)
+
+
+def test_gopher_rules_fire_individually(spark):
+    base = "the quick brown foxes jumped over that lazy sleeping dog with glee "
+    good = (base * 5).strip()  # 60 tokens, mean len ~4.6, all rules pass
+    rows = [
+        (1, good),
+        (2, "the of " * 10),                      # word count < 50
+        (3, ("a b " * 40 + "the of that be ")),   # mean word len < 3
+        (4, good + " " + "#" * 1),                # 1 symbol over 71 tokens: passes
+        (5, good.replace("quick", "12345")),      # digits: alpha fraction still >= 0.8
+        (6, " ".join(["123", "456"] * 40)),       # no letters, no stopwords
+        (7, good + "\n" + "\n".join("- b%d" % i for i in range(30))),  # 30/31 bullet lines
+        (8, good + "\n" + "\n".join("trailing off %d..." % i for i in range(9))),  # 9/10 ellipsis lines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in X.gopher_quality_rules(df).collect()}
+    assert got[1]["keep"]
+    assert not got[2]["r_word_count"]
+    assert not got[3]["r_mean_word_len"]
+    assert got[4]["r_symbol_ratio"]
+    assert got[5]["r_alpha_words"]
+    assert not got[6]["r_alpha_words"] and not got[6]["r_stopwords"]
+    assert not got[7]["r_bullet_lines"]
+    assert not got[8]["r_ellipsis_lines"]
+
+
+def test_gopher_symbol_rule_counts_hashes_and_ellipses(spark):
+    # 50 tokens, 6 symbol hits (3 '#' + 3 '...') -> 60 > 50 fails; 5 -> passes
+    words = " ".join(["the", "of", "and", "with", "that"] * 10)
+    fail = words + " ### ... ... ..."  # tokens grow to 54; 10*(3+3)=60 > 54
+    ok = words + " ## ... ... ..."     # 10*(2+3)=50 <= 54
+    df = spark.createDataFrame([(1, fail), (2, ok)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["r_symbol_ratio"] for r in X.gopher_quality_rules(df).collect()}
+    assert got == {1: False, 2: True}
