@@ -130,6 +130,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "gopher_rule_failures",
     "c4_line_stats",
+    "leakage_safe_split_counts",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and
@@ -507,19 +508,30 @@ def main() -> None:
         full_gc()  # the write+drop churn otherwise lands in draw 2
     timings["dedup_pipeline_shared"] = round(min(shared_draws), 3)
     # The composed pipeline is timed through curate_corpus directly (same
-    # work the curation_pipeline_counts query runs) so the 25-30 s
+    # work the curation_pipeline_counts query runs) so the ~12-25 s
     # composition is attributable stage by stage in the detail file.
+    # min-of-2 with the winning draw's own phase split (the shared-pipeline
+    # pattern): a single draw of a composed multi-stage DAG is the
+    # noisiest number in the bench — round 6 observed a 2.9 <-> 18.1 s
+    # quality_gate swing across single draws whose isolation re-runs sat
+    # at 3.4-4.9 s, i.e. pure GC/scheduling landing inside ONE long draw.
     from lichess_event_stream_watcher_spark import testdata as _td
     from lichess_event_stream_watcher_spark.pipeline import curate_corpus
 
+    curation_draws: list[float] = []
     curation_stages: dict[str, float] = {}
-    t0 = time.perf_counter()
-    chunks, _counts = curate_corpus(
-        _td.load(spark, sf_dir, "documents"), stage_seconds=curation_stages
-    )
-    chunks.unpersist()
-    timings["curation_pipeline_counts"] = round(time.perf_counter() - t0, 3)
-    full_gc()
+    for _ in range(2):
+        draw_stages: dict[str, float] = {}
+        t0 = time.perf_counter()
+        chunks, _counts = curate_corpus(
+            _td.load(spark, sf_dir, "documents"), stage_seconds=draw_stages
+        )
+        chunks.unpersist()
+        curation_draws.append(time.perf_counter() - t0)
+        if curation_draws[-1] == min(curation_draws):
+            curation_stages = draw_stages
+        full_gc()
+    timings["curation_pipeline_counts"] = round(min(curation_draws), 3)
     timings["engine_batch"] = engine_sec
     full_gc()
     # wall-time at small SF is dominated by fixed per-batch overhead;

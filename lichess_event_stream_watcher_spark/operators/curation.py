@@ -601,3 +601,36 @@ def token_budget_prefix_sample(
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_hex: str = "c",
+    val_hex: str = "e",
+) -> DataFrame:
+    """Dataset split that cannot leak through near-duplicates: every member
+    of a near-dup cluster draws its split from the CLUSTER representative
+    (the component-min id), not its own id, so two near-identical docs can
+    never land one-in-train one-in-test — the hole a pure per-id hash
+    split (``dataset_split``) leaves open whenever dedup is lossy or runs
+    with a similarity threshold above exact. Singletons hash their own id
+    (they are their own representative), so on a fully-deduped corpus this
+    degrades to ``dataset_split`` exactly.
+
+    Scale shape: the cluster map comes from ``dup_components`` (min-label
+    propagation, id-keyed rounds); attaching it is ONE id-keyed shuffle
+    join (components cover every node, so an inner join loses nothing),
+    and the split label is then a map-side hash of the comp column. The
+    component map is corpus-sized — it must NOT be broadcast; AQE picks
+    the join strategy.
+
+    Output: df's columns + (comp, split).
+    """
+    from .dedup import dup_components
+
+    comp = dup_components(df, pairs, id_col=id_col)
+    return df.join(
+        comp.withColumnRenamed("id", id_col), id_col
+    ).withColumn("split", split_label("comp", train_hex, val_hex))

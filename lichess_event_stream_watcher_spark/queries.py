@@ -237,6 +237,7 @@ _DRIVER_PRIORITY = [
     "tf_cosine_incremental",  # new: the ingestion-time cross-corpus probe
     "gopher_rule_failures",  # new: Gopher appendix-A rule battery rollup
     "c4_line_stats",  # new: C4 line-cleaning accounting
+    "leakage_safe_split_counts",  # new: near-dup-aware split assignment
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

@@ -5436,3 +5436,55 @@ def c4_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_kept_chars").cast("bigint").alias("kept_chars"),
         F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
     )
+
+
+# Leakage-safe split accounting: reuses the dedup_clusters recursive-CTE
+# fixpoint, assigns each doc the split of its COMPONENT MIN (not its own
+# id), and counts — per (split, source) — docs, distinct clusters, and
+# the docs a naive per-id hash split would have misplaced relative to
+# their cluster's split (the train/test leakage the safe split closes).
+_LEAKAGE_SPLIT_ORACLE = rf"""{_CLUSTERS_ORACLE.replace(
+    "SELECT src AS id, MIN(node) AS comp FROM reach GROUP BY src",
+    ", comps AS (SELECT src AS id, MIN(node) AS comp FROM reach GROUP BY src)",
+)},
+assigned AS (
+  SELECT d.source, c.comp,
+    CASE WHEN substring(md5(CAST(c.comp AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         WHEN substring(md5(CAST(c.comp AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         ELSE 'test' END AS split,
+    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         ELSE 'test' END AS naive_split
+  FROM documents d JOIN comps c ON c.id = d.doc_id
+)
+SELECT split, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters,
+  CAST(SUM(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued
+FROM assigned GROUP BY split, source"""
+
+
+@query("leakage_safe_split_counts", _LEAKAGE_SPLIT_ORACLE)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split accounting: every doc takes the
+    split of its duplicate-cluster representative (component min over the
+    Jaccard-0.5 pair graph), so near-identical docs can never straddle
+    train and test. n_rescued counts the docs whose naive per-id hash
+    split disagrees with their cluster's split — exactly the documents
+    that would have leaked. Physical shape: one pair search (the adaptive
+    Jaccard gate), min-label-propagation components, ONE id-keyed join to
+    attach the cluster map, then a ~60-row rollup."""
+    from .operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    s = C.leakage_safe_split(docs, pairs)
+    from .operators.curation import split_label
+
+    return s.groupBy("split", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("comp").cast("bigint").alias("n_clusters"),
+        F.sum((split_label("doc_id") != F.col("split")).cast("int"))
+        .cast("bigint")
+        .alias("n_rescued"),
+    )

@@ -2970,3 +2970,34 @@ def test_gopher_symbol_rule_counts_hashes_and_ellipses(spark):
     df = spark.createDataFrame([(1, fail), (2, ok)], ["doc_id", "text"])
     got = {r["doc_id"]: r["r_symbol_ratio"] for r in X.gopher_quality_rules(df).collect()}
     assert got == {1: False, 2: True}
+
+
+def test_leakage_safe_split_routes_clusters_together(spark):
+    """Planted near-dup clusters must land whole in one split, and that
+    split must be the cluster-min id's hash split; singletons must match
+    dataset_split exactly."""
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "s") for i in range(40)], ["doc_id", "text", "source"]
+    )
+    # clusters: {0,7,13}, {2,21}; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 13), (2, 21)], ["id_a", "id_b"]
+    )
+    out = C.leakage_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["comp"] for r in out}
+    assert len(out) == 40
+    assert comp_of[0] == comp_of[7] == comp_of[13] == 0
+    assert split_of[0] == split_of[7] == split_of[13]
+    assert comp_of[2] == comp_of[21] == 2
+    assert split_of[2] == split_of[21]
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in C.dataset_split(docs).collect()
+    }
+    # cluster members take the REPRESENTATIVE's naive split
+    assert split_of[13] == naive[0] and split_of[21] == naive[2]
+    for i in set(range(40)) - {0, 7, 13, 2, 21}:
+        assert comp_of[i] == i and split_of[i] == naive[i]
