@@ -131,6 +131,7 @@ HEADLINE = [
     "gopher_rule_failures",
     "c4_line_stats",
     "leakage_safe_split_counts",
+    "unimax_allocation",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -634,3 +634,93 @@ def leakage_safe_split(
     return df.join(
         comp.withColumnRenamed("id", id_col), id_col
     ).withColumn("split", split_label("comp", train_hex, val_hex))
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): spread a total token
+    budget as uniformly as possible across sources, capping every source
+    at ``max_epochs`` passes over its own data — the principled
+    alternative to temperature sampling when small sources must not be
+    over-epoched into memorization.
+
+    Closed-form waterfilling instead of the paper's iterative loop: with
+    sources sorted by cap = max_epochs * n_tokens ascending (ties by
+    name), source j saturates iff cap_j * (n - j + 1) <= B - prefix_{j-1}
+    — the standard threshold construction; the saturation predicate is
+    monotone along the sorted order, so the saturated set is the prefix
+    {1..m}. Saturated sources take their full cap; the rest split the
+    remainder by integer division, with the LAST ``rem`` of them (sorted
+    order — the largest caps) taking one extra token so the allocations
+    sum EXACTLY to min(B, sum caps) and stay monotone in cap order.
+    Integer arithmetic throughout except the share division (floor of an
+    IEEE double both engines compute identically at token magnitudes far
+    below 2^53) — the DuckDB oracle hashes bit-identically.
+
+    Physical shape: one corpus scan for per-source token sums (partial
+    agg, the only corpus-sized exchange), then window functions over the
+    SOURCE DIMENSION — a deliberate single-partition sort of ~#sources
+    rows (bounded by the dimension, never by the corpus; same contract as
+    the broadcast rate tables). Epochs are reported in exact millis
+    (alloc * 1000 div size).
+
+    Output: (source, n_tokens, cap_tokens, alloc_tokens, epochs_milli),
+    one row per source.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    sizes = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            (F.lit(max_epochs) * F.col("n_tokens")).cast("bigint").alias("cap_tokens"),
+        )
+    )
+    w = Window.orderBy("cap_tokens", "source")
+    ranked = sizes.select(
+        "*",
+        F.row_number().over(w).alias("_j"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+        (F.sum("cap_tokens").over(w) - F.col("cap_tokens")).alias("_prefix"),
+    )
+    b = F.lit(int(budget_tokens)).cast("bigint")
+    sat = F.col("cap_tokens") * (F.col("_n") - F.col("_j") + 1) <= (b - F.col("_prefix"))
+    marked = ranked.select("*", sat.alias("_sat"))
+    # m = size of the saturated prefix; spent = tokens the prefix consumes
+    agg = Window.partitionBy()
+    marked = marked.select(
+        "*",
+        F.sum(F.col("_sat").cast("int")).over(agg).alias("_m"),
+        F.sum(F.when(F.col("_sat"), F.col("cap_tokens")).otherwise(F.lit(0)))
+        .over(agg)
+        .alias("_spent"),
+    )
+    rem_total = b - F.col("_spent")
+    # all-saturated (B >= sum caps) leaves n_unsat = 0: greatest(.., 1)
+    # keeps the division defined (the unsaturated branch is then dead)
+    n_unsat = F.greatest(F.col("_n") - F.col("_m"), F.lit(1).cast("bigint"))
+    # integer division + remainder spread: the LAST `rem` unsaturated
+    # sources in sorted order take share+1 so the total lands exactly and
+    # allocations stay monotone in cap order (share >= cap_m holds by the
+    # saturation inequality, so the saturated prefix never overtakes)
+    share = F.floor(rem_total / n_unsat).cast("bigint")
+    rem = rem_total - share * n_unsat
+    alloc = F.when(F.col("_sat"), F.col("cap_tokens")).otherwise(
+        share + F.when(F.col("_n") - F.col("_j") < rem, F.lit(1)).otherwise(F.lit(0))
+    )
+    return marked.select(
+        "source",
+        "n_tokens",
+        "cap_tokens",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.floor(alloc * F.lit(1000) / F.col("n_tokens")).cast("bigint").alias("epochs_milli"),
+    )

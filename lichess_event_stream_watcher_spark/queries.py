@@ -238,6 +238,7 @@ _DRIVER_PRIORITY = [
     "gopher_rule_failures",  # new: Gopher appendix-A rule battery rollup
     "c4_line_stats",  # new: C4 line-cleaning accounting
     "leakage_safe_split_counts",  # new: near-dup-aware split assignment
+    "unimax_allocation",  # new: UniMax closed-form token-budget waterfilling
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

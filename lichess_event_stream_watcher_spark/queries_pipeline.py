@@ -5488,3 +5488,72 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rescued"),
     )
+
+
+# Mirrors C.unimax_allocation bit-for-bit: all-integer saturation test
+# (cross-multiplied), floor-of-double share division (identical IEEE
+# division in both engines at token magnitudes far below 2^53), unique
+# (cap, source) ordering so RANGE and ROWS window frames coincide.
+_UNIMAX_ORACLE = r"""WITH sizes AS (
+  SELECT source,
+    CAST(SUM(len(string_split_regex(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+budget AS (SELECT CAST(19 * SUM(n_tokens) // 10 AS BIGINT) AS b FROM sizes),
+ranked AS (
+  SELECT source, n_tokens, CAST(2 * n_tokens AS BIGINT) AS cap_tokens,
+    ROW_NUMBER() OVER (ORDER BY 2 * n_tokens, source) AS j,
+    COUNT(*) OVER () AS n,
+    SUM(CAST(2 * n_tokens AS BIGINT)) OVER (ORDER BY 2 * n_tokens, source)
+      - 2 * n_tokens AS prefix
+  FROM sizes
+),
+marked AS (
+  SELECT ranked.*, b,
+    (cap_tokens * (n - j + 1) <= b - prefix) AS sat
+  FROM ranked, budget
+),
+agg AS (
+  SELECT *,
+    SUM(CASE WHEN sat THEN 1 ELSE 0 END) OVER () AS m,
+    SUM(CASE WHEN sat THEN cap_tokens ELSE 0 END) OVER () AS spent
+  FROM marked
+),
+shared AS (
+  SELECT *,
+    CAST(floor((b - spent) / greatest(n - m, 1)) AS BIGINT) AS share
+  FROM agg
+),
+alloc AS (
+  SELECT source, n_tokens, cap_tokens,
+    CASE WHEN sat THEN cap_tokens
+         ELSE share + CASE WHEN n - j < (b - spent) - share * greatest(n - m, 1)
+                           THEN 1 ELSE 0 END
+    END AS alloc_tokens
+  FROM shared
+)
+SELECT source, n_tokens, cap_tokens,
+  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+  CAST(floor(alloc_tokens * 1000 / n_tokens) AS BIGINT) AS epochs_milli
+FROM alloc"""
+
+
+@query("unimax_allocation", _UNIMAX_ORACLE)
+def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax token-budget allocation (Chung et al. 2023) across sources:
+    budget = 1.9x the corpus, per-source cap = 2 epochs; closed-form
+    integer waterfilling so small sources saturate at their cap and the
+    rest split the remainder to the exact token. The budget scalar comes
+    from one bounded 1-row aggregate collect (the rate-table precedent);
+    everything after the per-source token sum is window functions over
+    the ~20-row source dimension."""
+    from .operators import curation as C
+    from .operators.text import token_count
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("t")
+    ).collect()[0]["t"]
+    return C.unimax_allocation(
+        docs, budget_tokens=int(total) * 19 // 10, max_epochs=2
+    )

@@ -3001,3 +3001,34 @@ def test_leakage_safe_split_routes_clusters_together(spark):
     assert split_of[13] == naive[0] and split_of[21] == naive[2]
     for i in set(range(40)) - {0, 7, 13, 2, 21}:
         assert comp_of[i] == i and split_of[i] == naive[i]
+
+
+def test_unimax_allocation_waterfilling_invariants(spark):
+    """Closed-form UniMax must (a) spend exactly min(B, sum caps),
+    (b) never exceed a source's cap, (c) give saturated sources their full
+    cap and every unsaturated source share or share+1, (d) be monotone in
+    cap order. Exercised across skewed sizes and edge budgets."""
+    import random
+
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    rng = random.Random(6)
+    sizes = {f"s{i:02d}": rng.choice([5, 40, 41, 300, 2000, 2001]) for i in range(12)}
+    docs = spark.createDataFrame(
+        [(f"{src}-{k}", " ".join(["tok"] * n), src)
+         for src, n in sizes.items() for k in range(1)],
+        ["doc_id", "text", "source"],
+    )
+    caps = {s: 2 * n for s, n in sizes.items()}
+    total_cap = sum(caps.values())
+    for budget in [0, 7, total_cap // 3, total_cap - 1, total_cap, total_cap + 999]:
+        rows = C.unimax_allocation(docs, budget_tokens=budget, max_epochs=2).collect()
+        alloc = {r["source"]: r["alloc_tokens"] for r in rows}
+        assert all(r["cap_tokens"] == caps[r["source"]] for r in rows)
+        assert sum(alloc.values()) == min(budget, total_cap), budget
+        assert all(alloc[s] <= caps[s] for s in alloc), budget
+        unsat = sorted(a for s, a in alloc.items() if a < caps[s])
+        if unsat:
+            assert unsat[-1] - unsat[0] <= 1, (budget, unsat)
+        by_cap = [alloc[s] for s, _ in sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))]
+        assert by_cap == sorted(by_cap), budget
