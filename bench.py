@@ -132,6 +132,7 @@ HEADLINE = [
     "c4_line_stats",
     "leakage_safe_split_counts",
     "unimax_allocation",
+    "dedup_keep_best_clusters",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

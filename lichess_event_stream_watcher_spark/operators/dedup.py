@@ -1880,3 +1880,40 @@ def winnowing_dup_pairs(
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-duplicate-cluster representative selection by QUALITY, not id:
+    the doc modern curation pipelines actually keep is the best-scoring
+    cluster member (FineWeb keeps by quality signals; min-id is only the
+    determinism fallback) — ties break to the smaller id so the choice
+    stays reproducible.
+
+    Physical shape: components from ``dup_components`` (min-label rounds),
+    one id-keyed join to attach (comp, score), then ONE partial-aggregating
+    groupBy(comp) — the argmax rides a struct max (score desc, id asc via
+    negated id), so there is no per-cluster sort or rank window anywhere;
+    comp keys are min-ids of shallow clusters, so no global hot key forms
+    at 100 TB. ``score`` must be integer-typed (quantize first — see
+    quality_score's floor discipline) for engine-stable ordering.
+
+    Output: (comp, n_members, keep_id, best_q), one row per cluster
+    including singletons (filter n_members >= 2 for dup clusters only).
+    """
+    comp = dup_components(df, pairs, id_col=id_col)
+    scored = df.select(F.col(id_col).alias("id"), score.alias("_q")).join(comp, "id")
+    best = scored.groupBy("comp").agg(
+        F.max(F.struct(F.col("_q").alias("q"), (-F.col("id")).alias("nid"))).alias("_b"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+    return best.select(
+        "comp",
+        "n_members",
+        (-F.col("_b.nid")).cast("bigint").alias("keep_id"),
+        F.col("_b.q").alias("best_q"),
+    )

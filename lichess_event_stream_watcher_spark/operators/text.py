@@ -113,13 +113,13 @@ def punct_count(col: Column) -> Column:
     ).cast("bigint")
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic [0,1] quality score: 0.4*length saturation +
-    0.3*lexical diversity + 0.3*stopword-rate saturation.
-
-    Quantized via floor at 1e-4 (NOT round): the score can land exactly on a
-    half-ulp boundary where HALF_UP (Spark) and C rounding (DuckDB) diverge;
-    floor of the identical double is engine-stable."""
+def quality_score_q(col: Column) -> Column:
+    """``quality_score`` in integer ten-thousandths (bigint). Consumers
+    that ORDER or GROUP by quality must use this form: re-deriving the
+    integer from the float score (score * 10000) walks the floor back
+    down one ulp whenever the quantized value is not a dyadic rational
+    (floor(v)/1e4*1e4 < floor(v) in doubles) — an off-by-one that breaks
+    cross-engine argmax ties."""
     n = token_count(col).cast("double")
     nd = distinct_token_count(col).cast("double")
     en = lang_scores(col)["en"].cast("double")
@@ -128,7 +128,17 @@ def quality_score(col: Column) -> Column:
         + F.lit(0.3) * nd / n
         + F.lit(0.3) * F.least(en * F.lit(5.0) / n, F.lit(1.0))
     )
-    return F.floor(score * F.lit(10000.0)) / F.lit(10000.0)
+    return F.floor(score * F.lit(10000.0)).cast("bigint")
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality score: 0.4*length saturation +
+    0.3*lexical diversity + 0.3*stopword-rate saturation.
+
+    Quantized via floor at 1e-4 (NOT round): the score can land exactly on a
+    half-ulp boundary where HALF_UP (Spark) and C rounding (DuckDB) diverge;
+    floor of the identical double is engine-stable."""
+    return quality_score_q(col) / F.lit(10000.0)
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:

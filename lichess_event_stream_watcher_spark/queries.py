@@ -239,6 +239,7 @@ _DRIVER_PRIORITY = [
     "c4_line_stats",  # new: C4 line-cleaning accounting
     "leakage_safe_split_counts",  # new: near-dup-aware split assignment
     "unimax_allocation",  # new: UniMax closed-form token-budget waterfilling
+    "dedup_keep_best_clusters",  # new: quality-argmax cluster representatives
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

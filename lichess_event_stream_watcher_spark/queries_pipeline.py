@@ -5557,3 +5557,50 @@ def unimax_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unimax_allocation(
         docs, budget_tokens=int(total) * 19 // 10, max_epochs=2
     )
+
+
+# Per-cluster best-member selection: reuses the dedup_clusters fixpoint
+# and the text-profile quality expression, quantized to integer
+# ten-thousandths so the argmax ordering is engine-exact.
+_KEEP_BEST_ORACLE = rf"""WITH comp AS ({_CLUSTERS_ORACLE}),
+{_NORM}, {_TOKS},
+base AS (
+  SELECT d.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+         ' ' || n.t || ' ' AS p
+  FROM documents d JOIN norm n ON n.id = d.doc_id JOIN toks USING (id)
+),
+q AS (
+  SELECT doc_id AS id,
+    CAST(floor((0.4 * least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0
+        + 0.3 * CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        + 0.3 * least(CAST(CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+            + (length(p) - length(replace(p, ' a ', ''))) / 3
+            + (length(p) - length(replace(p, ' of ', ''))) / 4 AS BIGINT) AS DOUBLE)
+            * 5.0 / CAST(n_tokens AS DOUBLE), 1.0)) * 10000.0) AS BIGINT) AS qq
+  FROM base
+),
+ranked AS (
+  SELECT c.comp, q.id, q.qq,
+    ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY q.qq DESC, q.id ASC) AS rk,
+    COUNT(*) OVER (PARTITION BY c.comp) AS n_members
+  FROM comp c JOIN q ON q.id = c.id
+)
+SELECT comp, CAST(n_members AS BIGINT) AS n_members,
+       CAST(id AS BIGINT) AS keep_id, qq AS best_q
+FROM ranked WHERE rk = 1 AND n_members >= 2"""
+
+
+@query("dedup_keep_best_clusters", _KEEP_BEST_ORACLE)
+def dedup_keep_best_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster representatives: for every near-dup
+    cluster (Jaccard-0.5 components), the member a curation pipeline
+    should KEEP — the highest quality_score, ties to the smaller id —
+    with the cluster size alongside. Min-id canonicals (dedup_corpus) are
+    the determinism fallback; this is the selection modern pipelines run.
+    Physical shape: one struct-max partial agg per cluster, no rank
+    window over the corpus (the oracle uses one; Spark does not)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    qq = X.quality_score_q(F.col("text"))
+    return D.dedup_keep_best(docs, pairs, qq).filter(F.col("n_members") >= 2)
