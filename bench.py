@@ -133,6 +133,7 @@ HEADLINE = [
     "leakage_safe_split_counts",
     "unimax_allocation",
     "dedup_keep_best_clusters",
+    "ann_recall_eval",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

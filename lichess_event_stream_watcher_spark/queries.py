@@ -240,6 +240,7 @@ _DRIVER_PRIORITY = [
     "leakage_safe_split_counts",  # new: near-dup-aware split assignment
     "unimax_allocation",  # new: UniMax closed-form token-budget waterfilling
     "dedup_keep_best_clusters",  # new: quality-argmax cluster representatives
+    "ann_recall_eval",  # new: recall@5 of IVF/LSH vs the exact baseline
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

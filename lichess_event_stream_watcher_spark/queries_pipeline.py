@@ -5604,3 +5604,64 @@ def dedup_keep_best_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
     qq = X.quality_score_q(F.col("text"))
     return D.dedup_keep_best(docs, pairs, qq).filter(F.col("n_members") >= 2)
+
+
+# ANN recall evaluation: both approximate methods' top-5 sets joined
+# against the exact brute-force top-5; recall is exact integer hits out
+# of k. Reuses the three certified oracles verbatim as nested CTEs.
+_ANN_RECALL_ORACLE = f"""WITH exact AS ({_KNN_ORACLE}),
+ivf AS ({_IVF_ORACLE}),
+lsh AS ({_LSH_TOPK_ORACLE}),
+approx AS (
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+  UNION ALL
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+)
+SELECT a.method, a.query_id,
+  CAST(COUNT(*) AS BIGINT) AS n_returned,
+  CAST(SUM(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+  CAST(SUM(CASE WHEN e.neighbor_id IS NULL THEN 0 ELSE 1 END) * 200 AS BIGINT) AS recall_milli
+FROM approx a
+LEFT JOIN exact e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY a.method, a.query_id"""
+
+
+@query("ann_recall_eval", _ANN_RECALL_ORACLE)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two untrained ANN routes (IVF 2-probe, LSH
+    same-bucket) against the exact brute-force top-5 — the evaluation a
+    serving team publishes before trusting an index. Exact-integer
+    recall (hits * 200 = recall in millis for k=5). Physical shape: both
+    approximate sets and the exact set are bounded (|queries| * k rows);
+    the comparison join and rollup are dimension-sized, so the cost is
+    the three searches themselves."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    queries_ = [0, 1, 2, 3, 4]
+    exact = S.knn_brute_force(emb, queries_, k=5).select("query_id", "neighbor_id")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    ivf = S.ivf_ann_topk(emb, cents, queries_, k=5, nprobe=2).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+    )
+    lsh = S.lsh_ann_topk(emb, anchors, queries_, k=5).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id"
+    )
+    approx = ivf.unionAll(lsh)
+    hit = F.when(F.col("e_nid").isNull(), F.lit(0)).otherwise(F.lit(1))
+    ex = exact.select(
+        F.col("query_id").alias("e_qid"), F.col("neighbor_id").alias("e_nid")
+    )
+    joined = approx.join(
+        F.broadcast(ex),
+        (F.col("query_id") == F.col("e_qid")) & (F.col("neighbor_id") == F.col("e_nid")),
+        "left",
+    )
+    return joined.groupBy("method", "query_id").agg(
+        F.count("*").cast("bigint").alias("n_returned"),
+        F.sum(hit).cast("bigint").alias("n_hits"),
+        (F.sum(hit) * F.lit(200)).cast("bigint").alias("recall_milli"),
+    )
