@@ -803,3 +803,49 @@ def test_collocation_topk_is_pruned(spark, sf_dir):
     p = plan_str(entry.queries()["collocation_lift_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_gopher_rules_plan_is_one_scan_no_shuffle(spark, sf_dir):
+    """The Gopher battery is a pure map-side projection: no Exchange, no
+    Join anywhere — 100 TB is embarrassingly parallel. The per-source
+    rollup adds exactly one partial-aggregating Exchange."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    p = plan_str(X.gopher_quality_rules(docs))
+    assert "Exchange" not in p and "Join" not in p
+    rollup = X.gopher_quality_rules(docs, carry_cols=["source"]).groupBy("source").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    pr = plan_str(rollup)
+    assert pr.count("Exchange") == 1 and "partial" in pr.lower()
+
+
+def test_c4_line_filter_plan_shape(spark, sf_dir):
+    """C4 line stats: exploded lines feed Tungsten hash aggregation (no
+    interpreted per-line HOF); exactly one doc-keyed Exchange, no Join
+    (page flags ride the groupBy keys)."""
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    p = plan_str(X.c4_line_filter(docs))
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+    assert "Generate explode" in p or "explode" in p
+
+
+def test_unimax_corpus_exchange_is_single_partial_agg(spark, sf_dir):
+    """UniMax: the ONLY corpus-sized exchange is the per-source token-sum
+    partial agg; everything after runs on the bounded source dimension
+    (the single-partition window is over ~#sources rows by contract)."""
+    from lichess_event_stream_watcher_spark.operators import curation as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    p = plan_str(C.unimax_allocation(docs, budget_tokens=10_000, max_epochs=2))
+    # corpus agg -> one shuffle; the dimension window adds its own
+    # single-partition exchange over 20 rows — assert the corpus side
+    # partial-aggregates before any exchange
+    assert "partial" in p.lower()
+    assert "Join" not in p or "BroadcastHashJoin" in p
