@@ -1196,8 +1196,9 @@ def gopher_quality_rules(
     """The Gopher quality-rule battery (Rae et al. 2021, appendix A.1.1)
     as one map-side projection — every rule a named boolean column so a
     pipeline can report WHICH rule dropped a document, not just that one
-    did (the reference's filter criteria expose per-criterion verdicts the
-    same way, src/filter.rs-style; this is the LLM-corpus analogue).
+    did (the reference evaluates its per-criterion verdicts the same way —
+    `Criterion::take_action`, src/signup/rules.rs:247-300; this is the
+    LLM-corpus analogue of that rule battery).
 
     Rules (each True = passes):
       r_word_count    min_tokens <= n_tokens <= max_tokens
