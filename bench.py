@@ -130,19 +130,18 @@ HEADLINE = [
     "k_anonymity_audit",
     "gopher_rule_failures",
     "c4_line_stats",
-    "leakage_safe_split_counts",
     "unimax_allocation",
-    "dedup_keep_best_clusters",
     "ann_recall_eval",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and
 # the stage operators are all min-of-3'd individually above.
-# NOTE: dedup_clusters_star / cross_source_dups / dup_graph_pagerank are
-# benched through dedup_pipeline_shared below (pairs computed ONCE, three
-# consumers), not as standalone headline entries — standalone, each would
-# re-run the full pair search (~4x the same work, ~16 s at sf0.1), which no
-# real pipeline does.
+# NOTE: dedup_clusters_star / cross_source_dups / dup_graph_pagerank /
+# leakage_safe_split_counts / dedup_keep_best_clusters are benched through
+# dedup_pipeline_shared below (pairs computed ONCE, five consumers; the
+# round-6 pair additionally reuses the shared component map), not as
+# standalone headline entries — standalone, each would re-run the full
+# pair search (~6x the same work at sf0.1), which no real pipeline does.
 
 
 def bench_dedup_pipeline_shared(
@@ -151,10 +150,12 @@ def bench_dedup_pipeline_shared(
     """The realistic consumption shape for the near-dup pair search: pairs
     are computed ONCE and materialized as a WRITTEN parquet table (what
     production does — a localCheckpoint would hold executor-local blocks
-    that die with their executor on a real cluster), then THREE consumers
+    that die with their executor on a real cluster), then FIVE consumers
     read the table — duplicate clustering (large/small-star CC),
-    cross-source provenance, and pair-graph PageRank. The timing includes
-    the write + re-read round-trip the pipeline actually pays.
+    cross-source provenance, pair-graph PageRank, the leakage-safe split
+    rollup, and quality-argmax keep selection (the last two reusing the
+    shared component map). The timing includes the write + re-read
+    round-trip the pipeline actually pays.
 
     ``phase_seconds`` (bench detail only) receives this draw's per-phase
     split — pair write vs each consumer — so a total-time swing is
@@ -189,7 +190,8 @@ def bench_dedup_pipeline_shared(
     D.jaccard_pairs(docs, n=2, threshold=0.5).write.parquet(pair_dir)
     pairs = spark.read.parquet(pair_dir)
     _stamp("pair_write")
-    D.dup_components_star(docs, pairs).count()
+    comp = D.dup_components_star(docs, pairs)
+    comp.count()
     _stamp("components")
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
@@ -203,6 +205,21 @@ def bench_dedup_pipeline_shared(
     _stamp("provenance")
     pagerank(docs.select(F.col("doc_id").alias("id")), pairs, iters=10).count()
     _stamp("pagerank")
+    # round-6 consumers: leakage-safe split + quality-argmax keep — both
+    # REUSE the shared component map (the components= parameter), so their
+    # marginal cost here is what a real pipeline pays: one id-keyed join
+    # + rollup each, never a second pair search or fixpoint
+    from lichess_event_stream_watcher_spark.operators import curation as C
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    C.leakage_safe_split(docs, pairs, components=comp).groupBy(
+        "split", "source"
+    ).count().count()
+    _stamp("leakage_split")
+    D.dedup_keep_best(
+        docs, pairs, X.quality_score_q(F.col("text")), components=comp
+    ).filter(F.col("n_members") >= 2).count()
+    _stamp("keep_best")
     dt = time.perf_counter() - t0
     shutil.rmtree(pair_dir, ignore_errors=True)
     return dt

@@ -609,6 +609,7 @@ def leakage_safe_split(
     id_col: str = "doc_id",
     train_hex: str = "c",
     val_hex: str = "e",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Dataset split that cannot leak through near-duplicates: every member
     of a near-dup cluster draws its split from the CLUSTER representative
@@ -626,11 +627,17 @@ def leakage_safe_split(
     component map is corpus-sized — it must NOT be broadcast; AQE picks
     the join strategy.
 
-    Output: df's columns + (comp, split).
+    Output: df's columns + (comp, split). ``components`` accepts a
+    precomputed (id, comp) map so composed pipelines that already ran the
+    fixpoint never run it twice.
     """
     from .dedup import dup_components
 
-    comp = dup_components(df, pairs, id_col=id_col)
+    comp = (
+        components
+        if components is not None
+        else dup_components(df, pairs, id_col=id_col)
+    )
     return df.join(
         comp.withColumnRenamed("id", id_col), id_col
     ).withColumn("split", split_label("comp", train_hex, val_hex))

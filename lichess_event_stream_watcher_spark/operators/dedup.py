@@ -1887,6 +1887,7 @@ def dedup_keep_best(
     pairs: DataFrame,
     score: Column,
     id_col: str = "doc_id",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Per-duplicate-cluster representative selection by QUALITY, not id:
     the doc modern curation pipelines actually keep is the best-scoring
@@ -1904,8 +1905,14 @@ def dedup_keep_best(
 
     Output: (comp, n_members, keep_id, best_q), one row per cluster
     including singletons (filter n_members >= 2 for dup clusters only).
+    ``components`` accepts a precomputed (id, comp) map so composed
+    pipelines that already ran the fixpoint never run it twice.
     """
-    comp = dup_components(df, pairs, id_col=id_col)
+    comp = (
+        components
+        if components is not None
+        else dup_components(df, pairs, id_col=id_col)
+    )
     scored = df.select(F.col(id_col).alias("id"), score.alias("_q")).join(comp, "id")
     best = scored.groupBy("comp").agg(
         F.max(F.struct(F.col("_q").alias("q"), (-F.col("id")).alias("nid"))).alias("_b"),

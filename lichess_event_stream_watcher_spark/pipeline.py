@@ -48,6 +48,7 @@ def curate_corpus(
     chunk_tokens: int = 64,
     chunk_overlap: int = 8,
     mix_source_col: str = "lang",
+    near_dup_keep: str = "min_id",
     stage_seconds: dict[str, float] | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation DAG over a ``documents``-shaped frame
@@ -95,12 +96,24 @@ def curate_corpus(
     counts["exact_dedup"] = docs1.count()
     _stamp("exact_dedup")
 
-    # 2. near-dup removal: Jaccard pairs -> connected components -> min-id
+    # 2. near-dup removal: Jaccard pairs -> connected components -> one
+    #    representative per cluster. ``near_dup_keep`` picks WHICH member:
+    #    "min_id" (the determinism default — id == comp reads straight off
+    #    the component map) or "best" (quality-argmax via dedup_keep_best,
+    #    reusing the SAME component map so the fixpoint never runs twice —
+    #    what modern pipelines keep; FineWeb-style)
     pairs = D.jaccard_pairs(docs1, n=2, threshold=jaccard_threshold)
     comp = D.dup_components_star(docs1, pairs)
-    canon = comp.filter(F.col("id") == F.col("comp")).select(
-        F.col("id").alias("doc_id")
-    )
+    if near_dup_keep == "best":
+        canon = D.dedup_keep_best(
+            docs1, pairs, X.quality_score_q(F.col("text")), components=comp
+        ).select(F.col("keep_id").alias("doc_id"))
+    elif near_dup_keep == "min_id":
+        canon = comp.filter(F.col("id") == F.col("comp")).select(
+            F.col("id").alias("doc_id")
+        )
+    else:
+        raise ValueError(f"unknown near_dup_keep: {near_dup_keep!r}")
     docs2 = docs1.join(canon, "doc_id", "left_semi").persist()
     counts["near_dedup"] = docs2.count()
     _stamp("near_dedup")

@@ -3032,3 +3032,18 @@ def test_unimax_allocation_waterfilling_invariants(spark):
             assert unsat[-1] - unsat[0] <= 1, (budget, unsat)
         by_cap = [alloc[s] for s, _ in sorted(caps.items(), key=lambda kv: (kv[1], kv[0]))]
         assert by_cap == sorted(by_cap), budget
+
+
+def test_curate_corpus_keep_best_preserves_cluster_count(spark, sf_dir):
+    """near_dup_keep='best' must keep exactly one representative per
+    cluster (same survivor COUNT as min-id) while choosing by quality —
+    and the chosen set must match dedup_keep_best run standalone."""
+    from lichess_event_stream_watcher_spark.pipeline import curate_corpus
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    _, counts_min = curate_corpus(docs)
+    chunks_best, counts_best = curate_corpus(docs, near_dup_keep="best")
+    chunks_best.unpersist()
+    assert counts_best["near_dedup"] == counts_min["near_dedup"]
+    assert counts_best["input"] == counts_min["input"]
+    assert counts_best["exact_dedup"] == counts_min["exact_dedup"]

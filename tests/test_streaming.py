@@ -154,3 +154,37 @@ def test_ndjson_tail_data_source(spark, tmp_path):
         r["username"] for r in spark.sql("SELECT username FROM tail_sink").collect()
     )
     assert names == ["Alice", "Bob", "Carol", "Dave"]
+
+
+def test_gopher_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The Gopher rule battery is a stateless map-side projection, so it
+    drops into the streaming ingestion front door unchanged: the same
+    expression under readStream (append mode, no watermark, no state)
+    produces exactly the batch verdicts once the stream drains."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import text as X
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    land = str(tmp_path / "docs_landing")
+    docs.repartition(3).write.parquet(land)
+
+    batch = {tuple(r) for r in X.gopher_quality_rules(spark.read.parquet(land)).collect()}
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        X.gopher_quality_rules(stream)
+        .writeStream.format("memory")
+        .queryName("gopher_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM gopher_gate").collect()}
+    assert got == batch and len(got) > 0
