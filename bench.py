@@ -132,6 +132,7 @@ HEADLINE = [
     "c4_line_stats",
     "unimax_allocation",
     "ann_recall_eval",
+    "dedup_lsh_recall_eval",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -241,6 +241,7 @@ _DRIVER_PRIORITY = [
     "unimax_allocation",  # new: UniMax closed-form token-budget waterfilling
     "dedup_keep_best_clusters",  # new: quality-argmax cluster representatives
     "ann_recall_eval",  # new: recall@5 of IVF/LSH vs the exact baseline
+    "dedup_lsh_recall_eval",  # new: MinHash banding recall/precision vs exact
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

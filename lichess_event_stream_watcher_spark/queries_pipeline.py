@@ -5665,3 +5665,53 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_hits"),
         (F.sum(hit) * F.lit(200)).cast("bigint").alias("recall_milli"),
     )
+
+
+# LSH parameter validation: recall/precision of the MinHash banding
+# (k=16, 4x4) against exact Jaccard >= 0.5 — composes the two certified
+# oracles verbatim. Both pair sets are canonicalized id_a < id_b, so the
+# intersection is a plain two-key join.
+_LSH_RECALL_ORACLE = rf"""WITH ex AS ({_JACCARD_ORACLE}),
+cd AS ({_MINHASH_ORACLE}),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+      FROM cd JOIN ex ON ex.id_a = cd.id_a AND ex.id_b = cd.id_b),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM ex),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cd)
+SELECT n_true_pairs, n_candidates, n_found,
+  CAST(CASE WHEN n_true_pairs = 0 THEN 1000
+       ELSE floor(n_found * 1000 / n_true_pairs) END AS BIGINT) AS recall_milli,
+  CAST(CASE WHEN n_candidates = 0 THEN 1000
+       ELSE floor(n_found * 1000 / n_candidates) END AS BIGINT) AS precision_milli
+FROM t, c, f"""
+
+
+@query("dedup_lsh_recall_eval", _LSH_RECALL_ORACLE)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall and precision of the MinHash-LSH candidate generator
+    against exact Jaccard >= 0.5 — the banding-parameter (b x r)
+    validation a dedup team runs before trusting the sub-quadratic path
+    at scale. Physical shape: the two pair searches themselves, then a
+    two-key semi-count and three 1-row aggregates combined (the
+    funnel-style bounded cross join)."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b")
+    cand = D.lsh_candidate_pairs(docs, k=16, bands=4, n=2).select("id_a", "id_b")
+    n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_found = cand.join(exact, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_found")
+    )
+    combined = n_true.crossJoin(n_cand).crossJoin(n_found)
+    rec = F.when(F.col("n_true_pairs") == 0, F.lit(1000)).otherwise(
+        F.floor(F.col("n_found") * F.lit(1000) / F.col("n_true_pairs"))
+    )
+    prec = F.when(F.col("n_candidates") == 0, F.lit(1000)).otherwise(
+        F.floor(F.col("n_found") * F.lit(1000) / F.col("n_candidates"))
+    )
+    return combined.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_found",
+        rec.cast("bigint").alias("recall_milli"),
+        prec.cast("bigint").alias("precision_milli"),
+    )

@@ -382,6 +382,8 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         # composes knn_cosine_topk's probe-set BNLJ (the exact baseline)
         # next to the IVF/LSH candidate routes — bounded by |queries| * k
         "ann_recall_eval",
+        # three 1-row count aggregates cross-joined (the funnel shape)
+        "dedup_lsh_recall_eval",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
