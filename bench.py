@@ -505,6 +505,11 @@ def main() -> None:
     # a 67 s/draw adversarial shape no real vocabulary exhibits (and the
     # dense gate absorbs in the self-join form). One-time sf0.1 numbers
     # live in SCALE.md: indexed 19.9 s vs re-tokenize 47.3 s (2.4x).
+    # The forced-sparse twin (tf_cosine_pairs_sparse) is excluded for the
+    # same reason: with every doc sharing the 31 hot tokens the AllPairs
+    # prefix cannot prune (measured 107-118 s/draw at sf0.1) — it exists
+    # to certify the REAL-vocabulary scale path, where prefix pruning is
+    # the whole point; its correctness rides its own driver hash row.
     for name in names:
         best = float("inf")
         # min-of-3: strip first-touch JIT/codegen noise AND the occasional
