@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -133,6 +134,7 @@ HEADLINE = [
     "unimax_allocation",
     "ann_recall_eval",
     "dedup_lsh_recall_eval",
+    "dedup_lsh_band_sweep",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and
@@ -592,6 +594,31 @@ def main() -> None:
         "sf": sf,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # Self-calibration against the previously committed detail file: the
+    # bench hosts are virtualized and one boot can run a uniform ~1.5x
+    # slower than another with zero code change (SCALE.md, round-6
+    # host-variance caveat). Publishing the median per-query ratio vs the
+    # last committed BENCH_DETAIL makes that shift self-evident in the
+    # artifact, so a reader can separate boot contention (uniform ratio
+    # across entries) from a real regression (one entry moving against a
+    # flat median). Computed BEFORE the file is overwritten; entries
+    # under 0.2 s are skipped (dominated by fixed overhead).
+    median_ratio = None
+    try:
+        with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f).get("queries", {})
+        ratios = [
+            timings[k] / prev[k]
+            for k in timings
+            if isinstance(prev.get(k), (int, float))
+            and prev[k] >= 0.2
+            and timings[k] >= 0.2
+        ]
+        if len(ratios) >= 10:
+            median_ratio = round(statistics.median(ratios), 3)
+    except (OSError, ValueError):
+        pass
+    detail["median_ratio_vs_prev_detail"] = median_ratio
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
         f.write("\n")
@@ -607,6 +634,7 @@ def main() -> None:
                 "engine_events_per_sec": engine_eps,
                 "streaming_engine_events_per_sec": stream_eps,
                 "sf": sf,
+                "median_ratio_vs_prev_detail": median_ratio,
                 "detail": "BENCH_DETAIL.json",
             }
         ),

@@ -830,6 +830,60 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_band_sweep(
+    df: DataFrame,
+    band_counts: tuple[int, ...] = (2, 4, 8),
+    k: int = DEFAULT_MINHASH_K,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs for SEVERAL (bands x rows) configurations from ONE
+    signature pass: (n_bands, id_a, id_b), id_a < id_b per config.
+
+    The banding-parameter sweep a dedup team runs once before freezing
+    (b, r) for a corpus — each config trades recall against candidate
+    volume along the S-curve P(collide) = 1 - (1 - j^r)^b. Running
+    ``lsh_candidate_pairs`` per config would recompute the MinHash
+    aggregation (the expensive corpus scan + shuffle) once per config,
+    because Spark does not share unmaterialized subtrees across DataFrame
+    branches. Here all configs' band structs explode out of ONE
+    projection over ONE signature aggregation — sum(b_i) small band rows
+    per doc instead of another corpus scan each — and a single
+    bucket-local pair explosion (grouped once on n_bands+band+band_sig,
+    so buckets of different configs never mix) carries the config tag
+    through as member payload. Scale shape is lsh_candidate_pairs'
+    exactly: one agg shuffle, one bucket shuffle, in-bucket chunked pair
+    explosion, distinct.
+    """
+    sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
+    structs = []
+    for b in band_counts:
+        r = k // b
+        widths = [r] * (b - 1) + [k - (b - 1) * r]
+        for bi, w in enumerate(widths):
+            structs.append(
+                F.struct(
+                    F.lit(b).cast("int").alias("n_bands"),
+                    F.lit(bi).cast("int").alias("band"),
+                    F.md5(
+                        F.array_join(F.slice("sig", bi * r + 1, w), ",")
+                    ).alias("band_sig"),
+                )
+            )
+    bnd = sigs.select("id", F.explode(F.array(*structs)).alias("bb")).select(
+        "id", "bb.n_bands", "bb.band", "bb.band_sig"
+    )
+    pairs = _bucket_local_pairs(
+        bnd, ["n_bands", "band", "band_sig"], ["n_bands"]
+    )
+    return pairs.select(
+        F.col("a.n_bands").alias("n_bands"),
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+    ).distinct()
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -242,6 +242,7 @@ _DRIVER_PRIORITY = [
     "dedup_keep_best_clusters",  # new: quality-argmax cluster representatives
     "ann_recall_eval",  # new: recall@5 of IVF/LSH vs the exact baseline
     "dedup_lsh_recall_eval",  # new: MinHash banding recall/precision vs exact
+    "dedup_lsh_band_sweep",  # new: (b x r) sweep off one signature pass
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

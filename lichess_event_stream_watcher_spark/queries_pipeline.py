@@ -5685,6 +5685,99 @@ SELECT n_true_pairs, n_candidates, n_found,
 FROM t, c, f"""
 
 
+# Banding-parameter sweep: per (bands x rows) config of the SAME k=16
+# signature, candidate volume + recall/precision vs exact Jaccard >= 0.5.
+# The oracle builds every config's bands from one sigs CTE (seed // r is
+# the band index; uniform widths since 2/4/8 all divide 16) and the
+# config dimension rides the group-by keys end to end.
+_LSH_SWEEP_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+seeded AS (
+  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+),
+sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) AS t(n_bands, n_rows)),
+bands AS (
+  SELECT c.n_bands, s.id, CAST(s.seed // c.n_rows AS INT) AS band,
+         md5(string_agg(s.minhash, ',' ORDER BY s.seed)) AS band_sig
+  FROM sigs s CROSS JOIN cfg c
+  GROUP BY c.n_bands, c.n_rows, s.id, s.seed // c.n_rows
+),
+cand AS (
+  SELECT DISTINCT a.n_bands, a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.n_bands = b.n_bands AND a.band = b.band
+   AND a.band_sig = b.band_sig AND a.id < b.id
+),
+ex AS ({_JACCARD_ORACLE}),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM ex),
+per AS (
+  SELECT c.n_bands,
+    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN e.id_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_found
+  FROM cand c LEFT JOIN ex e ON e.id_a = c.id_a AND e.id_b = c.id_b
+  GROUP BY c.n_bands
+)
+SELECT CAST(p.n_bands AS INT) AS n_bands,
+  CAST(16 // p.n_bands AS INT) AS n_rows,
+  t.n_true_pairs, p.n_candidates, p.n_found,
+  CAST(CASE WHEN t.n_true_pairs = 0 THEN 1000
+       ELSE floor(p.n_found * 1000 / t.n_true_pairs) END AS BIGINT) AS recall_milli,
+  CAST(CASE WHEN p.n_candidates = 0 THEN 1000
+       ELSE floor(p.n_found * 1000 / p.n_candidates) END AS BIGINT) AS precision_milli
+FROM per p, t"""
+
+
+@query("dedup_lsh_band_sweep", _LSH_SWEEP_ORACLE)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter sweep: recall/precision and candidate volume of
+    MinHash-LSH at (2x8), (4x4), and (8x2) bands x rows over the SAME
+    k=16 signatures, against exact Jaccard >= 0.5 — the S-curve tuning
+    table a dedup team freezes (b, r) from before a corpus-scale run.
+    Physical shape: ONE signature aggregation feeds all three configs
+    (``lsh_band_sweep``: the configs explode inside one projection, so
+    the corpus is scanned and shuffled once, not once per config); the
+    exact pair search is the prefix-filtered AllPairs path; the
+    comparison is one left join + config-keyed rollup, with the scalar
+    true-pair count cross-joined funnel-style."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b")
+    cand = D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2)
+    n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
+    ex = exact.select(
+        F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
+    )
+    hit = F.when(F.col("e_a").isNull(), F.lit(0)).otherwise(F.lit(1))
+    per = (
+        cand.join(
+            ex,
+            (F.col("id_a") == F.col("e_a")) & (F.col("id_b") == F.col("e_b")),
+            "left",
+        )
+        .groupBy("n_bands")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.sum(hit).cast("bigint").alias("n_found"),
+        )
+    )
+    combined = per.crossJoin(n_true)
+    rec = F.when(F.col("n_true_pairs") == 0, F.lit(1000)).otherwise(
+        F.floor(F.col("n_found") * F.lit(1000) / F.col("n_true_pairs"))
+    )
+    prec = F.when(F.col("n_candidates") == 0, F.lit(1000)).otherwise(
+        F.floor(F.col("n_found") * F.lit(1000) / F.col("n_candidates"))
+    )
+    return combined.select(
+        F.col("n_bands").cast("int").alias("n_bands"),
+        (F.lit(16) / F.col("n_bands")).cast("int").alias("n_rows"),
+        "n_true_pairs",
+        "n_candidates",
+        "n_found",
+        rec.cast("bigint").alias("recall_milli"),
+        prec.cast("bigint").alias("precision_milli"),
+    )
+
+
 @query("dedup_lsh_recall_eval", _LSH_RECALL_ORACLE)
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall and precision of the MinHash-LSH candidate generator

@@ -3047,3 +3047,31 @@ def test_curate_corpus_keep_best_preserves_cluster_count(spark, sf_dir):
     assert counts_best["near_dedup"] == counts_min["near_dedup"]
     assert counts_best["input"] == counts_min["input"]
     assert counts_best["exact_dedup"] == counts_min["exact_dedup"]
+
+
+def test_lsh_band_sweep_matches_per_config_candidates(spark, sf_dir):
+    """The sweep's per-config candidate sets must equal lsh_candidate_pairs
+    run at that config — the single-signature-pass fusion is a physical
+    optimization, never a semantic one. (b=16/r covers all three configs;
+    b=4 cross-checks the certified dedup_minhash_lsh path.)"""
+    docs = testdata.load(spark, sf_dir, "documents")
+    sweep = D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2).collect()
+    by_cfg: dict[int, set] = {}
+    for r in sweep:
+        by_cfg.setdefault(r.n_bands, set()).add((r.id_a, r.id_b))
+    assert set(by_cfg) == {2, 4, 8}
+    for b in (2, 4, 8):
+        solo = {
+            (r.id_a, r.id_b)
+            for r in D.lsh_candidate_pairs(docs, k=16, bands=b, n=2).collect()
+        }
+        assert by_cfg[b] == solo, (
+            f"bands={b}: sweep diverges from the standalone path "
+            f"(only-sweep={sorted(by_cfg[b] - solo)[:3]}, "
+            f"only-solo={sorted(solo - by_cfg[b])[:3]})"
+        )
+    # more bands (shorter rows) can only widen the candidate set for the
+    # SAME signatures when band boundaries nest (8x2 bands are bisections
+    # of 4x4 bands, which bisect 2x8): any bucket collision on a long
+    # band implies collision on both its halves.
+    assert by_cfg[2] <= by_cfg[4] <= by_cfg[8]

@@ -384,6 +384,9 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         "ann_recall_eval",
         # three 1-row count aggregates cross-joined (the funnel shape)
         "dedup_lsh_recall_eval",
+        # the per-config rollup (3 rows, one per (b x r) config) cross-
+        # joins the 1-row true-pair count — same funnel shape as above
+        "dedup_lsh_band_sweep",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
@@ -854,3 +857,18 @@ def test_unimax_corpus_exchange_is_single_partial_agg(spark, sf_dir):
     # partial-aggregates before any exchange
     assert "partial" in p.lower()
     assert "Join" not in p or "BroadcastHashJoin" in p
+
+
+def test_lsh_band_sweep_computes_signatures_once(spark, sf_dir):
+    """The (b x r) sweep must feed all three configs from ONE MinHash
+    aggregation: exactly one shingle-exploding Generate in the plan (a
+    per-config recomputation would show three), and the full pipeline is
+    the lsh_candidate_pairs exchange budget plus nothing — shingle
+    spread, signature agg, bucket groupBy, chunk respread, distinct."""
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    p = plan_str(D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2))
+    assert len(re.findall(r"Generate explode.*shingle", p)) == 1, p
+    assert p.count("Exchange") == 5, p
+    assert "Join" not in p
