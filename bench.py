@@ -135,6 +135,8 @@ HEADLINE = [
     "ann_recall_eval",
     "dedup_lsh_recall_eval",
     "dedup_lsh_band_sweep",
+    "dedup_threshold_sensitivity",
+    "dedup_cost_census",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

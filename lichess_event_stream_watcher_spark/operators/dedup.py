@@ -21,7 +21,7 @@ stage has a bit-identical DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, normalize_text, tokens
@@ -828,6 +828,82 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def dedup_cost_census(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pre-run cost census of the three sparse pair-search strategies:
+    (strategy, index_rows, candidate_pairs) — the numbers a planner reads
+    BEFORE launching a corpus-scale dedup, because candidate_pairs IS the
+    shuffle volume each strategy will generate:
+
+    - ``postings``: full inverted index. index_rows = sum(df);
+      candidate_pairs = sum over shingles of df*(df-1)/2 — the sum(df^2)
+      blowup this repo's strategy docstrings argue from, now measurable
+      per corpus instead of asserted.
+    - ``prefix_df``: AllPairs prefix filter under the rarest-first
+      (df asc, shingle asc) order — the canonical Bayardo order and the
+      one census that is ENGINE-EXACT (the default xxhash64 order is not
+      reproducible outside Spark; a uniform hash order has the same
+      EXPECTED bucket profile, so this census also estimates it).
+      index_rows = sum of per-doc prefix lengths |s| - ceil(t|s|) + 1;
+      candidate_pairs = the pre-verify bucket pair volume.
+    - ``lsh_{k}x{bands}``: MinHash banding. index_rows = docs x bands;
+      candidate_pairs = sum over band buckets of m*(m-1)/2 (before the
+      cross-band distinct).
+
+    All counts are exact integers from df/bucket-size aggregations — the
+    corpus text never moves, and no strategy's actual pair explosion
+    runs. Three shingle-table aggregations + one signature pass.
+    """
+    t = threshold - 1e-6
+    sh = shingles(df, n, text_col, id_col)
+    half = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    postings = dfreq.agg(
+        F.lit("postings").alias("strategy"),
+        F.sum("df").cast("bigint").alias("index_rows"),
+        F.sum(half("df")).cast("bigint").alias("candidate_pairs"),
+    )
+    w_id = Window.partitionBy("id")
+    w_rk = Window.partitionBy("id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("n_sh", F.count("*").over(w_id))
+        .withColumn("rk", F.row_number().over(w_rk))
+    )
+    plen = (
+        F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + F.lit(1)
+    ).cast("bigint")
+    pdfr = (
+        ranked.filter(F.col("rk") <= plen)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("pdf"))
+    )
+    prefix = pdfr.agg(
+        F.lit("prefix_df").alias("strategy"),
+        F.sum("pdf").cast("bigint").alias("index_rows"),
+        F.sum(half("pdf")).cast("bigint").alias("candidate_pairs"),
+    )
+    sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
+    bsz = (
+        lsh_bands(sigs, k, bands)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("m"))
+    )
+    lsh = bsz.agg(
+        F.lit(f"lsh_{k}x{bands}").alias("strategy"),
+        F.sum("m").cast("bigint").alias("index_rows"),
+        F.sum(half("m")).cast("bigint").alias("candidate_pairs"),
+    )
+    return postings.unionAll(prefix).unionAll(lsh)
 
 
 def lsh_band_sweep(

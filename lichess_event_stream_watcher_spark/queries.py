@@ -243,6 +243,8 @@ _DRIVER_PRIORITY = [
     "ann_recall_eval",  # new: recall@5 of IVF/LSH vs the exact baseline
     "dedup_lsh_recall_eval",  # new: MinHash banding recall/precision vs exact
     "dedup_lsh_band_sweep",  # new: (b x r) sweep off one signature pass
+    "dedup_threshold_sensitivity",  # new: t-sweep off one pair search
+    "dedup_cost_census",  # new: strategy cost table, no pair explosion
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

@@ -5685,6 +5685,135 @@ SELECT n_true_pairs, n_candidates, n_found,
 FROM t, c, f"""
 
 
+# Strategy cost census: exact index-size and candidate-pair volume each
+# sparse pair-search strategy WOULD generate — df/bucket-size arithmetic
+# only, no pair explosion runs. The prefix census uses the rarest-first
+# (df, shingle) order, the one global order both engines can reproduce.
+_COST_CENSUS_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+dfr AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+postings AS (
+  SELECT 'postings' AS strategy, CAST(SUM(df) AS BIGINT) AS index_rows,
+         CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS candidate_pairs
+  FROM dfr
+),
+szs AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY id),
+ranked AS (
+  SELECT s.id, s.shingle, z.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY s.id ORDER BY d.df, s.shingle) AS rk
+  FROM sh s JOIN dfr d ON d.shingle = s.shingle JOIN szs z ON z.id = s.id
+),
+pre AS (
+  SELECT shingle FROM ranked
+  WHERE rk <= n_sh - CAST(ceil((0.5 - 0.000001) * n_sh) AS BIGINT) + 1
+),
+pdfr AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS pdf FROM pre GROUP BY shingle),
+prefix AS (
+  SELECT 'prefix_df' AS strategy, CAST(SUM(pdf) AS BIGINT) AS index_rows,
+         CAST(SUM(pdf * (pdf - 1) // 2) AS BIGINT) AS candidate_pairs
+  FROM pdfr
+),
+seeded AS (
+  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+),
+sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+bands AS (
+  SELECT id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM sigs GROUP BY id, seed // 4
+),
+bsz AS (
+  SELECT band, band_sig, CAST(COUNT(*) AS BIGINT) AS m
+  FROM bands GROUP BY band, band_sig
+),
+lsh AS (
+  SELECT 'lsh_16x4' AS strategy, CAST(SUM(m) AS BIGINT) AS index_rows,
+         CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS candidate_pairs
+  FROM bsz
+)
+SELECT * FROM postings UNION ALL SELECT * FROM prefix UNION ALL SELECT * FROM lsh"""
+
+
+@query("dedup_cost_census", _COST_CENSUS_ORACLE)
+def dedup_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-run planner census for the sparse pair-search strategies:
+    exact (strategy, index_rows, candidate_pairs) for the full postings
+    join, the AllPairs rarest-first prefix filter, and MinHash-LSH 4x4
+    banding — candidate_pairs IS the shuffle volume each strategy would
+    generate at this corpus, so the sum(df^2)-style arguments the
+    strategy gates rely on become a measurable table. Physical shape:
+    pure df / prefix-length / bucket-size aggregations (three shingle
+    aggregations + one signature pass); the corpus text never moves and
+    no pair explosion runs."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.dedup_cost_census(docs, threshold=0.5, k=16, bands=4, n=2)
+
+
+# Threshold-sensitivity table: one exact pair search at the LOOSEST
+# threshold (0.1); every tighter threshold's survivor counts are pure
+# filters over the already-scored pairs, so choosing t never costs a
+# second corpus-sized pair search. Thresholds are integer millis; the
+# comparison j >= t/1000.0 is one correctly-rounded IEEE division in
+# both engines over the same ROUND(j, 6) value.
+_THRESH_SENS_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+ex AS (
+  SELECT id_a, id_b,
+         ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS j
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.1
+),
+th AS (SELECT unnest([100, 300, 500, 900]) AS threshold_milli),
+expl AS (
+  SELECT t.threshold_milli, e.id_a, e.id_b
+  FROM ex e JOIN th t ON e.j >= t.threshold_milli / 1000.0
+),
+ids AS (
+  SELECT threshold_milli, id_a AS id FROM expl
+  UNION ALL
+  SELECT threshold_milli, id_b FROM expl
+)
+SELECT CAST(threshold_milli AS BIGINT) AS threshold_milli,
+  CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+FROM ids GROUP BY threshold_milli"""
+
+
+@query("dedup_threshold_sensitivity", _THRESH_SENS_ORACLE)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold-sensitivity table: surviving near-dup pair and
+    member-doc counts at t = 0.1 / 0.3 / 0.5 / 0.9 — the dial a dedup
+    team reads before freezing the threshold for a corpus-scale run.
+    Physical shape: ONE exact pair search at the loosest threshold;
+    every tighter threshold is a map-side filter of the scored pairs
+    (the thresholds explode per surviving pair, bounded by 4x the pair
+    count), then a single hash aggregation over (threshold, member id)
+    rows yields both counts — pairs as count/2 (each pair contributes
+    exactly two member rows), docs as the distinct count. No join, no
+    second corpus pass, no rank window."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.1)
+    th = F.array(*[F.lit(t) for t in (100, 300, 500, 900)])
+    surviving = F.filter(
+        th, lambda t: F.col("jaccard") >= t.cast("double") / F.lit(1000.0)
+    )
+    expl = pairs.select(
+        F.explode(surviving).alias("threshold_milli"), "id_a", "id_b"
+    )
+    rows = expl.select(
+        "threshold_milli", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    return rows.groupBy(F.col("threshold_milli").cast("bigint").alias("threshold_milli")).agg(
+        F.floor(F.count("*") / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("id").cast("bigint").alias("n_docs"),
+    )
+
+
 # Banding-parameter sweep: per (bands x rows) config of the SAME k=16
 # signature, candidate volume + recall/precision vs exact Jaccard >= 0.5.
 # The oracle builds every config's bands from one sigs CTE (seed // r is

@@ -3075,3 +3075,52 @@ def test_lsh_band_sweep_matches_per_config_candidates(spark, sf_dir):
     # of 4x4 bands, which bisect 2x8): any bucket collision on a long
     # band implies collision on both its halves.
     assert by_cfg[2] <= by_cfg[4] <= by_cfg[8]
+
+
+def test_threshold_sensitivity_is_monotone_and_matches_single_threshold(spark, sf_dir):
+    """Counts must be non-increasing in the threshold, and the t=0.5 row
+    must equal a standalone jaccard_pairs run at 0.5 — the multi-threshold
+    fan-out is a physical fusion, never a semantic change."""
+    import __spark_entry__ as entry
+
+    rows = {
+        r.threshold_milli: (r.n_pairs, r.n_docs)
+        for r in entry.queries()["dedup_threshold_sensitivity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) <= {100, 300, 500, 900}
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo][0] >= rows[hi][0], (lo, hi, rows)
+        assert rows[lo][1] >= rows[hi][1], (lo, hi, rows)
+    docs = testdata.load(spark, sf_dir, "documents")
+    solo = D.jaccard_pairs(docs, n=2, threshold=0.5)
+    n_solo = solo.count()
+    docs_solo = solo.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct().count()
+    assert rows.get(500, (0, 0)) == (n_solo, docs_solo)
+
+
+def test_cost_census_bounds_the_real_strategies(spark, sf_dir):
+    """The census must be arithmetically consistent with the structures it
+    predicts: postings index_rows = the shingle-table row count; the
+    prefix index is a strict subset of the postings index; LSH bucket
+    pair volume bounds the distinct candidate-pair count from above."""
+    from lichess_event_stream_watcher_spark.operators.dedup import shingles
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    census = {
+        r.strategy: (r.index_rows, r.candidate_pairs)
+        for r in D.dedup_cost_census(docs, threshold=0.5, k=16, bands=4).collect()
+    }
+    assert set(census) == {"postings", "prefix_df", "lsh_16x4"}
+    n_sh_rows = shingles(docs, 2).count()
+    assert census["postings"][0] == n_sh_rows
+    assert census["prefix_df"][0] <= census["postings"][0]
+    assert census["prefix_df"][1] <= census["postings"][1]
+    n_lsh_distinct = D.lsh_candidate_pairs(docs, k=16, bands=4, n=2).count()
+    assert census["lsh_16x4"][1] >= n_lsh_distinct
+    n_docs = docs.count()
+    assert census["lsh_16x4"][0] == 4 * n_docs
