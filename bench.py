@@ -137,6 +137,7 @@ HEADLINE = [
     "dedup_lsh_band_sweep",
     "dedup_threshold_sensitivity",
     "dedup_cost_census",
+    "ann_cost_census",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -428,6 +428,85 @@ def lsh_ann_topk(
     )
 
 
+def ann_cost_census(
+    emb: DataFrame,
+    centroids: DataFrame,
+    anchors: DataFrame,
+    query_ids: list[int],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scored-candidate volume per ANN serving route per query —
+    (method, query_id, n_scored), the serving-side twin of
+    ``dedup_cost_census``: n_scored is the number of corpus vectors each
+    route actually evaluates before its top-k, i.e. the quantity the
+    threshold-pruned serving shape (SCALE.md) exists to bound. Brute
+    force (and PQ, which ADC-scores the same set) touches the whole
+    corpus minus self; IVF touches the query's ``nprobe`` probed cells;
+    hyperplane LSH touches the query's bucket. Counts reuse the exact
+    assignment projections the serving paths run (rounded cosine +
+    cent_id tie-break; sign-bit buckets), so the census IS each route's
+    candidate set cardinality, not an estimate. Physical shape: two
+    map-side assignment projections + bounded broadcast probe joins +
+    per-query counts; no route's scoring or ranking runs."""
+    qids = [int(q) for q in query_ids]
+    qf = F.col(id_col).isin(qids)
+    n_corpus = emb.agg(F.count("*").cast("bigint").alias("_n"))
+    brute = (
+        emb.filter(qf)
+        .select(F.col(id_col).alias("query_id"))
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            F.lit("brute_force").alias("method"),
+            F.col("query_id").cast("bigint").alias("query_id"),
+            (F.col("_n") - 1).cast("bigint").alias("n_scored"),
+        )
+    )
+    cells = nearest_cells(emb, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cent_id").alias("cell")
+    )
+    probes = nearest_cells(emb.filter(qf), centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("cent_id").alias("cell")
+    )
+    ivf = (
+        cells.join(F.broadcast(probes), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy(F.col("query_id").cast("bigint").alias("query_id"))
+        .agg(F.count("*").cast("bigint").alias("n_scored"))
+        .select(F.lit("ivf").alias("method"), "query_id", "n_scored")
+    )
+    bucketed = hyperplane_buckets(emb, anchors, id_col, vec_col)
+    qb = bucketed.filter(qf).select(F.col(id_col).alias("query_id"), "bucket")
+    lsh = (
+        bucketed.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        .join(F.broadcast(qb), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy(F.col("query_id").cast("bigint").alias("query_id"))
+        .agg(F.count("*").cast("bigint").alias("n_scored"))
+        .select(F.lit("lsh").alias("method"), "query_id", "n_scored")
+    )
+    counts = brute.unionAll(ivf).unionAll(lsh)
+    # explicit zeros: a query whose bucket/cells hold no candidates must
+    # read n_scored = 0, not a missing row (a groupBy over an empty
+    # candidate set emits nothing) — scaffold every (method, query)
+    scaffold = (
+        emb.filter(qf)
+        .select(F.col(id_col).cast("bigint").alias("query_id"))
+        .select(
+            "query_id",
+            F.explode(
+                F.array(F.lit("brute_force"), F.lit("ivf"), F.lit("lsh"))
+            ).alias("method"),
+        )
+    )
+    return scaffold.join(counts, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce(F.col("n_scored"), F.lit(0)).cast("bigint").alias("n_scored"),
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

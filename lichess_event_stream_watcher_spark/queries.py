@@ -245,6 +245,7 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_band_sweep",  # new: (b x r) sweep off one signature pass
     "dedup_threshold_sensitivity",  # new: t-sweep off one pair search
     "dedup_cost_census",  # new: strategy cost table, no pair explosion
+    "ann_cost_census",  # new: serving-route candidate volume census
     "tf_cosine_pairs",
     "curation_pipeline_counts",
     "temperature_mix_sample",

@@ -403,6 +403,78 @@ ranked AS (
 SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"""
 
 
+# Serving-route candidate-volume census: how many corpus vectors each
+# route scores per query. The IVF/LSH candidate CTEs are the topk
+# oracles' own, with the rank windows replaced by per-query counts.
+_ANN_COST_ORACLE = f"""WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+),
+assign AS (
+  SELECT a.vec_id, b.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_COS_SQL}, 6) DESC, b.cent_id ASC
+         ) AS rnk
+  FROM embeddings a CROSS JOIN cents b
+),
+cells AS (SELECT vec_id AS neighbor_id, cent_id AS cell FROM assign WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+  WHERE vec_id IN (0, 1, 2, 3, 4) AND rnk <= 2
+),
+ivf_cand AS (
+  SELECT p.query_id, c.neighbor_id FROM probes p
+  JOIN cells c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
+),
+buckets AS ({_BUCKET_ORACLE}),
+q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id IN (0, 1, 2, 3, 4)),
+lsh_cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id
+  FROM q JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings),
+counts AS (
+  SELECT 'brute_force' AS method, CAST(e.vec_id AS BIGINT) AS query_id,
+         n.n_vecs - 1 AS n_scored
+  FROM embeddings e, n WHERE e.vec_id IN (0, 1, 2, 3, 4)
+  UNION ALL
+  SELECT 'ivf' AS method, CAST(query_id AS BIGINT) AS query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_scored
+  FROM ivf_cand GROUP BY query_id
+  UNION ALL
+  SELECT 'lsh' AS method, CAST(query_id AS BIGINT) AS query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_scored
+  FROM lsh_cand GROUP BY query_id
+),
+scaffold AS (
+  SELECT m.method, CAST(q.query_id AS BIGINT) AS query_id
+  FROM (SELECT unnest(['brute_force', 'ivf', 'lsh']) AS method) m
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS query_id) q
+)
+SELECT s.method, s.query_id,
+       CAST(COALESCE(c.n_scored, 0) AS BIGINT) AS n_scored
+FROM scaffold s
+LEFT JOIN counts c ON c.method = s.method AND c.query_id = s.query_id"""
+
+
+@query("ann_cost_census", _ANN_COST_ORACLE)
+def ann_cost_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-route candidate-volume census: per query, the number of
+    corpus vectors brute force / IVF(2-probe) / hyperplane-LSH would
+    score — the serving-side twin of dedup_cost_census and the exact
+    quantity the threshold-pruned top-k shape bounds. Reuses the serving
+    paths' own assignment projections, so counts are the routes' true
+    candidate-set cardinalities; no scoring or ranking runs."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    return S.ann_cost_census(emb, cents, anchors, [0, 1, 2, 3, 4], nprobe=2)
+
+
 @query("ann_lsh_topk", _LSH_TOPK_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k within LSH buckets — exact ranking restricted to

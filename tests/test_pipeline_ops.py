@@ -3124,3 +3124,31 @@ def test_cost_census_bounds_the_real_strategies(spark, sf_dir):
     assert census["lsh_16x4"][1] >= n_lsh_distinct
     n_docs = docs.count()
     assert census["lsh_16x4"][0] == 4 * n_docs
+
+
+def test_ann_cost_census_matches_route_structures(spark, sf_dir):
+    """The census counts must equal the routes' real candidate-set sizes:
+    brute = corpus minus self; LSH = the query's bucket size minus self;
+    IVF bounded by the corpus and consistent across queries with the
+    cell partition (each count is a sum of whole cells minus self)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    census = {
+        (r.method, r.query_id): r.n_scored
+        for r in S.ann_cost_census(emb, cents, anchors, [0, 1, 2], nprobe=2).collect()
+    }
+    n = emb.count()
+    buckets = {r.vec_id: r.bucket for r in S.hyperplane_buckets(emb, anchors).collect()}
+    from collections import Counter
+
+    bucket_sizes = Counter(buckets.values())
+    for q in (0, 1, 2):
+        assert census[("brute_force", q)] == n - 1
+        assert census[("lsh", q)] == bucket_sizes[buckets[q]] - 1
+        assert 0 <= census[("ivf", q)] <= n - 1
+    assert len(census) == 9  # 3 methods x 3 queries, zeros explicit

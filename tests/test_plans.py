@@ -387,6 +387,9 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         # the per-config rollup (3 rows, one per (b x r) config) cross-
         # joins the 1-row true-pair count — same funnel shape as above
         "dedup_lsh_band_sweep",
+        # the brute-force row cross-joins the 1-row corpus count onto the
+        # 5-row query list — bounded by |queries|
+        "ann_cost_census",
     }
     bad = []
     for name, fn in sorted(entry.queries().items()):
