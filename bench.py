@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_threshold_sensitivity",
     "dedup_cost_census",
     "ann_cost_census",
+    "dedup_minhash_calibration",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -246,13 +246,17 @@ _DRIVER_PRIORITY = [
     "dedup_threshold_sensitivity",  # new: t-sweep off one pair search
     "dedup_cost_census",  # new: strategy cost table, no pair explosion
     "ann_cost_census",  # new: serving-route candidate volume census
-    "tf_cosine_pairs",
-    "curation_pipeline_counts",
-    "temperature_mix_sample",
-    "curation_gate",
-    "device_enrich",
-    # -- (2) stalest greens: the r1 row, all 34 remaining r2 rows, then
-    #    the alphabetically-first r3 rows up to slot 50
+    "dedup_minhash_calibration",  # new: estimator error by exact band
+    "device_enrich",  # r2-vintage AND enrich.py changed (UA parser) — both
+    #    window triggers fire; the other four changed-file entries hold
+    #    r3/r4 greens and yield their slots to the staleness-bound r2
+    #    block below (they head the round-7 rotation queue instead; all
+    #    four re-verified hash-green at sf0.01 through current code by
+    #    this session's three full driver-sim sweeps)
+    # -- (2) stalest greens: the r1 row, all 34 remaining r2 rows —
+    #    r2 + STALE_ROUNDS = 6, so every r2 row must re-certify THIS
+    #    round; with the 14 new registrations + device_enrich that fills
+    #    the 50 slots exactly
     "ann_lsh_buckets",  # r1
     "asof_join_orders",  # r2 from here
     "cube_pricing",
@@ -288,6 +292,15 @@ _DRIVER_PRIORITY = [
     "tpch_q9_profit",
     "unpivot_measures",
     "window_suite",
+    # ---- position 51+: the round-7 rotation queue ------------------------
+    # first the four changed-this-round entries that ceded head slots to
+    # the r2 staleness block (r3/r4 greens; files changed in round 6, so
+    # they re-certify at the next window), then the r3 greens in
+    # staleness order
+    "temperature_mix_sample",  # r3 green; curation.py changed
+    "curation_gate",  # r3 green; text/pipeline signals changed
+    "tf_cosine_pairs",  # r4 green; text.py grew the prefix sparse path
+    "curation_pipeline_counts",  # r4 green; pipeline.py re-staged
     "action_schedule",  # r3 from here
     "ann_lsh_topk",
     "ann_pq_adc",
@@ -296,7 +309,6 @@ _DRIVER_PRIORITY = [
     "crit_email_contains",
     "crit_email_regex",
     "crit_ip_match",
-    # ---- position 51+: the round-7 rotation queue ------------------------
     # the remaining r3 greens, staleness order (these hit the staleness
     # bound during round 7/8 and must rotate in; crit_print_match ceded
     # its slot to the new tf_cosine_incremental registration)

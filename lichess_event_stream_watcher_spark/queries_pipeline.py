@@ -5757,6 +5757,99 @@ SELECT n_true_pairs, n_candidates, n_found,
 FROM t, c, f"""
 
 
+# MinHash estimator calibration: value-level |estimate - exact| by
+# exact-similarity band, over the candidate pairs the banding surfaces.
+# All error arithmetic is integer micro-units: est*1e6 = n_eq*62500
+# exactly (power-of-two denominator), exact*1e6 rounds onto an integer,
+# and the band mean is integer division — no float sum ever crosses an
+# aggregation, so the table hash-checks.
+_MINHASH_CALIB_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+seeded AS (
+  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+),
+sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+bands AS (
+  SELECT id, CAST(seed // 2 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM sigs GROUP BY id, seed // 2
+),
+cpair AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+),
+est AS (
+  SELECT sa.id AS id_a, sb.id AS id_b, COUNT(*) AS n_eq
+  FROM sigs sa JOIN sigs sb
+    ON sa.seed = sb.seed AND sa.id < sb.id AND sa.minhash = sb.minhash
+  GROUP BY sa.id, sb.id
+),
+cd AS (
+  SELECT c.id_a, c.id_b, ROUND(e.n_eq / 16.0, 6) AS est_jaccard
+  FROM cpair c JOIN est e ON e.id_a = c.id_a AND e.id_b = c.id_b
+),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+ex AS (
+  SELECT id_a, id_b,
+         ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS j
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.1
+),
+joined AS (
+  SELECT CAST(round(cd.est_jaccard * 1000000) AS BIGINT) AS est_micro,
+         CAST(round(ex.j * 1000000) AS BIGINT) AS ex_micro
+  FROM cd JOIN ex ON ex.id_a = cd.id_a AND ex.id_b = cd.id_b
+)
+SELECT CAST(least(ex_micro // 200000, 4) AS BIGINT) AS band,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(abs(est_micro - ex_micro)) // COUNT(*) AS BIGINT) AS mean_abs_err_micro
+FROM joined GROUP BY least(ex_micro // 200000, 4)"""
+
+
+@query("dedup_minhash_calibration", _MINHASH_CALIB_ORACLE)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: mean |est_jaccard - exact_jaccard|
+    (integer micro-units) per exact-similarity quintile band, over the
+    LSH candidate pairs with exact similarity >= 0.1 — the value-level
+    error table next to the set-level recall/precision evals, telling a
+    dedup team whether k=16 signatures estimate well enough to SKIP the
+    exact verify step at their threshold. Candidates come from the LOOSE
+    8x2 banding (the band sweep's widest config) so the table reaches
+    down the similarity range instead of only sampling the near-1 band.
+    Physical shape: the two certified pair searches plus one bounded
+    join and a 5-row band aggregation; every error is quantized to
+    integer micro-units BEFORE the sum (est*1e6 = n_eq*62500 exactly),
+    so no float accumulates."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(docs, k=16, bands=8, n=2)
+    exact = D.jaccard_pairs(docs, n=2, threshold=0.1)
+    est_micro = F.round(F.col("est_jaccard") * F.lit(1000000.0)).cast("bigint")
+    ex_micro = F.round(F.col("jaccard") * F.lit(1000000.0)).cast("bigint")
+    joined = cand.join(exact, ["id_a", "id_b"]).select(
+        est_micro.alias("est_micro"), ex_micro.alias("ex_micro")
+    )
+    band = F.least(F.expr("ex_micro DIV 200000"), F.lit(4)).cast("bigint")
+    return (
+        joined.select(
+            band.alias("band"),
+            F.abs(F.col("est_micro") - F.col("ex_micro")).alias("_err"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(SUM(_err) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_abs_err_micro"
+            ),
+        )
+    )
+
+
 # Strategy cost census: exact index-size and candidate-pair volume each
 # sparse pair-search strategy WOULD generate — df/bucket-size arithmetic
 # only, no pair explosion runs. The prefix census uses the rarest-first

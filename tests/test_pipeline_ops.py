@@ -3152,3 +3152,23 @@ def test_ann_cost_census_matches_route_structures(spark, sf_dir):
         assert census[("lsh", q)] == bucket_sizes[buckets[q]] - 1
         assert 0 <= census[("ivf", q)] <= n - 1
     assert len(census) == 9  # 3 methods x 3 queries, zeros explicit
+
+
+def test_minhash_calibration_error_is_bounded_and_consistent(spark, sf_dir):
+    """Band means must sit far under the k=16 estimator's worst case
+    (half the signature, 500000 micro), bands must be valid quintiles,
+    and the pair total must equal the candidate-x-exact join computed
+    independently."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["dedup_minhash_calibration"](spark, sf_dir).collect()
+    assert rows, "calibration table should not be empty"
+    for r in rows:
+        assert 0 <= r.band <= 4
+        assert r.n_pairs > 0
+        assert 0 <= r.mean_abs_err_micro < 500_000, r
+    docs = testdata.load(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(docs, k=16, bands=8, n=2).select("id_a", "id_b")
+    exact = D.jaccard_pairs(docs, n=2, threshold=0.1).select("id_a", "id_b")
+    n_joined = cand.join(exact, ["id_a", "id_b"]).count()
+    assert sum(r.n_pairs for r in rows) == n_joined
