@@ -133,12 +133,12 @@ HEADLINE = [
     "c4_line_stats",
     "unimax_allocation",
     "ann_recall_eval",
-    "dedup_lsh_recall_eval",
     "dedup_lsh_band_sweep",
     "dedup_threshold_sensitivity",
     "dedup_cost_census",
     "ann_cost_census",
     "dedup_minhash_calibration",
+    "ann_pq_distortion",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

@@ -768,6 +768,74 @@ def pq_encode(
     )
 
 
+def pq_distortion_census(
+    emb: DataFrame,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subquantizer quantization distortion of a (frozen) PQ codebook
+    over the corpus: (subspace, n_vecs, total_err_micro, mean_err_micro)
+    — the trained-artifact quality table a serving team reads before
+    trusting a codebook (a subspace whose distortion dwarfs the others
+    is under-trained or carries a scale outlier). err = ||x_j - c||^2 =
+    dist(x_j, c) + x_j.x_j for the ENCODED code c, quantized to integer
+    micro-units per row before any sum crosses an aggregation.
+
+    Physical shape: one certified Arrow-batch encode pass, a 16-row
+    posexplode per vector, a broadcast-hash join against the m*k(=256)
+    codeword table, map-side 4-term IEEE folds written in the oracle's
+    exact associativity, and a 16-group aggregation — the corpus text
+    never shuffles and no strategy's 16k-term scoring tree is rebuilt.
+    NULL/short embeddings take the encode path's NULL-codes verdict and
+    drop out of the census (the fixture corpus has none)."""
+    m = len(books)
+    dsub = books[0].shape[1]
+    rows = []
+    for j, book in enumerate(books):
+        for c, cv in enumerate(book):
+            rows.append(
+                (j, int(c), [float(x) for x in cv], float(_self_dot_py(cv)))
+            )
+    cb = emb.sparkSession.createDataFrame(
+        rows, "j int, code int, cw array<double>, nb double"
+    )
+    coded = emb.select(
+        F.col(id_col), F.col(vec_col), _pq_code_expr(books, vec_col).alias("_codes")
+    ).filter(F.col("_codes").isNotNull())
+    expl = coded.select(
+        F.col(vec_col), F.posexplode("_codes").alias("j", "code")
+    )
+    adot = " + ".join(
+        f"CAST(element_at({vec_col}, j * {dsub} + {i}) AS DOUBLE) * "
+        f"element_at(cw, {i})"
+        for i in range(1, dsub + 1)
+    )
+    sdot = " + ".join(
+        f"CAST(element_at({vec_col}, j * {dsub} + {i}) AS DOUBLE) * "
+        f"CAST(element_at({vec_col}, j * {dsub} + {i}) AS DOUBLE)"
+        for i in range(1, dsub + 1)
+    )
+    # ((-2*adot) + nb) + sdot — the oracle's dist-then-selfdot chain,
+    # parenthesized identically so the double is bit-equal pre-round
+    err_micro = F.expr(
+        f"CAST(round(((-2.0D * ({adot}) + nb) + ({sdot})) * 1000000.0, 0) "
+        f"AS BIGINT)"
+    )
+    return (
+        expl.join(F.broadcast(cb), ["j", "code"])
+        .select(F.col("j").cast("bigint").alias("subspace"), err_micro.alias("_e"))
+        .groupBy("subspace")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("_e").cast("bigint").alias("total_err_micro"),
+            F.expr("CAST(SUM(_e) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_err_micro"
+            ),
+        )
+    )
+
+
 def pq_ann_topk(
     emb: DataFrame,
     books,

@@ -241,12 +241,14 @@ _DRIVER_PRIORITY = [
     "unimax_allocation",  # new: UniMax closed-form token-budget waterfilling
     "dedup_keep_best_clusters",  # new: quality-argmax cluster representatives
     "ann_recall_eval",  # new: recall@5 of IVF/LSH vs the exact baseline
-    "dedup_lsh_recall_eval",  # new: MinHash banding recall/precision vs exact
     "dedup_lsh_band_sweep",  # new: (b x r) sweep off one signature pass
+    #    (subsumes the former dedup_lsh_recall_eval: its n_bands=4 row IS
+    #    that query's recall/precision, off the same signatures)
     "dedup_threshold_sensitivity",  # new: t-sweep off one pair search
     "dedup_cost_census",  # new: strategy cost table, no pair explosion
     "ann_cost_census",  # new: serving-route candidate volume census
     "dedup_minhash_calibration",  # new: estimator error by exact band
+    "ann_pq_distortion",  # new: frozen-codebook distortion by subspace
     "device_enrich",  # r2-vintage AND enrich.py changed (UA parser) — both
     #    window triggers fire; the other four changed-file entries hold
     #    r3/r4 greens and yield their slots to the staleness-bound r2

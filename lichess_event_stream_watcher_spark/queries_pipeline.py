@@ -1136,6 +1136,57 @@ SELECT query_id, neighbor_id, approx_ip, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+# Codebook distortion: the rn=1 row keeps its DIST; err = dist + x.x,
+# quantized to integer micro-units per (vector, subspace) row before the
+# 16-group sum, so no float crosses an aggregation.
+def _pq_distort_oracle() -> str:
+    adot = " + ".join(
+        f"CAST(a.embedding[ct.j * {_PQ_DSUB} + {i}] AS DOUBLE) * ct.d{i}"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    sdot = " + ".join(
+        f"CAST(a.embedding[cd.j * {_PQ_DSUB} + {i}] AS DOUBLE) * "
+        f"CAST(a.embedding[cd.j * {_PQ_DSUB} + {i}] AS DOUBLE)"
+        for i in range(1, _PQ_DSUB + 1)
+    )
+    return f"""WITH {_pq_frozen_cents_sql()},
+dists AS (
+  SELECT a.vec_id, ct.j, ct.c, -2.0 * ({adot}) + ct.nb AS dist
+  FROM embeddings a CROSS JOIN cents ct
+),
+codes AS (
+  SELECT vec_id, j, dist FROM (
+    SELECT vec_id, j, c, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+err AS (
+  SELECT cd.j,
+         CAST(round((cd.dist + ({sdot})) * 1000000.0) AS BIGINT) AS err_micro
+  FROM codes cd JOIN embeddings a ON a.vec_id = cd.vec_id
+)
+SELECT CAST(j AS BIGINT) AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(err_micro) AS BIGINT) AS total_err_micro,
+  CAST(SUM(err_micro) // COUNT(*) AS BIGINT) AS mean_err_micro
+FROM err GROUP BY j"""
+
+
+@query("ann_pq_distortion", _pq_distort_oracle())
+def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subquantizer distortion of the frozen PQ codebooks over the
+    corpus — total and mean squared reconstruction error in integer
+    micro-units for each of the 16 subspaces: the codebook-quality table
+    next to the serving recall eval (an outlier subspace means an
+    under-trained book or a scale-skewed dimension block). Physical
+    shape: the certified encode pass, a 16-row explode per vector, a
+    broadcast join against the 256-row codeword table, map-side folds in
+    the oracle's exact associativity, a 16-group aggregation."""
+    from .artifacts import pq_books
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    return S.pq_distortion_census(emb, pq_books())
+
+
 @query("ann_pq_topk", _PQ_FROZEN_ORACLE)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (IVF's memory-side companion): 64-dim
@@ -5739,24 +5790,6 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LSH parameter validation: recall/precision of the MinHash banding
-# (k=16, 4x4) against exact Jaccard >= 0.5 — composes the two certified
-# oracles verbatim. Both pair sets are canonicalized id_a < id_b, so the
-# intersection is a plain two-key join.
-_LSH_RECALL_ORACLE = rf"""WITH ex AS ({_JACCARD_ORACLE}),
-cd AS ({_MINHASH_ORACLE}),
-f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
-      FROM cd JOIN ex ON ex.id_a = cd.id_a AND ex.id_b = cd.id_b),
-t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM ex),
-c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cd)
-SELECT n_true_pairs, n_candidates, n_found,
-  CAST(CASE WHEN n_true_pairs = 0 THEN 1000
-       ELSE floor(n_found * 1000 / n_true_pairs) END AS BIGINT) AS recall_milli,
-  CAST(CASE WHEN n_candidates = 0 THEN 1000
-       ELSE floor(n_found * 1000 / n_candidates) END AS BIGINT) AS precision_milli
-FROM t, c, f"""
-
-
 # MinHash estimator calibration: value-level |estimate - exact| by
 # exact-similarity band, over the candidate pairs the banding surfaces.
 # All error arithmetic is integer micro-units: est*1e6 = n_eq*62500
@@ -6072,33 +6105,11 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_lsh_recall_eval", _LSH_RECALL_ORACLE)
-def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall and precision of the MinHash-LSH candidate generator
-    against exact Jaccard >= 0.5 — the banding-parameter (b x r)
-    validation a dedup team runs before trusting the sub-quadratic path
-    at scale. Physical shape: the two pair searches themselves, then a
-    two-key semi-count and three 1-row aggregates combined (the
-    funnel-style bounded cross join)."""
-    docs = testdata.load(spark, sf_dir, "documents")
-    exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b")
-    cand = D.lsh_candidate_pairs(docs, k=16, bands=4, n=2).select("id_a", "id_b")
-    n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
-    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    n_found = cand.join(exact, ["id_a", "id_b"], "left_semi").agg(
-        F.count("*").cast("bigint").alias("n_found")
-    )
-    combined = n_true.crossJoin(n_cand).crossJoin(n_found)
-    rec = F.when(F.col("n_true_pairs") == 0, F.lit(1000)).otherwise(
-        F.floor(F.col("n_found") * F.lit(1000) / F.col("n_true_pairs"))
-    )
-    prec = F.when(F.col("n_candidates") == 0, F.lit(1000)).otherwise(
-        F.floor(F.col("n_found") * F.lit(1000) / F.col("n_candidates"))
-    )
-    return combined.select(
-        "n_true_pairs",
-        "n_candidates",
-        "n_found",
-        rec.cast("bigint").alias("recall_milli"),
-        prec.cast("bigint").alias("precision_milli"),
-    )
+# NOTE: the former single-config `dedup_lsh_recall_eval` registration
+# (k=16, 4x4 vs exact Jaccard >= 0.5) was deregistered in round 6: it is
+# strictly subsumed by `dedup_lsh_band_sweep`, whose n_bands=4 row
+# carries the identical n_true_pairs/n_candidates/n_found and derived
+# recall/precision for the same signatures — and the sweep computes the
+# other two configs from the SAME signature pass. Its window slot went
+# to `window_suite`'s round-6 freshness re-certification (the 50-row
+# driver window was exactly full).

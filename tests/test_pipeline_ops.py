@@ -3172,3 +3172,45 @@ def test_minhash_calibration_error_is_bounded_and_consistent(spark, sf_dir):
     exact = D.jaccard_pairs(docs, n=2, threshold=0.1).select("id_a", "id_b")
     n_joined = cand.join(exact, ["id_a", "id_b"]).count()
     assert sum(r.n_pairs for r in rows) == n_joined
+
+
+def test_pq_distortion_census_matches_numpy_twin(spark, sf_dir):
+    """Census totals must equal a brute-force numpy recomputation of
+    min-codeword squared error, quantized the same way — per subspace,
+    over the whole corpus."""
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.artifacts import pq_books
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    books = pq_books()
+    census = {
+        r.subspace: (r.n_vecs, r.total_err_micro)
+        for r in S.pq_distortion_census(emb, books).collect()
+    }
+    assert set(census) == set(range(len(books)))
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    dsub = books[0].shape[1]
+    for j, book in enumerate(books):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        # same left-fold arithmetic as the operator: err = min(-2 x.c + c.c) + x.x
+        errs = []
+        for x in sub:
+            best = None
+            for cv in book:
+                acc = 0.0
+                for t in range(dsub):
+                    acc += float(x[t]) * float(cv[t])
+                nb = 0.0
+                for t in range(dsub):
+                    nb += float(cv[t]) * float(cv[t])
+                d = -2.0 * acc + nb
+                if best is None or d < best:
+                    best = d
+            sx = 0.0
+            for t in range(dsub):
+                sx += float(x[t]) * float(x[t])
+            errs.append(int(round((best + sx) * 1000000.0)))
+        assert census[j][0] == len(rows)
+        assert census[j][1] == sum(errs), f"subspace {j}"

@@ -382,8 +382,6 @@ def test_global_plan_sweep_no_cartesian_no_stray_nested_loop(spark, sf_dir):
         # composes knn_cosine_topk's probe-set BNLJ (the exact baseline)
         # next to the IVF/LSH candidate routes — bounded by |queries| * k
         "ann_recall_eval",
-        # three 1-row count aggregates cross-joined (the funnel shape)
-        "dedup_lsh_recall_eval",
         # the per-config rollup (3 rows, one per (b x r) config) cross-
         # joins the 1-row true-pair count — same funnel shape as above
         "dedup_lsh_band_sweep",
