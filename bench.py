@@ -232,6 +232,32 @@ def bench_dedup_pipeline_shared(
     return dt
 
 
+def _median_ratio_vs_prev(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    floor: float = 0.2,
+    min_n: int = 10,
+) -> float | None:
+    """Median per-query time ratio vs the previously committed detail —
+    the boot-contention calibration published alongside the totals.
+    Entries under ``floor`` seconds on EITHER side are skipped (they
+    measure fixed overhead, not the query), non-numeric/missing prior
+    entries are skipped, and fewer than ``min_n`` comparable entries
+    yields None (a median over a handful of queries reads as signal but
+    is noise)."""
+    ratios = [
+        timings[k] / prev[k]
+        for k in timings
+        if isinstance(prev.get(k), (int, float))
+        and not isinstance(prev.get(k), bool)
+        and prev[k] >= floor
+        and timings[k] >= floor
+    ]
+    if len(ratios) < min_n:
+        return None
+    return round(statistics.median(ratios), 3)
+
+
 def _publish_phases(phases: dict[str, float], total: float) -> dict[str, float]:
     """Round phase seconds for publication so they SUM EXACTLY to the
     already-published (rounded) total: every phase but the last rounds
@@ -607,21 +633,12 @@ def main() -> None:
     # across entries) from a real regression (one entry moving against a
     # flat median). Computed BEFORE the file is overwritten; entries
     # under 0.2 s are skipped (dominated by fixed overhead).
-    median_ratio = None
     try:
         with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as f:
             prev = json.load(f).get("queries", {})
-        ratios = [
-            timings[k] / prev[k]
-            for k in timings
-            if isinstance(prev.get(k), (int, float))
-            and prev[k] >= 0.2
-            and timings[k] >= 0.2
-        ]
-        if len(ratios) >= 10:
-            median_ratio = round(statistics.median(ratios), 3)
     except (OSError, ValueError):
-        pass
+        prev = {}
+    median_ratio = _median_ratio_vs_prev(timings, prev)
     detail["median_ratio_vs_prev_detail"] = median_ratio
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

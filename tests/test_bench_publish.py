@@ -34,3 +34,22 @@ def test_phases_absorb_total_residual():
 
 def test_empty_phases():
     assert _publish_phases({}, 5.0) == {}
+
+
+def test_median_ratio_skips_fixed_overhead_and_small_samples():
+    from bench import _median_ratio_vs_prev
+
+    timings = {f"q{i}": 2.0 for i in range(15)}
+    prev = {f"q{i}": 1.0 for i in range(15)}
+    assert _median_ratio_vs_prev(timings, prev) == 2.0
+    # sub-floor entries on either side are excluded
+    prev["q0"] = 0.1
+    timings["q1"] = 0.05
+    assert _median_ratio_vs_prev(timings, prev) == 2.0
+    # missing / non-numeric priors are skipped, not crashed on
+    del prev["q2"]
+    prev["q3"] = "n/a"
+    assert _median_ratio_vs_prev(timings, prev) == 2.0
+    # below min_n comparable entries -> None, never a noisy "signal"
+    assert _median_ratio_vs_prev(dict(list(timings.items())[:5]), prev) is None
+    assert _median_ratio_vs_prev(timings, {}) is None
