@@ -232,6 +232,38 @@ def bench_dedup_pipeline_shared(
     return dt
 
 
+def _prev_committed_detail(repo_dir: str) -> dict[str, float]:
+    """The COMMITTED baseline for the boot calibration: HEAD's
+    BENCH_DETAIL.json via git, so the published ratio really is
+    run-vs-last-committed-artifact. Reading the working-tree file would
+    silently rebase onto a previous run from the SAME session (two runs
+    per round is normal practice), publishing ~1.0 while the committed
+    diff moved 30%. Falls back to the working-tree file only when git is
+    unavailable; any malformed content yields {} (ratio None), never an
+    exception after a multi-minute bench run."""
+    import subprocess
+
+    try:
+        blob = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+            check=True,
+        ).stdout
+    except Exception:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as f:
+                blob = f.read()
+        except OSError:
+            return {}
+    try:
+        prev = json.loads(blob).get("queries", {})
+        return prev if isinstance(prev, dict) else {}
+    except (ValueError, AttributeError):
+        return {}
+
+
 def _median_ratio_vs_prev(
     timings: dict[str, float],
     prev: dict[str, float],
@@ -631,14 +663,10 @@ def main() -> None:
     # last committed BENCH_DETAIL makes that shift self-evident in the
     # artifact, so a reader can separate boot contention (uniform ratio
     # across entries) from a real regression (one entry moving against a
-    # flat median). Computed BEFORE the file is overwritten; entries
-    # under 0.2 s are skipped (dominated by fixed overhead).
-    try:
-        with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as f:
-            prev = json.load(f).get("queries", {})
-    except (OSError, ValueError):
-        prev = {}
-    median_ratio = _median_ratio_vs_prev(timings, prev)
+    # flat median). Baseline = HEAD's committed artifact (see
+    # _prev_committed_detail); entries under 0.2 s are skipped
+    # (dominated by fixed overhead).
+    median_ratio = _median_ratio_vs_prev(timings, _prev_committed_detail(repo_dir))
     detail["median_ratio_vs_prev_detail"] = median_ratio
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -663,6 +663,31 @@ def minhash_signatures(
     )
 
 
+def _band_sig_structs(
+    k: int, bands: int, extra: list[Column] | None = None
+) -> list[Column]:
+    """The banding construction shared by ``lsh_bands`` and
+    ``lsh_band_sweep`` — ONE source of truth for the width formula and
+    the band_sig hash (md5 of the band's r minhashes joined in seed
+    order), so a banding change can never silently diverge the sweep
+    from the standalone path it is tested equal to. When bands does not
+    divide k, the final band absorbs the k % bands remainder seeds so
+    every seed contributes to exactly one band. ``extra`` prepends
+    constant fields (e.g. a config tag) to each struct."""
+    r = k // bands
+    widths = [r] * (bands - 1) + [k - (bands - 1) * r]
+    return [
+        F.struct(
+            *(extra or []),
+            F.lit(b).cast("int").alias("band"),
+            F.md5(F.array_join(F.slice("sig", b * r + 1, w), ",")).alias(
+                "band_sig"
+            ),
+        )
+        for b, w in enumerate(widths)
+    ]
+
+
 def lsh_bands(
     sigs_wide: DataFrame,
     k: int = DEFAULT_MINHASH_K,
@@ -672,27 +697,12 @@ def lsh_bands(
     """Band buckets from wide signatures: (id, [keep...,] band, band_sig).
 
     band_sig = md5 of the band's r minhashes joined in seed order — a pure
-    per-row projection (explode of `bands` structs), no shuffle. When bands
-    does not divide k, the final band absorbs the k % bands remainder seeds
-    so every seed contributes to exactly one band. ``keep`` carries extra
-    columns (e.g. the signature itself) through the explosion so downstream
+    per-row projection (explode of `bands` structs via
+    ``_band_sig_structs``), no shuffle. ``keep`` carries extra columns
+    (e.g. the signature itself) through the explosion so downstream
     consumers never re-join the signature table.
     """
-    r = k // bands
-    widths = [r] * (bands - 1) + [k - (bands - 1) * r]
-    bucket = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).cast("int").alias("band"),
-                    F.md5(F.array_join(F.slice("sig", b * r + 1, w), ",")).alias(
-                        "band_sig"
-                    ),
-                )
-                for b, w in enumerate(widths)
-            ]
-        )
-    )
+    bucket = F.explode(F.array(*_band_sig_structs(k, bands)))
     kept = [F.col(c) for c in keep]
     return sigs_wide.select("id", *kept, bucket.alias("bb")).select(
         "id", *kept, "bb.band", "bb.band_sig"
@@ -933,20 +943,13 @@ def lsh_band_sweep(
     explosion, distinct.
     """
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
-    structs = []
-    for b in band_counts:
-        r = k // b
-        widths = [r] * (b - 1) + [k - (b - 1) * r]
-        for bi, w in enumerate(widths):
-            structs.append(
-                F.struct(
-                    F.lit(b).cast("int").alias("n_bands"),
-                    F.lit(bi).cast("int").alias("band"),
-                    F.md5(
-                        F.array_join(F.slice("sig", bi * r + 1, w), ",")
-                    ).alias("band_sig"),
-                )
-            )
+    structs = [
+        s
+        for b in band_counts
+        for s in _band_sig_structs(
+            k, b, extra=[F.lit(b).cast("int").alias("n_bands")]
+        )
+    ]
     bnd = sigs.select("id", F.explode(F.array(*structs)).alias("bb")).select(
         "id", "bb.n_bands", "bb.band", "bb.band_sig"
     )

@@ -29,6 +29,16 @@ _SHINGLES = r"""sh AS (
   SELECT id, unnest(list_distinct([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])) AS shingle
   FROM toks
 )"""
+# the k=16 MinHash signature CTEs every banding oracle builds on — one
+# fragment so the seed-hash / min-aggregation definition can never
+# silently diverge across the oracles that must certify the SAME
+# signatures (dedup_minhash_lsh, the band sweep, the cost census, the
+# estimator calibration)
+_MINHASH_SIGS = r"""seeded AS (
+  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
+),
+sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed)"""
 
 
 # ---------------------------------------------------------------------------
@@ -182,11 +192,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
-seeded AS (
-  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-),
-sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+{_MINHASH_SIGS},
 bands AS (
   SELECT id, CAST(seed // 4 AS INT) AS band,
          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
@@ -5797,11 +5803,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the band mean is integer division — no float sum ever crosses an
 # aggregation, so the table hash-checks.
 _MINHASH_CALIB_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
-seeded AS (
-  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-),
-sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+{_MINHASH_SIGS},
 bands AS (
   SELECT id, CAST(seed // 2 AS INT) AS band,
          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
@@ -5910,11 +5912,7 @@ prefix AS (
          CAST(SUM(pdf * (pdf - 1) // 2) AS BIGINT) AS candidate_pairs
   FROM pdfr
 ),
-seeded AS (
-  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-),
-sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+{_MINHASH_SIGS},
 bands AS (
   SELECT id, CAST(seed // 4 AS INT) AS band,
          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
@@ -6018,11 +6016,7 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the band index; uniform widths since 2/4/8 all divide 16) and the
 # config dimension rides the group-by keys end to end.
 _LSH_SWEEP_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
-seeded AS (
-  SELECT id, seed, md5(CAST(seed AS VARCHAR) || '|' || shingle) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed)
-),
-sigs AS (SELECT id, seed, MIN(h) AS minhash FROM seeded GROUP BY id, seed),
+{_MINHASH_SIGS},
 cfg AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2)) AS t(n_bands, n_rows)),
 bands AS (
   SELECT c.n_bands, s.id, CAST(s.seed // c.n_rows AS INT) AS band,
@@ -6064,9 +6058,10 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical shape: ONE signature aggregation feeds all three configs
     (``lsh_band_sweep``: the configs explode inside one projection, so
     the corpus is scanned and shuffled once, not once per config); the
-    exact pair search is the prefix-filtered AllPairs path; the
-    comparison is one left join + config-keyed rollup, with the scalar
-    true-pair count cross-joined funnel-style."""
+    exact side runs ``jaccard_pairs``'s adaptive gate (dense-BLAS at
+    this fixture scale, the prefix-filtered sparse path past the vocab
+    gate); the comparison is one left join + config-keyed rollup, with
+    the scalar true-pair count cross-joined funnel-style."""
     docs = testdata.load(spark, sf_dir, "documents")
     exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b")
     cand = D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2)
