@@ -768,6 +768,40 @@ def pq_encode(
     )
 
 
+def ivf_cell_occupancy(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-quantizer balance audit: (cell, n_members) for every
+    centroid, explicit zeros for empty cells — the IVF-artifact twin of
+    ``pq_distortion_census``. A skewed occupancy table means probe cost
+    varies wildly per query (one hot cell ≈ brute force for the queries
+    that probe it) and the quantizer needs retraining; at serving scale
+    this table IS the per-cell candidate-volume distribution
+    ``ann_cost_census`` samples per query. Physical shape: the serving
+    path's own map-side cell assignment, one k-group count, and a left
+    join from the k-row centroid dimension for the zeros — the corpus
+    never shuffles (the count partial-aggregates map-side).
+
+    Queued for round-7 driver registration (the round-6 window is
+    exactly full); oracle = the _IVF_ORACLE assign CTE with the rank
+    window replaced by a GROUP BY + centroid scaffold."""
+    counts = (
+        nearest_cells(emb, centroids, 1, id_col, vec_col)
+        .groupBy(F.col("cent_id").alias("cell"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+    )
+    dim = centroids.select(F.col("cent_id").cast("bigint").alias("cell"))
+    return dim.join(counts, ["cell"], "left").select(
+        "cell",
+        F.coalesce(F.col("n_members"), F.lit(0)).cast("bigint").alias(
+            "n_members"
+        ),
+    )
+
+
 def pq_distortion_census(
     emb: DataFrame,
     books,

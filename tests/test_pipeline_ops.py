@@ -3214,3 +3214,25 @@ def test_pq_distortion_census_matches_numpy_twin(spark, sf_dir):
             errs.append(int(round((best + sx) * 1000000.0)))
         assert census[j][0] == len(rows)
         assert census[j][1] == sum(errs), f"subspace {j}"
+
+
+def test_ivf_cell_occupancy_partitions_the_corpus(spark, sf_dir):
+    """Occupancy is a partition of the corpus: counts sum to the corpus
+    size, every centroid has a row (zeros explicit), and per-cell counts
+    agree with a direct nearest_cells groupBy."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    occ = {r.cell: r.n_members for r in S.ivf_cell_occupancy(emb, cents).collect()}
+    assert set(occ) == set(range(8, 16))
+    assert sum(occ.values()) == emb.count()
+    direct = {
+        r.cent_id: r.n
+        for r in S.nearest_cells(emb, cents, 1)
+        .groupBy("cent_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for cell, n in occ.items():
+        assert n == direct.get(cell, 0)
