@@ -177,3 +177,46 @@ def test_bloom_no_false_negatives_property(spark):
             batch, words, "key", m_bits=m_bits, k_hashes=k_hashes
         ).collect()}
         assert all(out[k] for k in keys[:200]), "false negative"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_CORPUS)
+def test_threshold_fanout_matches_per_threshold_brute_force(spark, texts):
+    """The multi-threshold fan-out (dedup_threshold_sensitivity's core):
+    explode each scored pair into every threshold it survives, count
+    pairs as count/2 and docs as distinct over stacked ids — must equal
+    a per-threshold brute-force recount on adversarial corpora (empty
+    docs, exact dups, boundary-similarity pairs)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    thresholds = (100, 300, 500, 900)
+    pairs = D.jaccard_pairs(df, n=2, threshold=0.1)
+    th = F.array(*[F.lit(t) for t in thresholds])
+    surviving = F.filter(
+        th, lambda t: F.col("jaccard") >= t.cast("double") / F.lit(1000.0)
+    )
+    rows = pairs.select(
+        F.explode(surviving).alias("t"), "id_a", "id_b"
+    ).select("t", F.explode(F.array("id_a", "id_b")).alias("id"))
+    got = {
+        r.t: (r.np, r.nd)
+        for r in rows.groupBy("t")
+        .agg(
+            F.floor(F.count("*") / 2).cast("bigint").alias("np"),
+            F.countDistinct("id").cast("bigint").alias("nd"),
+        )
+        .collect()
+    }
+    base = _brute_force(texts, threshold=0.1)
+    for t in thresholds:
+        keep = [(a, b) for a, b, j in base if j >= t / 1000.0]
+        docs = {x for p in keep for x in p}
+        want = (len(keep), len(docs))
+        assert got.get(t, (0, 0)) == want, (t, texts)
