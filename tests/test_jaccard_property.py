@@ -220,3 +220,55 @@ def test_threshold_fanout_matches_per_threshold_brute_force(spark, texts):
         docs = {x for p in keep for x in p}
         want = (len(keep), len(docs))
         assert got.get(t, (0, 0)) == want, (t, texts)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_CORPUS)
+def test_band_sweep_matches_hashlib_brute_force(spark, texts):
+    """The whole MinHash chain — per-seed md5 signatures, band slicing,
+    band_sig hashing, bucket-local pairs — against an independent
+    hashlib twin, for every sweep config. Pins the signature semantics
+    all four banding oracles certify (md5 of 'seed|shingle', lexicographic
+    hex min, comma-joined band digests) on corpora with empty docs and
+    exact duplicates."""
+    import hashlib
+
+    def shingles(t):
+        toks = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    sigs = {}
+    for i, t in enumerate(texts):
+        sh = shingles(t)
+        if sh:
+            sigs[i] = [min(md5(f"{seed}|{g}") for g in sh) for seed in range(16)]
+    want = {}
+    for b in (2, 4, 8):
+        r = 16 // b
+        buckets = {}
+        for i, sig in sigs.items():
+            for bi in range(b):
+                key = (bi, md5(",".join(sig[bi * r : bi * r + r])))
+                buckets.setdefault(key, []).append(i)
+        want[b] = {
+            (x, y)
+            for mem in buckets.values()
+            for x in mem
+            for y in mem
+            if x < y
+        }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {}
+    for row in D.lsh_band_sweep(df, band_counts=(2, 4, 8), k=16, n=2).collect():
+        got.setdefault(row.n_bands, set()).add((row.id_a, row.id_b))
+    for b in (2, 4, 8):
+        assert got.get(b, set()) == want[b], (b, texts)
