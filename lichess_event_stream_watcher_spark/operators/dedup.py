@@ -916,6 +916,38 @@ def dedup_cost_census(
     return postings.unionAll(prefix).unionAll(lsh)
 
 
+def lsh_bucket_histogram(
+    df: DataFrame,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bucket-size histogram of the MinHash banding: (bucket_size,
+    n_buckets) — the skew census for the LSH candidate stage. The pair
+    explosion's cost is sum over buckets of m*(m-1)/2, so ONE degenerate
+    bucket (a boilerplate-heavy corpus hashing thousands of docs to the
+    same band signature) dominates the whole stage; this table shows the
+    tail BEFORE the explosion runs, the same way ``join_key_profile``
+    shows join-key skew. Physical shape: the signature aggregation, the
+    banding projection, one bucket count (map-side partial), and a
+    size-keyed recount — bounded output (distinct sizes), corpus never
+    re-shuffled. Queued for round-7 driver registration (the round-6
+    window is exactly full); oracle = the _MINHASH_SIGS bands CTE with
+    two stacked GROUP BYs."""
+    sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
+    bucket_sizes = (
+        lsh_bands(sigs, k, bands)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("m"))
+    )
+    return (
+        bucket_sizes.groupBy(F.col("m").cast("bigint").alias("bucket_size"))
+        .agg(F.count("*").cast("bigint").alias("n_buckets"))
+    )
+
+
 def lsh_band_sweep(
     df: DataFrame,
     band_counts: tuple[int, ...] = (2, 4, 8),

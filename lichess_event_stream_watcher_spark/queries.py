@@ -296,10 +296,12 @@ _DRIVER_PRIORITY = [
     "window_suite",
     # ---- position 51+: the round-7 rotation queue ------------------------
     # Round-7 window budget: ~47 names below hit the staleness bound and
-    # must rotate in, leaving ~3 head slots for new registrations. One
-    # operator is already implemented + pytest-certified and waiting for
-    # a slot: similarity.ivf_cell_occupancy (register with the
-    # _IVF_ORACLE assign CTE -> GROUP BY + centroid scaffold).
+    # must rotate in, leaving ~3 head slots for new registrations. Two
+    # operators are already implemented + pytest-certified and waiting
+    # for slots: similarity.ivf_cell_occupancy (register with the
+    # _IVF_ORACLE assign CTE -> GROUP BY + centroid scaffold) and
+    # dedup.lsh_bucket_histogram (register with _MINHASH_SIGS + the
+    # bands CTE -> two stacked GROUP BYs).
     # First the four changed-this-round entries that ceded head slots to
     # the r2 staleness block (r3/r4 greens; files changed in round 6, so
     # they re-certify at the next window), then the r3 greens in

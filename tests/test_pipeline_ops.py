@@ -3236,3 +3236,25 @@ def test_ivf_cell_occupancy_partitions_the_corpus(spark, sf_dir):
     }
     for cell, n in occ.items():
         assert n == direct.get(cell, 0)
+
+
+def test_lsh_bucket_histogram_accounts_for_every_signature(spark, sf_dir):
+    """The histogram must be a complete accounting of the banding: sum of
+    size*count equals (docs with >=1 shingle) x bands, and the pair work
+    it predicts (sum m*(m-1)/2) equals the band sweep's 4x4 pre-distinct
+    volume lower-bounded by the distinct candidate count."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    hist = {
+        r.bucket_size: r.n_buckets
+        for r in D.lsh_bucket_histogram(docs, k=16, bands=4).collect()
+    }
+    n_sigs = D.minhash_signature_arrays(docs, k=16).count()
+    assert sum(s * c for s, c in hist.items()) == n_sigs * 4
+    pair_volume = sum(s * (s - 1) // 2 * c for s, c in hist.items())
+    n_cand = D.lsh_candidate_pairs(docs, k=16, bands=4).count()
+    assert pair_volume >= n_cand
+    census = {
+        r.strategy: r.candidate_pairs
+        for r in D.dedup_cost_census(docs, k=16, bands=4).collect()
+    }
+    assert pair_volume == census["lsh_16x4"]
