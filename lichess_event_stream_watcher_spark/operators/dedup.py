@@ -974,6 +974,17 @@ def lsh_band_sweep(
     exactly: one agg shuffle, one bucket shuffle, in-bucket chunked pair
     explosion, distinct.
     """
+    # Every config must divide k: _band_sig_structs gives the LAST band
+    # the k % b remainder seeds (widths 5,5,6 for k=16,b=3) while the
+    # DuckDB oracle's seed // (k // b) banding would form an extra
+    # 1-seed band — a silent Spark/oracle hash divergence. Fail loudly
+    # instead of letting a future band_counts change drift.
+    bad = [b for b in band_counts if k % b != 0]
+    if bad:
+        raise ValueError(
+            f"band_counts {bad} do not divide k={k}; the sweep's oracle "
+            f"assumes uniform band widths (k % b == 0)"
+        )
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
     structs = [
         s

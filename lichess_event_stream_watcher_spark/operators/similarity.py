@@ -489,16 +489,18 @@ def ann_cost_census(
     counts = brute.unionAll(ivf).unionAll(lsh)
     # explicit zeros: a query whose bucket/cells hold no candidates must
     # read n_scored = 0, not a missing row (a groupBy over an empty
-    # candidate set emits nothing) — scaffold every (method, query)
-    scaffold = (
-        emb.filter(qf)
-        .select(F.col(id_col).cast("bigint").alias("query_id"))
-        .select(
-            "query_id",
-            F.explode(
-                F.array(F.lit("brute_force"), F.lit("ivf"), F.lit("lsh"))
-            ).alias("method"),
-        )
+    # candidate set emits nothing) — scaffold every (method, query).
+    # Built from the query_ids LITERALS, not emb.filter(isin): the oracle
+    # scaffolds unnest([...]), so a query id absent from the embeddings
+    # table must still yield its three zero rows on both sides.
+    spark = emb.sparkSession
+    scaffold = spark.createDataFrame(
+        [(q,) for q in qids], "query_id bigint"
+    ).select(
+        "query_id",
+        F.explode(
+            F.array(F.lit("brute_force"), F.lit("ivf"), F.lit("lsh"))
+        ).alias("method"),
     )
     return scaffold.join(counts, ["method", "query_id"], "left").select(
         "method",

@@ -83,17 +83,43 @@ def lang_id(col: Column) -> Column:
     """Predict language as argmax of marker scores with fixed precedence
     (en > de > es > fr); no marker hit -> 'und'.
 
-    Expression-size discipline (round 6): the naive form — a when-chain
-    over ``lang_scores`` with a ``greatest`` tiebreak — repeats every
-    marker-score subexpression (each of which re-expands normalize_text)
-    in every branch, ~100+ copies of the regexp/replace block. Fused into
-    the curation pipeline's gate stage that single filter blew janino's
-    64 KB method limit and knocked the WHOLE fused stage (two broadcast
-    joins + filter) back to interpreted evaluation. Binding the four
-    scores ONCE as a 1-element array<struct> and doing the argmax inside
-    a ``transform`` lambda makes each score expression appear exactly
-    once: the expensive block stays in codegen'd projection territory and
-    the lambda is four integer comparisons over bound variables."""
+    Form discipline (rounds 6-7, measured both ways): this is the plain
+    when-chain. It textually repeats the marker-score subexpressions
+    (~120 copies of the padded/normalize_text block across the nested
+    CaseWhen), but in a PROJECTION whole-stage codegen's common-
+    subexpression elimination binds each distinct subexpression once, so
+    the generated method stays small and fully codegen'd — round 5
+    measured ``analyze()`` at 0.95 s on this form. Round 6 swapped in a
+    bound-once array<struct> + ``transform`` argmax to fix a janino 64 KB
+    blowup in the fused curation gate; that fixed the gate but regressed
+    every standalone consumer 1.5-3.1x, because ``ArrayTransform`` is a
+    ``CodegenFallback`` expression: wherever it appears the whole subtree
+    — including the regex-heavy score block — evaluates interpreted.
+    Hence the split: projections use THIS form (CSE does the binding);
+    filter contexts that cannot rely on CSE use :func:`lang_known`
+    (gates) or :func:`lang_id_bound` (when the actual label is needed
+    inside a fused filter)."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_bound(col: Column) -> Column:
+    """:func:`lang_id` with the four scores bound ONCE as a 1-element
+    array<struct> and the argmax inside a ``transform`` lambda.
+
+    Use ONLY inside fused FILTER stages where the when-chain's ~120
+    textual copies of the score block would blow janino's 64 KB method
+    limit (FilterExec predicates get no codegen subexpression
+    elimination, unlike projections). The trade: ``ArrayTransform`` is
+    ``CodegenFallback``, so this subtree evaluates interpreted — each
+    score exactly once per row, which round 6 measured as 13.7 -> 4.0 s
+    on the fused gate vs the fully-interpreted stage the blowup caused.
+    In a projection this form is strictly worse than :func:`lang_id`
+    (3.1x on text_profile, round 6) — never use it there."""
     s = lang_scores(col)
     packed = F.array(F.struct(*[v.alias(k) for k, v in s.items()]))
 
@@ -105,6 +131,19 @@ def lang_id(col: Column) -> Column:
         return out
 
     return F.element_at(F.transform(packed, pick), 1)
+
+
+def lang_known(col: Column) -> Column:
+    """``lang_id(col) != 'und'`` without the argmax: every score is a
+    non-negative sum, so "best > 0" is exactly "any marker occurs" — one
+    flat bigint sum over the 12 marker occurrences, > 0. No when-chain,
+    no higher-order function: ~24 padded copies (vs the when-chain's
+    ~120), small enough to codegen inside a fused filter, and zero
+    interpreted subtrees. This is the form quality GATES should filter
+    on; they never need the label itself."""
+    s = lang_scores(col)
+    total = sum(s.values(), F.lit(0).cast("bigint"))
+    return total > F.lit(0)
 
 
 def punct_count(col: Column) -> Column:

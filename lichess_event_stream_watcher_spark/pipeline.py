@@ -131,14 +131,18 @@ def curate_corpus(
     # docs2-derived frame joined back to docs2 (a corpus-sized self-join
     # that shuffles the full text column twice at any scale where the
     # corpus doesn't broadcast). Only the two aggregated signals (rep,
-    # lex) genuinely need a join back.
+    # lex) genuinely need a join back. The gate never needs the language
+    # LABEL, only "is any language identified" — lang_known is that
+    # predicate as one flat marker-occurrence sum, fully codegen-able
+    # inside the fused filter (no when-chain to blow janino's 64 KB, no
+    # CodegenFallback HOF; see lang_id's form-discipline docstring).
     gated = (
         docs2.join(rep, "doc_id", "left")
         .join(lex, "doc_id")
         .filter(
             F.coalesce("_keep_rep", F.lit(False))
             & F.col("_keep_lex")
-            & (X.lang_id(F.col("text")) != "und")
+            & X.lang_known(F.col("text"))
         )
         .drop("_keep_rep", "_keep_lex")
     ).persist()

@@ -1383,23 +1383,40 @@ def test_kmv_sketch_error_bound(spark, sf_dir):
         assert abs(r.est_users - r.exact_users) <= 0.38 * r.exact_users, r
 
 
-def test_lang_id_expression_stays_codegen_sized(spark):
-    """Round-6 regression pin: lang_id must bind its marker scores once
-    (1-element array<struct> + transform argmax), not repeat them per
-    argmax branch. The naive when-chain form expanded normalize_text
-    ~100+ times; fused into the curation gate that single filter blew
-    janino's 64 KB method limit and knocked the whole fused stage to
-    interpreted evaluation (SCALE.md "Known divergences", round-6 entry).
-    Budget: the regexp/replace block appears once per marker occurrence
-    term (2 per marker x 12 markers), with slack for minor refactors but
-    far below the repeated-per-branch blowup."""
+def test_lang_id_form_discipline(spark):
+    """Round-7 regression pin for the lang_id form split (reverses the
+    round-6 pin, which bound the scores once EVERYWHERE and thereby put a
+    CodegenFallback ArrayTransform into every standalone projection —
+    text_profile regressed 3.1x; VERDICT r6 weak #1).
+
+    Three forms, each pinned to its contract:
+    - lang_id (projections): plain when-chain, NO higher-order function —
+      ProjectExec codegen CSE binds the repeated score blocks, so the
+      textual repetition is free and the subtree stays codegen'd.
+    - lang_id_bound (fused filters needing the label): scores bound once,
+      <= 30 regexp_replace copies (2 per marker x 12 markers + slack) —
+      the janino-safe form, interpreted only in its own subtree.
+    - lang_known (gates): flat occurrence sum > 0 — no when-chain, no
+      HOF, <= 30 copies; fully codegen-able inside a fused filter.
+    All three must agree on the same rows."""
     from pyspark.sql import functions as F
 
-    from lichess_event_stream_watcher_spark.operators.text import lang_id
+    from lichess_event_stream_watcher_spark.operators.text import (
+        lang_id,
+        lang_id_bound,
+        lang_known,
+    )
 
-    expr = lang_id(F.col("text"))._jc.toString()
-    assert expr.count("regexp_replace") <= 30, expr.count("regexp_replace")
-    # and the argmax still honors precedence + the no-hit default
+    plain = lang_id(F.col("text"))._jc.toString()
+    assert "transform(" not in plain, "projection form must not use a HOF"
+    bound = lang_id_bound(F.col("text"))._jc.toString()
+    assert bound.count("regexp_replace") <= 30, bound.count("regexp_replace")
+    assert "transform(" in bound
+    known = lang_known(F.col("text"))._jc.toString()
+    assert known.count("regexp_replace") <= 30, known.count("regexp_replace")
+    assert "transform(" not in known and "CASE WHEN" not in known
+    # argmax honors precedence + the no-hit default, identically in both
+    # label forms, and lang_known == (label != 'und')
     rows = [
         (1, "the cat of a hat the"),
         (2, "der hund und die katze"),
@@ -1408,10 +1425,19 @@ def test_lang_id_expression_stays_codegen_sized(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        r.doc_id: r.lang
-        for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()
+        r.doc_id: (r.lang, r.lang_b, r.known)
+        for r in df.select(
+            "doc_id",
+            lang_id(F.col("text")).alias("lang"),
+            lang_id_bound(F.col("text")).alias("lang_b"),
+            lang_known(F.col("text")).alias("known"),
+        ).collect()
     }
-    assert got == {1: "en", 2: "de", 3: "und", 4: "en"}
+    expect = {1: "en", 2: "de", 3: "und", 4: "en"}
+    for doc_id, (lang, lang_b, known_v) in got.items():
+        assert lang == expect[doc_id], (doc_id, lang)
+        assert lang_b == lang, (doc_id, lang_b)
+        assert known_v == (lang != "und"), (doc_id, known_v)
 
 
 def test_tf_cosine_separates_counts_from_sets(spark):
@@ -3152,6 +3178,40 @@ def test_ann_cost_census_matches_route_structures(spark, sf_dir):
         assert census[("lsh", q)] == bucket_sizes[buckets[q]] - 1
         assert 0 <= census[("ivf", q)] <= n - 1
     assert len(census) == 9  # 3 methods x 3 queries, zeros explicit
+
+
+def test_ann_cost_census_scaffolds_missing_query_ids(spark, sf_dir):
+    """A query id absent from the embeddings table must still yield its
+    three explicit zero rows — the scaffold is built from the query_ids
+    LITERALS, matching the oracle's unnest([...]) scaffold, not from a
+    corpus filter that silently drops the id (ADVICE r6 #2)."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    anchors = emb.filter(F.col("vec_id") <= 7).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("anchor_vec")
+    )
+    missing = -12345  # no such vec_id in any fixture
+    census = {
+        (r.method, r.query_id): r.n_scored
+        for r in S.ann_cost_census(emb, cents, anchors, [0, missing], nprobe=2).collect()
+    }
+    assert len(census) == 6
+    for m in ("brute_force", "ivf", "lsh"):
+        assert census[(m, missing)] == 0, (m, census)
+    assert census[("brute_force", 0)] == emb.count() - 1
+
+
+def test_lsh_band_sweep_rejects_non_divisor_band_counts(spark):
+    """k % b != 0 would silently diverge from the oracle's uniform-width
+    banding (the remainder-absorbing last band vs an extra 1-seed band) —
+    it must raise instead (ADVICE r6 #1)."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="do not divide"):
+        D.lsh_band_sweep(df, band_counts=(2, 3), k=16, n=2)
 
 
 def test_minhash_calibration_error_is_bounded_and_consistent(spark, sf_dir):

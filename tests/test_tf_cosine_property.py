@@ -72,9 +72,10 @@ def test_tf_cosine_strategy_matches_brute_force(spark, strategy, texts, threshol
 
 
 def test_lang_id_packed_form_matches_naive_argmax(spark):
-    """The round-6 codegen-sized lang_id (scores bound once in a transform
-    lambda) must be value-identical to the naive when-chain argmax it
-    replaced, across marker mixes, ties, case, and whitespace."""
+    """lang_id_bound (scores bound once in a transform lambda, the fused-
+    filter form) and lang_known (the flat gate predicate) must be
+    value-identical to the plain when-chain lang_id across marker mixes,
+    ties, case, and whitespace."""
     import itertools
 
     from pyspark.sql import functions as F
@@ -82,23 +83,23 @@ def test_lang_id_packed_form_matches_naive_argmax(spark):
     from lichess_event_stream_watcher_spark.operators.text import (
         LANG_MARKERS,
         lang_id,
-        lang_scores,
+        lang_id_bound,
+        lang_known,
     )
-
-    def naive(col):
-        s = lang_scores(col)
-        best = F.greatest(*s.values())
-        out = F.lit("und")
-        for lang in reversed(list(LANG_MARKERS)):
-            out = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
-        return out
 
     markers = [m.strip() for ms in LANG_MARKERS.values() for m in ms]
     texts = [" ".join(c) for c in itertools.combinations(markers, 2)]
     texts += ["", "  ", "zzz", "THE  DER", "el el le le", None]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     rows = df.select(
-        lang_id(F.col("text")).alias("packed"), naive(F.col("text")).alias("naive")
+        lang_id_bound(F.col("text")).alias("packed"),
+        lang_id(F.col("text")).alias("naive"),
+        lang_known(F.col("text")).alias("known"),
     ).collect()
     for r in rows:
         assert r.packed == r.naive, (r.packed, r.naive)
+        # FILTER semantics: lang_known(NULL) is NULL where lang_id(NULL)
+        # is 'und' (the when-chain's otherwise fires on the null
+        # condition) — both drop the row in a gate, which is the only
+        # context lang_known is for.
+        assert bool(r.known) == (r.naive != "und"), (r.known, r.naive)
