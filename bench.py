@@ -232,7 +232,7 @@ def bench_dedup_pipeline_shared(
     return dt
 
 
-def _prev_committed_detail(repo_dir: str) -> dict[str, float]:
+def _prev_committed_detail(repo_dir: str) -> dict:
     """The COMMITTED baseline for the boot calibration: HEAD's
     BENCH_DETAIL.json via git, so the published ratio really is
     run-vs-last-committed-artifact. Reading the working-tree file would
@@ -258,10 +258,21 @@ def _prev_committed_detail(repo_dir: str) -> dict[str, float]:
         except OSError:
             return {}
     try:
-        prev = json.loads(blob).get("queries", {})
+        prev = json.loads(blob)
         return prev if isinstance(prev, dict) else {}
     except (ValueError, AttributeError):
         return {}
+
+
+def _eps_ratio(current: float, prev_detail: dict, key: str) -> float | None:
+    """current/previous for a single published events-per-sec metric —
+    the per-metric calibration the two throughput numbers lacked until
+    round 7 (they sat outside the query-median calibration, so a -29%
+    read was indistinguishable from boot contention)."""
+    prev = prev_detail.get(key)
+    if not isinstance(prev, (int, float)) or isinstance(prev, bool) or prev <= 0:
+        return None
+    return round(current / prev, 3)
 
 
 def _median_ratio_vs_prev(
@@ -557,7 +568,17 @@ def main() -> None:
     # ev/s round to round): measure it in the same clean early slot.
     import tempfile
 
-    stream_sec, stream_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
+    # min-of-3 like every other entry (round-7 fix: this was the last
+    # single-draw headline metric — a -29% round-6 read on a flat-median
+    # boot was unattributable between contention and regression)
+    stream_draws = []
+    for _ in range(3):
+        stream_sec_i, stream_n = bench_streaming_engine(
+            spark, sf_dir, tempfile.gettempdir()
+        )
+        stream_draws.append(stream_sec_i)
+        full_gc()
+    stream_sec = min(stream_draws)
     probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
 
     timings: dict[str, float] = {}
@@ -656,6 +677,17 @@ def main() -> None:
         "sf": sf,
     }
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_detail = _prev_committed_detail(repo_dir)
+    # per-metric calibration for the two throughput numbers (they sit
+    # outside the query-median calibration below): >1.0 = faster than
+    # the committed artifact
+    detail["engine_eps_ratio_vs_prev"] = _eps_ratio(
+        engine_eps, prev_detail, "engine_events_per_sec"
+    )
+    detail["streaming_eps_ratio_vs_prev"] = _eps_ratio(
+        stream_eps, prev_detail, "streaming_engine_events_per_sec"
+    )
+    detail["streaming_draws_sec"] = [round(d, 3) for d in stream_draws]
     # Self-calibration against the previously committed detail file: the
     # bench hosts are virtualized and one boot can run a uniform ~1.5x
     # slower than another with zero code change (SCALE.md, round-6
@@ -666,7 +698,7 @@ def main() -> None:
     # flat median). Baseline = HEAD's committed artifact (see
     # _prev_committed_detail); entries under 0.2 s are skipped
     # (dominated by fixed overhead).
-    median_ratio = _median_ratio_vs_prev(timings, _prev_committed_detail(repo_dir))
+    median_ratio = _median_ratio_vs_prev(timings, prev_detail.get("queries", {}))
     detail["median_ratio_vs_prev_detail"] = median_ratio
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -682,6 +714,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "engine_events_per_sec": engine_eps,
                 "streaming_engine_events_per_sec": stream_eps,
+                "engine_eps_ratio_vs_prev": detail["engine_eps_ratio_vs_prev"],
+                "streaming_eps_ratio_vs_prev": detail[
+                    "streaming_eps_ratio_vs_prev"
+                ],
                 "sf": sf,
                 "median_ratio_vs_prev_detail": median_ratio,
                 "detail": "BENCH_DETAIL.json",

@@ -933,9 +933,9 @@ def lsh_bucket_histogram(
     shows join-key skew. Physical shape: the signature aggregation, the
     banding projection, one bucket count (map-side partial), and a
     size-keyed recount — bounded output (distinct sizes), corpus never
-    re-shuffled. Queued for round-7 driver registration (the round-6
-    window is exactly full); oracle = the _MINHASH_SIGS bands CTE with
-    two stacked GROUP BYs."""
+    re-shuffled. Driver-registered round 7 (queries_pipeline.py
+    ``lsh_bucket_histogram``; oracle = the _MINHASH_SIGS bands CTE with
+    two stacked GROUP BYs)."""
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
     bucket_sizes = (
         lsh_bands(sigs, k, bands)

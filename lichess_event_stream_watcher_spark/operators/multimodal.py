@@ -2,9 +2,19 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 decode/feature steps run as Arrow-batched ``mapInPandas`` so each partition
-streams through Python once. The actual media decode is STUBBED (no
-image/audio libs in this container) behind ``decode_image``; the Spark-side
-plumbing — schema, batching, partition flow — is real and tested.
+streams through Python once.
+
+Decode status (round 7): REAL for PPM (P6 binary / P3 ASCII, maxval <=
+255) and uncompressed 24-bit BMP — a from-scratch pure-Python decoder
+(the published netpbm / BMP file formats; the same from-scratch move as
+``functions/mmdb.py`` and ``functions/uap.py``), dispatched on magic
+bytes by :func:`decode_image` and wired through :func:`image_stats`'s
+``mapInPandas``. Codec-library formats (JPEG/PNG/audio/video) remain
+env-gated behind the same function — it raises ``ValueError`` naming the
+unsupported magic, and ``image_stats`` verdicts those rows
+``decode_ok = false`` instead of failing the batch (the poison-pill
+discipline a 100 TB media scan needs: one corrupt file must cost one
+row, not one task retry storm).
 
 Scale: payload columns dominate I/O; keep them in their own parquet column
 (column pruning skips them unless referenced) and size partitions by bytes
@@ -13,6 +23,7 @@ Scale: payload columns dominate I/O; keep them in their own parquet column
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -65,12 +76,178 @@ def to_media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def decode_image(payload: bytes) -> "object":  # pragma: no cover - stub
-    """STUB: image decode (PIL/OpenCV not available in this container).
+def _ppm_tokens(b: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens from ``start``,
+    honoring netpbm ``#`` comments (comment runs to end of line).
+    Returns (values, position after the final token's delimiter)."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(b):
+            if b[i : i + 1].isspace():
+                i += 1
+            elif b[i : i + 1] == b"#":
+                while i < len(b) and b[i] not in (0x0A, 0x0D):
+                    i += 1
+            else:
+                break
+        j = i
+        while j < len(b) and b[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError(f"PPM: expected integer at byte {i}")
+        vals.append(int(b[i:j]))
+        i = j
+    return vals, i
 
-    At deploy time, replace the body with e.g. PIL.Image.open(BytesIO(b));
-    the mapInPandas plumbing around it does not change."""
-    raise NotImplementedError("media decode libs not available in this environment")
+
+def decode_ppm(b: bytes) -> tuple[int, int, bytes]:
+    """PPM decode (P6 binary / P3 ASCII), maxval <= 255 -> (w, h, rgb).
+
+    From-scratch netpbm: magic, whitespace/comment-tolerant header
+    (width, height, maxval), then the raster — P6 reads w*h*3 raw bytes
+    after EXACTLY ONE whitespace byte past maxval (the spec's single-
+    delimiter rule: a raster may begin with a byte that looks like
+    whitespace), P3 reads w*h*3 ASCII ints. rgb is tightly packed
+    row-major RGB, the layout every consumer here assumes."""
+    magic = b[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError(f"PPM: bad magic {magic!r}")
+    (w, h, maxval), pos = _ppm_tokens(b, 3, 2)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PPM: bad dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        raise ValueError(f"PPM: unsupported maxval {maxval} (need <= 255)")
+    n = w * h * 3
+    if magic == b"P6":
+        pos += 1  # the single post-maxval delimiter byte
+        raster = b[pos : pos + n]
+        if len(raster) < n:
+            raise ValueError(f"PPM: raster truncated ({len(raster)} < {n})")
+        return w, h, bytes(raster)
+    vals, _ = _ppm_tokens(b, n, pos)
+    if any(v > maxval for v in vals):
+        raise ValueError("PPM: sample exceeds maxval")
+    return w, h, bytes(vals)
+
+
+def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
+    """P6 encode of a packed row-major RGB buffer — the writer twin of
+    :func:`decode_ppm` (tests and the resize sink use it)."""
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"encode_ppm: {len(rgb)} bytes != {w}x{h}x3")
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed 24-bit BMP decode -> (w, h, rgb).
+
+    From-scratch Windows BITMAPINFOHEADER parsing: pixel-array offset at
+    byte 10, int32 width/height at 18/22 (negative height = top-down
+    rows), bpp at 28 (24 only), compression at 30 (BI_RGB only). Rows
+    are 4-byte aligned and stored bottom-up unless top-down; pixels are
+    BGR on disk and returned as packed RGB."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("BMP: bad magic or truncated header")
+    (pix_off,) = struct.unpack_from("<I", b, 10)
+    w, h_raw = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP: unsupported bpp={bpp}/compression={compression}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"BMP: bad dimensions {w}x{h_raw}")
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < pix_off + stride * h:
+        raise ValueError("BMP: pixel array truncated")
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pix_off + src_row * stride
+        dst = row * w * 3
+        for x in range(w):
+            s = base + x * 3
+            out[dst : dst + 3] = (b[s + 2], b[s + 1], b[s])  # BGR -> RGB
+            dst += 3
+    return w, h, bytes(out)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Image decode -> (width, height, packed RGB bytes), dispatched on
+    magic bytes: PPM (P6/P3) and uncompressed 24-bit BMP decode for real
+    (from-scratch parsers above); anything else raises ``ValueError``
+    naming the magic — codec-library formats (JPEG/PNG/...) stay
+    env-gated in this container. ``image_stats`` maps that error to a
+    ``decode_ok = false`` row, so unsupported/corrupt payloads cost one
+    row, never a task."""
+    if payload[:2] in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(f"unsupported image magic {bytes(payload[:2])!r}")
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL decoded-pixel statistics per image: (doc_id, decode_ok,
+    width, height, per-channel means) via the same Arrow-batched
+    ``mapInPandas`` shape as ``extract_features`` — but over actual
+    pixels from :func:`decode_image`. Means are floor-quantized at 1e-6
+    by integer arithmetic (engine-portable; see extract_features).
+    Decode failures (unsupported magic, truncated raster) yield a
+    ``decode_ok = false`` row with null stats."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, rgb = decode_image(bytes(payload))
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "decode_ok": False,
+                            "width": None,
+                            "height": None,
+                            "mean_r": None,
+                            "mean_g": None,
+                            "mean_b": None,
+                        }
+                    )
+                    continue
+                n_px = w * h
+                sums = [0, 0, 0]
+                for c in range(3):
+                    sums[c] = sum(rgb[c::3])
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "decode_ok": True,
+                        "width": w,
+                        "height": h,
+                        "mean_r": (sums[0] * 1_000_000 // n_px) / 1e6,
+                        "mean_g": (sums[1] * 1_000_000 // n_px) / 1e6,
+                        "mean_b": (sums[2] * 1_000_000 // n_px) / 1e6,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(stats, IMAGE_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -121,6 +298,46 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
                         "doc_id": doc_id,
                         "payload": out,
                         "meta": {"n_bytes": len(out), "width": width, "height": height},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """REAL resize for decodable payloads: decode (PPM/BMP) ->
+    nearest-neighbor resample -> re-encode P6, through the same
+    mapInPandas contract as ``resize_media`` (which remains the
+    deterministic fake for non-decodable payloads). Nearest-neighbor
+    with the standard floor mapping src = i * src_dim // dst_dim —
+    deterministic, library-free, and exact for integer upscales.
+    Undecodable rows drop out (callers wanting verdicts use
+    ``image_stats``)."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    sw, sh, rgb = decode_image(bytes(payload))
+                except ValueError:
+                    continue
+                out = bytearray(width * height * 3)
+                dst = 0
+                for y in range(height):
+                    sy = y * sh // height
+                    row_base = sy * sw * 3
+                    for x in range(width):
+                        s = row_base + (x * sw // width) * 3
+                        out[dst : dst + 3] = rgb[s : s + 3]
+                        dst += 3
+                enc = encode_ppm(width, height, bytes(out))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": enc,
+                        "meta": {"n_bytes": len(enc), "width": width, "height": height},
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])

@@ -787,9 +787,9 @@ def ivf_cell_occupancy(
     join from the k-row centroid dimension for the zeros — the corpus
     never shuffles (the count partial-aggregates map-side).
 
-    Queued for round-7 driver registration (the round-6 window is
-    exactly full); oracle = the _IVF_ORACLE assign CTE with the rank
-    window replaced by a GROUP BY + centroid scaffold."""
+    Driver-registered round 7 (queries_pipeline.py ``ivf_cell_occupancy``;
+    oracle = the _IVF_ORACLE assign CTE with the rank window replaced by
+    a GROUP BY + centroid scaffold)."""
     counts = (
         nearest_cells(emb, centroids, 1, id_col, vec_col)
         .groupBy(F.col("cent_id").alias("cell"))

@@ -217,100 +217,31 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (all with >= 1 green row, most with 2-3) keep coverage every
 # session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
-    # ---- the round-6 50-row driver window -------------------------------
-    # The backlog is closed (every query holds a lifetime green row), so
-    # from this round the window is allocated by the FRESHNESS rotation
-    # rule (r5 verdict task #3), mechanically:
-    #   1. new registrations and queries whose implementing files changed
-    #      this round (they must re-certify through the changed code);
-    #   2. the stalest lifetime greens (ascending last-green round, then
-    #      name) until the 50 slots fill.
-    # tests/test_registry_policy.py::test_no_stale_green_outside_window
-    # enforces the result: nothing may sit outside the window with its
-    # newest green row more than 3 rounds old.
-    # -- (1) changed this round: tf-cosine grew the AllPairs prefix sparse
-    #    path (text.py) + a forced-sparse twin registration; the curation
-    #    pipeline's quality gate was re-staged (pipeline.py); curation.py
-    #    took the _mix_rate_q collision fix; enrich.py grew the generic
-    #    from-scratch UA parser.
-    "tf_cosine_pairs_sparse",  # new: the at-scale sparse path, own oracle
-    "tf_cosine_incremental",  # new: the ingestion-time cross-corpus probe
-    "gopher_rule_failures",  # new: Gopher appendix-A rule battery rollup
-    "c4_line_stats",  # new: C4 line-cleaning accounting
-    "leakage_safe_split_counts",  # new: near-dup-aware split assignment
-    "unimax_allocation",  # new: UniMax closed-form token-budget waterfilling
-    "dedup_keep_best_clusters",  # new: quality-argmax cluster representatives
-    "ann_recall_eval",  # new: recall@5 of IVF/LSH vs the exact baseline
-    "dedup_lsh_band_sweep",  # new: (b x r) sweep off one signature pass
-    #    (subsumes the former dedup_lsh_recall_eval: its n_bands=4 row IS
-    #    that query's recall/precision, off the same signatures)
-    "dedup_threshold_sensitivity",  # new: t-sweep off one pair search
-    "dedup_cost_census",  # new: strategy cost table, no pair explosion
-    "ann_cost_census",  # new: serving-route candidate volume census
-    "dedup_minhash_calibration",  # new: estimator error by exact band
-    "ann_pq_distortion",  # new: frozen-codebook distortion by subspace
-    "device_enrich",  # r2-vintage AND enrich.py changed (UA parser) — both
-    #    window triggers fire; the other four changed-file entries hold
-    #    r3/r4 greens and yield their slots to the staleness-bound r2
-    #    block below (they head the round-7 rotation queue instead; all
-    #    four re-verified hash-green at sf0.01 through current code by
-    #    this session's three full driver-sim sweeps)
-    # -- (2) stalest greens: the r1 row, all 34 remaining r2 rows —
-    #    r2 + STALE_ROUNDS = 6, so every r2 row must re-certify THIS
-    #    round; with the 14 new registrations + device_enrich that fills
-    #    the 50 slots exactly
-    "ann_lsh_buckets",  # r1
-    "asof_join_orders",  # r2 from here
-    "cube_pricing",
-    "date_functions",
-    "first_event_per_user",
-    "geoip_enrich",
-    "json_extract_props",
-    "match_stats",
-    "max_order_per_cust_subquery",
-    "notify_dedup_anti",
-    "percentiles_exact",
-    "pivot_event_counts",
-    "rollup_pricing",
-    "scalar_encoding",
-    "scalar_suite",
-    "seen_lookup_semi",
-    "seen_window_counts",
-    "sessionize",
-    "set_ops",
-    "topk_recent_events",
-    "tpch_q10_returned_items",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q19_bracket_revenue",
-    "tpch_q1_pricing",
-    "tpch_q3_revenue",
-    "tpch_q4_priority",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "unpivot_measures",
-    "window_suite",
-    # ---- position 51+: the round-7 rotation queue ------------------------
-    # Round-7 window budget: ~47 names below hit the staleness bound and
-    # must rotate in, leaving ~3 head slots for new registrations. Two
-    # operators are already implemented + pytest-certified and waiting
-    # for slots: similarity.ivf_cell_occupancy (register with the
-    # _IVF_ORACLE assign CTE -> GROUP BY + centroid scaffold) and
-    # dedup.lsh_bucket_histogram (register with _MINHASH_SIGS + the
-    # bands CTE -> two stacked GROUP BYs).
-    # First the four changed-this-round entries that ceded head slots to
-    # the r2 staleness block (r3/r4 greens; files changed in round 6, so
-    # they re-certify at the next window), then the r3 greens in
-    # staleness order
-    "temperature_mix_sample",  # r3 green; curation.py changed
-    "curation_gate",  # r3 green; text/pipeline signals changed
-    "tf_cosine_pairs",  # r4 green; text.py grew the prefix sparse path
-    "curation_pipeline_counts",  # r4 green; pipeline.py re-staged
-    "action_schedule",  # r3 from here
+    # ---- the round-7 50-row driver window -------------------------------
+    # Allocated by the freshness rotation rule (mechanized in
+    # tests/test_registry_policy.py): with CORRECTNESS_r07 committed the
+    # staleness horizon is round 3, so all 47 r3-vintage rows must
+    # re-certify THIS round.
+    # -- (1) new registrations (the two audit tables queued in round 6
+    #    when the window was exactly full):
+    "lsh_bucket_histogram",  # new: LSH banding skew census
+    "ivf_cell_occupancy",  # new: coarse-quantizer balance audit
+    # -- (2) changed-file re-cert with window room: text.py changed in
+    #    rounds 6 AND 7 (the AllPairs prefix path, then the lang_id form
+    #    split); tf_cosine_pairs is its only backing entry still on an
+    #    r4 green. The OTHER changed-file entries hold r6 greens
+    #    (gopher_rule_failures, c4_line_stats, tf_cosine_pairs_sparse,
+    #    tf_cosine_incremental for text.py; ann_cost_census for
+    #    similarity.py; dedup_lsh_band_sweep for dedup.py) or an r4
+    #    green one round inside the horizon (curation_pipeline_counts
+    #    for pipeline.py) — they cede their slots to the staleness
+    #    block (the r6 precedent), are re-verified hash-green at sf0.01
+    #    through current code by this session's full driver-sim sweep,
+    #    and head the round-8 queue below.
+    "tf_cosine_pairs",
+    # -- (3) stalest greens: the 47 r3 rows, name order — fills the 50
+    #    slots exactly
+    "action_schedule",
     "ann_lsh_topk",
     "ann_pq_adc",
     "charlm_quality",
@@ -318,14 +249,12 @@ _DRIVER_PRIORITY = [
     "crit_email_contains",
     "crit_email_regex",
     "crit_ip_match",
-    # the remaining r3 greens, staleness order (these hit the staleness
-    # bound during round 7/8 and must rotate in; crit_print_match ceded
-    # its slot to the new tf_cosine_incremental registration)
     "crit_print_match",
     "crit_susp_ip_gate",
     "crit_useragent_length_lte",
     "crit_username_contains",
     "crit_username_regex",
+    "curation_gate",
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_containment",
@@ -354,11 +283,68 @@ _DRIVER_PRIORITY = [
     "rule_scan_actions",
     "semantic_dedup",
     "source_quality_scorecard",
+    "temperature_mix_sample",
     "text_profile",
     "user_state_scd2",
     "value_outliers_3sigma",
     "would_fire_counts",
+    # ---- position 51+: the round-8 rotation queue ------------------------
+    # Round-8 window budget: the 7 changed-in-round-7 entries that ceded
+    # head slots above, then the r4 vintage (43 entries, every one of
+    # which hits the staleness bound when CORRECTNESS_r08 lands) —
+    # exactly 50.
+    "curation_pipeline_counts",
+    "gopher_rule_failures",
+    "c4_line_stats",
+    "tf_cosine_pairs_sparse",
+    "tf_cosine_incremental",
+    "ann_cost_census",
+    "dedup_lsh_band_sweep",
+    # the remaining r4 greens, staleness (= name) order
+    "ann_ivfpq_adc",
+    "ann_kmeans_cells_q",
+    "ann_lsh_multiprobe",
+    "bloom_admission",
+    "bm25_rsj_topk",
+    "bpe_merge_ranks",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "cross_source_dups",
+    "dataset_split_counts",
+    "dedup_corpus",
+    "dsir_importance_q",
+    "dup_graph_pagerank_q",
+    "dup_span_profile",
+    "embedding_feature_stats",
+    "embedding_robust_stats",
+    "epoch_shuffle",
+    "event_rate_anomaly",
+    "grouping_sets_pricing",
+    "hll_distinct_sketch",
+    "interval_join_attribution",
+    "kmv_distinct_sketch",
+    "multimodal_frames",
+    "orders_column_stats",
+    "pack_sequences_bins",
+    "salted_event_type_counts",
+    "session_window_rollup",
+    "source_quota_sample",
+    "source_rate_sample",
+    "substring_dedup",
+    "tpch_q11_important_values",
+    "tpch_q12_late_by_priority",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_loss",
+    "tpch_q18_large_orders",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_balances",
+    "tpch_q2_min_cost_supplier",
+    "username_fuzzy_pairs",
+    "value_equidepth_histogram",
+    "windowed_event_rollup",
 ]
+
 
 
 def _ordered(mapping: dict) -> dict:

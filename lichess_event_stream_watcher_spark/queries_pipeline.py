@@ -6108,3 +6108,63 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other two configs from the SAME signature pass. Its window slot went
 # to `window_suite`'s round-6 freshness re-certification (the 50-row
 # driver window was exactly full).
+
+
+# ---------------------------------------------------------------------------
+# Round-7 registrations: the two pytest-certified audit tables queued when
+# the round-6 window was exactly full (VERDICT r6 "What's missing" #2)
+# ---------------------------------------------------------------------------
+_LSH_HISTOGRAM_ORACLE = rf"""WITH {_NORM}, {_TOKS}, {_SHINGLES},
+{_MINHASH_SIGS},
+bands AS (
+  SELECT id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+  FROM sigs GROUP BY id, seed // 4
+),
+buckets AS (SELECT band, band_sig, COUNT(*) AS m FROM bands GROUP BY band, band_sig)
+SELECT CAST(m AS BIGINT) AS bucket_size, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM buckets GROUP BY m"""
+
+
+@query("lsh_bucket_histogram", _LSH_HISTOGRAM_ORACLE)
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size histogram of the MinHash banding (k=16, 4x4): the skew
+    census a dedup team reads BEFORE running the LSH pair explosion,
+    whose cost is sum over buckets of m*(m-1)/2 — one boilerplate-driven
+    degenerate bucket dominates the stage at corpus scale. Bounded
+    output (distinct bucket sizes); the corpus shuffles only for the
+    signature aggregation the candidate stage needs anyway."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    return D.lsh_bucket_histogram(docs, k=16, bands=4, n=2)
+
+
+_IVF_OCCUPANCY_ORACLE = f"""WITH cents AS (
+  SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id BETWEEN 8 AND 15
+),
+assign AS (
+  SELECT a.vec_id, b.cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND({_COS_SQL}, 6) DESC, b.cent_id ASC
+         ) AS rnk
+  FROM embeddings a CROSS JOIN cents b
+),
+cells AS (SELECT vec_id, cent_id FROM assign WHERE rnk = 1),
+counts AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY cent_id)
+SELECT CAST(c.cent_id AS BIGINT) AS cell,
+       CAST(COALESCE(ct.n, 0) AS BIGINT) AS n_members
+FROM cents c LEFT JOIN counts ct ON ct.cent_id = c.cent_id"""
+
+
+@query("ivf_cell_occupancy", _IVF_OCCUPANCY_ORACLE)
+def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer balance audit: (cell, n_members) with explicit
+    zeros for empty cells — the per-cell candidate-volume distribution
+    behind ``ann_cost_census``'s per-query samples. Map-side assignment
+    (the serving path's own projection), one k-group count, zeros from
+    the broadcast centroid dimension; the corpus never shuffles."""
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return S.ivf_cell_occupancy(emb, cents)

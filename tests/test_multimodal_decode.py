@@ -1,0 +1,144 @@
+"""From-scratch image decode (round 7): PPM (P6/P3) + uncompressed
+24-bit BMP, and the Spark operators wired over them (image_stats,
+resize_image). The decoder tests are pure Python (no session); the
+operator tests drive the real mapInPandas plumbing.
+
+Reference formats: the published netpbm PPM spec and the Windows
+BITMAPINFOHEADER layout — public knowledge, implemented from scratch
+(the same move as functions/mmdb.py and functions/uap.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from lichess_event_stream_watcher_spark.operators.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_ppm,
+    image_stats,
+    resize_image,
+)
+
+
+def _bmp_24(w: int, h: int, rgb: bytes, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (test-only twin of
+    decode_bmp): BGR pixels, 4-byte-aligned rows, bottom-up unless
+    top_down."""
+    stride = (w * 3 + 3) // 4 * 4
+    pix = bytearray()
+    row_order = range(h) if top_down else range(h - 1, -1, -1)
+    for row in row_order:
+        line = bytearray()
+        for x in range(w):
+            s = (row * w + x) * 3
+            line += bytes((rgb[s + 2], rgb[s + 1], rgb[s]))  # RGB -> BGR
+        line += b"\x00" * (stride - len(line))
+        pix += line
+    h_field = -h if top_down else h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + dib + bytes(pix)
+
+
+# 2x2 test image: R, G / B, white
+RGB_2X2 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+
+
+def test_ppm_p6_roundtrip():
+    b = encode_ppm(2, 2, RGB_2X2)
+    assert decode_ppm(b) == (2, 2, RGB_2X2)
+    assert decode_image(b) == (2, 2, RGB_2X2)
+
+
+def test_ppm_p6_header_comments_and_whitespace():
+    b = b"P6 # comment right after magic\n# full-line comment\n 2\t2 # dims\n255\n" + RGB_2X2
+    assert decode_ppm(b) == (2, 2, RGB_2X2)
+
+
+def test_ppm_p6_raster_may_start_with_whitespace_byte():
+    # the single post-maxval delimiter rule: a raster whose first byte is
+    # 0x20 (ascii space) must NOT be eaten as extra whitespace
+    rgb = bytes([0x20] * 12)
+    assert decode_ppm(b"P6\n2 2\n255\n" + rgb) == (2, 2, rgb)
+
+
+def test_ppm_p3_ascii():
+    vals = " ".join(str(v) for v in RGB_2X2)
+    b = f"P3\n2 2\n255\n{vals}\n".encode()
+    assert decode_ppm(b) == (2, 2, RGB_2X2)
+
+
+def test_ppm_errors():
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x00")
+    with pytest.raises(ValueError, match="exceeds maxval"):
+        decode_ppm(b"P3\n1 1\n10\n11 0 0\n")
+
+
+def test_bmp_bottom_up_and_top_down():
+    assert decode_bmp(_bmp_24(2, 2, RGB_2X2)) == (2, 2, RGB_2X2)
+    assert decode_bmp(_bmp_24(2, 2, RGB_2X2, top_down=True)) == (2, 2, RGB_2X2)
+    # odd width exercises row padding (3*3 = 9 bytes -> 12-byte stride)
+    rgb3 = bytes(range(3 * 1 * 3))
+    assert decode_bmp(_bmp_24(3, 1, rgb3)) == (3, 1, rgb3)
+
+
+def test_bmp_errors():
+    with pytest.raises(ValueError, match="magic|truncated"):
+        decode_bmp(b"BM too short")
+    bad_bpp = bytearray(_bmp_24(1, 1, b"\x00\x00\x00"))
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="unsupported bpp"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_image_dispatch_and_unsupported_magic():
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"\x89PNG\r\n\x1a\n...")
+
+
+def test_image_stats_real_pixels_and_poison_pill(spark):
+    rows = [
+        (1, encode_ppm(2, 2, RGB_2X2)),
+        (2, _bmp_24(2, 2, RGB_2X2)),
+        (3, b"\xff\xd8\xff\xe0 fake jpeg"),  # unsupported -> decode_ok false
+        (4, b"P6\n2 2\n255\n\x00"),  # truncated raster -> decode_ok false
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in image_stats(media).collect()}
+    assert len(got) == 4
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        assert r.decode_ok and (r.width, r.height) == (2, 2)
+        # channel means of RGB_2X2: R=(255+0+0+255)/4=127.5, same G, B
+        assert r.mean_r == r.mean_g == r.mean_b == 127.5
+    for doc_id in (3, 4):
+        r = got[doc_id]
+        assert not r.decode_ok
+        assert r.width is None and r.mean_r is None
+
+
+def test_resize_image_nearest_neighbor_exact_upscale(spark):
+    media = spark.createDataFrame(
+        [(1, encode_ppm(2, 2, RGB_2X2)), (2, b"not an image")],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_image(media, width=4, height=4).collect()}
+    assert list(out) == [1]  # undecodable rows drop out
+    r = out[1]
+    assert (r.meta.width, r.meta.height) == (4, 4)
+    w, h, rgb = decode_ppm(bytes(r.payload))
+    assert (w, h) == (4, 4)
+    # integer 2x upscale: every source pixel becomes an exact 2x2 block
+    for y in range(4):
+        for x in range(4):
+            s = ((y // 2) * 2 + (x // 2)) * 3
+            d = (y * 4 + x) * 3
+            assert rgb[d : d + 3] == RGB_2X2[s : s + 3], (x, y)
