@@ -589,7 +589,11 @@ def main() -> None:
     # tokens, so the cross-corpus postings volume is ~n^2 per token —
     # a 67 s/draw adversarial shape no real vocabulary exhibits (and the
     # dense gate absorbs in the self-join form). One-time sf0.1 numbers
-    # live in SCALE.md: indexed 19.9 s vs re-tokenize 47.3 s (2.4x).
+    # live in SCALE.md: indexed 19.9 s vs re-tokenize 47.3 s (2.4x);
+    # round 7 added a sparse-vocab (20k-token) synthetic measurement on
+    # the shape the probe was built for — fixed 5k batch, corpus 20k ->
+    # 40k moves the indexed probe +13% vs +32% for re-tokenize (SCALE.md
+    # round-7 note).
     # The forced-sparse twin (tf_cosine_pairs_sparse) is excluded for the
     # same reason: with every doc sharing the 31 hot tokens the AllPairs
     # prefix cannot prune (measured 107-118 s/draw at sf0.1) — it exists
