@@ -26,6 +26,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -162,16 +163,15 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
     stride = (w * 3 + 3) // 4 * 4
     if len(b) < pix_off + stride * h:
         raise ValueError("BMP: pixel array truncated")
-    out = bytearray(w * h * 3)
-    for row in range(h):
-        src_row = row if top_down else h - 1 - row
-        base = pix_off + src_row * stride
-        dst = row * w * 3
-        for x in range(w):
-            s = base + x * 3
-            out[dst : dst + 3] = (b[s + 2], b[s + 1], b[s])  # BGR -> RGB
-            dst += 3
-    return w, h, bytes(out)
+    # vectorized unpack: (h, stride) byte grid -> strip row padding ->
+    # flip bottom-up rows -> reverse the channel axis (BGR -> RGB).
+    # A per-pixel Python loop here would be the slow path of every
+    # image batch; numpy keeps the decode at memcpy speed.
+    grid = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=pix_off)
+    px = grid.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return w, h, px[:, :, ::-1].tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
@@ -231,18 +231,23 @@ def image_stats(media: DataFrame) -> DataFrame:
                     )
                     continue
                 n_px = w * h
-                sums = [0, 0, 0]
-                for c in range(3):
-                    sums[c] = sum(rgb[c::3])
+                # int64 channel sums via numpy (a Python sum over a byte
+                # slice is ~100x slower per megapixel); the floor-to-
+                # micros arithmetic stays exact integer
+                sums = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(-1, 3)
+                    .sum(axis=0, dtype=np.int64)
+                )
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "decode_ok": True,
                         "width": w,
                         "height": h,
-                        "mean_r": (sums[0] * 1_000_000 // n_px) / 1e6,
-                        "mean_g": (sums[1] * 1_000_000 // n_px) / 1e6,
-                        "mean_b": (sums[2] * 1_000_000 // n_px) / 1e6,
+                        "mean_r": (int(sums[0]) * 1_000_000 // n_px) / 1e6,
+                        "mean_g": (int(sums[1]) * 1_000_000 // n_px) / 1e6,
+                        "mean_b": (int(sums[2]) * 1_000_000 // n_px) / 1e6,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields])
@@ -323,16 +328,14 @@ def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
                     sw, sh, rgb = decode_image(bytes(payload))
                 except ValueError:
                     continue
-                out = bytearray(width * height * 3)
-                dst = 0
-                for y in range(height):
-                    sy = y * sh // height
-                    row_base = sy * sw * 3
-                    for x in range(width):
-                        s = row_base + (x * sw // width) * 3
-                        out[dst : dst + 3] = rgb[s : s + 3]
-                        dst += 3
-                enc = encode_ppm(width, height, bytes(out))
+                # vectorized nearest-neighbor: integer source-index grids
+                # (the floor mapping src = i * src_dim // dst_dim) +
+                # numpy fancy indexing — no per-pixel Python loop
+                px = np.frombuffer(rgb, dtype=np.uint8).reshape(sh, sw, 3)
+                ys = np.arange(height, dtype=np.int64) * sh // height
+                xs = np.arange(width, dtype=np.int64) * sw // width
+                out = px[ys][:, xs]
+                enc = encode_ppm(width, height, out.tobytes())
                 rows.append(
                     {
                         "doc_id": doc_id,
