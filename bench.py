@@ -702,7 +702,12 @@ def main() -> None:
     # flat median). Baseline = HEAD's committed artifact (see
     # _prev_committed_detail); entries under 0.2 s are skipped
     # (dominated by fixed overhead).
-    median_ratio = _median_ratio_vs_prev(timings, prev_detail.get("queries", {}))
+    # malformed committed artifacts ("queries": null/list) must yield
+    # ratio None, never an exception after a multi-minute bench run
+    prev_queries = prev_detail.get("queries")
+    if not isinstance(prev_queries, dict):
+        prev_queries = {}
+    median_ratio = _median_ratio_vs_prev(timings, prev_queries)
     detail["median_ratio_vs_prev_detail"] = median_ratio
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

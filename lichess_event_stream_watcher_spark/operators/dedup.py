@@ -903,17 +903,26 @@ def dedup_cost_census(
         F.sum(half("pdf")).cast("bigint").alias("candidate_pairs"),
     )
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
-    bsz = (
-        lsh_bands(sigs, k, bands)
-        .groupBy("band", "band_sig")
-        .agg(F.count("*").alias("m"))
-    )
+    bsz = _band_bucket_sizes(sigs, k, bands)
     lsh = bsz.agg(
         F.lit(f"lsh_{k}x{bands}").alias("strategy"),
         F.sum("m").cast("bigint").alias("index_rows"),
         F.sum(half("m")).cast("bigint").alias("candidate_pairs"),
     )
     return postings.unionAll(prefix).unionAll(lsh)
+
+
+def _band_bucket_sizes(sigs: DataFrame, k: int, bands: int) -> DataFrame:
+    """(band, band_sig, m): member count per LSH bucket — the ONE
+    definition of the banding bucket-size census, shared by
+    ``dedup_cost_census`` and ``lsh_bucket_histogram`` (the same
+    single-source rule as ``_band_sig_structs``: a banding change must
+    never let the two consumers drift apart)."""
+    return (
+        lsh_bands(sigs, k, bands)
+        .groupBy("band", "band_sig")
+        .agg(F.count("*").alias("m"))
+    )
 
 
 def lsh_bucket_histogram(
@@ -937,11 +946,7 @@ def lsh_bucket_histogram(
     ``lsh_bucket_histogram``; oracle = the _MINHASH_SIGS bands CTE with
     two stacked GROUP BYs)."""
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
-    bucket_sizes = (
-        lsh_bands(sigs, k, bands)
-        .groupBy("band", "band_sig")
-        .agg(F.count("*").alias("m"))
-    )
+    bucket_sizes = _band_bucket_sizes(sigs, k, bands)
     return (
         bucket_sizes.groupBy(F.col("m").cast("bigint").alias("bucket_size"))
         .agg(F.count("*").cast("bigint").alias("n_buckets"))
@@ -979,11 +984,11 @@ def lsh_band_sweep(
     # DuckDB oracle's seed // (k // b) banding would form an extra
     # 1-seed band — a silent Spark/oracle hash divergence. Fail loudly
     # instead of letting a future band_counts change drift.
-    bad = [b for b in band_counts if k % b != 0]
+    bad = [b for b in band_counts if b <= 0 or k % b != 0]
     if bad:
         raise ValueError(
             f"band_counts {bad} do not divide k={k}; the sweep's oracle "
-            f"assumes uniform band widths (k % b == 0)"
+            f"assumes uniform band widths (k % b == 0, b > 0)"
         )
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
     structs = [

@@ -216,7 +216,9 @@ def image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    w, h, rgb = decode_image(bytes(payload))
+                    # a NULL payload is a poison pill like any other:
+                    # one decode_ok=false row, never a task failure
+                    w, h, rgb = decode_image(bytes(payload) if payload is not None else b"")
                 except ValueError:
                     rows.append(
                         {
@@ -325,7 +327,7 @@ def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    sw, sh, rgb = decode_image(bytes(payload))
+                    sw, sh, rgb = decode_image(bytes(payload) if payload is not None else b"")
                 except ValueError:
                     continue
                 # vectorized nearest-neighbor: integer source-index grids

@@ -290,9 +290,10 @@ _DRIVER_PRIORITY = [
     "would_fire_counts",
     # ---- position 51+: the round-8 rotation queue ------------------------
     # Round-8 window budget: the 7 changed-in-round-7 entries that ceded
-    # head slots above, then the r4 vintage (43 entries, every one of
-    # which hits the staleness bound when CORRECTNESS_r08 lands) —
-    # exactly 50.
+    # head slots above (curation_pipeline_counts is BOTH changed-file and
+    # r4-vintage, so it appears once, here), then the 42 remaining r4
+    # greens — 49 queued names, leaving ONE head slot free for a round-8
+    # new registration or changed-file re-cert.
     "curation_pipeline_counts",
     "gopher_rule_failures",
     "c4_line_stats",
@@ -300,7 +301,7 @@ _DRIVER_PRIORITY = [
     "tf_cosine_incremental",
     "ann_cost_census",
     "dedup_lsh_band_sweep",
-    # the remaining r4 greens, staleness (= name) order
+    # the 42 remaining r4 greens, staleness (= name) order
     "ann_ivfpq_adc",
     "ann_kmeans_cells_q",
     "ann_lsh_multiprobe",

@@ -53,3 +53,28 @@ def test_median_ratio_skips_fixed_overhead_and_small_samples():
     # below min_n comparable entries -> None, never a noisy "signal"
     assert _median_ratio_vs_prev(dict(list(timings.items())[:5]), prev) is None
     assert _median_ratio_vs_prev(timings, {}) is None
+
+
+def test_eps_ratio_calibration_field():
+    from bench import _eps_ratio
+
+    prev = {"engine_events_per_sec": 20000.0}
+    # current/prev, not inverted: faster run -> ratio > 1
+    assert _eps_ratio(25000.0, prev, "engine_events_per_sec") == 1.25
+    assert _eps_ratio(10000.0, prev, "engine_events_per_sec") == 0.5
+    # missing / zero / non-numeric / boolean priors -> None, never a crash
+    assert _eps_ratio(25000.0, {}, "engine_events_per_sec") is None
+    assert _eps_ratio(25000.0, {"engine_events_per_sec": 0}, "engine_events_per_sec") is None
+    assert _eps_ratio(25000.0, {"engine_events_per_sec": "n/a"}, "engine_events_per_sec") is None
+    assert _eps_ratio(25000.0, {"engine_events_per_sec": True}, "engine_events_per_sec") is None
+
+
+def test_prev_detail_malformed_queries_yield_empty_calibration():
+    # the main() guard: a committed artifact with "queries": null (or a
+    # list) must produce ratio None, not an AttributeError at the end of
+    # a multi-minute bench run
+    from bench import _median_ratio_vs_prev
+
+    for malformed in (None, [], "x"):
+        prev_queries = malformed if isinstance(malformed, dict) else {}
+        assert _median_ratio_vs_prev({f"q{i}": 1.0 for i in range(15)}, prev_queries) is None

@@ -110,10 +110,12 @@ def test_image_stats_real_pixels_and_poison_pill(spark):
         (2, _bmp_24(2, 2, RGB_2X2)),
         (3, b"\xff\xd8\xff\xe0 fake jpeg"),  # unsupported -> decode_ok false
         (4, b"P6\n2 2\n255\n\x00"),  # truncated raster -> decode_ok false
+        (5, None),  # NULL payload: one false row, never a task failure
     ]
     media = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in image_stats(media).collect()}
-    assert len(got) == 4
+    assert len(got) == 5
+    assert not got[5].decode_ok and got[5].width is None
     for doc_id in (1, 2):
         r = got[doc_id]
         assert r.decode_ok and (r.width, r.height) == (2, 2)
@@ -127,11 +129,11 @@ def test_image_stats_real_pixels_and_poison_pill(spark):
 
 def test_resize_image_nearest_neighbor_exact_upscale(spark):
     media = spark.createDataFrame(
-        [(1, encode_ppm(2, 2, RGB_2X2)), (2, b"not an image")],
+        [(1, encode_ppm(2, 2, RGB_2X2)), (2, b"not an image"), (3, None)],
         "doc_id long, payload binary",
     )
     out = {r.doc_id: r for r in resize_image(media, width=4, height=4).collect()}
-    assert list(out) == [1]  # undecodable rows drop out
+    assert list(out) == [1]  # undecodable / NULL rows drop out
     r = out[1]
     assert (r.meta.width, r.meta.height) == (4, 4)
     w, h, rgb = decode_ppm(bytes(r.payload))
