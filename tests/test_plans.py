@@ -873,3 +873,40 @@ def test_lsh_band_sweep_computes_signatures_once(spark, sf_dir):
     assert len(re.findall(r"Generate explode.*shingle", p)) == 1, p
     assert p.count("Exchange") == 5, p
     assert "Join" not in p
+
+
+def test_lsh_bucket_histogram_plan_no_join_bounded_exchanges(spark, sf_dir):
+    """The banding skew census must cost exactly the candidate stage's
+    signature work and nothing more: shingle spread, signature agg,
+    bucket groupBy, size recount — 4 exchanges, zero joins, and the
+    corpus is never re-shuffled after the signature aggregation (every
+    later exchange carries bucket counts / distinct sizes, not docs)."""
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    p = plan_str(D.lsh_bucket_histogram(docs, k=16, bands=4, n=2))
+    assert p.count("Exchange") == 4, p
+    assert "Join" not in p, p
+    # map-side partial aggregation before each shuffle of counts
+    assert "partial" in p.lower()
+
+
+def test_ivf_cell_occupancy_plan_corpus_never_shuffles(spark, sf_dir):
+    """The occupancy audit's corpus cost must be one map-side cell
+    assignment + a k-group partial agg: the only hash exchange carries
+    k-sized partials (never corpus vectors), the centroid-dimension
+    zeros join is broadcast-hash, and nothing sort-merges."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id").between(8, 15)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    p = plan_str(S.ivf_cell_occupancy(emb, cents))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") == 1, p
+    # one hash exchange (the k-group agg) + the broadcast exchange
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
+    assert "partial" in p.lower()
