@@ -447,7 +447,11 @@ class Engine:
 
     def _seen_report(self, username: str) -> str:
         user_id = username.lower()
-        if user_id in self.recently_checked:
+        # membership via the info dict (O(1)), not the 10K deque (a
+        # linear scan per seen command): the two are maintained in
+        # lockstep by construction — a user has a dict key exactly while
+        # at least one of their rows is in the deque
+        if user_id in self.recently_checked_info:
             infos = self.recently_checked_info.get(user_id, [])
             info_string = "\n".join("`" + _user_wire_json(d) + "`" for d in infos)
             return (

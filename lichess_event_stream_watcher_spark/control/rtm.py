@@ -68,6 +68,7 @@ class ZulipRtmClient:
         self.last_heartbeat = time.monotonic()
         self.registers = 0
         self.polls = 0
+        self.dispatch_errors = 0
 
     def _auth(self) -> str:
         raw = f"{self.bot_id}:{self.token}".encode()
@@ -118,10 +119,23 @@ class ZulipRtmClient:
                         elif event.get("type") == "message":
                             self.last_heartbeat = time.monotonic()
                             msg = event.get("message", {})
-                            dispatch_message(
-                                msg.get("content", ""), self.bot_name,
-                                self.stream, self.topic, msg, self.handle,
-                            )
+                            # dispatch errors are NOT transport errors: a
+                            # command handler raising (bad command args,
+                            # rules-file OSError, ...) must cost only its
+                            # own event — tearing down the poll loop here
+                            # would drop the remaining events in this
+                            # response and abandon the queue, losing
+                            # anything posted before re-registration
+                            # (the reference isolates dispatch from the
+                            # transport the same way, src/zulip/rtm.rs)
+                            try:
+                                dispatch_message(
+                                    msg.get("content", ""), self.bot_name,
+                                    self.stream, self.topic, msg, self.handle,
+                                )
+                            except Exception as e:  # noqa: BLE001
+                                self.dispatch_errors += 1
+                                print(f"command dispatch error (event kept): {e}")
             except Exception as e:
                 print(f"zulip rtm error, reconnecting in {self.backoff_s}s: {e}")
                 if max_polls is not None and self.polls >= max_polls:

@@ -65,10 +65,17 @@ class StreamingCorpusDedup:
 
     # -- corpus I/O --------------------------------------------------------
     def corpus(self, exclude_batch: int | None = None) -> DataFrame | None:
+        # '._tmp' staging dirs are NEVER history: a crash between the
+        # parquet write and the rename in process_batch leaves one
+        # behind, and treating it as accepted corpus would make the
+        # replayed batch dedup against its own staged output — every doc
+        # matches itself at J=1.0 and the whole batch silently drops.
         parts = [
             os.path.join(self.corpus_dir, d)
             for d in os.listdir(self.corpus_dir)
-            if d.startswith("batch=") and d != f"batch={exclude_batch}"
+            if d.startswith("batch=")
+            and not d.endswith("._tmp")
+            and d != f"batch={exclude_batch}"
         ]
         if not parts:
             return None
@@ -113,6 +120,8 @@ class StreamingCorpusDedup:
         admitted = self._dedup_against_corpus(self._dedup_within(batch), batch_id)
         out = os.path.join(self.corpus_dir, f"batch={batch_id}")
         tmp = out + "._tmp"
+        if os.path.exists(tmp):  # stale staging dir from a crashed run
+            shutil.rmtree(tmp)
         admitted.write.mode("overwrite").parquet(tmp)
         if os.path.exists(out):  # replayed batch: idempotent overwrite
             shutil.rmtree(out)

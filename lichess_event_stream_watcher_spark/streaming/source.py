@@ -195,6 +195,12 @@ class HttpNdjsonPoller:
 
     RECONNECT_BACKOFF_S = 7  # src/eventstream.rs:68-69
     PROGRESS_EVERY = 400  # src/eventstream.rs:45-48 ("400 done")
+    # socket timeout on the chunked GET: the reference restarts the
+    # source after 90 s of silence (src/status.rs:35-43); without a
+    # timeout a half-open TCP connection blocks resp.read() forever and
+    # run_forever never reaches its reconnect path — and the query-level
+    # watchdog can't see it (the query keeps making 0-row progress)
+    READ_TIMEOUT_S = 90
 
     def __init__(
         self,
@@ -202,9 +208,21 @@ class HttpNdjsonPoller:
         token: str,
         landing_dir: str,
         backoff_s: float | None = None,
+        read_timeout_s: float | None = None,
     ):
+        import uuid
+
         self.url, self.token, self.landing_dir = url, token, landing_dir
         self.backoff_s = self.RECONNECT_BACKOFF_S if backoff_s is None else backoff_s
+        self.read_timeout_s = (
+            self.READ_TIMEOUT_S if read_timeout_s is None else read_timeout_s
+        )
+        # landing-file names carry a per-poller run id: Spark's file
+        # stream source remembers PROCESSED PATHS in its checkpoint, so
+        # a restarted transport process re-counting from poll-00000001
+        # would overwrite old names and every new file would be silently
+        # ignored as already-seen
+        self.run_id = uuid.uuid4().hex[:12]
         self.connects = 0
         self.files_written = 0
         self.lines_total = 0
@@ -218,11 +236,13 @@ class HttpNdjsonPoller:
         only ever yields complete lines, src/eventstream.rs:45-58)."""
         import urllib.request
 
+        import os as _os
+
         self.connects += 1
         req = urllib.request.Request(
             self.url, headers={"Authorization": f"Bearer {self.token}"}
         )
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, timeout=self.read_timeout_s) as resp:
             buf = b""
             for chunk in iter(lambda: resp.read(8192), b""):
                 buf += chunk
@@ -237,10 +257,18 @@ class HttpNdjsonPoller:
                         self._progress_residue -= self.PROGRESS_EVERY
                         print("400 done")
                     self.files_written += 1
-                    with open(
-                        f"{self.landing_dir}/poll-{self.files_written:08d}.ndjson", "wb"
-                    ) as f:
+                    # atomic publish: write to a dot-prefixed temp name
+                    # (Spark's file listing ignores dot files) and rename
+                    # into place, so a concurrent trigger can never list
+                    # a half-written file, mark it seen, and lose lines
+                    final = (
+                        f"{self.landing_dir}/poll-{self.run_id}-"
+                        f"{self.files_written:08d}.ndjson"
+                    )
+                    tmp = f"{self.landing_dir}/.{_os.path.basename(final)}.tmp"
+                    with open(tmp, "wb") as f:
                         f.write(b"\n".join(lines) + b"\n")
+                    _os.rename(tmp, final)
 
     def run_forever(self, max_connects: int | None = None, sleep=None) -> None:
         """The S2 reconnect loop: poll, then ALWAYS back off 7 s and

@@ -123,11 +123,20 @@ def seen_window_stream(
 def notify_dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """W2/J3 as a stream: emit only the FIRST signup per user id within the
     watermark horizon; duplicates are suppressed by keyed dedup state that
-    the watermark garbage-collects (the 2,000-id deque, time-bounded)."""
+    the watermark garbage-collects (the 2,000-id deque, time-bounded).
+
+    ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: with plain
+    dropDuplicates Spark only evicts dedup state when the event-time
+    column is part of the dedup keys — keyed on user_id alone the state
+    would grow one row per distinct user forever AND suppress a user who
+    signs up again days later, both contrary to the documented
+    time-bounded-deque semantics. The WithinWatermark variant keys state
+    on user_id and expires each entry once the watermark passes its
+    event time (round-7 review fix)."""
     return (
         events.withColumn("user_id", F.lower(F.col("username")))
         .withWatermark("ingest_time", watermark)
-        .dropDuplicates(["user_id"])
+        .dropDuplicatesWithinWatermark(["user_id"])
     )
 
 

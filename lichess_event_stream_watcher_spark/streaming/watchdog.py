@@ -21,19 +21,30 @@ RECONNECT_BACKOFF_S = 7  # src/eventstream.rs:68-69
 
 
 class _ProgressListener(StreamingQueryListener):
+    """Session-wide listener scoped to ONE query: listeners see events
+    from EVERY streaming query in the SparkSession, so progress from an
+    unrelated query (e.g. the corpus-dedup stream next to the engine
+    stream) must not reset the supervised query's silence clock — that
+    would mask a hang forever. Events are filtered by query id."""
+
     def __init__(self, watchdog: "Watchdog"):
         self._watchdog = watchdog
 
+    def _mark(self, query_id) -> None:
+        w = self._watchdog
+        if w.supervised_id is not None and str(query_id) == str(w.supervised_id):
+            w.last_progress = time.monotonic()
+
     def onQueryStarted(self, event) -> None:
-        self._watchdog.last_progress = time.monotonic()
+        self._mark(event.id)
 
     def onQueryProgress(self, event) -> None:
         # any progress (even 0-row batches) counts as liveness, like the
         # reference's heartbeat pings (src/zulip/rtm.rs:158-166)
-        self._watchdog.last_progress = time.monotonic()
+        self._mark(event.progress.id)
 
     def onQueryIdle(self, event) -> None:
-        self._watchdog.last_progress = time.monotonic()
+        self._mark(event.id)
 
     def onQueryTerminated(self, event) -> None:
         pass
@@ -63,12 +74,14 @@ class Watchdog:
         self.backoff_s = backoff_s
         self.last_progress = time.monotonic()
         self.restarts = 0
+        self.supervised_id = None  # set per (re)start; gates the listener
         self._stop = threading.Event()
         self._listener = _ProgressListener(self)
 
     def run(self, max_restarts: int | None = None) -> None:
         self.spark.streams.addListener(self._listener)
         query = self.query_factory()
+        self.supervised_id = query.id
         try:
             while not self._stop.is_set():
                 self._stop.wait(self.period_s)
@@ -84,6 +97,7 @@ class Watchdog:
                     self.restarts += 1
                     self.last_progress = time.monotonic()
                     query = self.query_factory()
+                    self.supervised_id = query.id
         finally:
             self.spark.streams.removeListener(self._listener)
             try:

@@ -115,3 +115,36 @@ def test_long_poll_cursor_dispatch_and_reconnect(zulip_server):
     assert _ZulipHandler.polls[1]["last_event_id"] == "9"
     # heartbeat + messages refreshed liveness
     assert client.last_heartbeat > 0
+
+
+def test_dispatch_error_does_not_tear_down_the_poll_loop(zulip_server):
+    """Round-7 review fix: a command HANDLER raising is not a transport
+    error — it must cost only its own event. The remaining events in the
+    response still dispatch, the cursor advances past the poisoned
+    event, and the client does NOT abandon its queue and re-register
+    (which would drop anything posted before the new registration)."""
+    server, url = zulip_server
+    _ZulipHandler.script = [
+        [  # one poisoned command between two good ones
+            msg_event(5, f"@**{BOT}** status"),
+            msg_event(6, f"@**{BOT}** explode"),
+            msg_event(7, f"@**{BOT}** list rules"),
+        ],
+        [],  # idle
+    ]
+    got: list[str] = []
+
+    def handler(cmd: str) -> None:
+        if cmd == "explode":
+            raise ValueError("boom")
+        got.append(cmd)
+
+    client = ZulipRtmClient(
+        url, "bot@example", "tok", BOT, STREAM, TOPIC, handler, backoff_s=0.01
+    )
+    client.run_forever(max_polls=2)
+    assert got == ["status", "list rules"]  # later events still dispatched
+    assert client.dispatch_errors == 1
+    assert client.registers == 1  # queue NOT abandoned
+    # cursor advanced past the poisoned event too
+    assert _ZulipHandler.polls[1]["last_event_id"] == "7"

@@ -67,3 +67,29 @@ def test_corpus_dedup_streaming_end_to_end(spark, sf_dir, tmp_path):
     corpus = hook.corpus()
     _assert_no_dups(corpus)
     assert corpus.count() > 0
+
+
+def test_crashed_batch_staging_dir_is_not_history(spark, sf_dir, tmp_path):
+    """Round-7 review fix: a crash between the parquet write and the
+    rename leaves corpus_dir/batch=N._tmp behind. On replay, that
+    staging dir must be invisible to corpus() — otherwise the replayed
+    batch dedups against its own staged output, every doc matches itself
+    at J=1.0, and the whole batch silently drops."""
+    docs, batches = _batches(spark, sf_dir)
+    hook = StreamingCorpusDedup(spark, str(tmp_path / "corpus"))
+    hook.process_batch(batches[0], 0)
+    n0 = hook.corpus().count()
+
+    # simulate the crash: batch 1's output staged but never renamed
+    staged = str(tmp_path / "corpus" / "batch=1._tmp")
+    batches[1].limit(5).write.parquet(staged)
+    assert hook.corpus().count() == n0  # staging dir is not history
+    assert hook.corpus(exclude_batch=1).count() == n0
+
+    # the replayed batch processes normally: stale tmp replaced, docs
+    # admitted against batch 0 only
+    hook.process_batch(batches[1], 1)
+    assert not os.path.exists(staged)
+    n01 = hook.corpus().count()
+    assert n01 > n0  # the batch was NOT silently dropped
+    _assert_no_dups(hook.corpus())

@@ -181,3 +181,59 @@ def test_poller_progress_metric(tmp_path, http_stream, capsys):
     poller.run_forever(max_connects=1)
     assert poller.lines_total == 10
     assert capsys.readouterr().out.count("400 done") == 2  # 10 lines / every-4
+
+
+def test_watchdog_ignores_other_queries_progress(spark, tmp_path):
+    """Round-7 review fix: StreamingQueryListener is session-wide, so
+    progress from an UNRELATED query must not reset the supervised
+    query's silence clock — otherwise one busy query masks another's
+    hang forever. Driven through the listener directly with fake
+    events scoped by query id."""
+    import time as _time
+
+    from lichess_event_stream_watcher_spark.streaming.watchdog import (
+        Watchdog,
+        _ProgressListener,
+    )
+
+    wd = Watchdog(spark, query_factory=lambda: None, silence_s=60)
+    wd.supervised_id = "q-supervised"
+    listener = _ProgressListener(wd)
+
+    class _Evt:
+        def __init__(self, qid):
+            self.id = qid
+            self.progress = self
+
+    stale = _time.monotonic() - 1000
+    wd.last_progress = stale
+    listener.onQueryProgress(_Evt("q-other"))
+    assert wd.last_progress == stale  # unrelated query: clock untouched
+    listener.onQueryIdle(_Evt("q-other"))
+    assert wd.last_progress == stale
+    listener.onQueryProgress(_Evt("q-supervised"))
+    assert wd.last_progress > stale  # the supervised query counts
+
+
+def test_poller_filenames_survive_transport_restart(tmp_path, http_stream):
+    """Round-7 review fix: a NEW poller instance (transport-process
+    restart, same landing dir) must never reuse a previous instance's
+    landing-file names — Spark's file source remembers processed paths
+    in its checkpoint, so a reused name is silently skipped (and the
+    overwrite corrupts replay). Also: no visible half-written files —
+    publication is dot-temp + rename."""
+    server, url = http_stream
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    payload = [(wire("u1") + "\n").encode()]
+    _StreamHandler.sessions = [list(payload)]
+    p1 = HttpNdjsonPoller(url, "t", str(landing), backoff_s=0.01)
+    p1.run_forever(max_connects=1)
+    _StreamHandler.sessions = [list(payload)]
+    p2 = HttpNdjsonPoller(url, "t", str(landing), backoff_s=0.01)
+    p2.run_forever(max_connects=1)
+    files = sorted(f.name for f in landing.iterdir())
+    assert len(files) == 2, files  # no overwrite across instances
+    assert len(set(files)) == 2
+    assert all(f.startswith("poll-") and f.endswith(".ndjson") for f in files)
+    assert not any(f.startswith(".") for f in files)  # no leftover temps

@@ -91,6 +91,12 @@ def test_notify_dedup_stream(spark, tmp_path, few_state_partitions):
         "append",
     ).collect()
     assert sorted(r["user_id"] for r in out) == ["dup", "other"]
+    # round-7 review pin: the plan must use dropDuplicatesWITHINWatermark
+    # — plain dropDuplicates keyed on user_id alone never evicts its
+    # state (the watermark predicate for the keys is empty) and
+    # suppresses a user forever instead of within the horizon
+    plan = notify_dedup_stream(events)._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan
 
 
 @pytest.fixture()
