@@ -169,7 +169,20 @@ class Engine:
             self._error_acc = make_error_accumulator(spark.sparkContext)
         key = tuple((r.name, r.criterion.kind, r.criterion.value, r.susp_ip) for r in active)
         if self._matches_cache is None or self._matches_cache[0] != key:
-            self._matches_cache = (key, matches_column(active, error_acc=self._error_acc))
+            # the engine scans ENRICHED frames (enrich() always emits
+            # geoip + device, NULL-structed when no range table is
+            # wired), so CODE predicates get both wired through — without
+            # this, user:country()/device() always returned sentinels in
+            # the engine path while the reference's Lua bindings see the
+            # enriched user (src/lua.rs:21-68)
+            self._matches_cache = (
+                key,
+                matches_column(
+                    active,
+                    cols={"geoip": "geoip", "device": "device"},
+                    error_acc=self._error_acc,
+                ),
+            )
         return self._matches_cache[1]
 
     def _report_predicate_errors(self) -> None:

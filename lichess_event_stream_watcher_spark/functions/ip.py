@@ -19,15 +19,25 @@ from pyspark.sql import functions as F
 
 
 def ip_to_num(ip: Column | str) -> Column:
-    """Dotted-quad IPv4 string -> BIGINT (non-IPv4 -> NULL)."""
+    """Dotted-quad IPv4 string -> BIGINT (non-IPv4 -> NULL).
+
+    Octet-RANGE validated, not just digit-count: without the <= 255
+    check, '0.256.0.0' numifies to the same bigint as '1.0.0.0' and a
+    malformed IP silently aliases to a valid address in range joins and
+    rule predicates (round-7 review fix). Semantics identical to
+    :func:`ip_to_num_py` on every input — the two are differential-
+    tested in tests/test_lua_compat.py."""
     col = F.col(ip) if isinstance(ip, str) else ip
     parts = F.split(col, r"\.")
+    octets = [parts.getItem(i).cast("bigint") for i in range(4)]
     valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    for o in octets:
+        valid = valid & (o <= F.lit(255))
     num = (
-        parts.getItem(0).cast("bigint") * F.lit(16777216)
-        + parts.getItem(1).cast("bigint") * F.lit(65536)
-        + parts.getItem(2).cast("bigint") * F.lit(256)
-        + parts.getItem(3).cast("bigint")
+        octets[0] * F.lit(16777216)
+        + octets[1] * F.lit(65536)
+        + octets[2] * F.lit(256)
+        + octets[3]
     )
     return F.when(valid, num).otherwise(F.lit(None).cast("bigint"))
 
@@ -45,12 +55,22 @@ def _lit_ip(ip: str) -> Column:
     return F.lit(parts[0] * 16777216 + parts[1] * 65536 + parts[2] * 256 + parts[3])
 
 
+_IPV4_RE = None
+
+
 def ip_to_num_py(ip: str) -> int | None:
-    """Driver-side twin of ip_to_num for fixtures and oracle construction."""
-    try:
-        parts = [int(p) for p in ip.split(".")]
-    except (AttributeError, ValueError):
+    """Driver/UDF-side twin of ip_to_num — same regex-then-range gate, so
+    the Lua CODE path (isInIpRange) and the native Column path agree on
+    EVERY input. A bare int() split would accept '+2'/' 3' octets the
+    Column form rejects (round-7 review fix)."""
+    global _IPV4_RE
+    if _IPV4_RE is None:
+        import re
+
+        _IPV4_RE = re.compile(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    if not isinstance(ip, str) or not _IPV4_RE.match(ip):
         return None
-    if len(parts) != 4 or any(p < 0 or p > 255 for p in parts):
+    parts = [int(p) for p in ip.split(".")]
+    if any(p > 255 for p in parts):
         return None
     return parts[0] * 16777216 + parts[1] * 65536 + parts[2] * 256 + parts[3]

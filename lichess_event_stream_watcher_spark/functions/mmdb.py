@@ -100,7 +100,11 @@ class MmdbReader:
                 ptr = ((prefix << 24) | int.from_bytes(raw, "big")) + 526336
             else:
                 ptr = int.from_bytes(raw, "big")
-            value, _ = self._decode(self.data_start + ptr)
+            # resolve against the CALLER'S base, not a hardcoded
+            # data_start: during metadata decode data_start is not even
+            # assigned yet, and a spec-violating metadata pointer would
+            # otherwise crash instead of resolving within its section
+            value, _ = self._decode(base + ptr, base)
             return value, offset
         if type_ == 0:  # extended type in next byte
             type_ = 7 + buf[offset]
@@ -131,7 +135,12 @@ class MmdbReader:
                 out[k] = v
             return out, offset
         if type_ == 8:  # int32
-            return int.from_bytes(buf[offset : offset + size], "big", signed=True), offset + size
+            # the spec stores int32 in 0-4 bytes ZERO-extended: reference
+            # readers right-justify to 4 bytes before the signed unpack,
+            # so a 1-byte 0xFF is 255, not -1 — only a full-width value
+            # with bit 31 set is negative
+            raw32 = buf[offset : offset + size].rjust(4, b"\x00")
+            return struct.unpack(">i", raw32)[0], offset + size
         if type_ == 11:  # array
             out = []
             for _ in range(size):

@@ -144,9 +144,33 @@ def compile_predicate(code: str):
     src/lua.rs:72-107: ``user`` plus the two helper functions, nothing else
     (no imports, no builtins beyond the safe arithmetic/logic set).
     """
+    import ast
+
     from .lua_translate import lua_to_python
 
-    compiled = compile(lua_to_python(code), "<rule-predicate>", "eval")
+    src = lua_to_python(code)
+    # Sandbox hardening: the helper FUNCTIONS in the env expose their
+    # module __globals__ (with real builtins) through ordinary attribute
+    # access — `regex.__globals__['__builtins__']['__import__']` is
+    # arbitrary code execution on every executor. The reference's Lua
+    # sandbox has no such reflective path (src/lua.rs:72-107), so reject
+    # ALL dunder names/attributes at compile time: no legitimate rule
+    # surface uses them, and this closes __globals__/__class__/
+    # __subclasses__-style escapes categorically.
+    for node in ast.walk(ast.parse(src, mode="eval")):
+        bad = (
+            node.attr
+            if isinstance(node, ast.Attribute) and "__" in node.attr
+            else node.id
+            if isinstance(node, ast.Name) and "__" in node.id
+            else None
+        )
+        if bad is not None:
+            raise ValueError(
+                f"dunder access {bad!r} is outside the rule-predicate "
+                "surface (sandbox escape vector)"
+            )
+    compiled = compile(src, "<rule-predicate>", "eval")
     env_globals = {
         "__builtins__": _SAFE_BUILTINS,
         "regex": regex,

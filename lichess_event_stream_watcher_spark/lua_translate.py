@@ -22,11 +22,18 @@ tokenizer + token-level rewrite covering the reference's actual rule surface
 - ``regex(...)`` / ``isInIpRange(...)`` are provided by the runtime env
 
 The rewrite is IDEMPOTENT on expressions already in Python surface syntax
-(none of the rewritten tokens are produced by the Python surface), so the
-predicate compiler can run it unconditionally: reference-exported Lua and
-native Python expressions both work, byte-identical semantics for the
-translated subset. An optional ``function(user) return ... end`` wrapper is
+— with two documented precedence caveats, because the translator always
+applies LUA semantics (reference-exported rules are the primary
+contract): (1) ``not`` is parenthesized with Lua's tight unary binding,
+so a native-Python ``not x == y`` becomes ``(not x) == y`` — a Python
+predicate relying on Python's loose ``not`` must write its own parens;
+(2) ``a[x:y(...)]`` where ``x`` is a NAME is read as a Lua method call
+(Lua cannot produce that token sequence any other way) — Python slices
+with a name lower bound and a call upper bound must parenthesize the
+bound. Slices after a NUMBER bound (``x[0:len(x)]``) pass through
+untouched. An optional ``function(user) return ... end`` wrapper is
 stripped first, so a fully-wrapped reference chunk is accepted too.
+Python set/dict literals (``{...}``) tokenize and pass through.
 
 Deliberately out of scope (raise at compile, not silently mis-evaluate):
 Lua statements (``if``/``local``), the ``string.*`` / ``table.*`` stdlib,
@@ -47,7 +54,7 @@ _TOKEN = re.compile(
       (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
     | (?P<number>\d+\.\d+|\d+)
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>~=|!=|==|<=|>=|\.\.|[-+*/%<>=(),:\#\.\[\]])
+    | (?P<op>~=|!=|==|<=|>=|\.\.|[-+*/%<>=(),:\#\.\[\]{}])
     | (?P<ws>\s+)
     """,
     re.VERBOSE,
@@ -106,6 +113,16 @@ def _primary_span(toks: list[tuple[str, str]], i: int) -> int:
     return i
 
 
+def _unary_operand_span(toks: list[tuple[str, str]], i: int) -> int:
+    """End index (exclusive) of a unary operator's operand: nested unary
+    operators (``not``/``#``) bind to the primary expression after them."""
+    if i < len(toks) and toks[i] == ("name", "not"):
+        return _unary_operand_span(toks, i + 1)
+    if i < len(toks) and toks[i][1] == "#":
+        return _unary_operand_span(toks, i + 1)
+    return _primary_span(toks, i)
+
+
 def lua_to_python(code: str) -> str:
     """Translate a reference-surface Lua expression (optionally wrapped in
     ``function(user) return ... end``) to the equivalent Python expression."""
@@ -126,11 +143,34 @@ def lua_to_python(code: str) -> str:
         while i < len(toks):
             kind, val = toks[i]
             if val == "#":
-                end = _primary_span(toks, i + 1)
+                end = _unary_operand_span(toks, i + 1)
                 out += ["len", "("] + emit(toks[i + 1 : end]) + [")"]
                 i = end
                 continue
-            if val == ":" and i + 1 < len(toks) and toks[i + 1][0] == "name":
+            if kind == "name" and val == "not":
+                # Lua precedence: unary `not` binds TIGHTER than
+                # comparison (`not x == y` means `(not x) == y`), while
+                # Python's binds looser — parenthesize the operand so
+                # reference-exported rules keep their Lua meaning. A
+                # native-Python predicate relying on Python's weak `not`
+                # must write the parens itself (documented above).
+                end = _unary_operand_span(toks, i + 1)
+                out += ["(", "not"] + emit(toks[i + 1 : end]) + [")"]
+                i = end
+                continue
+            if (
+                val == ":"
+                and i + 1 < len(toks)
+                and toks[i + 1][0] == "name"
+                and i + 2 < len(toks)
+                and toks[i + 2][1] == "("
+                and i > 0
+                and (toks[i - 1][0] == "name" or toks[i - 1][1] in (")", "]"))
+            ):
+                # Lua method-call sugar `prefixexp:name(...)` only — a
+                # ':' after a number literal is a Python slice bound
+                # (`x[0:len(x)]`), which Lua syntax cannot produce, and
+                # must pass through untouched
                 out.append(".")
             elif val == "~=":
                 out.append("!=")

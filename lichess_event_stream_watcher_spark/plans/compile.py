@@ -105,7 +105,15 @@ def matches_column(
     for r in active:
         payload = [F.lit(r.name).alias("rule_name")]
         if with_actions:
-            payload.append(F.array(*[F.lit(a.value) for a in r.actions]).alias("actions"))
+            # a rule with no actions needs an explicitly TYPED empty
+            # array: bare F.array() is ARRAY<NULL>, which fails struct
+            # unification against other rules' ARRAY<STRING> at analysis
+            acts = (
+                F.array(*[F.lit(a.value) for a in r.actions])
+                if r.actions
+                else F.array().cast("array<string>")
+            )
+            payload.append(acts.alias("actions"))
         structs.append(F.when(rule_predicate(r, cols, error_acc), F.struct(*payload)))
     return F.filter(F.array(*structs), lambda x: x.isNotNull())
 

@@ -173,7 +173,9 @@ def crit_code_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # §2.10 TTL — the expiry sweep's 0/1/2 latch state machine as distributed
 # batch logic over a pinned scenario table (src/eventhandler.rs:428-487).
-_SWEEP_TS = fixtures.SWEEP_NOW.strftime("%Y-%m-%d %H:%M:%S")
+# Microsecond-precise to match expiry_sweep_classify's F.lit(now) exactly
+# (a whole-second truncation here would diverge on sub-second offsets).
+_SWEEP_TS = fixtures.SWEEP_NOW.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
 @query(

@@ -27,11 +27,20 @@ _CTE = testdata.signups_cte("duckdb")
     f"""{_CTE}
 SELECT s.event_id, ranges.country, ranges.city
 FROM (
+  -- exact twin of functions/ip.py ip_to_num: dotted-quad regex + octet
+  -- <= 255 gate, NULL otherwise (a malformed IP must not alias to a
+  -- valid address on either engine)
   SELECT event_id,
-         CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
-       + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
-       + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
-       + CAST(split_part(ip, '.', 4) AS BIGINT) AS ipn
+         CASE WHEN regexp_matches(ip, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+               AND TRY_CAST(split_part(ip, '.', 1) AS BIGINT) <= 255
+               AND TRY_CAST(split_part(ip, '.', 2) AS BIGINT) <= 255
+               AND TRY_CAST(split_part(ip, '.', 3) AS BIGINT) <= 255
+               AND TRY_CAST(split_part(ip, '.', 4) AS BIGINT) <= 255
+         THEN TRY_CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+            + TRY_CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+            + TRY_CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+            + TRY_CAST(split_part(ip, '.', 4) AS BIGINT)
+         END AS ipn
   FROM signups
 ) s
 LEFT JOIN {fixtures.geoip_ranges_values_sql()}

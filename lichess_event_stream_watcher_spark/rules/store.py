@@ -234,7 +234,11 @@ def expiry_sweep_classify(rules_df, now: dt.datetime):
     """
     from pyspark.sql import functions as F
 
-    ts = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+    # F.lit(now), not a strftime string: the string form truncated to
+    # whole seconds, so a sweep at 12:00:00.700 against an expiry of
+    # 12:00:00.300 diverged from the driver sweep's exact comparison
+    # (round-7 review fix); the datetime literal keeps microseconds
+    ts = F.lit(now)
     exp = F.col("expiry")
     latch = F.col("exp_notification")
     # seconds-based intervals stay faithful to the timedelta constants even

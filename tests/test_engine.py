@@ -272,3 +272,69 @@ def test_code_predicate_error_reported_not_fatal(spark, tmp_path):
     eng.process_batch(df)
     errs2 = [m for m in sink.channel("notify") if m.startswith("Error evaluating rule boom:")]
     assert len(errs2) == 2
+
+
+def test_code_rule_sees_enriched_geoip_and_device(spark, tmp_path):
+    """Round-7 review fix: the engine scans ENRICHED frames, so a CODE
+    predicate must see user:country()/device() like the reference's Lua
+    bindings (src/lua.rs:21-68) — previously the engine never wired the
+    geoip/device columns through and every geo accessor returned its
+    sentinel."""
+    from lichess_event_stream_watcher_spark import fixtures
+
+    store = SignupRulesManager(str(tmp_path / "rules.json"))
+    store.add_rule(
+        Rule(
+            "geo",
+            Criterion(CriterionKind.CODE, 'user:country() ~= "<NO COUNTRY>"'),
+            [Action.NOTIFY_ZULIP],
+        )
+    )
+    store.add_rule(
+        Rule(
+            "dev",
+            Criterion(CriterionKind.CODE, 'user:device() ~= "<NO DEVICE>"'),
+            [Action.NOTIFY_ZULIP],
+        )
+    )
+    sink, api = CollectingSink(), CollectingSink()
+    eng = Engine(
+        store,
+        messages=sink,
+        mod_api=api,
+        geoip_ranges=fixtures.geoip_ranges_df(spark),
+        rng=random.Random(7),
+        now_fn=lambda: NOW,
+    )
+    # an IP inside the fixture's range table + a desktop UA (device
+    # fast-path yields 'Computer'), so both CODE rules must fire
+    covered_ip = "10.0.0.5"
+    batch = spark.createDataFrame(
+        [u("GeoUser", ip=covered_ip, ua="Mozilla/5.0")], USER_SCHEMA_DDL
+    )
+    eng.process_batch(batch)
+    counts = {r.name: r.match_count for r in store.rules}
+    assert counts["geo"] == 1, counts
+    assert counts["dev"] == 1, counts
+
+
+def test_rule_with_no_actions_coexists_in_action_scan(spark):
+    """Round-7 review fix: a rule with an EMPTY actions list needs a
+    typed empty array — bare F.array() is ARRAY<NULL> and failed struct
+    unification against other rules' ARRAY<STRING> at analysis; its
+    matches dispatch nothing while other rules' actions still explode."""
+    from lichess_event_stream_watcher_spark.plans.compile import compile_matches
+
+    no_act = Rule("bare", Criterion(CriterionKind.EMAIL_CONTAINS, "A@"), [])
+    normal = Rule(
+        "spam", Criterion(CriterionKind.EMAIL_CONTAINS, "A@"), [Action.NOTIFY_ZULIP]
+    )
+    df = spark.createDataFrame([u("X")], USER_SCHEMA_DDL)
+    out = compile_matches(df, [no_act, normal], with_actions=True).select(
+        "rule_name", "action"
+    )
+    rows = {(r.rule_name, r.action) for r in out.collect()}
+    assert rows == {("spam", "NotifyZulip")}  # bare matched, dispatched nothing
+    # and without actions the bare rule's match is still visible
+    out2 = compile_matches(df, [no_act, normal]).select("rule_name")
+    assert {r.rule_name for r in out2.collect()} == {"bare", "spam"}

@@ -256,3 +256,62 @@ def test_translator_idempotent_on_python_surface():
         assert translated == raw
 
     check()
+
+
+def test_sandbox_rejects_dunder_escape_vectors():
+    """Round-7 review fix: the helper functions in the eval env expose
+    their module __globals__ (real builtins) through attribute access —
+    every dunder name/attribute is rejected at COMPILE time, closing
+    __globals__/__class__/__subclasses__-style escapes categorically."""
+    import pytest
+
+    for code in (
+        "regex.__globals__['__builtins__']['__import__']('os').getpid() > 0",
+        'user.__class__.__mro__[1] != None',
+        "__import__('os')",
+    ):
+        with pytest.raises(ValueError, match="dunder"):
+            compile_predicate(code)
+    # the legitimate surface still compiles
+    assert compile_predicate('regex(user.email(), "@x") or True')({"email": "a@x"})
+
+
+def test_lua_not_binds_tighter_than_comparison():
+    """Lua precedence: `not x == y` is `(not x) == y` (always False for a
+    truthy x and string y) — NOT Python's `not (x == y)` (round-7 review
+    fix). Bare `not` before a call chain is unchanged."""
+    f = compile_predicate('not user:name() == "x"')
+    assert f({"username": "x"}) is False  # Lua: (not "x") == "x" -> False
+    assert f({"username": "y"}) is False  # Python reading would say True
+    g = compile_predicate("not user:susp_ip()")
+    assert g({"susp_ip": False}) is True and g({"susp_ip": True}) is False
+
+
+def test_python_slices_and_set_literals_pass_through():
+    """Round-7 review fix: a ':' after a NUMBER bound is a Python slice,
+    not Lua method sugar; '{...}' set literals tokenize."""
+    f = compile_predicate("user.name()[0:len(user.name())] == user.name()")
+    assert f({"username": "alice"}) is True
+    g = compile_predicate('user.email() in {"a@b.c", "z@q.r"}')
+    assert g({"email": "a@b.c"}) is True and g({"email": "nope"}) is False
+
+
+def test_ip_twins_agree_on_malformed_inputs(spark):
+    """functions/ip.py: the Catalyst ip_to_num and the python twin must
+    agree on EVERY input — octet > 255, '+'/whitespace octets, wrong
+    part counts (round-7 review fix: '0.256.0.0' used to alias to
+    1.0.0.0 on the Column side while the twin said None)."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.functions.ip import ip_to_num, ip_to_num_py
+
+    ips = [
+        "1.2.3.4", "0.0.0.0", "255.255.255.255", "0.256.0.0", "256.1.1.1",
+        "1.+2.3.4", " 1.2.3.4", "1.2.3.4 ", "1.2.3", "1.2.3.4.5",
+        "01.002.3.4", "999.999.999.999", "a.b.c.d", "", "1..2.3",
+    ]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    got = {r.ip: r.n for r in df.select("ip", ip_to_num(F.col("ip")).alias("n")).collect()}
+    for ip in ips:
+        assert got[ip] == ip_to_num_py(ip), (ip, got[ip], ip_to_num_py(ip))
+    assert ip_to_num_py(None) is None

@@ -186,3 +186,36 @@ def test_point_lookup_udf_matches_range_join(spark, mmdb_path):
     via_udf = {r["username"]: r["geoip"] for r in enrich_geoip_mmdb(events, blob).collect()}
     assert via_udf == via_join
     assert via_udf["C"] is None and via_udf["D"] is None
+
+
+def test_int32_zero_extends_truncated_encodings():
+    """Spec: int32 is stored in 0-4 bytes ZERO-extended — reference
+    readers right-justify to 4 bytes before the signed unpack, so a
+    1-byte 0xFF decodes to 255, not -1; only a full-width value with
+    bit 31 set is negative (round-7 review fix)."""
+    r = MmdbReader.__new__(MmdbReader)
+    r.data_start = 0
+    # tagged int32: ctrl 0x01 (extended, size=1), ext byte 0x01 (7+1=8)
+    r.buf = b"\x01\x01\xff"
+    assert r._decode(0, base=0) == (255, 3)
+    r.buf = b"\x02\x01\xff\xff"  # size=2
+    assert r._decode(0, base=0) == (65535, 4)
+    r.buf = b"\x04\x01\xff\xff\xff\xff"  # full 4 bytes, bit 31 set
+    assert r._decode(0, base=0) == (-1, 6)
+    r.buf = b"\x00\x01"  # size=0 -> value 0
+    assert r._decode(0, base=0) == (0, 2)
+
+
+def test_pointer_resolves_against_caller_base():
+    """Pointers resolve relative to the CALLER'S base, not a hardcoded
+    data_start (which is not even assigned yet during metadata decode) —
+    round-7 review fix."""
+    r = MmdbReader.__new__(MmdbReader)
+    # buffer: [0]= pointer (psize=0, prefix=0, raw=0x02) -> base+2,
+    #         [2]= uint16 value 7 (ctrl 0xA1 = type 5, size 1)
+    r.buf = b"\x20\x02\xa1\x07"
+    # no data_start attribute set: must still work with explicit base
+    assert r._decode(0, base=0) == (7, 2)
+    # shifted base: same encoded pointer lands on the shifted target
+    r.buf = b"\x00" + b"\x20\x02" + b"\x00" + b"\xa1\x07"
+    assert r._decode(1, base=2) == (7, 3)

@@ -232,3 +232,37 @@ def test_find_rule_duplicate_names_serve_first_match(tmp_path):
     idx_before = mgr._by_name
     mgr.find_rule("dup")
     assert mgr._by_name is idx_before  # no per-call rebuild
+
+
+def test_expiry_sweep_classify_subsecond_precision(tmp_path, spark):
+    """Round-7 review fix: the classifier's `now` literal used to be a
+    strftime string truncated to whole seconds, so a sweep 700 ms past a
+    300 ms-ago expiry disagreed with the driver sweep. F.lit(now) keeps
+    microseconds — the two must agree at sub-second offsets too."""
+    import datetime as dt
+
+    from lichess_event_stream_watcher_spark.rules.model import (
+        Action,
+        Criterion,
+        CriterionKind,
+        Rule,
+    )
+    from lichess_event_stream_watcher_spark.rules.store import expiry_sweep_classify
+
+    now = dt.datetime(2026, 8, 13, 12, 0, 0, 700000)
+    mgr = SignupRulesManager(str(tmp_path / "rules.json"))
+    r = Rule(
+        "subsec",
+        Criterion(CriterionKind.USERNAME_CONTAINS, "x"),
+        [Action.NOTIFY_ZULIP],
+        expiry=now - dt.timedelta(milliseconds=400),  # expired 400 ms ago
+    )
+    r.exp_notification = 1  # past the warn latch -> "expired" branch
+    mgr.add_rule(r)
+    driver = sorted((kind, ru.name) for kind, ru in mgr.expiry_sweep(now=now))
+    df = spark.createDataFrame(
+        [("subsec", now - dt.timedelta(milliseconds=400), 1)],
+        "name string, expiry timestamp, exp_notification int",
+    )
+    dist = sorted((row.kind, row.name) for row in expiry_sweep_classify(df, now).collect())
+    assert dist == driver == [("expired", "subsec")]
