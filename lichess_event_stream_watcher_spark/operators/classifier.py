@@ -118,6 +118,14 @@ def lr_fit_quantized(
                 .first()
             )
             n = int(row["_n"])
+            if n == 0:
+                # zero training rows: the gradient sums are NULL and the
+                # step divides by zero — fail with the real cause, not a
+                # TypeError deep in the iteration loop
+                raise ValueError(
+                    "lr_fit_quantized: feature frame has no rows — "
+                    "nothing to train on"
+                )
             weights = [
                 w + math.floor(int(row[f"_g{j}"]) / (n * FEAT_Q * LR_DEN))
                 for j, w in enumerate(weights)

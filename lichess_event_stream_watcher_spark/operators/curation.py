@@ -77,8 +77,11 @@ def pack_sequences(
     )
     w = Window.partitionBy("shard").orderBy("id")
     start = (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off")
+    # bin stays BIGINT (floor's native type): a 100 TB shard holds ~1e12
+    # tokens, so bin indices exceed 2^31 — an int cast would wrap late
+    # bins negative and silently merge them with early ones
     packed = base.select(
-        "shard", "id", "n_tok", (F.floor(start / budget)).cast("int").alias("bin")
+        "shard", "id", "n_tok", F.floor(start / budget).alias("bin")
     )
     return packed.groupBy("shard", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
@@ -109,7 +112,11 @@ def source_quota(
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(source_col).alias("source"),
-        _md5_of_id("id").alias("_hx"),
+        # hash the ORIGINAL id column, not the lateral alias 'id': on a
+        # frame that happens to carry an unrelated 'id' column, Spark
+        # binds the string 'id' to that real column and the quota draws
+        # by the wrong key
+        _md5_of_id(id_col).alias("_hx"),
     )
     return (
         grouped_topk_threshold(base, "source", ["_hx", "id"], per_source)
@@ -218,9 +225,14 @@ def temperature_mix_sample(
     cluster sizes, and a late-arriving doc gets the same verdict forever.
     Output: kept rows (id, source, rate_q)."""
     rates = temperature_mix_rates(df, source_col=source_col, quant=quant)
+    # NULL-SAFE join on the source key: the rates table computes a rate
+    # for the NULL-source group (groupBy keeps it), so an equi-join that
+    # silently discarded every NULL-source doc regardless of its draw
+    # contradicted the keep contract (round-7 review fix)
+    r = rates.select(F.col("source").alias("_rsrc"), "rate_q")
     return (
         df.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
-        .join(F.broadcast(rates.select("source", "rate_q")), "source")
+        .join(F.broadcast(r), F.col("source").eqNullSafe(F.col("_rsrc")))
         .withColumn("_draw", _mix_draw("id", seed, quant))
         .filter(F.col("_draw") < F.col("rate_q"))
         .select("id", "source", "rate_q")
@@ -251,13 +263,17 @@ def temperature_mix_filter(
     rq = "_mix_rate_q"
     while rq in df.columns:
         rq += "_"
+    rsrc = "_mix_src"
+    while rsrc in df.columns:
+        rsrc += "_"
     r = rates.select(
-        F.col("source").alias(source_col), F.col("rate_q").alias(rq)
+        F.col("source").alias(rsrc), F.col("rate_q").alias(rq)
     )
+    # null-safe on the source key — see temperature_mix_sample
     return (
-        df.join(F.broadcast(r), source_col)
+        df.join(F.broadcast(r), F.col(source_col).eqNullSafe(F.col(rsrc)))
         .filter(_mix_draw(id_col, seed, quant) < F.col(rq))
-        .select(*df.columns)  # the join hoists its key to the front
+        .select(*df.columns)
     )
 
 
@@ -370,13 +386,18 @@ def dsir_importance(
 
     ``mode``:
     - ``"linear_q"`` (hash-checkable): per-bucket weight ratio_q(b) =
-      floor(quant * ((ct_b+1)*(N_r+B)) / ((cr_b+1)*(N_t+B))), and the doc
-      score is the INTEGER sum of c_b * (ratio_q(b) - quant) — positive
-      when the doc's buckets are target-enriched. One exact integer
-      division per bucket (both products stay in BIGINT; document-domain
-      bound: (max_count+1)*(N+B) must stay under 2^63, the same contract
-      style as value_outliers_3sigma), then order-independent integer
-      sums — bit-identical across engines.
+      floor(quant * (num/den)) with num = (ct_b+1)*(N_r+B) and den =
+      (cr_b+1)*(N_t+B), where num/den is ONE double division (quant *
+      num as a bigint product would overflow 2^63 at corpus scale, so
+      the quotient route is deliberate). Cross-engine stability comes
+      from the oracle evaluating the IDENTICAL double expression in the
+      identical order — not from integer exactness; the products must
+      stay under 2^53 (the double mantissa) for the floor to be exact,
+      and a quotient landing within one ulp of an integer can floor one
+      below the infinite-precision value ON BOTH engines equally. The
+      doc score is then an order-independent INTEGER sum of
+      c_b * (ratio_q(b) - quant) — positive when the doc's buckets are
+      target-enriched.
     - ``"log"`` (the paper's form): score = sum c_b * (ln p_t(b) - ln
       p_r(b)). Natural log is not bit-reproducible across engines, so
       this form is rows-only for the driver and pinned against a python
@@ -411,6 +432,24 @@ def dsir_importance(
     tgt = counts.filter("is_target").groupBy("b").agg(F.sum("c").alias("ct"))
     totals = raw.agg(F.sum("cr").cast("bigint").alias("n_r")).crossJoin(
         tgt.agg(F.sum("ct").cast("bigint").alias("n_t"))
+    )
+    # fail LOUDLY when either distribution is empty: sum() over zero rows
+    # is NULL, which would otherwise propagate through every ratio and
+    # return a full-size, silently useless all-NULL score column (e.g. a
+    # target_col predicate that matches nothing)
+    def _nonempty(col: str, what: str):
+        return F.when(F.col(col) > 0, F.col(col)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"dsir_importance: {what} is empty — importance "
+                    "weights are undefined"
+                )
+            )
+        )
+
+    totals = totals.select(
+        _nonempty("n_r", "the corpus token stream").alias("n_r"),
+        _nonempty("n_t", "the target distribution (no target_col rows)").alias("n_t"),
     )
     w = (
         raw.join(tgt, "b", "left")

@@ -61,29 +61,10 @@ def device_info_column(ua: Column) -> Column:
     capture group 0 (the WHOLE match — src/event.rs:119,134), which looks
     unintended; we use capture group 1 (the version), the evident intent.
     """
-    # (a) lichess-bot: client = "lichess-bot <first space-token after prefix>"
-    bot_ver = F.split(F.substring(ua, len(BOT_PREFIX) + 1, 2147483647), " ").getItem(0)
-    bot = _device_struct(F.lit("Computer"), F.lit("Other"), F.concat(F.lit("lichess-bot "), bot_ver))
-
-    # (b) full mobile UA: os = "<name> <ver>", device = dev capture
-    mob = _device_struct(
-        F.regexp_extract(ua, MOB_UA_RE, 6),
-        F.concat(F.regexp_extract(ua, MOB_UA_RE, 4), F.lit(" "), F.regexp_extract(ua, MOB_UA_RE, 5)),
-        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_RE, 1)),
-    )
-
-    # (c) trimmed mobile UA
-    trim = _device_struct(
-        F.regexp_extract(ua, MOB_UA_TRIM_RE, 4),
-        F.concat(
-            F.regexp_extract(ua, MOB_UA_TRIM_RE, 2),
-            F.lit(" "),
-            F.regexp_extract(ua, MOB_UA_TRIM_RE, 3),
-        ),
-        F.concat(F.lit("Lichess Mobile "), F.regexp_extract(ua, MOB_UA_TRIM_RE, 1)),
-    )
-
-    # (d) generic fallback: family + " " + major, device Other->Computer
+    # (d) generic fallback: family + " " + major, device Other->Computer;
+    # the (a)-(c) precedence chain is the shared _fast_paths_then (ONE
+    # source of truth for the reference-mirroring order — round-7 review
+    # fix: this function used to carry its own verbatim copy)
     client = F.lit("Other")
     for fam, pat in reversed(_BROWSERS):
         client = F.when(ua.rlike(pat), F.concat(F.lit(fam + " "), F.regexp_extract(ua, pat, 1))).otherwise(client)
@@ -94,13 +75,7 @@ def device_info_column(ua: Column) -> Column:
         os_col = F.when(ua.rlike(pat), val).otherwise(os_col)
     generic = _device_struct(F.lit("Computer"), os_col, client)
 
-    return (
-        F.when(ua.isNull(), F.lit(None).cast("struct<device:string,os:string,client:string>"))
-        .when(ua.startswith(BOT_PREFIX), bot)
-        .when(ua.rlike(MOB_UA_RE), mob)
-        .when(ua.rlike(MOB_UA_TRIM_RE), trim)
-        .otherwise(generic)
-    )
+    return _fast_paths_then(ua, generic)
 
 
 def enrich_device(df: DataFrame, ua_col: str = "user_agent", use_ua_parser: str = "auto") -> DataFrame:

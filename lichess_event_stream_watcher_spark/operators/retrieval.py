@@ -68,18 +68,30 @@ def bm25_topk(
     spark = docs.sparkSession
     qdf = spark.createDataFrame(qterms, "query_id bigint, term string")
 
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
-    ).filter(F.col("term").isin(all_terms))
-    postings = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = docs.select(
-        F.col(id_col),
-        F.size(tokens(normalize_text(F.col(text_col)))).cast("bigint").alias("dl"),
+    # Tokenize the corpus behind ONE spread() exchange: AQE's runtime
+    # stage reuse dedupes the identical exchange subtrees, so the
+    # postings branch and the doc-length branch share one tokenize pass
+    # (the stats branch keeps its own column-pruned pass — its
+    # below-exchange project drops doc_id, so the subtree canonicalizes
+    # differently). Net: the regex-heavy normalize+tokenize runs twice,
+    # not three times (round-7 review fix; the one-scan discipline of
+    # token_budget_prefix_sample), and the stats pass ships only the
+    # token array. Pinned in tests (test_bm25_tokenizes_corpus_once).
+    from .util import spread
+
+    base = spread(
+        docs.select(
+            F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_tk")
+        )
     )
-    stats = docs.select(
-        F.count("*").cast("bigint").alias("n_docs")
-    ).crossJoin(
-        dl.select(F.sum("dl").cast("bigint").alias("sum_dl"))
+    tok = base.select(F.col(id_col), F.explode("_tk").alias("term")).filter(
+        F.col("term").isin(all_terms)
+    )
+    postings = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = base.select(F.col(id_col), F.size("_tk").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
     )
     df_t = postings.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
 
@@ -152,6 +164,8 @@ def rrf_fuse(
     threshold-pruned primitive so the shape stays safe even when callers
     fuse unbounded candidate lists.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be a non-empty list")
     contribs = None
     for r in rankings:
         part = r.select(

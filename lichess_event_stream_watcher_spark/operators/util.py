@@ -73,7 +73,8 @@ def salted_join(
     how: str = "inner",
     salt: int = 16,
 ) -> DataFrame:
-    """Skew-safe equi-join: semantics-identical to ``big.join(small, key)``.
+    """Skew-safe equi-join: semantics-identical to ``big.join(small, key)``
+    for big-side-preserving joins (inner / left / left_semi / left_anti).
 
     A hot key concentrates its rows in one shuffle partition; salting
     spreads them over ``salt`` sub-keys (round-robin on the big side via
@@ -81,7 +82,18 @@ def salted_join(
     of the hot key to the same salt again), while the small side replicates
     each key x salt. Use when AQE's runtime skew-join split isn't available
     (e.g. the join feeds a co-partitioned downstream op).
+
+    SMALL-side-preserving joins are rejected: the small side's rows are
+    replicated ``salt``-fold, so right/full outer would emit up to
+    ``salt`` null-padded rows per unmatched small key (and extra rows for
+    matched keys whose big rows don't cover every salt) — NOT the plain
+    join's semantics.
     """
+    if how.replace("_", "").lower() in ("right", "rightouter", "full", "fullouter", "outer"):
+        raise ValueError(
+            f"salted_join: how={how!r} preserves the (salt-replicated) "
+            "small side and is not semantics-identical to a plain join"
+        )
     big_s = big.withColumn("_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

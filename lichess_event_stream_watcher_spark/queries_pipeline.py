@@ -639,7 +639,7 @@ c AS (
          SUM(n_tok) OVER (PARTITION BY shard ORDER BY id) - n_tok AS start_off
   FROM base
 )
-SELECT shard, CAST(FLOOR(start_off / 512) AS INT) AS bin,
+SELECT shard, CAST(FLOOR(start_off / 512) AS BIGINT) AS bin,
        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
 FROM c GROUP BY shard, bin""",
 )
@@ -1751,7 +1751,7 @@ rates AS (
   FROM counts CROSS JOIN cmin
 )
 SELECT d.doc_id AS id, d.lang AS source, r.rate_q
-FROM documents d JOIN rates r ON r.source = d.lang
+FROM documents d JOIN rates r ON r.source IS NOT DISTINCT FROM d.lang
 WHERE CAST(('0x' || substring(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       % 1000000 < r.rate_q"""
 
@@ -2455,7 +2455,7 @@ rates AS (
   FROM cnts CROSS JOIN cmin
 ),
 sampled AS (
-  SELECT g.doc_id FROM gated g JOIN rates r ON r.source = g.lang
+  SELECT g.doc_id FROM gated g JOIN rates r ON r.source IS NOT DISTINCT FROM g.lang
   WHERE CAST(('0x' || substring(md5('temp|' || CAST(g.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         % 1000000 < r.rate_q
 ),

@@ -9,6 +9,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from lichess_event_stream_watcher_spark import testdata
+from lichess_event_stream_watcher_spark.operators import curation as C
 from lichess_event_stream_watcher_spark.operators import dedup as D
 from lichess_event_stream_watcher_spark.operators import multimodal as M
 from lichess_event_stream_watcher_spark.operators import similarity as S
@@ -3318,3 +3319,111 @@ def test_lsh_bucket_histogram_accounts_for_every_signature(spark, sf_dir):
         for r in D.dedup_cost_census(docs, k=16, bands=4).collect()
     }
     assert pair_volume == census["lsh_16x4"]
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operator-review regression pins
+# ---------------------------------------------------------------------------
+def test_pack_sequences_bin_is_bigint(spark, sf_dir):
+    """The bin index must stay BIGINT: a 100 TB shard holds ~1e12 tokens,
+    so bins exceed 2^31 and an int cast would wrap late bins negative,
+    silently merging them with early ones."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    out = C.pack_sequences(docs, budget=512, shard_hex_chars=1)
+    assert dict(out.dtypes)["bin"] == "bigint"
+
+
+def test_temperature_mix_keeps_null_source_group(spark):
+    """The rates table computes a rate for the NULL-source group, so the
+    keep draw must apply to NULL-source docs too — the old equi-join
+    silently discarded every one of them."""
+    rows = [(i, "web" if i % 2 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept_f = C.temperature_mix_filter(df, source_col="source")
+    kept_s = C.temperature_mix_sample(df, source_col="source")
+    # both groups have 20 docs -> rate_q = quant (min group) -> ALL kept
+    assert kept_f.count() == 40
+    assert kept_s.count() == 40
+    assert kept_f.filter(F.col("source").isNull()).count() == 20
+    # and the two forms still agree doc-for-doc
+    a = {r.doc_id for r in kept_f.select("doc_id").collect()}
+    b = {r.id for r in kept_s.select("id").collect()}
+    assert a == b
+
+
+def test_dsir_raises_on_empty_target(spark):
+    """A target_col predicate matching nothing must fail loudly, not
+    return a full-size all-NULL score column."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "the cat", False), (2, "a dog", False)],
+        "doc_id long, text string, is_tgt boolean",
+    )
+    with _pytest.raises(Exception, match="target"):
+        C.dsir_importance(df, target_col="is_tgt").collect()
+
+
+def test_rrf_fuse_and_lr_fit_reject_empty_inputs(spark):
+    import pytest as _pytest
+
+    from lichess_event_stream_watcher_spark.operators.classifier import (
+        lr_fit_quantized,
+    )
+    from lichess_event_stream_watcher_spark.operators.retrieval import rrf_fuse
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    empty = spark.createDataFrame(
+        [], "y int, x0 bigint, x1 bigint, x2 bigint, x3 bigint"
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        lr_fit_quantized(empty, iters=1)
+
+
+def test_salted_join_rejects_small_side_preserving_hows(spark):
+    import pytest as _pytest
+
+    from lichess_event_stream_watcher_spark.operators.util import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    for how in ("right", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="not semantics-identical"):
+            salted_join(big, small, "k", how=how)
+    # the big-side-preserving forms still work and match the plain join
+    got = {tuple(r) for r in salted_join(big, small, "k").collect()}
+    want = {tuple(r) for r in big.join(small, "k").collect()}
+    assert got == want
+
+
+def test_source_quota_binds_id_col_not_lateral_alias(spark):
+    """On a frame that carries an unrelated 'id' column, the quota hash
+    must still key on id_col — the lateral alias used to capture the
+    stray column and draw by the wrong key."""
+    rows = [(i, 999 - i, "s") for i in range(30)]
+    with_stray = spark.createDataFrame(rows, "doc_id long, id long, source string")
+    without = spark.createDataFrame(
+        [(i, "s") for i in range(30)], "doc_id long, source string"
+    )
+    a = sorted(r.id for r in C.source_quota(with_stray, per_source=5).collect())
+    b = sorted(r.id for r in C.source_quota(without, per_source=5).collect())
+    assert a == b  # same kept doc_ids regardless of the stray column
+
+
+def test_bm25_tokenizes_corpus_once(spark, sf_dir):
+    """bm25_topk must derive postings and doc lengths from ONE tokenized
+    frame behind a spread() exchange: AQE's runtime stage reuse dedupes
+    the identical exchange subtrees, so the regex tokenize of the corpus
+    runs twice (shared postings/dl pass + the column-pruned stats pass),
+    not once per branch. Reuse is a RUNTIME property — it only shows in
+    the final adaptive plan, so execute first."""
+    from lichess_event_stream_watcher_spark.operators.retrieval import bm25_topk
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    df = bm25_topk(docs, {0: "the cat"}, k=5)
+    df.write.format("noop").mode("overwrite").save()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, "expected an executed adaptive plan"
+    assert "ReusedExchange" in plan, plan
