@@ -73,6 +73,14 @@ def pagerank(
     # union+distinct shuffle and the degree join from scratch (10
     # iterations = 10 redundant edge shuffles)
     und_deg = und.join(deg, "src").persist()
+    # materialize the cache BEFORE the loop: persist() only registers its
+    # RDD at first materialization, which otherwise happens inside round
+    # 1's eager checkpoint — i.e. inside the before/after id-diff window
+    # below — so round 2's cleanup would unpersist und_deg's cache and
+    # rounds 3..iters would re-run the edge expansion every round
+    # (round-7 review fix; results were correct, the persist was just
+    # silently dead after round 1)
+    und_deg.count()
     ranks = n.select("id", F.lit(1.0).alias("rank"))
     rank_ids: set[int] = set()
     for _ in range(iters):
@@ -184,8 +192,11 @@ def pagerank_quantized(
         .distinct()
     )
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-    # iteration-invariant edge expansion persisted once (see pagerank)
+    # iteration-invariant edge expansion persisted once; materialized
+    # BEFORE the loop so its cache id never lands in the checkpoint
+    # cleanup's id-diff window (see pagerank)
     und_deg = und.join(deg, "src").persist()
+    und_deg.count()
     teleport = (quant * 15) // 100
     ranks = n.select("id", F.lit(quant).cast("bigint").alias("rank_q"))
     rank_ids: set[int] = set()

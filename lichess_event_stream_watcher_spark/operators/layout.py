@@ -163,11 +163,24 @@ def write_zorder_clustered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # empty input: nothing to cluster; write the (empty) frame as-is
+        # instead of crashing on int(None) below
+        df.write.mode(mode).parquet(path)
+        return
     span = (1 << bits) - 1
 
     def scaled(c, lo, hi):
+        # divide FIRST, in double: (x-lo)*span as a bigint product
+        # overflows 2^63 once the column range exceeds ~1.4e14 (e.g.
+        # epoch-microsecond timestamps spanning years — exactly the
+        # high-cardinality keys this exists for), and under ANSI the
+        # overflow kills the whole write. The double route loses nothing
+        # that matters: the quotient is in [0, 1] and the curve only
+        # needs a monotonic 16-bit quantization per dimension.
         rng = max(int(hi) - int(lo), 1)
-        return ((F.col(c) - F.lit(int(lo))).cast("long") * span / rng).cast("long")
+        frac = (F.col(c) - F.lit(int(lo))).cast("double") / F.lit(float(rng))
+        return (frac * span).cast("long")
 
     z = zorder_value(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
     (

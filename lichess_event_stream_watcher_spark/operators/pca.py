@@ -90,16 +90,28 @@ def power_iteration_quantized(
     rounds from the deterministic all-equal start (floor(1e6/sqrt(d)) per
     coordinate). Per round: map-side milli projections + one d-sum agg."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        first = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError(
+                "power_iteration_quantized: no non-null vectors — nothing to fit"
+            )
+        dim = len(first[0])
     w = [math.floor(VEC_Q / math.sqrt(dim))] * dim
     # Iterative algorithm: quantize ONCE and persist the integer vectors
     # across all `iters` passes (MEMORY_AND_DISK — at 100 TB the quantized
     # corpus spills to local disk instead of re-reading + re-quantizing the
     # source parquet every round, an iters-fold scan saving).
+    # NULL / shorter-than-dim vectors are excluded up front: under ANSI
+    # (the Spark 4 session default) element_at past the array end throws
+    # and one ragged embedding among billions would abort every round's
+    # agg job (round-7 review fix; _proj_milli already tolerates LONGER
+    # vectors by slicing to len(w)).
     from pyspark import StorageLevel
 
-    base = emb.select(_quantize_vec(vec_col).alias("vq")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    base = (
+        emb.select(_quantize_vec(vec_col).alias("vq"))
+        .filter(F.col("vq").isNotNull() & (F.size("vq") >= dim))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
         for _ in range(iters):
@@ -114,6 +126,11 @@ def power_iteration_quantized(
                 )
                 .first()
             )
+            if row["_u0"] is None:
+                raise ValueError(
+                    "power_iteration_quantized: no vectors of length >= "
+                    f"{dim} — nothing to fit"
+                )
             w = _renormalize([int(row[f"_u{j}"]) for j in range(dim)])
     finally:
         base.unpersist()

@@ -133,7 +133,13 @@ def grouped_exact_quantiles(
     Returns (group_col, q, n, val): one row per group per target.
     """
     spark = df.sparkSession
-    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    # NULL values are excluded up front (SQL-quantile semantics): a NULL
+    # would form a phantom first bucket that inflates n, shifts every
+    # rank, and — when a target rank lands inside it — silently DROPS
+    # that (group, quantile) row at the pass-2 join (round-7 review fix)
+    vals = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
     bucket = F.floor(F.col("x") / F.lit(bucket_width)).cast("bigint")
     hist = vals.groupBy("g", bucket.alias("b")).agg(F.count("*").alias("c"))
     wb = Window.partitionBy("g").orderBy("b")
@@ -238,8 +244,13 @@ def grouped_topk_threshold(
     if n_salts < k:
         raise ValueError(f"n_salts ({n_salts}) must be >= k ({k})")
     key = F.struct(*[F.col(c) for c in order_cols])
+    # pmod alone: it already returns a non-negative result for negative
+    # inputs, and abs(hash(...)) throws ARITHMETIC_OVERFLOW under ANSI
+    # (the Spark 4 session default) for the one key in 2^32 that hashes
+    # to Integer.MIN_VALUE — deterministic for that key, so retries die
+    # too (round-7 review fix)
     salted = df.withColumn("_key", key).withColumn(
-        "_salt", F.pmod(F.abs(F.hash(*order_cols)), F.lit(n_salts))
+        "_salt", F.pmod(F.hash(*order_cols), F.lit(n_salts))
     )
     extremum = F.max("_key") if descending else F.min("_key")
     mins = salted.groupBy(group_col, "_salt").agg(extremum.alias("_m"))
@@ -312,7 +323,14 @@ def hll_register_stats(
         16,
         10,
     ).cast("bigint")
-    rows = df.select(F.col(group_col).alias("g"), h.alias("h"))
+    # NULL values hash to a NULL register: groupBy keeps the NULL-reg
+    # row, inflating nregs by one and corrupting zeros AND N (by exactly
+    # one absent-register 2^big_p term) for the whole group — exclude
+    # NULLs up front like every count-distinct semantic does (round-7
+    # review fix)
+    rows = df.select(F.col(group_col).alias("g"), h.alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     w = F.expr(f"h div {m}")
     rho = (
         F.when(w == 0, F.lit(big_p))

@@ -124,3 +124,25 @@ def test_zorder_write_localizes_both_dimensions(spark, sf_dir, tmp_path):
         assert sum(fracs) / len(fracs) <= 0.8, (name, fracs)
         assert min(fracs) < 0.9, (name, fracs)
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_zorder_survives_huge_ranges_and_empty_input(spark, tmp_path):
+    """Round-7 review fix: the Morton scaling divides FIRST in double —
+    the old (x-lo)*span bigint product overflowed (ANSI: job-killing)
+    once a column range passed ~1.4e14, e.g. epoch-micros keys; and an
+    empty frame writes empty instead of crashing on int(None)."""
+    from lichess_event_stream_watcher_spark.operators.layout import (
+        write_zorder_clustered,
+    )
+
+    big = spark.createDataFrame(
+        [(0, 0), (10**18, 10**18), (5 * 10**17, 1)], "a long, b long"
+    )
+    p1 = str(tmp_path / "zo_big")
+    write_zorder_clustered(big, p1, "a", "b", n_files=2)
+    assert spark.read.parquet(p1).count() == 3
+
+    empty = spark.createDataFrame([], "a long, b long")
+    p2 = str(tmp_path / "zo_empty")
+    write_zorder_clustered(empty, p2, "a", "b", n_files=2)
+    assert spark.read.parquet(p2).count() == 0

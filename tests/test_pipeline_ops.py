@@ -3427,3 +3427,27 @@ def test_bm25_tokenizes_corpus_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, "expected an executed adaptive plan"
     assert "ReusedExchange" in plan, plan
+
+
+def test_power_iteration_guards_empty_and_ragged_vectors(spark, sf_dir):
+    """Round-7 review fix: an empty/all-NULL corpus raises a real error,
+    and a ragged (shorter-than-dim) vector is excluded instead of
+    blowing up every round's agg under ANSI element_at."""
+    import pytest as _pytest
+
+    from lichess_event_stream_watcher_spark.operators.pca import (
+        power_iteration_quantized,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="nothing to fit"):
+        power_iteration_quantized(empty, iters=1)
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    clean = power_iteration_quantized(emb, iters=2)
+    ragged = emb.select("embedding").unionByName(
+        spark.createDataFrame(
+            [([1.0, 2.0],), (None,)], "embedding array<double>"
+        )
+    )
+    assert power_iteration_quantized(ragged, iters=2, dim=len(clean)) == clean

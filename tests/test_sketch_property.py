@@ -154,3 +154,31 @@ def test_cms_one_sided_and_tight_when_sparse(spark):
     assert set(est) == set(truth)
     assert all(est[k] >= c for k, c in truth.items())
     assert est[999] == 60  # the heavy key estimates exactly at this load
+
+
+def test_hll_and_quantiles_exclude_nulls(spark):
+    """Round-7 review fix: a NULL value must not form a phantom HLL
+    register (corrupting zeros and N by a 2^big_p term) nor a phantom
+    first quantile bucket (shifting every rank; dropping a quantile row
+    when the target rank lands inside it)."""
+    from lichess_event_stream_watcher_spark.operators.sketch import (
+        grouped_exact_quantiles,
+        hll_register_stats,
+    )
+
+    with_null = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None)], "grp string, v string"
+    )
+    without = spark.createDataFrame([("g", "a"), ("g", "b")], "grp string, v string")
+    a = hll_register_stats(with_null, "grp", "v", m=16).collect()[0]
+    b = hll_register_stats(without, "grp", "v", m=16).collect()[0]
+    assert (a.zeros, a.N) == (b.zeros, b.N)
+
+    qdf = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", 3), ("g", None)], "grp string, x int"
+    )
+    out = {
+        r.q: (r.n, r.val)
+        for r in grouped_exact_quantiles(qdf, "grp", "x", [("median", 1, 2)]).collect()
+    }
+    assert out["median"] == (3, 2)  # n excludes the NULL; median of {1,2,3}
