@@ -68,27 +68,25 @@ def bm25_topk(
     spark = docs.sparkSession
     qdf = spark.createDataFrame(qterms, "query_id bigint, term string")
 
-    # Tokenize the corpus behind ONE spread() exchange: AQE's runtime
-    # stage reuse dedupes the identical exchange subtrees, so the
-    # postings branch and the doc-length branch share one tokenize pass
-    # (the stats branch keeps its own column-pruned pass — its
-    # below-exchange project drops doc_id, so the subtree canonicalizes
-    # differently). Net: the regex-heavy normalize+tokenize runs twice,
-    # not three times (round-7 review fix; the one-scan discipline of
-    # token_budget_prefix_sample), and the stats pass ships only the
-    # token array. Pinned in tests (test_bm25_tokenizes_corpus_once).
-    from .util import spread
-
-    base = spread(
-        docs.select(
-            F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_tk")
-        )
-    )
-    tok = base.select(F.col(id_col), F.explode("_tk").alias("term")).filter(
-        F.col("term").isin(all_terms)
-    )
+    # The corpus is tokenized PER BRANCH (postings, doc lengths) as pure
+    # map-side projections — DELIBERATE, measured round 7: sharing one
+    # tokenized frame behind a repartition exchange (so ReusedExchange
+    # dedupes the passes) shuffles the corpus's full token arrays and
+    # benched 2.3x SLOWER at sf0.1 on a calibrated boot (1.04 -> 2.43 s)
+    # than re-running the codegen'd regex at scan speed. Re-tokenizing is
+    # O(corpus) parallel CPU with zero network; the exchange is O(corpus
+    # bytes) network — the regex loses only when tokenize stops being
+    # codegen'd (see SCALE.md regime notes). The corpus stats DO merge
+    # into one agg over the dl branch (count + sum in one pass instead of
+    # a crossJoin of two single-agg branches).
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    ).filter(F.col("term").isin(all_terms))
     postings = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = base.select(F.col(id_col), F.size("_tk").cast("bigint").alias("dl"))
+    dl = docs.select(
+        F.col(id_col),
+        F.size(tokens(normalize_text(F.col(text_col)))).cast("bigint").alias("dl"),
+    )
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),

@@ -3411,22 +3411,24 @@ def test_source_quota_binds_id_col_not_lateral_alias(spark):
     assert a == b  # same kept doc_ids regardless of the stray column
 
 
-def test_bm25_tokenizes_corpus_once(spark, sf_dir):
-    """bm25_topk must derive postings and doc lengths from ONE tokenized
-    frame behind a spread() exchange: AQE's runtime stage reuse dedupes
-    the identical exchange subtrees, so the regex tokenize of the corpus
-    runs twice (shared postings/dl pass + the column-pruned stats pass),
-    not once per branch. Reuse is a RUNTIME property — it only shows in
-    the final adaptive plan, so execute first."""
+def test_bm25_keeps_tokenize_map_side(spark, sf_dir):
+    """bm25_topk re-tokenizes per branch as map-side projections —
+    DELIBERATE (round-7 measurement: sharing one tokenized frame behind
+    a repartition exchange shuffles the full token arrays and benched
+    2.3x slower than the codegen'd regex at scan speed). Pin: no
+    round-robin exchange in the plan (the shuffle the measured-slower
+    form introduces), and the corpus stats come from ONE agg (no
+    cross-join of two single-agg branches)."""
     from lichess_event_stream_watcher_spark.operators.retrieval import bm25_topk
 
     docs = testdata.load(spark, sf_dir, "documents")
-    df = bm25_topk(docs, {0: "the cat"}, k=5)
-    df.write.format("noop").mode("overwrite").save()
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan, "expected an executed adaptive plan"
-    assert "ReusedExchange" in plan, plan
+    plan = (
+        bm25_topk(docs, {0: "the cat"}, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "RoundRobinPartitioning" not in plan, plan
 
 
 def test_power_iteration_guards_empty_and_ragged_vectors(spark, sf_dir):
