@@ -18,19 +18,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# One pattern, three engines: the Column twin (rlike), the Python twin
+# (re), and the DuckDB oracles (regexp_matches) all gate on this exact
+# string so no engine accepts an IP another rejects. `(0|[1-9]\d{0,2})`
+# = no leading zeros, 1-3 digits; the <= 255 range check stays separate
+# (299 still matches the regex).
+IPV4_PATTERN = r"^(0|[1-9]\d{0,2})(\.(0|[1-9]\d{0,2})){3}$"
+
+
 def ip_to_num(ip: Column | str) -> Column:
     """Dotted-quad IPv4 string -> BIGINT (non-IPv4 -> NULL).
 
     Octet-RANGE validated, not just digit-count: without the <= 255
     check, '0.256.0.0' numifies to the same bigint as '1.0.0.0' and a
     malformed IP silently aliases to a valid address in range joins and
-    rule predicates (round-7 review fix). Semantics identical to
-    :func:`ip_to_num_py` on every input — the two are differential-
-    tested in tests/test_lua_compat.py."""
+    rule predicates (round-7 review fix). Leading-zero octets
+    ('01.2.3.4') are rejected too — the reference parses with Rust's
+    std::net Ipv4Addr, which refuses leading zeros, so accepting them
+    here would diverge on reference-exported isInIpRange rules fed
+    malformed-but-regex-matching IPs (round-8 ADVICE fix). Semantics
+    identical to :func:`ip_to_num_py` on every input — the two are
+    differential-tested in tests/test_lua_compat.py."""
     col = F.col(ip) if isinstance(ip, str) else ip
     parts = F.split(col, r"\.")
     octets = [parts.getItem(i).cast("bigint") for i in range(4)]
-    valid = col.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    valid = col.rlike(IPV4_PATTERN)
     for o in octets:
         valid = valid & (o <= F.lit(255))
     num = (
@@ -62,12 +74,13 @@ def ip_to_num_py(ip: str) -> int | None:
     """Driver/UDF-side twin of ip_to_num — same regex-then-range gate, so
     the Lua CODE path (isInIpRange) and the native Column path agree on
     EVERY input. A bare int() split would accept '+2'/' 3' octets the
-    Column form rejects (round-7 review fix)."""
+    Column form rejects (round-7 review fix); both twins share
+    IPV4_PATTERN so the leading-zero rejection cannot drift."""
     global _IPV4_RE
     if _IPV4_RE is None:
         import re
 
-        _IPV4_RE = re.compile(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+        _IPV4_RE = re.compile(IPV4_PATTERN)
     if not isinstance(ip, str) or not _IPV4_RE.match(ip):
         return None
     parts = [int(p) for p in ip.split(".")]

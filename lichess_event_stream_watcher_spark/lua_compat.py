@@ -157,7 +157,19 @@ def compile_predicate(code: str):
     # ALL dunder names/attributes at compile time: no legitimate rule
     # surface uses them, and this closes __globals__/__class__/
     # __subclasses__-style escapes categorically.
+    # str.format replays dunder access through its FIELD-NAME mini-language
+    # ('{0.__globals__}'.format(regex) renders module globals as text) with
+    # no Attribute node in the AST — an information-disclosure side door
+    # around the dunder check below (round-8 ADVICE fix). No reference rule
+    # uses .format (Lua has no such method), so reject it outright rather
+    # than trying to parse format-spec field names.
+    _FORMAT_SIDE_DOORS = ("format", "format_map")
     for node in ast.walk(ast.parse(src, mode="eval")):
+        if isinstance(node, ast.Attribute) and node.attr in _FORMAT_SIDE_DOORS:
+            raise ValueError(
+                f"str.{node.attr} is outside the rule-predicate surface "
+                "(format-string field names replay attribute access)"
+            )
         bad = (
             node.attr
             if isinstance(node, ast.Attribute) and "__" in node.attr

@@ -33,7 +33,10 @@ with a name lower bound and a call upper bound must parenthesize the
 bound. Slices after a NUMBER bound (``x[0:len(x)]``) pass through
 untouched. An optional ``function(user) return ... end`` wrapper is
 stripped first, so a fully-wrapped reference chunk is accepted too.
-Python set/dict literals (``{...}``) tokenize and pass through.
+Python set/dict literals (``{...}``) tokenize and pass through —
+including NAME-keyed dicts with call values (``{a: f(x)}``): the
+':'->'.' rewrite is suppressed inside brace nesting, which Lua syntax
+cannot produce.
 
 Deliberately out of scope (raise at compile, not silently mis-evaluate):
 Lua statements (``if``/``local``), the ``string.*`` / ``table.*`` stdlib,
@@ -123,6 +126,35 @@ def _unary_operand_span(toks: list[tuple[str, str]], i: int) -> int:
     return _primary_span(toks, i)
 
 
+_COMPARISONS = {"==", "!=", "~=", "<", "<=", ">", ">="}
+
+
+def not_precedence_shift(code: str) -> bool:
+    """True iff the Lua-precedence ``not`` rewrite CHANGES this expression's
+    meaning relative to native Python — i.e. some ``not`` operand span is
+    immediately followed by a comparison operator, so Python reads
+    ``not (x == y)`` while the translator emits ``(not x) == y``. The rules
+    store calls this on load to warn about stored native-Python predicates
+    written before the round-7 precedence fix (round-8 ADVICE fix); Lua-
+    exported rules are unaffected (Lua always meant the tight binding)."""
+    m = _WRAPPER.match(code)
+    if m:
+        code = m.group("body")
+    try:
+        toks = _tokenize(code)
+    except ValueError:
+        return False  # untranslatable anyway; compile will raise the real error
+    for i, (kind, val) in enumerate(toks):
+        if kind == "name" and val == "not":
+            try:
+                end = _unary_operand_span(toks, i + 1)
+            except ValueError:
+                return False
+            if end < len(toks) and toks[end][1] in _COMPARISONS:
+                return True
+    return False
+
+
 def lua_to_python(code: str) -> str:
     """Translate a reference-surface Lua expression (optionally wrapped in
     ``function(user) return ... end``) to the equivalent Python expression."""
@@ -140,8 +172,20 @@ def lua_to_python(code: str) -> str:
     def emit(toks: list[tuple[str, str]]) -> list[str]:
         out: list[str] = []
         i = 0
+        # Inside a '{...}' literal a NAME ':' callable-value pair is a
+        # Python dict entry ({a: f(x)}), not Lua method sugar — Lua rules
+        # never contain '{' (table constructors are outside the surface),
+        # so any brace nesting marks Python-surface tokens where the
+        # ':'->'.' rewrite must not fire (round-8 ADVICE fix). Depth is
+        # tracked per emit() call; unary-operand recursion never splits a
+        # brace pair because _primary_span rejects '{' operands.
+        brace_depth = 0
         while i < len(toks):
             kind, val = toks[i]
+            if val == "{":
+                brace_depth += 1
+            elif val == "}":
+                brace_depth -= 1
             if val == "#":
                 end = _unary_operand_span(toks, i + 1)
                 out += ["len", "("] + emit(toks[i + 1 : end]) + [")"]
@@ -160,6 +204,7 @@ def lua_to_python(code: str) -> str:
                 continue
             if (
                 val == ":"
+                and brace_depth == 0
                 and i + 1 < len(toks)
                 and toks[i + 1][0] == "name"
                 and i + 2 < len(toks)

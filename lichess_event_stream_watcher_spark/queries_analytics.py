@@ -27,11 +27,12 @@ _CTE = testdata.signups_cte("duckdb")
     f"""{_CTE}
 SELECT s.event_id, ranges.country, ranges.city
 FROM (
-  -- exact twin of functions/ip.py ip_to_num: dotted-quad regex + octet
-  -- <= 255 gate, NULL otherwise (a malformed IP must not alias to a
-  -- valid address on either engine)
+  -- exact twin of functions/ip.py ip_to_num (IPV4_PATTERN): dotted-quad
+  -- regex with no leading-zero octets + octet <= 255 gate, NULL
+  -- otherwise (a malformed IP must not alias to a valid address on
+  -- either engine; Rust std::net rejects '01.2.3.4' too)
   SELECT event_id,
-         CASE WHEN regexp_matches(ip, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+         CASE WHEN regexp_matches(ip, '^(0|[1-9]\\d{{0,2}})(\\.(0|[1-9]\\d{{0,2}})){{3}}$')
                AND TRY_CAST(split_part(ip, '.', 1) AS BIGINT) <= 255
                AND TRY_CAST(split_part(ip, '.', 2) AS BIGINT) <= 255
                AND TRY_CAST(split_part(ip, '.', 3) AS BIGINT) <= 255
@@ -861,7 +862,7 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (the ORDER-STATISTIC agg;
     both engines use the standard p*(n-1) linear interpolation). Exact
     percentile buffers all group values — the scale path is the GK sketch
-    in `sketch_stats` (percentile_approx); this pins their agreement."""
+    in `sketch_error_bounds` (percentile_approx); this pins their agreement."""
     ev = testdata.load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
@@ -1815,7 +1816,7 @@ def orders_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the one-pass bundle beats per-column passes by the number of
     columns profiled. (Exact NDV here, oracle-checkable; swap
     approx_count_distinct for the sketch form at cluster scale —
-    sketch_stats covers that path.)"""
+    sketch_error_bounds covers that path.)"""
     o = testdata.load(spark, sf_dir, "orders")
     return o.agg(
         F.count("*").alias("n_rows"),

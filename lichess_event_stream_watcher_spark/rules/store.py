@@ -76,6 +76,32 @@ class SignupRulesManager:
         with self._lock, open(self.rules_path) as f:
             self.rules = [Rule.from_json_obj(o) for o in json.load(f)]
             self._invalidate_index()
+            self._warn_not_precedence_shifts()
+
+    def _warn_not_precedence_shifts(self) -> None:
+        """The round-7 Lua-precedence fix made ``not`` bind TIGHTER than
+        comparison in CODE predicates (the Lua reading). A native-Python
+        predicate stored BEFORE that fix as ``not x == y`` silently changed
+        meaning from ``not (x == y)`` to ``(not x) == y`` — surface it at
+        load so operators notice, instead of leaving the shift documented
+        but invisible (round-8 ADVICE fix). Warn, don't fail: Lua-exported
+        rules always meant the tight binding and are the primary contract."""
+        import warnings
+
+        from ..lua_translate import not_precedence_shift
+        from .model import CriterionKind
+
+        for r in self.rules:
+            if r.criterion.kind is CriterionKind.CODE and not_precedence_shift(
+                r.criterion.value
+            ):
+                warnings.warn(
+                    f"rule {r.name!r}: CODE predicate contains `not` directly "
+                    "before a comparison — since the Lua-precedence fix this "
+                    "evaluates as `(not x) == y`, not Python's `not (x == y)`; "
+                    "re-save with explicit parentheses to silence",
+                    stacklevel=3,
+                )
 
     def save(self) -> None:
         """Full rewrite on every mutation, as the reference does — but we do

@@ -315,3 +315,90 @@ def test_ip_twins_agree_on_malformed_inputs(spark):
     for ip in ips:
         assert got[ip] == ip_to_num_py(ip), (ip, got[ip], ip_to_num_py(ip))
     assert ip_to_num_py(None) is None
+
+
+def test_sandbox_rejects_format_string_side_door():
+    """Round-8 ADVICE fix: str.format replays dunder access through its
+    field-name mini-language with NO Attribute node in the AST —
+    '{0.__globals__}'.format(regex) would render module globals as text.
+    .format/.format_map are rejected at compile; ordinary string methods
+    and the legitimate surface still compile."""
+    import pytest
+
+    for code in (
+        '"{0.__globals__}".format(regex) != ""',
+        'str.format("{0.__globals__}", regex) != ""',
+        '"{x.__class__}".format_map({"x": regex}) != ""',
+    ):
+        with pytest.raises(ValueError, match="format"):
+            compile_predicate(code)
+    assert compile_predicate('user.email().lower() == "a@x"')({"email": "A@X"})
+
+
+def test_leading_zero_octets_rejected_everywhere(spark):
+    """Round-8 ADVICE fix: Rust std::net Ipv4Addr rejects leading-zero
+    octets ('01.2.3.4'), so both ip_to_num twins must too — otherwise a
+    reference-exported isInIpRange rule diverges on malformed-but-regex-
+    matching IPs. '0.x.y.z' (a real zero octet) stays valid."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark.functions.ip import (
+        ip_to_num,
+        ip_to_num_py,
+    )
+
+    cases = {
+        "01.2.3.4": None,
+        "1.02.3.4": None,
+        "1.2.3.004": None,
+        "0.2.3.4": 2 * 65536 + 3 * 256 + 4,
+        "10.0.0.1": 10 * 16777216 + 1,
+        "100.200.255.0": 100 * 16777216 + 200 * 65536 + 255 * 256,
+    }
+    df = spark.createDataFrame([(ip,) for ip in cases], "ip string")
+    got = {
+        r.ip: r.n
+        for r in df.select("ip", ip_to_num(F.col("ip")).alias("n")).collect()
+    }
+    for ip, want in cases.items():
+        assert ip_to_num_py(ip) == want, (ip, ip_to_num_py(ip), want)
+        assert got[ip] == want, (ip, got[ip], want)
+
+
+def test_dict_literal_with_name_key_and_call_value():
+    """Round-8 ADVICE fix: the ':'->'.' method-sugar rewrite is suppressed
+    inside '{...}' nesting, so a NAME-keyed dict with a call value
+    ({a: f(x)}) stays valid Python instead of mangling to '{a. f(x)}'.
+    Method sugar OUTSIDE the braces in the same expression still fires."""
+    import ast
+
+    from lichess_event_stream_watcher_spark.lua_translate import lua_to_python
+
+    src = lua_to_python("{a: f(x)}")
+    ast.parse(src, mode="eval")  # used to raise SyntaxError via '{a. f(x)}'
+    assert ":" in src and ". f" not in src
+    mixed = lua_to_python('user:name() ~= nil and {a: f(x)} != None')
+    ast.parse(mixed, mode="eval")
+    assert "user . name" in mixed.replace("user .name", "user . name")
+    # runtime check: a dict-literal predicate evaluates
+    f = compile_predicate('{True: len(user.name())}[True] == 5')
+    assert f({"username": "alice"}) is True and f({"username": "bob"}) is False
+
+
+def test_not_precedence_shift_detector():
+    """Round-8 ADVICE fix: the detector flags exactly the expressions whose
+    meaning the Lua-precedence rewrite changes vs native Python — `not`
+    directly before a comparison — and nothing else."""
+    from lichess_event_stream_watcher_spark.lua_translate import (
+        not_precedence_shift,
+    )
+
+    assert not_precedence_shift('not user:name() == "x"')
+    assert not_precedence_shift("not user.susp_ip() != False")
+    assert not_precedence_shift(
+        'function(user) return not user:email() ~= "a" end'
+    )
+    assert not not_precedence_shift("not user:susp_ip()")
+    assert not not_precedence_shift('not (user:name() == "x")')
+    assert not not_precedence_shift('user:email() == "a" and not user:susp_ip()')
+    assert not not_precedence_shift("if broken syntax")

@@ -266,3 +266,34 @@ def test_expiry_sweep_classify_subsecond_precision(tmp_path, spark):
     )
     dist = sorted((row.kind, row.name) for row in expiry_sweep_classify(df, now).collect())
     assert dist == driver == [("expired", "subsec")]
+
+
+def test_load_warns_on_not_precedence_shift(tmp_path):
+    """Round-8 ADVICE fix: stored CODE predicates written as `not x == y`
+    changed meaning under the round-7 Lua-precedence fix; the store
+    surfaces them with a warning at load instead of silently evaluating
+    the shifted semantics. Clean predicates load silently."""
+    import warnings
+
+    path = str(tmp_path / "rules.json")
+    mgr = SignupRulesManager(path)
+    mgr.add_rule(
+        Rule(
+            "shifted",
+            Criterion(CriterionKind.CODE, 'not user:name() == "x"'),
+            [Action.NOTIFY_ZULIP],
+        )
+    )
+    mgr.add_rule(
+        Rule(
+            "clean",
+            Criterion(CriterionKind.CODE, 'not (user:name() == "x")'),
+            [Action.NOTIFY_ZULIP],
+        )
+    )
+    with pytest.warns(UserWarning, match="shifted.*`not` directly"):
+        SignupRulesManager(path)
+    mgr.remove_rule("shifted")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        SignupRulesManager(path)  # clean rules load without warnings
