@@ -219,91 +219,34 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (all with >= 1 green row, most with 2-3) keep coverage every
 # session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
-    # ---- the round-7 50-row driver window -------------------------------
-    # Allocated by the freshness rotation rule (mechanized in
-    # tests/test_registry_policy.py): with CORRECTNESS_r07 committed the
-    # staleness horizon is round 3, so all 47 r3-vintage rows must
-    # re-certify THIS round.
-    # -- (1) new registrations (the two audit tables queued in round 6
-    #    when the window was exactly full):
-    "lsh_bucket_histogram",  # new: LSH banding skew census
-    "ivf_cell_occupancy",  # new: coarse-quantizer balance audit
-    # -- (2) changed-file re-cert with window room: text.py changed in
-    #    rounds 6 AND 7 (the AllPairs prefix path, then the lang_id form
-    #    split); tf_cosine_pairs is its only backing entry still on an
-    #    r4 green. The OTHER changed-file entries hold r6 greens
-    #    (gopher_rule_failures, c4_line_stats, tf_cosine_pairs_sparse,
-    #    tf_cosine_incremental for text.py; ann_cost_census for
-    #    similarity.py; dedup_lsh_band_sweep for dedup.py) or an r4
-    #    green one round inside the horizon (curation_pipeline_counts
-    #    for pipeline.py) — they cede their slots to the staleness
-    #    block (the r6 precedent), are re-verified hash-green at sf0.01
-    #    through current code by this session's full driver-sim sweep,
-    #    and head the round-8 queue below.
-    "tf_cosine_pairs",
-    # -- (3) stalest greens: the 47 r3 rows, name order — fills the 50
-    #    slots exactly
-    "action_schedule",
-    "ann_lsh_topk",
-    "ann_pq_adc",
-    "charlm_quality",
-    "contamination_check",
-    "crit_email_contains",
-    "crit_email_regex",
-    "crit_ip_match",
-    "crit_print_match",
-    "crit_susp_ip_gate",
-    "crit_useragent_length_lte",
-    "crit_username_contains",
-    "crit_username_regex",
-    "curation_gate",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_jaccard_inverted",
-    "dedup_jaccard_pairs",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embedding_near_dup",
-    "embedding_quantize_int8",
-    "funnel_view_click_purchase",
-    "fuzzy_graph_kcore",
-    "fuzzy_graph_triangles",
-    "knn_cosine_topk",
-    "lexicon_coverage",
-    "multimodal_features",
-    "multimodal_manifest",
-    "paragraph_dedup",
-    "pii_scrub",
-    "purchase_state_attribution",
-    "repetition_profile",
-    "retention_cohorts",
-    "rule_expiry_sweep",
-    "rule_scan_actions",
-    "semantic_dedup",
-    "source_quality_scorecard",
-    "temperature_mix_sample",
-    "text_profile",
-    "user_state_scd2",
-    "value_outliers_3sigma",
-    "would_fire_counts",
-    # ---- position 51+: the round-8 rotation queue ------------------------
-    # Round-8 window budget: the 7 changed-in-round-7 entries that ceded
-    # head slots above (curation_pipeline_counts is BOTH changed-file and
-    # r4-vintage, so it appears once, here), then the 42 remaining r4
-    # greens — 49 queued names, leaving ONE head slot free for a round-8
-    # new registration or changed-file re-cert.
-    "curation_pipeline_counts",
-    "gopher_rule_failures",
-    "c4_line_stats",
-    "tf_cosine_pairs_sparse",
-    "tf_cosine_incremental",
-    "ann_cost_census",
-    "dedup_lsh_band_sweep",
-    # the 42 remaining r4 greens, staleness (= name) order
+    # ---- the round-8 50-row driver window -------------------------------
+    # Head allocation, in priority order:
+    # -- (1) changed-file re-certs (VERDICT r7 task #1): enrich.py +
+    #    functions/ip.py changed post-rotation in round 7 (octet
+    #    validation) AND ip.py changed again in round 8 (leading-zero
+    #    gate, with the geoip_enrich oracle updated in lockstep);
+    #    retrieval.py changed post-rotation in round 7 (bm25 branch
+    #    structure). Their freshest committed rows (r5/r6) predate that
+    #    code. bm25_rsj_topk is already in the r4 staleness block below.
+    "geoip_enrich",
+    "device_enrich",
+    "bm25_lucene_topk",
+    # -- (2) round-8 new registrations: the real PPM decode/resize paths
+    #    earn full hash oracles (VERDICT r7 task #2), and the retired
+    #    rows-only sketch_stats is replaced by a hash-comparable
+    #    error-bound form (task #3, ROWS_ONLY_ALLOWLIST now empty):
+    "image_stats",
+    "resize_image",
+    "sketch_error_bounds",
+    # -- (3) changed-THIS-round re-cert: lua_compat/lua_translate gained
+    #    the format-string rejection + brace-depth + not-shift detector
+    #    (round-8 ADVICE fixes); crit_code_predicate is the registration
+    #    that certifies the whole translator/sandbox runtime:
+    "crit_code_predicate",
+    # -- (4) the staleness block: all 43 r4-vintage rows (mechanized
+    #    rule, STALE_ROUNDS=4 — with CORRECTNESS_r08 committed the
+    #    horizon is round 4, so every one of these must re-certify
+    #    THIS round), name order — fills the 50 slots exactly
     "ann_ivfpq_adc",
     "ann_kmeans_cells_q",
     "ann_lsh_multiprobe",
@@ -313,6 +256,7 @@ _DRIVER_PRIORITY = [
     "chunk_documents",
     "cms_heavy_hitters",
     "cross_source_dups",
+    "curation_pipeline_counts",
     "dataset_split_counts",
     "dedup_corpus",
     "dsir_importance_q",
@@ -346,6 +290,89 @@ _DRIVER_PRIORITY = [
     "username_fuzzy_pairs",
     "value_equidepth_histogram",
     "windowed_event_rollup",
+    # ---- position 51+: the round-9 rotation queue ------------------------
+    # The 6 remaining changed-in-r7 entries with in-horizon r6 greens
+    # (they cede window slots to the mandatory staleness block, same
+    # precedent as r6/r7; the changed-since-green policy test accepts
+    # declared-queue placement), then the 47 r5 greens that round 9's
+    # staleness horizon will demand, name order.
+    "gopher_rule_failures",
+    "c4_line_stats",
+    "tf_cosine_pairs_sparse",
+    "tf_cosine_incremental",
+    "ann_cost_census",
+    "dedup_lsh_band_sweep",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_ivf_trained_q",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benford_first_digit",
+    "boilerplate_ngrams",
+    "bpe_encode_pieces",
+    "bpe_source_token_counts",
+    "ccnet_quality_buckets",
+    "collocation_lift_topk",
+    "corpus_snapshot_diff",
+    "corpus_token_accounting",
+    "cusum_hourly_changepoint",
+    "dedup_exact",
+    "distinctive_terms_by_source",
+    "dsir_importance_log",
+    "dup_graph_pagerank",
+    "embedding_pca_projection_q",
+    "embedding_random_projection",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "hard_negative_mining",
+    "histogram_drift_tv",
+    "hourly_corr_pairs",
+    "hybrid_retrieval_rrf",
+    "ingestion_admission_counts",
+    "join_key_profile",
+    "k_anonymity_audit",
+    "label_centroid_confusion",
+    "label_centroid_dispersion",
+    "last3_caught",
+    "ngram_novelty_profile",
+    "ols_trend_by_type",
+    "quality_lr_source_scores",
+    "regex_token_counts",
+    "retrieval_eval",
+    "robust_length_outliers",
+    "rule_scan",
+    "source_label_gini",
+    "source_lang_cramers_v",
+    "source_overlap_matrix",
+    "token_budget_sample",
+    "weighted_priority_sample",
+    "winnowing_dup_pairs",
+    "zipf_octave_profile",
+    "zorder_key_events",
+    # Changed-since-green preemption (mechanized: tests/registry_freshness.py
+    # + test_changed_since_green_queries_are_declared): queries whose
+    # backing code changed after their freshest committed green row must
+    # appear in this declared rotation. (a) r7 rows on the rule-engine
+    # sandbox path, preempted by the round-8 ADVICE fixes
+    # (lua_compat/lua_translate/ip/rules.store):
+    "rule_scan_actions",
+    "would_fire_counts",
+    "action_schedule",
+    "rule_expiry_sweep",
+    # (b) r6 rows whose operator closure (dedup/text/sketch/similarity/
+    # curation/util) was touched by round 7's post-rotation review-fix
+    # commits — the exact paper-trail gap the round-7 verdict flagged;
+    # all re-verified green at sf0.01 by this session's full driver-sim
+    # sweep, listed here so the committed artifacts catch up:
+    "ann_lsh_buckets",
+    "ann_pq_distortion",
+    "leakage_safe_split_counts",
+    "unimax_allocation",
+    "dedup_keep_best_clusters",
+    "ann_recall_eval",
+    "dedup_minhash_calibration",
+    "dedup_cost_census",
+    "dedup_threshold_sensitivity",
 ]
 
 

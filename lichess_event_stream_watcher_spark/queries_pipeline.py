@@ -534,6 +534,124 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.to_media_table(docs)).drop("byte_histogram_head")
 
 
+def _ppm_payload_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with a REAL P6 image synthesized per document —
+    the deterministic fixture that lets the from-scratch PPM decode path
+    (operators/multimodal.py decode_ppm) carry a full hash oracle: both
+    engines can derive the expected pixels because the raster is the
+    document's own ASCII text bytes, cycled to w*h*3 and framed by a
+    'P6\\n{w} {h}\\n255\\n' header (w in 1..8 and h in 1..8 from doc_id).
+    Built entirely with codegen'd string expressions — no UDF; at scale
+    this stands in for a parquet binary column read straight off the
+    scan. Empty-text docs get a truncated header ('P6\\n'), the poison
+    pill that must cost one decode_ok=false row, never a task."""
+    docs = testdata.load(spark, sf_dir, "documents")
+    g = docs.selectExpr(
+        "doc_id",
+        "CAST(doc_id % 8 + 1 AS INT) AS w",
+        "CAST((doc_id % 64) DIV 8 + 1 AS INT) AS h",
+        "text",
+    ).withColumn("n", F.col("w") * F.col("h") * F.lit(3))
+    payload = F.when(
+        F.length("text") > 0,
+        F.concat(
+            F.encode(
+                F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h")),
+                "UTF-8",
+            ),
+            F.encode(
+                F.expr(
+                    "substring(repeat(text, CAST(n DIV length(text) AS INT) + 1), 1, n)"
+                ),
+                "UTF-8",
+            ),
+        ),
+    ).otherwise(F.encode(F.lit("P6\n"), "UTF-8"))
+    return g.select("doc_id", payload.alias("payload"))
+
+
+# the oracle twin of _ppm_payload_view: w/h from doc_id, raster = text
+# cycled to 3*w*h chars (ASCII corpus: 1 char == 1 byte == unicode()
+# codepoint), NULL raster for the empty-text poison pill
+_PPM_VIEW_SQL = """g AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 + 1 AS INT) AS w,
+         CAST((doc_id % 64) // 8 + 1 AS INT) AS h,
+         text
+  FROM documents
+),
+r AS (
+  SELECT doc_id, w, h, w * h AS wh,
+         CASE WHEN length(text) > 0
+              THEN substring(repeat(text, CAST(3 * w * h // length(text) AS INT) + 1), 1, 3 * w * h)
+         END AS raster
+  FROM g
+)"""
+
+
+def _mean_channel_sql(offset: int) -> str:
+    """Floor-to-micros per-channel mean over every 3rd raster byte —
+    the exact integer arithmetic image_stats' decoder twin uses."""
+    return (
+        "CAST(list_sum(list_transform(range(0, wh), "
+        f"i -> unicode(substring(raster, CAST({offset} + 3 * i AS INT), 1)))) "
+        "* 1000000 // wh AS BIGINT) / 1000000.0"
+    )
+
+
+@query(
+    "image_stats",
+    f"""WITH {_PPM_VIEW_SQL}
+SELECT doc_id,
+  raster IS NOT NULL AS decode_ok,
+  CASE WHEN raster IS NOT NULL THEN w END AS width,
+  CASE WHEN raster IS NOT NULL THEN h END AS height,
+  CASE WHEN raster IS NOT NULL THEN {_mean_channel_sql(1)} END AS mean_r,
+  CASE WHEN raster IS NOT NULL THEN {_mean_channel_sql(2)} END AS mean_g,
+  CASE WHEN raster IS NOT NULL THEN {_mean_channel_sql(3)} END AS mean_b
+FROM r""",
+)
+def image_stats_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-certified: synthesized P6 payloads run
+    through the from-scratch netpbm parser (header tokenizer, raster
+    slice, numpy channel sums) and the oracle recomputes width/height and
+    floor-to-micros channel means from the generating text bytes. Every
+    byte of the decode path (operators/multimodal.py:105-258) is on the
+    hash: a header-parse off-by-one, a channel swap, or a wrong poison-
+    pill row all mismatch."""
+    return M.image_stats(_ppm_payload_view(spark, sf_dir))
+
+
+@query(
+    "resize_image",
+    f"""WITH {_PPM_VIEW_SQL}
+SELECT doc_id,
+  4 AS width, 4 AS height, CAST(59 AS BIGINT) AS n_bytes,
+  md5('P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
+      list_aggregate(list_transform(range(0, 48),
+        i -> substring(raster,
+               CAST(1 + 3 * (((i // 12) * h // 4) * w + (((i % 12) // 3) * w // 4)) + (i % 3) AS INT),
+               1)),
+        'string_agg', '')) AS content_md5
+FROM r WHERE raster IS NOT NULL""",
+)
+def resize_image_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor resize, driver-certified by content md5: the
+    decode -> floor-mapped resample -> P6 re-encode path produces bytes
+    whose md5 the oracle reconstructs character-by-character (src pixel
+    (y * sh // 4, x * sw // 4), channel-preserving, 11-byte header + 48
+    raster bytes). Undecodable payloads drop out (the operator contract;
+    image_stats carries their verdicts)."""
+    resized = M.resize_image(_ppm_payload_view(spark, sf_dir), width=4, height=4)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+    )
+
+
 @query(
     "salted_event_type_counts",
     """WITH dim AS (
@@ -561,18 +679,46 @@ def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_stats")
-def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query(
+    "sketch_error_bounds",
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS approx_users_ok,
+  CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS exact_median_value,
+  TRUE AS approx_median_ok
+FROM events""",
+)
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (HLL++ approx-distinct, GK approx-quantiles) next
     to their exact values — one partial-agg pass, no extra shuffle.
-    Rows-only driver check (estimates are engine-specific); the error
-    bounds are pytest-asserted against exact values."""
+
+    Successor to the retired rows-only ``sketch_stats`` registration: raw
+    sketch estimates are engine-specific (DuckDB's approx_distinct is a
+    different HLL), but the DECISION each estimate supports is not — so
+    the query emits the exact values plus boolean error-bound verdicts,
+    all hash-comparable. The verdicts are deterministic: Spark's HLL++
+    registers merge by max (partition-order free) and the GK bracket is
+    p45..p55 while accuracy=10000 bounds rank error at n/10000, orders of
+    magnitude inside the bracket. The raw estimate-vs-exact deltas stay
+    pytest-asserted (tests/test_pipeline_ops.py) with tighter bounds."""
     ev = testdata.load(spark, sf_dir, "events")
-    return ev.agg(
+    agg = ev.agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
-        F.expr("percentile(value, 0.5)").alias("exact_median_value"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
+        F.expr("percentile(value, 0.45D)").alias("p45"),
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.55D)").alias("p55"),
+    )
+    return agg.select(
+        F.col("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), F.lit(0.06) * F.col("exact_users"))
+        ).alias("approx_users_ok"),
+        F.round(F.col("p50"), 6).cast("double").alias("exact_median_value"),
+        F.col("approx_median").between(F.col("p45"), F.col("p55")).alias(
+            "approx_median_ok"
+        ),
     )
 
 

@@ -12,6 +12,12 @@ Round 6 (the backlog is zero) adds the FRESHNESS rule: a green row decays
 old must be back in the window head. Rotating the 50 slots over the
 ~177-query registry on that bound re-certifies everything on a <= 4-round
 cycle, so "green" always means "green through reasonably current code".
+
+Round 8 adds the CHANGED-SINCE-GREEN rule (registry_freshness.py): age is
+not the only decay — a green row also stops certifying the moment the
+query's backing code changes, so queries whose function/oracle/operator
+closure differs from the state at their green commit must re-enter the
+declared rotation immediately, not when their row goes stale.
 """
 
 from __future__ import annotations
@@ -25,11 +31,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries whose output is legitimately not hash-comparable cross-engine
 # (documented in each one's docstring); everything else must carry an
-# oracle so the driver records a full hash check, not rows-only. The
-# driver records rows_match=None (err: no_oracle) for these, so they can
-# never earn a lifetime green row — they count as covered through
-# test_rows_only_queries_run instead of taxing a window slot forever.
-ROWS_ONLY_ALLOWLIST = {"sketch_stats"}
+# oracle so the driver records a full hash check, not rows-only. Empty
+# since round 8: the last entry (sketch_stats) was replaced by
+# sketch_error_bounds, which emits exact values + boolean error-bound
+# verdicts instead of raw engine-specific sketch estimates — every
+# registration now carries a full hash oracle.
+ROWS_ONLY_ALLOWLIST: set[str] = set()
 
 DRIVER_WINDOW = 50
 
@@ -122,6 +129,43 @@ def test_no_stale_green_outside_window():
     )
 
 
+def test_changed_since_green_queries_are_declared():
+    """The changed-since-green preemption rule, mechanized (round-7 verdict
+    task #1): a green row certifies the CODE STATE at the commit that
+    recorded it. If a query's backing code — its function (with oracle),
+    the same-module helpers/constants it reaches, or any package module in
+    its import closure — differs between that commit and the working tree,
+    the row no longer vouches for current code, and the query must appear
+    in the declared rotation (``_DRIVER_PRIORITY``: the 50-slot window
+    about to re-certify it, or the explicit queue behind it). This is what
+    the round-6/7 builders did by hand at rotation time; running it as a
+    test also catches POST-rotation drift, the gap round 7's verdict
+    found. Uncommitted working-tree edits flag immediately."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import registry_freshness as rf
+    from lichess_event_stream_watcher_spark.queries import _DRIVER_PRIORITY
+
+    qs, _ = _registry()
+    newest = _green_rounds()
+    declared = set(_DRIVER_PRIORITY)
+    offenders = []
+    for name, fn in qs.items():
+        if name in declared or name not in newest:
+            continue  # queued for re-cert / no green row (backlog test's job)
+        reasons = rf.query_changed_since(fn, rf.round_commit(newest[name]))
+        if reasons:
+            offenders.append((name, newest[name], reasons))
+    assert not offenders, (
+        f"{len(offenders)} queries hold green rows that predate changes to "
+        f"their backing code and are not in the declared rotation — add them "
+        f"to _DRIVER_PRIORITY (window head to re-certify now, queue to "
+        f"declare the intent): "
+        + "; ".join(f"{n} (r{r}: {', '.join(rs)})" for n, r, rs in offenders)
+    )
+
+
 def test_rows_only_registrations_are_explicitly_allowlisted():
     qs, oracles = _registry()
     rows_only = {n for n in qs if n not in oracles}
@@ -133,3 +177,49 @@ def test_rows_only_registrations_are_explicitly_allowlisted():
     )
     stale = ROWS_ONLY_ALLOWLIST - set(qs)
     assert not stale, f"allowlist entries no longer registered: {sorted(stale)}"
+
+
+def test_freshness_analyzer_mechanics():
+    """registry_freshness unit surface: relative-import resolution, the
+    docstring/comment invariance of fingerprints, and that analysis of a
+    live query yields a real fingerprint plus engine-module backing."""
+    import ast
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import registry_freshness as rf
+
+    pkg = rf.PKG
+    # relative-import resolution (module 'pkg.rules.store')
+    assert rf._resolve_from(f"{pkg}.rules.store", 1, "model") == f"{pkg}.rules.model"
+    assert rf._resolve_from(f"{pkg}.rules.store", 2, "lua_translate") == f"{pkg}.lua_translate"
+    assert rf._resolve_from(f"{pkg}.queries_pipeline", 1, None) == pkg
+    assert rf._resolve_from(f"{pkg}.queries_pipeline", 0, "pyspark.sql") is None
+
+    # docstrings and comments never flag: same dump either way
+    a = ast.parse('def f(x):\n    """doc."""\n    # comment\n    return x + 1\n')
+    b = ast.parse('def f(x):\n    """different doc."""\n    return x + 1  # other\n')
+    assert rf._node_dump(a.body[0]) == rf._node_dump(b.body[0])
+    c = ast.parse('def f(x):\n    return x + 2\n')
+    assert rf._node_dump(a.body[0]) != rf._node_dump(c.body[0])
+
+    # live analysis: a pipeline query fingerprints non-trivially and backs
+    # onto engine modules through the import closure
+    qs, _ = _registry()
+    fp, backing = rf._analyze(
+        qs["dedup_minhash_lsh"].__module__, qs["dedup_minhash_lsh"].__name__, None
+    )
+    assert "func:" in fp and "<missing-func" not in fp
+    closure = rf._closure(backing)
+    assert any(p.endswith("operators/dedup.py") for p in closure)
+    assert any(p.endswith("testdata.py") for p in closure)
+    # an identical second run is cached and equal
+    assert rf._analyze(
+        qs["dedup_minhash_lsh"].__module__, qs["dedup_minhash_lsh"].__name__, None
+    ) == (fp, backing)
+
+    # a query certified at CURRENT HEAD with no working-tree drift in its
+    # backing would report no reasons; simulate by comparing HEAD to HEAD
+    # via the module-dump path on an engine module
+    head = rf.round_commit(7)
+    assert head is not None and len(head) == 40
