@@ -199,11 +199,43 @@ def jaccard_pairs(
         probe = sh.agg(
             F.approx_count_distinct("shingle").alias("v"),
             F.approx_count_distinct("id").alias("nd"),
+            F.count("*").alias("p"),
         ).first()
-        est_bytes = int(probe["nd"]) * int(probe["v"]) * 4
-        if probe["v"] <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
-            id_type = df.schema[id_col].dataType.simpleString()
-            return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
+        nd, v, p = int(probe["nd"]), int(probe["v"]), int(probe["p"])
+        est_bytes = nd * v * 4
+        if v <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
+            # COST gate on top of the FEASIBILITY gate (round-8, measured
+            # on 1x/4x/8x cipher replications of the sf0.1 corpus — see
+            # SCALE.md's scale-exponent probe): dense's unavoidable work
+            # is the nd^2 intersection-count scan of the matmul output;
+            # postings' is the sum(df^2) bucket fanout through a shuffle.
+            # Measured per-unit costs are comparable (~0.1 us/cell vs
+            # /row on local[32]), so compare the counts with a 2x margin
+            # to dense (it also saves a shuffle): 5k docs 3.7 s dense vs
+            # 6.0 s postings; 20k docs 28.7 vs 44.7; 40k docs 159 vs 40
+            # — the margin classifies all three points correctly, while
+            # the bytes limit alone kept admitting dense at 40k docs.
+            # Two tiers so the certified corpora pay nothing extra:
+            # sum(df^2) >= p^2/v (Cauchy-Schwarz), so if nd^2 clears the
+            # UNIFORM lower bound the groupBy probe is skipped; only an
+            # inconclusive bound pays the exact df^2 aggregation.
+            if nd * nd * v <= 2 * p * p:
+                dense_ok = True
+            else:
+                # double-typed sum: a web-scale stop-shingle df can put
+                # sum(df^2) past int64; the gate needs magnitude, not
+                # exactness
+                sum_df2 = float(
+                    sh.groupBy("shingle")
+                    .agg(F.count("*").alias("d"))
+                    .agg(F.sum(F.col("d").cast("double") * F.col("d")))
+                    .first()[0]
+                    or 0.0
+                )
+                dense_ok = nd * nd <= 2 * sum_df2
+            if dense_ok:
+                id_type = df.schema[id_col].dataType.simpleString()
+                return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
     if sparse_strategy == "prefix":
         return _jaccard_pairs_prefix(
             shingle_arrays(df, n, text_col, id_col), threshold, order=prefix_order

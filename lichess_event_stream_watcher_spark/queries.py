@@ -373,6 +373,39 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_calibration",
     "dedup_cost_census",
     "dedup_threshold_sensitivity",
+    # (c) r7 rows preempted by round 8's OWN changes — the dense-vs-
+    # postings cost gate in operators/dedup.py (touches every query whose
+    # closure includes the jaccard/shingle machinery) and the baseline-
+    # JPEG dispatch in operators/multimodal.py. All 25 re-verified
+    # hash-green at sf0.01 by this session's final full driver-sim sweep
+    # on the changed code; declared here so the committed paper trail
+    # rotates them through upcoming windows (freshness horizon: their r7
+    # greens stay valid through round 11).
+    "charlm_quality",
+    "contamination_check",
+    "curation_gate",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_jaccard_inverted",
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fuzzy_graph_kcore",
+    "fuzzy_graph_triangles",
+    "lexicon_coverage",
+    "lsh_bucket_histogram",
+    "multimodal_features",
+    "multimodal_manifest",
+    "paragraph_dedup",
+    "repetition_profile",
+    "source_quality_scorecard",
+    "temperature_mix_sample",
+    "text_profile",
+    "tf_cosine_pairs",
 ]
 
 

@@ -6209,7 +6209,14 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate); the comparison is one left join + config-keyed rollup, with
     the scalar true-pair count cross-joined funnel-style."""
     docs = testdata.load(spark, sf_dir, "documents")
-    exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b")
+    # persist: the exact pair table feeds TWO consumers (the true-pair
+    # count and the comparison join) and Spark does not share
+    # unmaterialized subtrees across DataFrame branches — without the
+    # cache the whole exact pair search ran twice, which the round-8
+    # scale probe measured as the dominant cost of this query at 8x
+    # (2 x 159 s of a ~380 s total). The table itself is tiny (the
+    # qualifying pairs, thousands of rows), so the cache is bounded.
+    exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b").persist()
     cand = D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2)
     n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))
     ex = exact.select(

@@ -3470,3 +3470,29 @@ def test_power_iteration_guards_empty_and_ragged_vectors(spark, sf_dir):
         )
     )
     assert power_iteration_quantized(ragged, iters=2, dim=len(clean)) == clean
+
+
+def test_jaccard_cost_gate_routes_disjoint_vocab_to_postings(spark, sf_dir):
+    """Round-8 cost gate (measured on the scale probe's 1x/4x/8x cipher
+    replications): dense's unavoidable work is the nd^2 intersection-count
+    scan, postings' is the sum(df^2) fanout. A corpus whose docs share
+    almost no shingles has sum(df^2) ~ P but nd^2 >> P — the old
+    feasibility-only gate (vocab and bytes limits) still admitted dense
+    there and paid a measured 4x at 40k docs. The cost gate must route it
+    to the sparse path, while the shared-vocabulary driver corpus keeps
+    taking dense via the zero-extra-work uniform lower bound."""
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import dedup as D
+
+    disjoint = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(300)],
+        "doc_id bigint, text string",
+    )
+    df = D.jaccard_pairs(disjoint, n=2, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan, plan  # sparse path: no BLAS stage
+    assert df.count() == 0  # no shared shingles -> no pairs
+
+    dense_df = D.jaccard_pairs(testdata.load(spark, sf_dir, "documents"), n=2, threshold=0.5)
+    dense_plan = dense_df._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" in dense_plan, dense_plan  # shared vocab stays dense
