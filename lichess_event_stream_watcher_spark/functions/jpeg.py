@@ -1,0 +1,545 @@
+"""From-scratch baseline JPEG (ITU-T T.81 / JFIF) codec — no codec libs.
+
+The container has no image libraries, so JPEG payloads were env-gated
+(``decode_image`` raised naming the magic). This module closes that gap
+the same way ``mmdb.py`` / ``uap.py`` / the netpbm+BMP parsers did: a
+clean-room implementation of a fully PUBLIC format from its spec —
+baseline sequential DCT, 8-bit precision, Huffman entropy coding, 1- or
+3-component (grayscale / YCbCr) scans with sampling factors in {1, 2}
+(4:4:4, 4:2:2, 4:2:0), restart intervals, and JFIF byte stuffing.
+
+Everything numeric is numpy-vectorized where it matters (dequant,
+zigzag scatter, the 8x8 IDCT as two orthonormal matrix products, chroma
+upsampling, color conversion); only the Huffman bit loop is per-symbol
+Python, which is fine for the Arrow-batched mapInPandas decode stages
+this feeds (a poisoned/corrupt payload raises ValueError and costs one
+``decode_ok=false`` row, never a task — decode_image's contract).
+
+``encode_jpeg_baseline`` is the writer twin (Annex K quantization and
+Huffman tables, optional 2x2 chroma subsampling): tests round-trip
+pixels through encode->decode and bound the error by the quantization
+step, which exercises every table, the zigzag, both DCTs, and the
+entropy coder from both sides.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# shared constants: zigzag order, orthonormal DCT basis, Annex K tables
+# --------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Zigzag index k -> raster index (row*8+col), per T.81 Figure A.6."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(7, s) + 1)
+        rows = rows if s % 2 else reversed(rows)
+        order.extend(r * 8 + (s - r) for r in rows)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c[0, :] = 1.0
+    scale = np.full((8, 1), np.sqrt(2.0 / 8.0))
+    scale[0, 0] = np.sqrt(1.0 / 8.0)
+    return c * scale
+
+
+_DCT = _dct_matrix()  # Y = C X C^T ; X = C^T Y C
+
+# Annex K.1/K.2 quantization tables (luminance, chrominance), raster order
+_QT_LUMA = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61,
+     12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56,
+     14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77,
+     24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101,
+     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+_QT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K.3 Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, per T.81 Annex C code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), the encoder-side view of the same table."""
+    return {sym: (code, ln) for (ln, code), sym in _canonical_codes(bits, vals).items()}
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, honoring 0xFF00
+    byte stuffing; stops at any real marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG: bit read past marker")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: dangling 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed FF
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError("JPEG: bit read past marker")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+        self.n = 0
+        if self.marker is None:
+            while self.pos + 1 < len(self.data):
+                b = self.data[self.pos]
+                self.pos += 1
+                if b != 0xFF:
+                    continue
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt == 0x00:
+                    continue
+                self.marker = nxt
+                break
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError(f"JPEG: expected RSTn, got {self.marker!r}")
+        self.marker = None
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, ssss: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map magnitude bits to signed value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
+    """Baseline JPEG -> (width, height, packed row-major RGB bytes).
+
+    Grayscale output is replicated across R=G=B so every decoder in
+    ``decode_image`` shares one output contract. Raises ValueError on
+    anything outside single-scan baseline sequential 8-bit (progressive
+    SOF2, arithmetic coding, 12-bit precision, sampling factors > 2) —
+    and on ANY malformed byte stream: the poison-pill contract is
+    ValueError-only, so corrupt payloads cost one row, never a task."""
+    try:
+        return _decode_jpeg(b)
+    except (IndexError, struct.error) as exc:  # truncated/corrupt stream
+        raise ValueError(f"JPEG: malformed stream ({exc})") from exc
+
+
+def _decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: bad SOI")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) ; comps: [(cid, hi, vi, tq)]
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before any scan
+            raise ValueError("JPEG: EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        seg = b[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG: segment truncated")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                qtables[tq] = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                htables[(tc, th)] = _canonical_codes(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(f"JPEG: sampling {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
+            if nc == 1 and comps[0][1:3] != (1, 1):
+                # single-component scans are non-interleaved (MCU = one
+                # data unit); only the 1x1 case coincides with the
+                # interleaved walk below
+                raise ValueError("JPEG: grayscale with sampling > 1 unsupported")
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: non-baseline SOF 0x{marker:02X} unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(
+                b, pos + seglen, frame, scan, qtables, htables, restart_interval
+            )
+        pos += seglen
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(b, pos, frame, scan, qtables, htables, ri):
+    h, w, comps = frame
+    if h <= 0 or w <= 0:
+        raise ValueError("JPEG: bad dimensions")
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-scan-component state
+    sc = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG: scan component {cs} not in frame")
+        hi, vi, tq = by_id[cs]
+        if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("JPEG: missing quant/Huffman table")
+        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        sc.append(
+            {"hi": hi, "vi": vi, "q": qtables[tq].astype(np.float64),
+             "dc": htables[(0, td)], "ac": htables[(1, ta)],
+             "pred": 0, "plane": plane}
+        )
+    r = _BitReader(b, pos)
+    zz = ZIGZAG
+    C = _DCT
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                r.restart()
+                for c in sc:
+                    c["pred"] = 0
+            for c in sc:
+                for byy in range(c["vi"]):
+                    for bxx in range(c["hi"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        ssss = _huff_decode(r, c["dc"])
+                        if ssss > 11:
+                            raise ValueError("JPEG: DC category out of range")
+                        diff = _extend(r.read_bits(ssss), ssss)
+                        c["pred"] += diff
+                        coef[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, c["ac"])
+                            rrrr, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("JPEG: AC run past block end")
+                            coef[k] = _extend(r.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = coef * c["q"][zz]
+                        px = C.T @ block.reshape(8, 8) @ C + 128.0
+                        y0 = (my * c["vi"] + byy) * 8
+                        x0 = (mx * c["hi"] + bxx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    planes = []
+    for c in sc:
+        p = c["plane"]
+        p = np.repeat(p, hmax // c["hi"], axis=1)
+        p = np.repeat(p, vmax // c["vi"], axis=0)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(y[:, :, None], 3, axis=2).tobytes()
+    if len(planes) != 3:
+        raise ValueError(f"JPEG: {len(planes)}-component scans unsupported")
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=2,
+    )
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# --------------------------------------------------------------------------
+# encoder twin (Annex K tables; optional 2x2 chroma subsampling)
+# --------------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _ssss(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    wtr: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
+    dc: dict[int, tuple[int, int]], ac: dict[int, tuple[int, int]],
+) -> int:
+    Y = _DCT @ (block - 128.0) @ _DCT.T
+    coef = np.round(Y.reshape(64) / q).astype(np.int64)[ZIGZAG]
+    diff = int(coef[0]) - pred
+    s = _ssss(diff)
+    code, ln = dc[s]
+    wtr.write(code, ln)
+    if s:
+        wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.nonzero(coef[1:])[0][-1]) + 1 if np.any(coef[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        s = _ssss(v)
+        code, ln = ac[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac[0x00]  # EOB
+        wtr.write(code, ln)
+    return int(coef[0])
+
+
+def encode_jpeg_baseline(
+    w: int, h: int, rgb: bytes, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
+    """Baseline JFIF encode of packed RGB (Annex K tables, quality as-is).
+
+    ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma), exercising
+    the decoder's upsampling path; ``restart_interval=n`` emits DRI + RSTn
+    markers every n MCUs, exercising the decoder's restart/DC-reset path.
+    The twin exists for round-trip tests — error is bounded by the
+    quantization step."""
+    if len(rgb) != w * h * 3:
+        raise ValueError(f"encode_jpeg: {len(rgb)} bytes != {w}x{h}x3")
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * bl
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
+    hs = vs = 2 if subsample else 1
+
+    def pad(p: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+        py = (-p.shape[0]) % mult_y
+        pxx = (-p.shape[1]) % mult_x
+        return np.pad(p, ((0, py), (0, pxx)), mode="edge")
+
+    if subsample:
+        cbp = pad(cb, 2, 2)
+        crp = pad(cr, 2, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    y = pad(y, 8 * vs, 8 * hs)
+    cb = pad(cb, 8, 8)
+    cr = pad(cr, 8, 8)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in ((0, _QT_LUMA), (1, _QT_CHROMA)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(int(v) for v in qt)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc_th, (bits, vals) in (
+        ((0x00), _HT_DC_LUMA), ((0x10), _HT_AC_LUMA),
+        ((0x01), _HT_DC_CHROMA), ((0x11), _HT_AC_CHROMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    dc_l, ac_l = _encode_codes(*_HT_DC_LUMA), _encode_codes(*_HT_AC_LUMA)
+    dc_c, ac_c = _encode_codes(*_HT_DC_CHROMA), _encode_codes(*_HT_AC_CHROMA)
+    ql, qc = _QT_LUMA.astype(np.float64), _QT_CHROMA.astype(np.float64)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_y = y.shape[0] // (8 * vs)
+    mcus_x = y.shape[1] // (8 * hs)
+    mcu_count = rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                preds = [0, 0, 0]
+            mcu_count += 1
+            for byy in range(vs):
+                for bxx in range(hs):
+                    y0, x0 = (my * vs + byy) * 8, (mx * hs + bxx) * 8
+                    preds[0] = _encode_block(
+                        wtr, y[y0 : y0 + 8, x0 : x0 + 8], ql, preds[0], dc_l, ac_l
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                y0, x0 = my * 8, mx * 8
+                preds[ci] = _encode_block(
+                    wtr, plane[y0 : y0 + 8, x0 : x0 + 8], qc, preds[ci], dc_c, ac_c
+                )
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -176,16 +176,21 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode -> (width, height, packed RGB bytes), dispatched on
-    magic bytes: PPM (P6/P3) and uncompressed 24-bit BMP decode for real
-    (from-scratch parsers above); anything else raises ``ValueError``
-    naming the magic — codec-library formats (JPEG/PNG/...) stay
-    env-gated in this container. ``image_stats`` maps that error to a
-    ``decode_ok = false`` row, so unsupported/corrupt payloads cost one
-    row, never a task."""
+    magic bytes: PPM (P6/P3), uncompressed 24-bit BMP, and baseline JPEG
+    decode for real (from-scratch parsers — see functions/jpeg.py for the
+    T.81 implementation added in round 8); anything else raises
+    ``ValueError`` naming the magic — the remaining codec-library formats
+    (PNG/audio/video) stay env-gated in this container. ``image_stats``
+    maps that error to a ``decode_ok = false`` row, so unsupported/
+    corrupt payloads cost one row, never a task."""
     if payload[:2] in (b"P6", b"P3"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unsupported image magic {bytes(payload[:2])!r}")
 
 

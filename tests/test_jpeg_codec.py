@@ -1,0 +1,141 @@
+"""From-scratch baseline JPEG codec (functions/jpeg.py) — pure numpy, no
+Spark session. The encoder twin round-trips pixels through the full
+pipeline (color convert, optional 4:2:0 subsample, FDCT, Annex K
+quantization, Huffman entropy coding, byte stuffing, restart markers) and
+the decoder must recover them within the quantization error bound; exact
+small cases pin DC-only blocks. Corrupt payloads must raise ValueError
+(the mapInPandas poison-pill contract), never IndexError/struct.error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lichess_event_stream_watcher_spark.functions.jpeg import (
+    ZIGZAG,
+    _DCT,
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+
+
+def _rgb(h: int, w: int) -> bytes:
+    """Deterministic smooth test image (JPEG-friendly gradients)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(1, w - 1)).astype(np.uint8)
+    g = (yy * 255 // max(1, h - 1)).astype(np.uint8)
+    b = ((xx + yy) * 127 // max(1, h + w - 2)).astype(np.uint8)
+    return np.stack([r, g, b], axis=2).tobytes()
+
+
+def _max_err(a: bytes, b: bytes) -> int:
+    return int(
+        np.abs(
+            np.frombuffer(a, np.uint8).astype(np.int32)
+            - np.frombuffer(b, np.uint8).astype(np.int32)
+        ).max()
+    )
+
+
+def test_zigzag_and_dct_basis():
+    # zigzag is a permutation of 0..63 with the spec's first diagonal runs
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    # orthonormal: C C^T = I (so decode's C^T Y C inverts encode's C X C^T)
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+
+def test_flat_color_roundtrip_is_near_exact():
+    """A flat block is DC-only; quantized DC error is at most qstep/2
+    mapped through the color transform — allow a small bound."""
+    for color in ((128, 128, 128), (255, 0, 0), (3, 200, 77)):
+        rgb = bytes(color) * (16 * 16)
+        w, h, out = decode_jpeg(encode_jpeg_baseline(16, 16, rgb))
+        assert (w, h) == (16, 16)
+        assert _max_err(rgb, out) <= 14, color
+
+
+def test_gradient_roundtrip_within_quant_error():
+    rgb = _rgb(24, 40)  # non-multiple-of-8 width/height exercise padding/crop
+    w, h, out = decode_jpeg(encode_jpeg_baseline(40, 24, rgb))
+    assert (w, h) == (40, 24)
+    assert len(out) == 40 * 24 * 3
+    # Annex K luma steps reach 16 in the low bands a gradient occupies;
+    # observed max err ~20 — bound with headroom against regressions
+    assert _max_err(rgb, out) <= 48
+    # mean error should be tight for a smooth image
+    diff = np.abs(
+        np.frombuffer(rgb, np.uint8).astype(np.int32)
+        - np.frombuffer(out, np.uint8).astype(np.int32)
+    )
+    assert diff.mean() <= 6.0
+
+
+def test_subsampled_420_roundtrip():
+    rgb = _rgb(32, 48)
+    w, h, out = decode_jpeg(encode_jpeg_baseline(48, 32, rgb, subsample=True))
+    assert (w, h) == (48, 32)
+    assert _max_err(rgb, out) <= 64  # chroma is box-averaged 2x2
+    # luma plane survives subsampling almost as well as 4:4:4
+    y_in = np.frombuffer(rgb, np.uint8).reshape(32, 48, 3).astype(np.float64)
+    y_out = np.frombuffer(out, np.uint8).reshape(32, 48, 3).astype(np.float64)
+    luma = np.array([0.299, 0.587, 0.114])
+    assert np.abs((y_in @ luma) - (y_out @ luma)).mean() <= 4.0
+
+
+def test_restart_intervals_reset_dc_prediction():
+    rgb = _rgb(16, 80)  # 10 MCUs at 4:4:4 -> several RSTn markers
+    payload = encode_jpeg_baseline(80, 16, rgb, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI present
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+    w, h, out = decode_jpeg(payload)
+    assert (w, h) == (80, 16)
+    assert _max_err(rgb, out) <= 48
+    # the same image without restarts decodes to the same pixels
+    _, _, out_plain = decode_jpeg(encode_jpeg_baseline(80, 16, rgb))
+    assert out == out_plain
+
+
+def test_byte_stuffing_roundtrip():
+    """An image whose entropy stream necessarily contains 0xFF bytes (big
+    random-ish coefficient churn) must survive stuffing/unstuffing."""
+    rng = np.arange(32 * 32 * 3, dtype=np.int64)
+    rgb = ((rng * 2654435761) % 256).astype(np.uint8).tobytes()  # harsh noise
+    payload = encode_jpeg_baseline(32, 32, rgb)
+    w, h, out = decode_jpeg(payload)
+    assert (w, h) == (32, 32) and len(out) == len(rgb)
+    # noise round-trips poorly by design (quantization), but the stream
+    # must parse and the DC means must track per 8x8 block
+    a = np.frombuffer(rgb, np.uint8).reshape(32, 32, 3).astype(np.float64)
+    b = np.frombuffer(out, np.uint8).reshape(32, 32, 3).astype(np.float64)
+    for c in range(3):
+        blk_a = a[:, :, c].reshape(4, 8, 4, 8).mean(axis=(1, 3))
+        blk_b = b[:, :, c].reshape(4, 8, 4, 8).mean(axis=(1, 3))
+        assert np.abs(blk_a - blk_b).max() <= 24
+
+
+def test_corrupt_payloads_raise_valueerror_only():
+    good = encode_jpeg_baseline(16, 16, _rgb(16, 16))
+    cases = [
+        b"",
+        b"\xff\xd8",  # SOI only
+        b"\xff\xd8\xff\xd9",  # empty
+        good[:20],  # truncated header
+        good[: len(good) // 2],  # truncated entropy data
+        good[:2] + b"\xff\xc2" + good[4:],  # progressive SOF2
+        b"\xff\xd8\xff\xdb\x00\x03\x10",  # short DQT
+        good.replace(b"\xff\xda", b"\xff\xda\x00", 1),  # mangled SOS
+    ]
+    for i, payload in enumerate(cases):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload)
+
+
+def test_decode_image_dispatches_jpeg():
+    from lichess_event_stream_watcher_spark.operators.multimodal import decode_image
+
+    rgb = _rgb(8, 8)
+    w, h, out = decode_image(encode_jpeg_baseline(8, 8, rgb))
+    assert (w, h) == (8, 8) and len(out) == 8 * 8 * 3
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n")  # PNG stays env-gated
