@@ -568,17 +568,22 @@ def main() -> None:
     # ev/s round to round): measure it in the same clean early slot.
     import tempfile
 
-    # min-of-3 like every other entry (round-7 fix: this was the last
-    # single-draw headline metric — a -29% round-6 read on a flat-median
-    # boot was unattributable between contention and regression)
+    # Steady-state protocol (round-8 fix, r7 verdict watch item): the
+    # first streaming draw is warmup-inflated — micro-batch codegen +
+    # state-store/checkpoint init land in it, and the round-7 draws
+    # trended 4.60 -> 3.65 -> 3.18 WITHIN one run, so a min-of-3 still
+    # rode the warming tail and moved round over round. Four draws,
+    # DISCARD the first, publish min of the three steady-state draws.
+    # All four are recorded in streaming_draws_sec (warmup first) so
+    # flatness of the published tail is auditable in the artifact.
     stream_draws = []
-    for _ in range(3):
+    for _ in range(4):
         stream_sec_i, stream_n = bench_streaming_engine(
             spark, sf_dir, tempfile.gettempdir()
         )
         stream_draws.append(stream_sec_i)
         full_gc()
-    stream_sec = min(stream_draws)
+    stream_sec = min(stream_draws[1:])
     probe_runs = [bench_indexed_probe(spark, sf_dir) for _ in range(2)]
 
     timings: dict[str, float] = {}
