@@ -139,6 +139,12 @@ HEADLINE = [
     "ann_cost_census",
     "dedup_minhash_calibration",
     "ann_pq_distortion",
+    # round-8 registrations: the REAL image decode path (PPM parse,
+    # channel sums, NN resample through Arrow-batched mapInPandas) and
+    # the hash-comparable sketch error-bound successor to sketch_stats
+    "image_stats",
+    "resize_image",
+    "sketch_error_bounds",
 ]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and

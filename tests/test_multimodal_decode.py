@@ -144,3 +144,38 @@ def test_resize_image_nearest_neighbor_exact_upscale(spark):
             s = ((y // 2) * 2 + (x // 2)) * 3
             d = (y * 4 + x) * 3
             assert rgb[d : d + 3] == RGB_2X2[s : s + 3], (x, y)
+
+
+def test_image_stats_over_jpeg_payloads(spark):
+    """End-to-end: baseline-JPEG payloads through the Arrow-batched
+    image_stats operator — per-channel means must match a local decode of
+    the same bytes, and a corrupt JPEG costs one decode_ok=false row."""
+    import numpy as np
+
+    from lichess_event_stream_watcher_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from lichess_event_stream_watcher_spark.operators import multimodal as M
+
+    def img(seed: int, w: int, h: int) -> bytes:
+        idx = np.arange(w * h * 3, dtype=np.int64)
+        return ((idx * (seed * 2 + 1) * 97) % 256).astype(np.uint8).tobytes()
+
+    payloads = [
+        (0, encode_jpeg_baseline(16, 16, img(0, 16, 16))),
+        (1, encode_jpeg_baseline(24, 8, img(1, 24, 8), subsample=True)),
+        (2, encode_jpeg_baseline(40, 16, img(2, 40, 16), restart_interval=2)),
+        (3, b"\xff\xd8corrupt"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id bigint, payload binary")
+    rows = {r["doc_id"]: r for r in M.image_stats(df).collect()}
+    assert rows[3]["decode_ok"] is False and rows[3]["width"] is None
+    for doc_id, payload in payloads[:3]:
+        w, h, rgb = decode_jpeg(payload)
+        got = rows[doc_id]
+        assert (got["width"], got["height"]) == (w, h) and got["decode_ok"] is True
+        sums = np.frombuffer(rgb, np.uint8).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        n_px = w * h
+        for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert got[col] == (int(sums[ch]) * 1_000_000 // n_px) / 1e6

@@ -223,3 +223,17 @@ def test_freshness_analyzer_mechanics():
     # via the module-dump path on an engine module
     head = rf.round_commit(7)
     assert head is not None and len(head) == 40
+
+
+def test_scale_probe_fit_and_fixture_helpers():
+    """scale_probe's pure helpers: the log-log fit recovers known
+    exponents, and the fixture constants are what SCALE.md documents."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import scale_probe as sp
+
+    assert sp._fit_exponent({1: 2.0, 4: 8.0, 8: 16.0}) == 1.0  # linear
+    assert sp._fit_exponent({1: 1.0, 4: 16.0, 8: 64.0}) == 2.0  # quadratic
+    assert abs(sp._fit_exponent({4: 10.0, 8: 10.0})) < 1e-9  # flat tail
+    assert "documents" in sp.TABLES and "embeddings" in sp.TABLES
