@@ -18,12 +18,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-# One pattern, three engines: the Column twin (rlike), the Python twin
-# (re), and the DuckDB oracles (regexp_matches) all gate on this exact
-# string so no engine accepts an IP another rejects. `(0|[1-9]\d{0,2})`
-# = no leading zeros, 1-3 digits; the <= 255 range check stays separate
-# (299 still matches the regex).
-IPV4_PATTERN = r"^(0|[1-9]\d{0,2})(\.(0|[1-9]\d{0,2})){3}$"
+# One pattern BODY, three engines — with per-engine END anchors, because
+# '$' does not mean the same thing everywhere (round-8 review finding):
+# Java regex (Spark rlike) and Python re let '$' match BEFORE a final
+# line terminator, so '1.2.3.4\n' passed both twins while DuckDB's RE2
+# '$' (absolute end) and Rust std::net reject it — a three-way
+# divergence on exactly the malformed-input class this gate exists for.
+# Java gets '\z' (absolute end), Python gets '\Z' (its absolute end;
+# Python has no '\z'), DuckDB keeps '$' (already absolute in RE2).
+# `(0|[1-9]\d{0,2})` = no leading zeros, 1-3 digits; the <= 255 range
+# check stays separate (299 still matches the regex).
+_IPV4_BODY = r"^(0|[1-9]\d{0,2})(\.(0|[1-9]\d{0,2})){3}"
+IPV4_PATTERN = _IPV4_BODY + "$"  # the DuckDB-oracle form
+_IPV4_PATTERN_JAVA = _IPV4_BODY + r"\z"
+_IPV4_PATTERN_PY = _IPV4_BODY + r"\Z"
 
 
 def ip_to_num(ip: Column | str) -> Column:
@@ -42,7 +50,7 @@ def ip_to_num(ip: Column | str) -> Column:
     col = F.col(ip) if isinstance(ip, str) else ip
     parts = F.split(col, r"\.")
     octets = [parts.getItem(i).cast("bigint") for i in range(4)]
-    valid = col.rlike(IPV4_PATTERN)
+    valid = col.rlike(_IPV4_PATTERN_JAVA)
     for o in octets:
         valid = valid & (o <= F.lit(255))
     num = (
@@ -75,12 +83,13 @@ def ip_to_num_py(ip: str) -> int | None:
     the Lua CODE path (isInIpRange) and the native Column path agree on
     EVERY input. A bare int() split would accept '+2'/' 3' octets the
     Column form rejects (round-7 review fix); both twins share
-    IPV4_PATTERN so the leading-zero rejection cannot drift."""
+    _IPV4_BODY (with engine-correct absolute end anchors) so the
+    leading-zero and trailing-newline rejections cannot drift."""
     global _IPV4_RE
     if _IPV4_RE is None:
         import re
 
-        _IPV4_RE = re.compile(IPV4_PATTERN)
+        _IPV4_RE = re.compile(_IPV4_PATTERN_PY)
     if not isinstance(ip, str) or not _IPV4_RE.match(ip):
         return None
     parts = [int(p) for p in ip.split(".")]

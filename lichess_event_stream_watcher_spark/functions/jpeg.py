@@ -8,12 +8,16 @@ baseline sequential DCT, 8-bit precision, Huffman entropy coding, 1- or
 3-component (grayscale / YCbCr) scans with sampling factors in {1, 2}
 (4:4:4, 4:2:2, 4:2:0), restart intervals, and JFIF byte stuffing.
 
-Everything numeric is numpy-vectorized where it matters (dequant,
-zigzag scatter, the 8x8 IDCT as two orthonormal matrix products, chroma
-upsampling, color conversion); only the Huffman bit loop is per-symbol
-Python, which is fine for the Arrow-batched mapInPandas decode stages
-this feeds (a poisoned/corrupt payload raises ValueError and costs one
-``decode_ok=false`` row, never a task — decode_image's contract).
+Everything numeric is batched numpy (dequant + inverse zigzag as one
+fancy-indexed assignment over ALL blocks, the 8x8 IDCTs as two
+broadcasted BLAS matmuls, plane assembly as a reshape/transpose, chroma
+upsampling, color conversion); only the Huffman loop is per-SYMBOL
+Python, driven by a 16-bit-prefix LUT over a pre-unstuffed stream.
+Measured single-core: 256x256 worst-case noise 32 ms/img, smooth
+15 ms/img (the first per-bit implementation was 646/77 ms) — adequate
+for the Arrow-batched mapInPandas decode stages this feeds, where a
+poisoned/corrupt payload raises ValueError and costs one
+``decode_ok=false`` row, never a task (decode_image's contract).
 
 ``encode_jpeg_baseline`` is the writer twin (Annex K quantization and
 Huffman tables, optional 2x2 chroma subsampling): tests round-trip
@@ -24,6 +28,7 @@ entropy coder from both sides.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -143,77 +148,106 @@ def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
 # --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
-class _BitReader:
-    """MSB-first bit reader over the entropy-coded segment, honoring 0xFF00
-    byte stuffing; stops at any real marker (the caller handles RSTn)."""
+def _unstuff(b: bytes, pos: int) -> tuple[bytes, list[int], int | None]:
+    """Entropy segment -> (clean bytes, RSTn byte-offsets in the CLEAN
+    stream, terminating marker or None). One pass with C-level find():
+    0xFF00 unstuffs to 0xFF, RSTn records a restart boundary, any other
+    marker ends the segment. Pulling stuffing/marker handling out of the
+    bit loop is what lets the reader below be a plain shift register."""
+    out = bytearray()
+    bounds: list[int] = []
+    i = pos
+    while True:
+        j = b.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(b):
+            out += b[i:] if j < 0 else b[i:j]
+            return bytes(out), bounds, None
+        out += b[i:j]
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            out.append(0xFF)
+        elif 0xD0 <= nxt <= 0xD7:
+            bounds.append(len(out))
+        else:
+            return bytes(out), bounds, nxt
+        i = j + 2
 
-    def __init__(self, data: bytes, pos: int):
+
+class _FastBits:
+    """MSB-first shift-register reader over UNSTUFFED entropy bytes.
+
+    ``peek16`` never fails (virtually zero-padded past the end — the same
+    role as the final byte's pad bits), while ``get``/``skip`` account
+    consumed bits strictly, so a truncated stream raises ValueError the
+    moment a symbol would be decoded out of padding instead of data."""
+
+    __slots__ = ("data", "pos", "acc", "n", "consumed", "limit")
+
+    def __init__(self, data: bytes):
         self.data = data
-        self.pos = pos
+        self.pos = 0
         self.acc = 0
         self.n = 0
-        self.marker: int | None = None
+        self.consumed = 0
+        self.limit = len(data) * 8
 
-    def _fill(self) -> None:
-        if self.marker is not None:
-            raise ValueError("JPEG: bit read past marker")
-        if self.pos >= len(self.data):
+    def _ensure(self, k: int) -> None:
+        while self.n < k:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = ((self.acc << 8) | nxt) & 0xFFFFFFFF
+            self.n += 8
+
+    def peek16(self) -> int:
+        if self.n < 16:
+            self._ensure(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.consumed += k
+        if self.consumed > self.limit:
             raise ValueError("JPEG: entropy data truncated")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG: dangling 0xFF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed FF
-            else:
-                self.marker = nxt
-                self.pos += 1
-                raise ValueError("JPEG: bit read past marker")
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+        self.n -= k
 
-    def read_bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    def get(self, k: int) -> int:
+        if k == 0:
+            return 0
+        if self.n < k:
+            self._ensure(k)
+        self.consumed += k
+        if self.consumed > self.limit:
+            raise ValueError("JPEG: entropy data truncated")
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
-    def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def restart(self) -> None:
-        """Byte-align and consume an RSTn marker (T.81 E.2.4)."""
+    def restart(self, boundary: int) -> None:
+        """Jump to a recorded RSTn boundary (byte-aligned, T.81 E.2.4)."""
+        if self.consumed > boundary * 8:
+            raise ValueError("JPEG: decode ran past its restart boundary")
+        self.pos = boundary
+        self.acc = 0
         self.n = 0
-        if self.marker is None:
-            while self.pos + 1 < len(self.data):
-                b = self.data[self.pos]
-                self.pos += 1
-                if b != 0xFF:
-                    continue
-                nxt = self.data[self.pos]
-                self.pos += 1
-                if nxt == 0x00:
-                    continue
-                self.marker = nxt
-                break
-        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
-            raise ValueError(f"JPEG: expected RSTn, got {self.marker!r}")
-        self.marker = None
+        self.consumed = boundary * 8
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
+@functools.lru_cache(maxsize=64)
+def _huff_lut(bits: tuple[int, ...], vals: tuple[int, ...]) -> list:
+    """16-bit-prefix lookup table: lut[peek16()] -> (symbol, code length),
+    None for invalid prefixes. Cached on table CONTENT, so the standard
+    Annex K tables build once per process, not once per image."""
+    lut: list = [None] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code")
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("JPEG: overfull Huffman table")
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            lut[base : base + span] = [(vals[k], length)] * span
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
 
 
 def _extend(v: int, ssss: int) -> int:
@@ -274,7 +308,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + nv])
-                htables[(tc, th)] = _canonical_codes(bits, vals)
+                htables[(tc, th)] = _huff_lut(tuple(bits), tuple(vals))
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
@@ -322,6 +356,30 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, ri):
     vmax = max(vi for _, _, vi, _ in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # A baseline SOS must cover the whole frame: a partial scan (e.g. a
+    # Y-only first scan of a non-interleaved multi-scan file) would
+    # otherwise decode as grayscale with the chroma silently dropped —
+    # wrong pixels with decode_ok=true (round-8 review fix). Multi-scan
+    # baseline is out of scope; fail like every other unsupported shape.
+    if len(scan) != len(comps):
+        raise ValueError(
+            f"JPEG: scan covers {len(scan)} of {len(comps)} frame "
+            "components (non-interleaved multi-scan baseline unsupported)"
+        )
+    data, bounds, _end = _unstuff(b, pos)
+    # Plausibility bound BEFORE allocating coefficient arrays: a poisoned
+    # 200-byte payload declaring a 65535x65535 frame would otherwise
+    # trigger multi-GB np.zeros and die with MemoryError, not ValueError,
+    # breaking the one-bad-row contract (round-8 review fix). A real
+    # encoder spends >= 2 bits per block (DC code + EOB); require >= 1.
+    total_blocks = mcus_x * mcus_y * sum(
+        by_id[cs][0] * by_id[cs][1] for cs, _, _ in scan if cs in by_id
+    )
+    if total_blocks > len(data) * 8 + 64:
+        raise ValueError(
+            f"JPEG: {total_blocks} blocks declared but only "
+            f"{len(data)} entropy bytes present"
+        )
     # per-scan-component state
     sc = []
     for cs, td, ta in scan:
@@ -330,58 +388,89 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, ri):
         hi, vi, tq = by_id[cs]
         if tq not in qtables or (0, td) not in htables or (1, ta) not in htables:
             raise ValueError("JPEG: missing quant/Huffman table")
-        plane = np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        nblk = mcus_y * mcus_x * hi * vi
         sc.append(
             {"hi": hi, "vi": vi, "q": qtables[tq].astype(np.float64),
              "dc": htables[(0, td)], "ac": htables[(1, ta)],
-             "pred": 0, "plane": plane}
+             "pred": 0, "coefs": np.zeros((nblk, 64), dtype=np.float64),
+             "bidx": 0}
         )
-    r = _BitReader(b, pos)
-    zz = ZIGZAG
-    C = _DCT
+    # Phase 1 — entropy decode (the only per-symbol Python loop): LUT
+    # Huffman over the unstuffed stream; coefficients land in zigzag
+    # order, DC cumulative, only nonzeros written (AC is sparse).
+    r = _FastBits(data)
+    rst_i = 0
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
             if ri and mcu_count and mcu_count % ri == 0:
-                r.restart()
+                if rst_i >= len(bounds):
+                    raise ValueError("JPEG: missing RSTn marker")
+                r.restart(bounds[rst_i])
+                rst_i += 1
                 for c in sc:
                     c["pred"] = 0
             for c in sc:
-                for byy in range(c["vi"]):
-                    for bxx in range(c["hi"]):
-                        coef = np.zeros(64, dtype=np.float64)
-                        ssss = _huff_decode(r, c["dc"])
-                        if ssss > 11:
-                            raise ValueError("JPEG: DC category out of range")
-                        diff = _extend(r.read_bits(ssss), ssss)
-                        c["pred"] += diff
-                        coef[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(r, c["ac"])
-                            rrrr, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if rrrr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rrrr
-                            if k > 63:
-                                raise ValueError("JPEG: AC run past block end")
-                            coef[k] = _extend(r.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[zz] = coef * c["q"][zz]
-                        px = C.T @ block.reshape(8, 8) @ C + 128.0
-                        y0 = (my * c["vi"] + byy) * 8
-                        x0 = (mx * c["hi"] + bxx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
+                dc_lut, ac_lut = c["dc"], c["ac"]
+                coefs = c["coefs"]
+                for _blk in range(c["vi"] * c["hi"]):
+                    hit = dc_lut[r.peek16()]
+                    if hit is None:
+                        raise ValueError("JPEG: invalid Huffman code")
+                    ssss, ln = hit
+                    r.skip(ln)
+                    if ssss > 11:
+                        raise ValueError("JPEG: DC category out of range")
+                    c["pred"] += _extend(r.get(ssss), ssss)
+                    row = coefs[c["bidx"]]
+                    row[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        hit = ac_lut[r.peek16()]
+                        if hit is None:
+                            raise ValueError("JPEG: invalid Huffman code")
+                        rs, ln = hit
+                        r.skip(ln)
+                        s = rs & 0x0F
+                        if s == 0:
+                            if rs == 0xF0:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG: AC run past block end")
+                        row[k] = _extend(r.get(s), s)
+                        k += 1
+                    c["bidx"] += 1
             mcu_count += 1
+    if rst_i != len(bounds):
+        # stray RSTn markers the MCU walk never consumed (including any
+        # with no DRI declared): the stream is corrupt — the pre-rewrite
+        # reader raised here, and splicing bytes across a skipped marker
+        # would decode wrong pixels as decode_ok=true (round-8 review fix)
+        raise ValueError(
+            f"JPEG: {len(bounds) - rst_i} unconsumed RSTn markers"
+        )
+    # Phase 2 — numeric pipeline, fully batched: dequant + inverse zigzag
+    # in one fancy-indexed assignment, ALL blocks' IDCTs as one einsum,
+    # and plane assembly as a reshape/transpose (no per-block Python).
+    C = _DCT
     planes = []
     for c in sc:
-        p = c["plane"]
-        p = np.repeat(p, hmax // c["hi"], axis=1)
-        p = np.repeat(p, vmax // c["vi"], axis=0)
+        hi, vi = c["hi"], c["vi"]
+        blocks = np.zeros((c["coefs"].shape[0], 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = c["coefs"] * c["q"][ZIGZAG][None, :]
+        # batched X = C^T Y C as two broadcasted BLAS matmuls (einsum
+        # without optimize loops in Python-level strides; matmul doesn't)
+        px = (C.T @ blocks.reshape(-1, 8, 8)) @ C + 128.0
+        p = (
+            px.reshape(mcus_y, mcus_x, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * vi * 8, mcus_x * hi * 8)
+        )
+        p = np.repeat(p, hmax // hi, axis=1)
+        p = np.repeat(p, vmax // vi, axis=0)
         planes.append(p[:h, :w])
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -127,16 +127,23 @@ def _unary_operand_span(toks: list[tuple[str, str]], i: int) -> int:
 
 
 _COMPARISONS = {"==", "!=", "~=", "<", "<=", ">", ">="}
+# every continuation that binds LOOSER than Python's `not` but TIGHTER
+# than the translator's parenthesized form: comparisons (incl. the
+# keyword forms `in` / `is`, missed by the first cut — round-8 review
+# fix: `not user.country() in (...)` shifted silently) and arithmetic /
+# concat operators (`(not x) + 1` raises where Python read `not (x+1)`)
+_SHIFT_CONTINUATIONS = _COMPARISONS | {"in", "is", "+", "-", "*", "/", "%", ".."}
 
 
 def not_precedence_shift(code: str) -> bool:
     """True iff the Lua-precedence ``not`` rewrite CHANGES this expression's
     meaning relative to native Python — i.e. some ``not`` operand span is
-    immediately followed by a comparison operator, so Python reads
-    ``not (x == y)`` while the translator emits ``(not x) == y``. The rules
-    store calls this on load to warn about stored native-Python predicates
-    written before the round-7 precedence fix (round-8 ADVICE fix); Lua-
-    exported rules are unaffected (Lua always meant the tight binding)."""
+    immediately followed by a comparison (symbolic or ``in``/``is``) or
+    arithmetic continuation, so Python reads ``not (x == y)`` while the
+    translator emits ``(not x) == y``. The rules store calls this on load
+    to warn about stored native-Python predicates written before the
+    round-7 precedence fix (round-8 ADVICE fix); Lua-exported rules are
+    unaffected (Lua always meant the tight binding)."""
     m = _WRAPPER.match(code)
     if m:
         code = m.group("body")
@@ -150,7 +157,7 @@ def not_precedence_shift(code: str) -> bool:
                 end = _unary_operand_span(toks, i + 1)
             except ValueError:
                 return False
-            if end < len(toks) and toks[end][1] in _COMPARISONS:
+            if end < len(toks) and toks[end][1] in _SHIFT_CONTINUATIONS:
                 return True
     return False
 

@@ -406,6 +406,20 @@ _DRIVER_PRIORITY = [
     "temperature_mix_sample",
     "text_profile",
     "tf_cosine_pairs",
+    # (d) the 8 factory-made criterion queries, preempted by the SAME
+    # round-8 sandbox/ip changes as group (a) — invisible to the first
+    # analyzer cut (their closures have no top-level def; the fixed
+    # analyzer fingerprints the enclosing registration factory), surfaced
+    # by the round-8 review pass. crit_code_predicate already heads the
+    # window; these re-verified green in this session's final sweeps.
+    "crit_ip_match",
+    "crit_print_match",
+    "crit_email_contains",
+    "crit_email_regex",
+    "crit_username_contains",
+    "crit_username_regex",
+    "crit_useragent_length_lte",
+    "crit_susp_ip_gate",
 ]
 
 

@@ -6214,8 +6214,12 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmaterialized subtrees across DataFrame branches — without the
     # cache the whole exact pair search ran twice, which the round-8
     # scale probe measured as the dominant cost of this query at 8x
-    # (2 x 159 s of a ~380 s total). The table itself is tiny (the
-    # qualifying pairs, thousands of rows), so the cache is bounded.
+    # (2 x 159 s of a ~380 s total). Accepted tradeoff: the cache cannot
+    # be unpersisted from inside (the query returns a lazy plan; both
+    # consumers evaluate in the caller's single action), so it stays
+    # resident for the session — bounded by construction at qualifying
+    # pairs (threshold >= 0.5, thousands of rows), the same pattern as
+    # the trained-artifact caches elsewhere in this module.
     exact = D.jaccard_pairs(docs, n=2, threshold=0.5).select("id_a", "id_b").persist()
     cand = D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2)
     n_true = exact.agg(F.count("*").cast("bigint").alias("n_true_pairs"))

@@ -339,9 +339,25 @@ def query_changed_since(fn, commit: str | None) -> list[str]:
     ``commit=None`` (round artifact never committed) reads as changed."""
     if commit is None:
         return ["green round has no committed CORRECTNESS artifact"]
-    modname, func_name = fn.__module__, fn.__name__
+    modname = fn.__module__
+    # Factory-made queries (closures named 'fn' inside a registration
+    # factory, e.g. the 8 crit_* criteria) have no top-level def of their
+    # own — fingerprint the ENCLOSING top-level factory instead, which
+    # contains the whole construction (and whose imports give the backing
+    # modules). Without this they'd silently fingerprint as the constant
+    # '<missing-func>' on both sides and be exempt forever (round-8
+    # review finding).
+    func_name = (
+        fn.__qualname__.split(".")[0]
+        if "<locals>" in getattr(fn, "__qualname__", "")
+        else fn.__name__
+    )
     fp_old, back_old = _analyze(modname, func_name, commit)
     fp_new, back_new = _analyze(modname, func_name, None)
+    if "<missing-func" in fp_new:
+        # fail LOUD: a query this analyzer cannot resolve on the current
+        # tree must read as changed, not silently certified
+        return [f"unanalyzable query function {modname}.{func_name}"]
     reasons = []
     if fp_old != fp_new:
         reasons.append(f"function fingerprint changed in {modname}")

@@ -139,3 +139,49 @@ def test_decode_image_dispatches_jpeg():
     assert (w, h) == (8, 8) and len(out) == 8 * 8 * 3
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n")  # PNG stays env-gated
+
+
+def test_round8_review_guards():
+    """Round-8 review fixes: (a) a scan covering fewer components than the
+    frame must raise, not silently decode grayscale; (b) a tiny payload
+    declaring a huge frame must raise ValueError BEFORE allocating
+    coefficient arrays; (c) stray RSTn markers with no restart interval
+    must raise like the pre-rewrite reader did."""
+    import struct
+
+    good = encode_jpeg_baseline(16, 16, _rgb(16, 16))
+
+    # (a) partial scan: rewrite the SOS to list only component 1
+    sos_at = good.find(b"\xff\xda")
+    partial_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    sos_end = sos_at + 2 + struct.unpack_from(">H", good, sos_at + 2)[0]
+    with pytest.raises(ValueError, match="scan covers 1 of 3"):
+        decode_jpeg(good[:sos_at] + partial_sos + good[sos_end:])
+
+    # (b) huge declared frame, tiny payload: patch SOF0 h/w to 65535
+    sof_at = good.find(b"\xff\xc0")
+    patched = (
+        good[: sof_at + 5]
+        + struct.pack(">HH", 65535, 65535)
+        + good[sof_at + 9 :]
+    )
+    with pytest.raises(ValueError, match="blocks declared"):
+        decode_jpeg(patched)
+
+    # (c) stray RSTn in the entropy stream of a no-DRI image
+    eoi = good.rfind(b"\xff\xd9")
+    with pytest.raises(ValueError, match="RSTn"):
+        decode_jpeg(good[: eoi - 4] + b"\xff\xd0" + good[eoi - 4 :])
+
+
+def test_not_shift_detector_keyword_and_arithmetic_continuations():
+    """Round-8 review fix: `in`/`is` and arithmetic continuations shift
+    meaning under the Lua `not` rewrite just like symbolic comparisons."""
+    from lichess_event_stream_watcher_spark.lua_translate import (
+        not_precedence_shift,
+    )
+
+    assert not_precedence_shift('not user.country() in ("US", "CA")')
+    assert not_precedence_shift("not user:susp_ip() is None")
+    assert not_precedence_shift("not user:name() .. 'x' == 'yx'")
+    assert not not_precedence_shift('not (user.country() in ("US",))')

@@ -351,6 +351,13 @@ def test_leading_zero_octets_rejected_everywhere(spark):
         "01.2.3.4": None,
         "1.02.3.4": None,
         "1.2.3.004": None,
+        # '$' matches before a final newline in Java/Python regex but not
+        # in DuckDB's RE2 or Rust std::net — the twins use absolute end
+        # anchors so all engines reject line-terminated input (round-8
+        # review fix)
+        "1.2.3.4\n": None,
+        "1.2.3.4\r\n": None,
+        "1.2.3.4\r": None,
         "0.2.3.4": 2 * 65536 + 3 * 256 + 4,
         "10.0.0.1": 10 * 16777216 + 1,
         "100.200.255.0": 100 * 16777216 + 200 * 65536 + 255 * 256,
