@@ -136,6 +136,9 @@ def main() -> None:
     ap.add_argument("--scales", default="1,4,8")
     ap.add_argument("--src", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--ops", default="", help="comma list overriding the query-op set")
+    ap.add_argument("--skip-compounds", action="store_true",
+                    help="skip the shared-pipeline and curation compounds")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -155,12 +158,20 @@ def main() -> None:
     def gc() -> None:
         spark.sparkContext._jvm.System.gc()
 
-    # the expensive tail per BENCH_r07 + the two shared-pass compounds
+    # the expensive tail per BENCH_r07 + the two shared-pass compounds,
+    # plus the ANN/embedding serving tail (exact kNN, LSH-bucketed ANN,
+    # and the embedding near-dup pair search) so the probe covers BOTH
+    # corpus-scaling families; --ops narrows the set for re-measures
     query_ops = [
         "dedup_containment",
         "dedup_lsh_band_sweep",
         "dedup_minhash_calibration",
+        "knn_cosine_topk",
+        "ann_lsh_topk",
+        "semantic_dedup",
     ]
+    if args.ops:
+        query_ops = [o for o in args.ops.split(",") if o]
     results: dict[str, dict[int, float]] = {}
     for k in scales:
         t0 = time.perf_counter()
@@ -173,6 +184,8 @@ def main() -> None:
             results.setdefault(name, {})[k] = round(time.perf_counter() - t0, 3)
             print(f"# {name} x{k}: {results[name][k]}s", flush=True)
             gc()
+        if args.skip_compounds:
+            continue
         t0 = time.perf_counter()
         bench.bench_dedup_pipeline_shared(spark, d)
         results.setdefault("dedup_pipeline_shared", {})[k] = round(
