@@ -1046,6 +1046,38 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_auto(
+    emb: DataFrame,
+    threshold: float,
+    target_cell: int = 2000,
+    min_cells: int = 8,
+    max_cells: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` with the CELL COUNT scaled to the corpus —
+    the production form of the k lever the round-8 scale probe measured
+    (fixed k=8 at 8x corpus: 25-27 s; k=64: 6.8 s).
+
+    ``k = clamp(ceil(n / target_cell), min_cells, max_cells)`` keeps the
+    expected cell size (and therefore the n^2/k cell-local pair term's
+    PER-CELL share) bounded as the corpus grows — the SemDeDup sizing
+    rule. Centroids are the ``k`` lowest-id vectors (deterministic and
+    derivable in any SQL oracle from the same count; swap in trained
+    k-means centroids via :func:`semantic_dedup` directly when blocking
+    quality matters more than oracle portability). The corpus pass for
+    ``n`` is one count job — the same bounded-probe pattern as the
+    jaccard_pairs dense gate."""
+    n = emb.count()
+    k = min(max_cells, max(min_cells, -(-n // target_cell)))
+    centroids = (
+        emb.orderBy(F.col(id_col))
+        .limit(int(k))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    return semantic_dedup(emb, centroids, threshold, id_col, vec_col)
+
+
 def quantize_int8(
     emb: DataFrame,
     id_col: str = "vec_id",

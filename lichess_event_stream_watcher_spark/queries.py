@@ -420,7 +420,24 @@ _DRIVER_PRIORITY = [
     "crit_username_regex",
     "crit_useragent_length_lte",
     "crit_susp_ip_gate",
+    # (e) r7 rows preempted by the round-8 semantic_dedup_auto addition
+    # to operators/similarity.py (a new function; the existing operators
+    # are untouched) — flagged by the module-level closure rule, all
+    # re-verified green by this session's final sweeps:
+    "ann_lsh_topk",
+    "ann_pq_adc",
+    "embedding_near_dup",
+    "embedding_quantize_int8",
+    "ivf_cell_occupancy",
+    "knn_cosine_topk",
+    "semantic_dedup",
 ]
+# Queued round-9 NEW registration (the r6/r7 precedent — implement +
+# pytest-certify mid-round, register at the next window head):
+# `semantic_dedup_auto` (operators/similarity.py), the corpus-scaled
+# cell-count form of semantic_dedup whose k lever the round-8 scale
+# probe measured (SCALE.md); its oracle derives k and the lowest-id
+# centroids from COUNT(*), so the hash check is fully deterministic.
 
 
 

@@ -3496,3 +3496,33 @@ def test_jaccard_cost_gate_routes_disjoint_vocab_to_postings(spark, sf_dir):
     dense_df = D.jaccard_pairs(testdata.load(spark, sf_dir, "documents"), n=2, threshold=0.5)
     dense_plan = dense_df._jdf.queryExecution().executedPlan().toString()
     assert "InPandas" in dense_plan, dense_plan  # shared vocab stays dense
+
+
+def test_semantic_dedup_auto_scales_cells(spark, sf_dir):
+    """semantic_dedup_auto (round 8, queued for round-9 registration): the
+    cell count tracks corpus size (clamped), centroids are the k lowest
+    ids, and the verdicts equal semantic_dedup called with the same
+    explicitly-built centroid frame."""
+    from pyspark.sql import functions as F
+
+    from lichess_event_stream_watcher_spark import testdata
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    # force a non-trivial k: target 25 vectors per cell
+    k = min(4096, max(8, -(-n // 25)))
+    auto = S.semantic_dedup_auto(emb, threshold=0.35, target_cell=25)
+    cents = (
+        emb.orderBy(F.col("vec_id"))
+        .limit(int(k))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    )
+    manual = S.semantic_dedup(emb, cents, threshold=0.35)
+    a = sorted((r.vec_id, r.cell, r.keep) for r in auto.collect())
+    m = sorted((r.vec_id, r.cell, r.keep) for r in manual.collect())
+    assert a == m and len(a) == n
+    assert len({c for _, c, _ in a}) <= k
+    # clamps: a huge target collapses to min_cells-worth of centroids
+    few = S.semantic_dedup_auto(emb, threshold=0.35, target_cell=10**9)
+    assert len({r.cell for r in few.collect()}) <= 8
