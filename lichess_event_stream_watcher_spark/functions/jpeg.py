@@ -268,7 +268,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     ValueError-only, so corrupt payloads cost one row, never a task."""
     try:
         return _decode_jpeg(b)
-    except (IndexError, struct.error) as exc:  # truncated/corrupt stream
+    except (IndexError, struct.error, MemoryError) as exc:
+        # truncated/corrupt stream; MemoryError is belt-and-braces under
+        # the absolute block budget — a failed numpy allocation raises
+        # cleanly before anything is touched
         raise ValueError(f"JPEG: malformed stream ({exc})") from exc
 
 
@@ -276,7 +279,7 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     if b[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], list] = {}  # (tc, th) -> 16-bit-prefix LUT
     frame = None  # (h, w, comps) ; comps: [(cid, hi, vi, tq)]
     restart_interval = 0
     pos = 2
@@ -361,7 +364,10 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, ri):
     # otherwise decode as grayscale with the chroma silently dropped —
     # wrong pixels with decode_ok=true (round-8 review fix). Multi-scan
     # baseline is out of scope; fail like every other unsupported shape.
-    if len(scan) != len(comps):
+    if len(scan) != len(comps) or {cs for cs, _, _ in scan} != set(by_id):
+        # the SET must match too: a duplicate scan entry ([1,1,2]) passes
+        # a pure length check and would decode with one frame component
+        # silently dropped (round-8 review, second pass)
         raise ValueError(
             f"JPEG: scan covers {len(scan)} of {len(comps)} frame "
             "components (non-interleaved multi-scan baseline unsupported)"
@@ -379,6 +385,17 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, ri):
         raise ValueError(
             f"JPEG: {total_blocks} blocks declared but only "
             f"{len(data)} entropy bytes present"
+        )
+    # ... and an ABSOLUTE budget on top of the payload-relative bound: a
+    # few-MB crafted payload can otherwise "afford" (8 bits/block -> 512
+    # coef bytes/block) a multi-GB allocation and die with MemoryError
+    # instead of ValueError (round-8 review, second pass). 2M blocks =
+    # ~1 GB of coefficients = a 128-megapixel 4:4:4 frame — far beyond
+    # anything a mapInPandas image batch legitimately carries.
+    if total_blocks > (1 << 21):
+        raise ValueError(
+            f"JPEG: {total_blocks} blocks exceeds the decoder's "
+            f"{1 << 21}-block budget"
         )
     # per-scan-component state
     sc = []

@@ -151,12 +151,7 @@ def main() -> None:
     from lichess_event_stream_watcher_spark.queries import all_queries
     from lichess_event_stream_watcher_spark.session import get_spark
 
-    spark = get_spark("lesw-scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
-
-    def gc() -> None:
-        spark.sparkContext._jvm.System.gc()
+    registry = all_queries()  # pure-Python; validates --ops before any JVM
 
     # the expensive tail per BENCH_r07 + the two shared-pass compounds,
     # plus the ANN/embedding serving tail (exact kNN, LSH-bucketed ANN,
@@ -172,6 +167,17 @@ def main() -> None:
     ]
     if args.ops:
         query_ops = [o for o in args.ops.split(",") if o]
+    unknown = [o for o in query_ops if o not in registry]
+    if unknown:
+        # fail BEFORE the JVM boot and the minutes-long scale-dir build
+        ap.error(f"unknown query ops: {unknown}")
+
+    spark = get_spark("lesw-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gc() -> None:
+        spark.sparkContext._jvm.System.gc()
+
     results: dict[str, dict[int, float]] = {}
     for k in scales:
         t0 = time.perf_counter()

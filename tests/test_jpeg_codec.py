@@ -174,14 +174,34 @@ def test_round8_review_guards():
         decode_jpeg(good[: eoi - 4] + b"\xff\xd0" + good[eoi - 4 :])
 
 
-def test_not_shift_detector_keyword_and_arithmetic_continuations():
-    """Round-8 review fix: `in`/`is` and arithmetic continuations shift
-    meaning under the Lua `not` rewrite just like symbolic comparisons."""
-    from lichess_event_stream_watcher_spark.lua_translate import (
-        not_precedence_shift,
-    )
+def test_second_pass_review_guards():
+    """Review second pass: (a) a duplicate scan-component entry must raise
+    even though the length matches; (b) a payload large enough to 'afford'
+    a huge frame under the bits-per-block bound still hits the absolute
+    block budget with ValueError, never a multi-GB allocation."""
+    import struct
 
-    assert not_precedence_shift('not user.country() in ("US", "CA")')
-    assert not_precedence_shift("not user:susp_ip() is None")
-    assert not_precedence_shift("not user:name() .. 'x' == 'yx'")
-    assert not not_precedence_shift('not (user.country() in ("US",))')
+    good = encode_jpeg_baseline(16, 16, _rgb(16, 16))
+
+    # (a) SOS listing components [1, 1, 2]: same length, wrong SET
+    sos_at = good.find(b"\xff\xda")
+    dup_sos = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
+        [1, 0x00, 1, 0x00, 2, 0x11, 0, 63, 0]
+    )
+    sos_end = sos_at + 2 + struct.unpack_from(">H", good, sos_at + 2)[0]
+    with pytest.raises(ValueError, match="scan covers"):
+        decode_jpeg(good[:sos_at] + dup_sos + good[sos_end:])
+
+    # (b) 16384x16384 declared frame + ~3 MB of entropy padding passes the
+    # payload-relative bound (12.6M blocks < 8*3.2M*8) but must hit the
+    # absolute 2M-block budget before allocating ~6 GB of coefficients
+    sof_at = good.find(b"\xff\xc0")
+    big = (
+        good[: sof_at + 5]
+        + struct.pack(">HH", 16384, 16384)
+        + good[sof_at + 9 : good.rfind(b"\xff\xd9")]
+        + b"\x55" * 3_200_000
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="block budget"):
+        decode_jpeg(big)

@@ -409,3 +409,16 @@ def test_not_precedence_shift_detector():
     assert not not_precedence_shift('not (user:name() == "x")')
     assert not not_precedence_shift('user:email() == "a" and not user:susp_ip()')
     assert not not_precedence_shift("if broken syntax")
+
+
+def test_not_shift_detector_keyword_and_arithmetic_continuations():
+    """Round-8 review fix: `in`/`is` and arithmetic continuations shift
+    meaning under the Lua `not` rewrite just like symbolic comparisons."""
+    from lichess_event_stream_watcher_spark.lua_translate import (
+        not_precedence_shift,
+    )
+
+    assert not_precedence_shift('not user.country() in ("US", "CA")')
+    assert not_precedence_shift("not user:susp_ip() is None")
+    assert not_precedence_shift("not user:name() .. 'x' == 'yx'")
+    assert not not_precedence_shift('not (user.country() in ("US",))')
