@@ -164,6 +164,18 @@ def _unstuff(b: bytes, pos: int) -> tuple[bytes, list[int], int | None]:
             return bytes(out), bounds, None
         out += b[i:j]
         nxt = b[j + 1]
+        if nxt == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may pad before a
+            # marker — skip the run, then interpret the first non-0xFF byte
+            # in place (so FF FF 00 = fill + stuffed-data-FF, FF FF D9 =
+            # fill + EOI). A run reaching end-of-data is a truncation.
+            k = j + 1
+            while k < len(b) and b[k] == 0xFF:
+                k += 1
+            if k >= len(b):
+                return bytes(out), bounds, None
+            nxt = b[k]
+            j = k - 1
         if nxt == 0x00:
             out.append(0xFF)
         elif 0xD0 <= nxt <= 0xD7:
@@ -570,15 +582,24 @@ def _encode_block(
 
 
 def encode_jpeg_baseline(
-    w: int, h: int, rgb: bytes, subsample: bool = False, restart_interval: int = 0
+    w: int,
+    h: int,
+    rgb: bytes,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    sampling: tuple[int, int] | None = None,
 ) -> bytes:
     """Baseline JFIF encode of packed RGB (Annex K tables, quality as-is).
 
     ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma), exercising
-    the decoder's upsampling path; ``restart_interval=n`` emits DRI + RSTn
-    markers every n MCUs, exercising the decoder's restart/DC-reset path.
-    The twin exists for round-trip tests — error is bounded by the
-    quantization step."""
+    the decoder's upsampling path; ``sampling=(hs, vs)`` overrides with an
+    explicit luma sampling factor pair — (2, 1) emits 4:2:2 and (1, 2) its
+    vertical mirror, the asymmetric plane shapes T.81 permits that a
+    square-only encoder never produces (round-9 ADVICE: the decoder's
+    hi != vi assembly had no in-repo exerciser); ``restart_interval=n``
+    emits DRI + RSTn markers every n MCUs, exercising the decoder's
+    restart/DC-reset path. The twin exists for round-trip tests — error
+    is bounded by the quantization step."""
     if len(rgb) != w * h * 3:
         raise ValueError(f"encode_jpeg: {len(rgb)} bytes != {w}x{h}x3")
     px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3).astype(np.float64)
@@ -586,18 +607,22 @@ def encode_jpeg_baseline(
     y = 0.299 * r + 0.587 * g + 0.114 * bl
     cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl
-    hs = vs = 2 if subsample else 1
+    hs, vs = sampling if sampling is not None else ((2, 2) if subsample else (1, 1))
+    if not (1 <= hs <= 2 and 1 <= vs <= 2):
+        raise ValueError(f"encode_jpeg: unsupported sampling {(hs, vs)}")
 
     def pad(p: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
         py = (-p.shape[0]) % mult_y
         pxx = (-p.shape[1]) % mult_x
         return np.pad(p, ((0, py), (0, pxx)), mode="edge")
 
-    if subsample:
-        cbp = pad(cb, 2, 2)
-        crp = pad(cr, 2, 2)
-        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
-        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+    if (hs, vs) != (1, 1):
+        # chroma reduced by the luma sampling factors (vs vertically,
+        # hs horizontally) via box averaging
+        cbp = pad(cb, vs, hs)
+        crp = pad(cr, vs, hs)
+        cb = cbp.reshape(cbp.shape[0] // vs, vs, cbp.shape[1] // hs, hs).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // vs, vs, crp.shape[1] // hs, hs).mean(axis=(1, 3))
     y = pad(y, 8 * vs, 8 * hs)
     cb = pad(cb, 8, 8)
     cr = pad(cr, 8, 8)

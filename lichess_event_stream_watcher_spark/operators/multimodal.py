@@ -176,13 +176,13 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode -> (width, height, packed RGB bytes), dispatched on
-    magic bytes: PPM (P6/P3), uncompressed 24-bit BMP, and baseline JPEG
-    decode for real (from-scratch parsers — see functions/jpeg.py for the
-    T.81 implementation added in round 8); anything else raises
-    ``ValueError`` naming the magic — the remaining codec-library formats
-    (PNG/audio/video) stay env-gated in this container. ``image_stats``
-    maps that error to a ``decode_ok = false`` row, so unsupported/
-    corrupt payloads cost one row, never a task."""
+    magic bytes: PPM (P6/P3), uncompressed 24-bit BMP, baseline JPEG
+    (from-scratch T.81 — functions/jpeg.py, round 8), and PNG
+    (from-scratch ISO 15948 over stdlib zlib — functions/png.py, round
+    9); anything else raises ``ValueError`` naming the magic — the
+    remaining codec-library formats (audio/video) stay env-gated in this
+    container. ``image_stats`` maps that error to a ``decode_ok = false``
+    row, so unsupported/corrupt payloads cost one row, never a task."""
     if payload[:2] in (b"P6", b"P3"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -191,6 +191,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"\x89PNG":
+        from ..functions.png import decode_png
+
+        return decode_png(payload)
     raise ValueError(f"unsupported image magic {bytes(payload[:2])!r}")
 
 

@@ -176,6 +176,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def gc() -> None:
+        # drain query-registered persist() caches between measurements
+        # (same contract as bench.full_gc — see operators/session_cache.py)
+        from lichess_event_stream_watcher_spark.operators.session_cache import (
+            release_session_caches,
+        )
+
+        release_session_caches()
         spark.sparkContext._jvm.System.gc()
 
     results: dict[str, dict[int, float]] = {}

@@ -138,7 +138,10 @@ def test_decode_image_dispatches_jpeg():
     w, h, out = decode_image(encode_jpeg_baseline(8, 8, rgb))
     assert (w, h) == (8, 8) and len(out) == 8 * 8 * 3
     with pytest.raises(ValueError):
-        decode_image(b"\x89PNG\r\n")  # PNG stays env-gated
+        decode_image(b"\x89PNG\r\n")  # PNG dispatches (round 9) but a
+        # truncated signature is a poison pill like any other
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF....WAVE")  # audio stays env-gated
 
 
 def test_round8_review_guards():
@@ -205,3 +208,69 @@ def test_second_pass_review_guards():
     )
     with pytest.raises(ValueError, match="block budget"):
         decode_jpeg(big)
+
+
+def test_asymmetric_sampling_roundtrips():
+    """Round-9 ADVICE: the decoder's hi != vi plane assembly/upsample
+    (4:2:2 and its 1x2 vertical mirror) had no in-repo exerciser — the
+    encoder twin only emitted square factors. Encode with explicit
+    sampling overrides and bound pixel error against the source."""
+    rgb = _rgb(32, 48)
+    for sampling in ((2, 1), (1, 2)):
+        payload = encode_jpeg_baseline(48, 32, rgb, sampling=sampling)
+        # the SOF really carries the asymmetric factor pair
+        sof_at = payload.find(b"\xff\xc0")
+        assert payload[sof_at + 11] == (sampling[0] << 4) | sampling[1]
+        w, h, out = decode_jpeg(payload)
+        assert (w, h) == (48, 32), sampling
+        # chroma averaged over 2 pixels along ONE axis: tighter than 4:2:0
+        assert _max_err(rgb, out) <= 64, sampling
+        y_in = np.frombuffer(rgb, np.uint8).reshape(32, 48, 3).astype(np.float64)
+        y_out = np.frombuffer(out, np.uint8).reshape(32, 48, 3).astype(np.float64)
+        luma = np.array([0.299, 0.587, 0.114])
+        assert np.abs((y_in @ luma) - (y_out @ luma)).mean() <= 4.0, sampling
+    # odd dims exercise the subsampled-plane ceil-division edge
+    rgb_odd = _rgb(17, 21)
+    for sampling in ((2, 1), (1, 2)):
+        w, h, out = decode_jpeg(encode_jpeg_baseline(21, 17, rgb_odd, sampling=sampling))
+        assert (w, h) == (21, 17) and len(out) == 21 * 17 * 3, sampling
+        assert _max_err(rgb_odd, out) <= 64, sampling
+    with pytest.raises(ValueError, match="sampling"):
+        encode_jpeg_baseline(8, 8, _rgb(8, 8), sampling=(4, 1))
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2 conformance (round-9 ADVICE): 0xFF FILL bytes may pad
+    before any marker; a spec-conformant stream using fill before RSTn or
+    EOI must decode identically, not raise 'truncated'."""
+    rgb = _rgb(16, 80)
+    plain = encode_jpeg_baseline(80, 16, rgb, restart_interval=3)
+    _, _, expect = decode_jpeg(plain)
+
+    # pad two fill bytes before EVERY RSTn and before the EOI
+    padded = plain
+    for i in range(8):
+        padded = padded.replace(bytes([0xFF, 0xD0 + i]), bytes([0xFF, 0xFF, 0xFF, 0xD0 + i]))
+    padded = padded[: padded.rfind(b"\xff\xd9")] + b"\xff\xff" + b"\xff\xd9"
+    w, h, out = decode_jpeg(padded)
+    assert (w, h) == (80, 16)
+    assert out == expect
+
+    # FF FF 00 = one fill byte + a stuffed data 0xFF (the unstuffer must
+    # not eat the stuffed byte): build on the harsh-noise stuffing image
+    noisy = ((np.arange(32 * 32 * 3, dtype=np.int64) * 2654435761) % 256).astype(np.uint8).tobytes()
+    payload = encode_jpeg_baseline(32, 32, noisy)
+    assert b"\xff\x00" in payload  # the stream really contains stuffing
+    _, _, expect2 = decode_jpeg(payload)
+    eoi = payload.rfind(b"\xff\xd9")
+    entropy_start = payload.find(b"\xff\xda")
+    first_stuff = payload.find(b"\xff\x00", entropy_start)
+    assert entropy_start < first_stuff < eoi
+    filled = payload[:first_stuff] + b"\xff" + payload[first_stuff:]
+    _, _, out2 = decode_jpeg(filled)
+    assert out2 == expect2
+
+    # fill bytes cannot launder a genuinely incomplete entropy stream:
+    # cutting mid-scan and padding with fill still raises
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: (entropy_start + eoi) // 2] + b"\xff\xff\xff")

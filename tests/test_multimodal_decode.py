@@ -100,8 +100,12 @@ def test_bmp_errors():
 
 
 def test_decode_image_dispatch_and_unsupported_magic():
-    with pytest.raises(ValueError, match="magic"):
+    # PNG dispatches to the round-9 decoder (so the error is the PNG
+    # parser's, not 'unsupported magic'); audio/video magics stay gated
+    with pytest.raises(ValueError, match="PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n...")
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"RIFF....WAVE")
 
 
 def test_image_stats_real_pixels_and_poison_pill(spark):
@@ -179,3 +183,25 @@ def test_image_stats_over_jpeg_payloads(spark):
         n_px = w * h
         for ch, col in enumerate(("mean_r", "mean_g", "mean_b")):
             assert got[col] == (int(sums[ch]) * 1_000_000 // n_px) / 1e6
+
+
+def test_documents_corpus_is_pure_ascii():
+    """Round-9 ADVICE pin: the image_stats/resize_image oracles equate
+    Spark's char-based length/substring + UTF-8 encode with DuckDB's
+    unicode()/md5-over-string — valid ONLY while every document text is
+    pure ASCII (1 char == 1 byte == 1 codepoint). Pin the fixture property
+    at every SF the oracles run at, so generator drift fails loudly here
+    instead of as an opaque driver hash mismatch."""
+    import os
+
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n_bad = duckdb.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert n_bad == 0, f"sf{sf}: {n_bad} non-ASCII document texts"

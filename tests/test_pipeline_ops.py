@@ -3526,3 +3526,24 @@ def test_semantic_dedup_auto_scales_cells(spark, sf_dir):
     # clamps: a huge target collapses to min_cells-worth of centroids
     few = S.semantic_dedup_auto(emb, threshold=0.35, target_cell=10**9)
     assert len({r.cell for r in few.collect()}) <= 8
+
+
+def test_session_cache_registry_drains(spark):
+    """Round-9 ADVICE: query-registered .persist() caches (band sweep's
+    exact-pair table, the charlm scored frame) must be releasable by the
+    harness between queries — otherwise each invocation leaks one
+    session-resident cached plan."""
+    from lichess_event_stream_watcher_spark.operators.session_cache import (
+        _SESSION_CACHES,
+        register_session_cache,
+        release_session_caches,
+    )
+
+    release_session_caches()  # start clean
+    df = register_session_cache(spark.range(100).persist())
+    assert df.count() == 100
+    assert df.storageLevel.useMemory and len(_SESSION_CACHES) == 1
+    release_session_caches()
+    assert not _SESSION_CACHES
+    assert not df.storageLevel.useMemory
+    release_session_caches()  # idempotent on empty
