@@ -70,6 +70,7 @@ HEADLINE = [
     "value_outliers_3sigma",
     "purchase_state_attribution",
     "semantic_dedup",
+    "semantic_dedup_auto",
     "charlm_quality",
     "embedding_quantize_int8",
     "temperature_mix_sample",
@@ -305,6 +306,93 @@ def _median_ratio_vs_prev(
     if len(ratios) < min_n:
         return None
     return round(statistics.median(ratios), 3)
+
+
+def _position_debt_suspects(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    median_ratio: float | None,
+    eligible: set[str],
+    floor: float = 0.2,
+    entry_threshold: float = 2.0,
+    flat_median: float = 1.3,
+) -> list[str]:
+    """Entries whose ratio-vs-committed exceeds ``entry_threshold`` while
+    the boot median is FLAT (round-9 fix, VERDICT r8 task #2): a uniform
+    boot slowdown moves the median with the entries, so a lone >2x mover
+    against a flat median is position debt (GC/shuffle-file/codegen churn
+    landing inside one late measurement) until an isolation re-measure
+    says otherwise. Only ``eligible`` names (the generic registry-loop
+    measurements — custom-harness metrics re-measure differently) with
+    >= ``floor`` seconds on both sides qualify; an uncalibrated run
+    (median None) flags nothing."""
+    if median_ratio is None or median_ratio > flat_median:
+        return []
+    return sorted(
+        k
+        for k, cur in timings.items()
+        if k in eligible
+        and isinstance(prev.get(k), (int, float))
+        and not isinstance(prev.get(k), bool)
+        and prev[k] >= floor
+        and cur >= floor
+        and cur / prev[k] > entry_threshold
+    )
+
+
+def _run_isolated(names: list[str], sf_dir: str) -> dict[str, float] | None:
+    """Re-measure ``names`` in a FRESH JVM (min-of-3 noop writes each) via
+    a subprocess running this file with --isolated. Returns None on any
+    subprocess failure — the caller then publishes the in-run numbers,
+    flagged as unconfirmed."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated", ",".join(names)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=env,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    if r.returncode != 0:
+        return None
+    try:
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        return {k: float(v) for k, v in out["isolated"].items()}
+    except (ValueError, KeyError, IndexError):
+        return None
+
+
+def run_isolated_mode(names_csv: str) -> None:
+    """--isolated entrypoint: fresh-JVM min-of-3 measurement of the named
+    registry queries, one JSON line on stdout."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("lesw-bench-isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.all_queries()
+    names = [n for n in names_csv.split(",") if n in registry]
+    out: dict[str, float] = {}
+    for i, name in enumerate(names):
+        best = float("inf")
+        for draw in range(4 if i == 0 else 3):
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if i == 0 and draw == 0:
+                continue  # the very first draw also pays JVM/codegen warmup
+            best = min(best, dt)
+        out[name] = round(best, 3)
+        from lichess_event_stream_watcher_spark.operators.session_cache import (
+            release_session_caches,
+        )
+
+        release_session_caches()
+        spark.sparkContext._jvm.System.gc()
+    print(json.dumps({"isolated": out}), flush=True)
 
 
 def _publish_phases(phases: dict[str, float], total: float) -> dict[str, float]:
@@ -561,6 +649,17 @@ def main() -> None:
         # inflation on late-run entries vs a fresh JVM). A synchronous
         # full GC per entry makes the ContextCleaner's reference-queue
         # processing happen between measurements instead of during them.
+        # Also the drain point for query-registered .persist() caches
+        # (band sweep's exact-pair table, the charlm scored frame): the
+        # queries cannot unpersist their own shared subtrees, so the
+        # harness releases them here — between entries, never inside a
+        # timed region (within an entry's min-of-N the cache is live,
+        # which is the intended warm-draw semantics).
+        from lichess_event_stream_watcher_spark.operators.session_cache import (
+            release_session_caches,
+        )
+
+        release_session_caches()
         spark.sparkContext._jvm.System.gc()
 
     full_gc()
@@ -720,6 +819,28 @@ def main() -> None:
         prev_queries = {}
     median_ratio = _median_ratio_vs_prev(timings, prev_queries)
     detail["median_ratio_vs_prev_detail"] = median_ratio
+    # Position-debt publication fix (round 9, VERDICT r8 task #2): a >2x
+    # mover against a FLAT median is re-measured in a fresh JVM and the
+    # isolated number is published — otherwise next round's ratios
+    # inherit phantom baselines (r8 committed 2-4x position-debt times
+    # for tpch_q1/q3, text_profile, sessionize that isolation re-runs
+    # contradicted). The in-run number stays in the artifact for audit;
+    # a failed isolation run publishes in-run flagged unconfirmed.
+    suspects = _position_debt_suspects(
+        timings, prev_queries, median_ratio, eligible=set(names)
+    )
+    if suspects:
+        iso = _run_isolated(suspects, sf_dir)
+        isolation: dict[str, dict] = {}
+        for name in suspects:
+            rec: dict = {"in_run": timings[name]}
+            rec["isolated"] = iso.get(name) if iso else None
+            if rec["isolated"] is not None:
+                timings[name] = rec["isolated"]
+            isolation[name] = rec
+        detail["isolation_remeasured"] = isolation
+        total = round(sum(timings.values()), 3)
+        detail["value"] = total
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
         f.write("\n")
@@ -748,4 +869,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        run_isolated_mode(sys.argv[2])
+    else:
+        main()

@@ -219,89 +219,26 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (all with >= 1 green row, most with 2-3) keep coverage every
 # session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
-    # ---- the round-8 50-row driver window -------------------------------
+    # ---- the round-9 50-row driver window -------------------------------
     # Head allocation, in priority order:
-    # -- (1) changed-file re-certs (VERDICT r7 task #1): enrich.py +
-    #    functions/ip.py changed post-rotation in round 7 (octet
-    #    validation) AND ip.py changed again in round 8 (leading-zero
-    #    gate, with the geoip_enrich oracle updated in lockstep);
-    #    retrieval.py changed post-rotation in round 7 (bm25 branch
-    #    structure). Their freshest committed rows (r5/r6) predate that
-    #    code. bm25_rsj_topk is already in the r4 staleness block below.
-    "geoip_enrich",
-    "device_enrich",
-    "bm25_lucene_topk",
-    # -- (2) round-8 new registrations: the real PPM decode/resize paths
-    #    earn full hash oracles (VERDICT r7 task #2), and the retired
-    #    rows-only sketch_stats is replaced by a hash-comparable
-    #    error-bound form (task #3, ROWS_ONLY_ALLOWLIST now empty):
-    "image_stats",
-    "resize_image",
-    "sketch_error_bounds",
-    # -- (3) changed-THIS-round re-cert: lua_compat/lua_translate gained
-    #    the format-string rejection + brace-depth + not-shift detector
-    #    (round-8 ADVICE fixes); crit_code_predicate is the registration
-    #    that certifies the whole translator/sandbox runtime:
-    "crit_code_predicate",
-    # -- (4) the staleness block: all 43 r4-vintage rows (mechanized
-    #    rule, STALE_ROUNDS=4 — with CORRECTNESS_r08 committed the
-    #    horizon is round 4, so every one of these must re-certify
-    #    THIS round), name order — fills the 50 slots exactly
-    "ann_ivfpq_adc",
-    "ann_kmeans_cells_q",
-    "ann_lsh_multiprobe",
-    "bloom_admission",
-    "bm25_rsj_topk",
-    "bpe_merge_ranks",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "cross_source_dups",
-    "curation_pipeline_counts",
-    "dataset_split_counts",
-    "dedup_corpus",
-    "dsir_importance_q",
-    "dup_graph_pagerank_q",
-    "dup_span_profile",
-    "embedding_feature_stats",
-    "embedding_robust_stats",
-    "epoch_shuffle",
-    "event_rate_anomaly",
-    "grouping_sets_pricing",
-    "hll_distinct_sketch",
-    "interval_join_attribution",
-    "kmv_distinct_sketch",
-    "multimodal_frames",
-    "orders_column_stats",
-    "pack_sequences_bins",
-    "salted_event_type_counts",
-    "session_window_rollup",
-    "source_quota_sample",
-    "source_rate_sample",
-    "substring_dedup",
-    "tpch_q11_important_values",
-    "tpch_q12_late_by_priority",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_loss",
-    "tpch_q18_large_orders",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_balances",
-    "tpch_q2_min_cost_supplier",
-    "username_fuzzy_pairs",
-    "value_equidepth_histogram",
-    "windowed_event_rollup",
-    # ---- position 51+: the round-9 rotation queue ------------------------
-    # The 6 remaining changed-in-r7 entries with in-horizon r6 greens
-    # (they cede window slots to the mandatory staleness block, same
-    # precedent as r6/r7; the changed-since-green policy test accepts
-    # declared-queue placement), then the 47 r5 greens that round 9's
-    # staleness horizon will demand, name order.
+    # -- (1) round-9 new registrations (VERDICT r8 tasks #1 and #3):
+    #    semantic_dedup_auto — the corpus-scaled cell-count SemDeDup form
+    #    whose k lever the round-8 scale probe measured (clears the
+    #    round's one perf-weak component; now also the benched form), and
+    #    image_stats_jpeg — the from-scratch T.81 codec on a committed
+    #    driver hash via fixture-frozen recipe artifacts
+    #    (artifacts_jpeg.py), covering 4:4:4/4:2:0/4:2:2/1x2 sampling,
+    #    restart markers, and both poison pills:
+    "semantic_dedup_auto",
+    "image_stats_jpeg",
+    # -- (2) queue-head drain: changed-in-r7 entry holding an r6 green
+    #    that round 10's staleness horizon will demand anyway — taking it
+    #    now trims next round's mandatory block to the 47 declared below:
     "gopher_rule_failures",
-    "c4_line_stats",
-    "tf_cosine_pairs_sparse",
-    "tf_cosine_incremental",
-    "ann_cost_census",
-    "dedup_lsh_band_sweep",
+    # -- (3) the staleness block: all 47 r5-vintage rows (mechanized
+    #    rule, STALE_ROUNDS=4 — when CORRECTNESS_r09 lands the horizon
+    #    reaches round 5, so every one of these must re-certify THIS
+    #    round), name order — fills the 50 slots exactly
     "ann_ivf_topk",
     "ann_ivf_trained",
     "ann_ivf_trained_q",
@@ -349,38 +286,78 @@ _DRIVER_PRIORITY = [
     "winnowing_dup_pairs",
     "zipf_octave_profile",
     "zorder_key_events",
-    # Changed-since-green preemption (mechanized: tests/registry_freshness.py
-    # + test_changed_since_green_queries_are_declared): queries whose
-    # backing code changed after their freshest committed green row must
-    # appear in this declared rotation. (a) r7 rows on the rule-engine
-    # sandbox path, preempted by the round-8 ADVICE fixes
-    # (lua_compat/lua_translate/ip/rules.store):
-    "rule_scan_actions",
-    "would_fire_counts",
-    "action_schedule",
-    "rule_expiry_sweep",
-    # (b) r6 rows whose operator closure (dedup/text/sketch/similarity/
-    # curation/util) was touched by round 7's post-rotation review-fix
-    # commits — the exact paper-trail gap the round-7 verdict flagged;
-    # all re-verified green at sf0.01 by this session's full driver-sim
-    # sweep, listed here so the committed artifacts catch up:
+    # ---- position 51+: the declared rotation queue -----------------------
+    # (A) the round-10 staleness pre-declaration: the 47 remaining
+    # r6-vintage rows that next round's horizon will demand, name order.
+    # This list also subsumes the former changed-since-green groups
+    # (a)/(b) members whose newest greens are r6 (ann_lsh_buckets,
+    # unimax_allocation, dedup_cost_census, the band sweep, ...) — their
+    # declaration obligation continues here unchanged.
+    "ann_cost_census",
     "ann_lsh_buckets",
     "ann_pq_distortion",
-    "leakage_safe_split_counts",
-    "unimax_allocation",
-    "dedup_keep_best_clusters",
     "ann_recall_eval",
-    "dedup_minhash_calibration",
+    "asof_join_orders",
+    "c4_line_stats",
+    "cube_pricing",
+    "date_functions",
     "dedup_cost_census",
+    "dedup_keep_best_clusters",
+    "dedup_lsh_band_sweep",
+    "dedup_minhash_calibration",
     "dedup_threshold_sensitivity",
-    # (c) r7 rows preempted by round 8's OWN changes — the dense-vs-
-    # postings cost gate in operators/dedup.py (touches every query whose
-    # closure includes the jaccard/shingle machinery) and the baseline-
-    # JPEG dispatch in operators/multimodal.py. All 25 re-verified
-    # hash-green at sf0.01 by this session's final full driver-sim sweep
-    # on the changed code; declared here so the committed paper trail
-    # rotates them through upcoming windows (freshness horizon: their r7
-    # greens stay valid through round 11).
+    "first_event_per_user",
+    "json_extract_props",
+    "leakage_safe_split_counts",
+    "match_stats",
+    "max_order_per_cust_subquery",
+    "notify_dedup_anti",
+    "percentiles_exact",
+    "pivot_event_counts",
+    "rollup_pricing",
+    "scalar_encoding",
+    "scalar_suite",
+    "seen_lookup_semi",
+    "seen_window_counts",
+    "sessionize",
+    "set_ops",
+    "tf_cosine_incremental",
+    "tf_cosine_pairs_sparse",
+    "topk_recent_events",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q19_bracket_revenue",
+    "tpch_q1_pricing",
+    "tpch_q3_revenue",
+    "tpch_q4_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "unimax_allocation",
+    "unpivot_measures",
+    "window_suite",
+    # (B) changed-since-green r7 rows (mechanized:
+    # tests/registry_freshness.py + the policy test). Carried forward
+    # from the round-8 declaration: the rule-engine sandbox path (r8
+    # lua/ip fixes), the operator-closure groups preempted by round 8's
+    # dense-vs-postings cost gate and baseline-JPEG dispatch, the
+    # factory-made criterion queries, and the similarity.py closure —
+    # plus the round-9 preemptions layered on the same files
+    # (register_session_cache in the band-sweep/ccnet registrations,
+    # the _unstuff fill-byte fix and asymmetric-sampling encoder in
+    # functions/jpeg.py, the semantic_dedup docstring/closure updates).
+    # All re-verified green at sf0.01 by this session's full driver-sim
+    # sweeps on the changed code; declared so the committed paper trail
+    # rotates them through upcoming windows (their r7 greens stay valid
+    # through round 11).
+    "action_schedule",
+    "rule_expiry_sweep",
+    "rule_scan_actions",
+    "would_fire_counts",
     "charlm_quality",
     "contamination_check",
     "curation_gate",
@@ -406,12 +383,6 @@ _DRIVER_PRIORITY = [
     "temperature_mix_sample",
     "text_profile",
     "tf_cosine_pairs",
-    # (d) the 8 factory-made criterion queries, preempted by the SAME
-    # round-8 sandbox/ip changes as group (a) — invisible to the first
-    # analyzer cut (their closures have no top-level def; the fixed
-    # analyzer fingerprints the enclosing registration factory), surfaced
-    # by the round-8 review pass. crit_code_predicate already heads the
-    # window; these re-verified green in this session's final sweeps.
     "crit_ip_match",
     "crit_print_match",
     "crit_email_contains",
@@ -420,10 +391,6 @@ _DRIVER_PRIORITY = [
     "crit_username_regex",
     "crit_useragent_length_lte",
     "crit_susp_ip_gate",
-    # (e) r7 rows preempted by the round-8 semantic_dedup_auto addition
-    # to operators/similarity.py (a new function; the existing operators
-    # are untouched) — flagged by the module-level closure rule, all
-    # re-verified green by this session's final sweeps:
     "ann_lsh_topk",
     "ann_pq_adc",
     "embedding_near_dup",
@@ -431,14 +398,23 @@ _DRIVER_PRIORITY = [
     "ivf_cell_occupancy",
     "knn_cosine_topk",
     "semantic_dedup",
+    # (C) r8 rows preempted by round 9's OWN changes — the decode_image
+    # closure (functions/jpeg.py fill-byte fix + sampling generalization;
+    # operators/multimodal.py untouched but its import closure reaches
+    # jpeg.py) flags the image family. Re-verified green at sf0.01 by
+    # this session's full driver-sim sweeps; their r8 greens stay valid
+    # through round 12:
+    "image_stats",
+    "resize_image",
+    "multimodal_frames",
 ]
-# Queued round-9 NEW registration (the r6/r7 precedent — implement +
+# Queued round-10 NEW registration (the r6-r9 precedent — implement +
 # pytest-certify mid-round, register at the next window head):
-# `semantic_dedup_auto` (operators/similarity.py), the corpus-scaled
-# cell-count form of semantic_dedup whose k lever the round-8 scale
-# probe measured (SCALE.md); its oracle derives k and the lowest-id
-# centroids from COUNT(*), so the hash check is fully deterministic.
-
+# `image_stats_png` over functions/png.py (round 9's from-scratch
+# ISO-15948 decoder, tests/test_png_codec.py). PNG is lossless, so the
+# frozen-artifact oracle derives expected channel means DIRECTLY from the
+# integer recipe rasters (artifacts_jpeg.py pattern, no freeze-time
+# decoder run needed).
 
 
 def _ordered(mapping: dict) -> dict:

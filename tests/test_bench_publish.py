@@ -78,3 +78,27 @@ def test_prev_detail_malformed_queries_yield_empty_calibration():
     for malformed in (None, [], "x"):
         prev_queries = malformed if isinstance(malformed, dict) else {}
         assert _median_ratio_vs_prev({f"q{i}": 1.0 for i in range(15)}, prev_queries) is None
+
+
+def test_position_debt_suspects_selection():
+    """Round-9 fix (VERDICT r8 task #2): >2x movers against a FLAT median
+    get isolation re-measured; a uniformly slow boot (median moved too),
+    an uncalibrated run (median None), sub-floor entries, and
+    custom-harness metrics never flag."""
+    from bench import _position_debt_suspects
+
+    prev = {"a": 1.0, "b": 1.0, "c": 0.1, "engine_batch": 3.0}
+    cur = {"a": 2.5, "b": 1.05, "c": 0.5, "engine_batch": 9.0}
+    eligible = {"a", "b", "c"}
+    # flat median, a moved 2.5x -> suspect; c is sub-floor on the prev
+    # side; engine_batch moved 3x but is not an eligible registry entry
+    assert _position_debt_suspects(cur, prev, 1.05, eligible) == ["a"]
+    # the whole boot is slow: median 2.4 -> nothing flags
+    assert _position_debt_suspects(cur, prev, 2.4, eligible) == []
+    # no calibration -> nothing flags
+    assert _position_debt_suspects(cur, prev, None, eligible) == []
+    # exactly at the threshold is not a suspect (strictly greater)
+    assert _position_debt_suspects({"a": 2.0}, {"a": 1.0}, 1.0, {"a"}) == []
+    # missing/garbage prior entries never flag
+    assert _position_debt_suspects({"a": 9.0}, {"a": True}, 1.0, {"a"}) == []
+    assert _position_debt_suspects({"a": 9.0}, {}, 1.0, {"a"}) == []
