@@ -362,8 +362,13 @@ def _run_isolated(names: list[str], sf_dir: str) -> dict[str, float] | None:
         return None
     try:
         out = json.loads(r.stdout.strip().splitlines()[-1])
+        if not isinstance(out, dict) or not isinstance(out.get("isolated"), dict):
+            return None
         return {k: float(v) for k, v in out["isolated"].items()}
-    except (ValueError, KeyError, IndexError):
+    except (ValueError, KeyError, IndexError, TypeError):
+        # a crash here would land AFTER the multi-minute bench run and
+        # BEFORE the detail write — any malformed subprocess output must
+        # degrade to "publish in-run, flagged unconfirmed"
         return None
 
 
@@ -830,6 +835,12 @@ def main() -> None:
         timings, prev_queries, median_ratio, eligible=set(names)
     )
     if suspects:
+        # the parent JVM is done measuring (everything below is file IO)
+        # — stop it BEFORE the isolation subprocess boots, so the child's
+        # min-of-3 really runs in a clean-memory environment instead of
+        # beside a ~100-query heap; two co-resident local[*] JVMs would
+        # re-introduce exactly the contamination this path removes
+        spark.stop()
         iso = _run_isolated(suspects, sf_dir)
         isolation: dict[str, dict] = {}
         for name in suspects:
@@ -869,7 +880,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+    # dispatch on the flag ALONE: "--isolated" with the names operand
+    # forgotten must error, never silently fall through into a
+    # multi-minute full bench that overwrites BENCH_DETAIL.json
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
+        if len(sys.argv) < 3 or not sys.argv[2]:
+            sys.exit("usage: bench.py --isolated name1,name2,...")
         run_isolated_mode(sys.argv[2])
+    elif len(sys.argv) >= 2 and sys.argv[1].startswith("-"):
+        sys.exit(f"unknown flag {sys.argv[1]!r} (only --isolated is supported)")
     else:
         main()

@@ -178,11 +178,30 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
         raise ValueError("PNG: unsupported compression/filter/interlace")
     if not idat:
         raise ValueError("PNG: no IDAT data")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"PNG: inflate failed: {e}") from None
     bpp = _CHANNELS[color_type]
+    # the exact decompressed size is derivable from IHDR, so inflate is
+    # BOUNDED to it: a decompression-bomb payload (tiny IDAT, huge
+    # expansion) hits the cap and raises ValueError instead of allocating
+    # multi-GB before _unfilter's length check — the poison-pill contract
+    # also covers allocation, not just parsing
+    if interlace == 0:
+        expected = h * (w * bpp + 1)
+    else:
+        expected = sum(
+            ph * (pw * bpp + 1)
+            for x0, y0, dx, dy in _ADAM7
+            for pw, ph in (((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy),)
+            if pw and ph
+        )
+    try:
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except (zlib.error, MemoryError) as e:
+        raise ValueError(f"PNG: inflate failed: {e}") from None
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ValueError("PNG: decompressed data exceeds declared dimensions")
+    if not dec.eof:
+        raise ValueError("PNG: DEFLATE stream incomplete")
     if interlace == 0:
         px = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
     else:

@@ -221,3 +221,34 @@ def test_decode_image_dispatches_png():
     rgb = _rgb(6, 6)
     w, h, out = decode_image(encode_png(6, 6, rgb))
     assert (w, h) == (6, 6) and out == rgb
+
+
+def test_decompression_bomb_is_a_poison_pill():
+    """Review finding: inflate must be BOUNDED by the IHDR-derived raw
+    size — a tiny IDAT expanding to GBs raises ValueError before
+    allocating, and a truncated DEFLATE stream (missing adler32) raises
+    too, per the ValueError-only contract."""
+    bomb = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 50_000_000, 9))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds declared"):
+        decode_png(bomb)
+
+    good = encode_png(8, 8, _rgb(8, 8))
+    idat_at = good.find(b"IDAT") - 4
+    (idat_len,) = struct.unpack_from(">I", good, idat_at)
+    z = good[idat_at + 8 : idat_at + 8 + idat_len]
+    cut = z[:-4]  # drop the adler32 tail: stream decodes but never ends
+    truncated = (
+        good[:idat_at]
+        + struct.pack(">I", len(cut))
+        + b"IDAT"
+        + cut
+        + struct.pack(">I", zlib.crc32(b"IDAT" + cut) & 0xFFFFFFFF)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(truncated)
