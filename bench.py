@@ -836,11 +836,23 @@ def main() -> None:
     )
     if suspects:
         # the parent JVM is done measuring (everything below is file IO)
-        # — stop it BEFORE the isolation subprocess boots, so the child's
-        # min-of-3 really runs in a clean-memory environment instead of
-        # beside a ~100-query heap; two co-resident local[*] JVMs would
-        # re-introduce exactly the contamination this path removes
+        # — TERMINATE it before the isolation subprocess boots, so the
+        # child's min-of-3 really runs in clean memory instead of beside
+        # a ~100-query heap. spark.stop() alone is not enough: it stops
+        # the SparkContext but the py4j gateway JVM (and its committed
+        # multi-GB heap) lives until the Python process exits, which is
+        # exactly the co-residency this path exists to remove. Verified:
+        # gateway.proc.terminate() + wait() reaps the JVM (rc 143).
         spark.stop()
+        try:
+            from pyspark import SparkContext
+
+            gw = SparkContext._gateway
+            if gw is not None and getattr(gw, "proc", None) is not None:
+                gw.proc.terminate()
+                gw.proc.wait(timeout=30)
+        except Exception:  # noqa: BLE001 - best effort; child still runs
+            pass
         iso = _run_isolated(suspects, sf_dir)
         isolation: dict[str, dict] = {}
         for name in suspects:

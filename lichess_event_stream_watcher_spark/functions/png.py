@@ -45,6 +45,17 @@ _ADAM7 = (
 )
 
 
+def _adam7_passes(w: int, h: int):
+    """Yield (x0, y0, dx, dy, pass_w, pass_h) for each NON-EMPTY Adam7
+    pass — the single source of pass geometry for both the bounded-inflate
+    size guard and the deinterlace loop (they must never disagree)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def _chunks(b: bytes):
     """Yield (type, data) for each chunk, CRC-verified."""
     pos = 8
@@ -187,12 +198,7 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
     if interlace == 0:
         expected = h * (w * bpp + 1)
     else:
-        expected = sum(
-            ph * (pw * bpp + 1)
-            for x0, y0, dx, dy in _ADAM7
-            for pw, ph in (((w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy),)
-            if pw and ph
-        )
+        expected = sum(ph * (pw * bpp + 1) for *_xy, pw, ph in _adam7_passes(w, h))
     try:
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expected + 1)
@@ -209,11 +215,7 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
         # pass grids
         px = np.zeros((h, w, bpp), np.uint8)
         pos = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw == 0 or ph == 0:
-                continue
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
             size = ph * (pw * bpp + 1)
             sub = _unfilter(raw[pos : pos + size], pw, ph, bpp).reshape(ph, pw, bpp)
             px[y0::dy, x0::dx] = sub
