@@ -1,0 +1,94 @@
+"""From-scratch WAV/RIFF PCM codec — stdlib struct + numpy only.
+
+The one audio container this environment can decode without codec
+libraries: RIFF/WAVE chunk framing, the ``fmt `` chunk (PCM format tag 1
+only — compressed tags stay env-gated), 8-bit unsigned / 16-bit signed
+little-endian samples, mono or multi-channel, via the ``data`` chunk.
+Decoded output is a float64 (n_samples, channels) numpy array in
+[-1, 1), plus the sample rate — the canonical shape an audio feature
+extractor consumes. The encoder twin is lossless for 16-bit input, so a
+frozen-artifact driver row derives its expected statistics from the
+recipe samples themselves (the artifacts_png.py provenance pattern).
+
+Poison-pill contract (shared with jpeg.py/png.py/netpbm): every
+malformed input raises ``ValueError`` — never struct.error/KeyError —
+so ``audio_stats`` maps it to one ``decode_ok = false`` row, never a
+task failure.
+
+Reference parity: the reference engine has no audio path — this module
+belongs to the repo's LLM-data-pipeline multimodal surface (opaque
+binary columns + typed metadata, decode as Arrow-batched map work).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# one poison-pill bound, same role as PNG's pixel budget: a crafted
+# header cannot make a worker allocate unbounded sample arrays
+_MAX_SAMPLES = 256_000_000
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """WAV -> (sample_rate, float64 samples of shape (n, channels) in
+    [-1, 1)). ValueError on anything malformed or out of the supported
+    profile (RIFF/WAVE, PCM tag 1, 8- or 16-bit)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(b):
+        ctype = b[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("WAV: truncated chunk")
+        if ctype == b"fmt ":
+            fmt = body
+        elif ctype == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV: short fmt chunk")
+    tag, channels, rate, _byte_rate, block_align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if tag != 1:
+        raise ValueError(f"WAV: unsupported format tag {tag} (PCM only)")
+    if channels < 1 or rate < 1:
+        raise ValueError("WAV: zero channels or sample rate")
+    if bits not in (8, 16):
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    width = bits // 8
+    if block_align != channels * width:
+        raise ValueError("WAV: block alignment does not match fmt")
+    if len(data) % block_align:
+        raise ValueError("WAV: data chunk is not whole frames")
+    n = len(data) // block_align
+    if n * channels > _MAX_SAMPLES:
+        raise ValueError("WAV: sample budget exceeded")
+    if bits == 16:
+        samples = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        samples = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    return int(rate), samples.reshape(n, int(channels))
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """(n, channels) float64 in [-1, 1) -> 16-bit PCM WAV. Lossless for
+    values on the 1/32768 grid (the decoder twin's own output domain)."""
+    if samples.ndim != 2 or samples.shape[0] < 1 or samples.shape[1] < 1:
+        raise ValueError("encode_wav: samples must be (n, channels)")
+    n, channels = samples.shape
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -266,6 +266,77 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(stats, IMAGE_STATS_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("peak_pcm", T.IntegerType(), True),
+        T.StructField("rms_pcm", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL decoded-audio statistics per clip: (doc_id, decode_ok, rate,
+    channels, frames, duration, peak, rms) through the same Arrow-batched
+    ``mapInPandas`` shape as ``image_stats``, over the from-scratch
+    WAV/PCM decoder (functions/wav.py — round 9's audio counterpart to
+    the image codecs). Every statistic is INTEGER in PCM units — peak is
+    max |sample|, rms is isqrt(sum(sample^2) // frames_total) — so a SQL
+    oracle derives the identical values with no float-rounding seam.
+    Decode failures yield one ``decode_ok = false`` row, never a task."""
+    import math
+
+    from ..functions.wav import decode_wav
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, samples = decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "decode_ok": False,
+                            "sample_rate": None,
+                            "channels": None,
+                            "n_samples": None,
+                            "duration_ms": None,
+                            "peak_pcm": None,
+                            "rms_pcm": None,
+                        }
+                    )
+                    continue
+                n, ch = samples.shape
+                pcm = np.round(samples * 32768.0).astype(np.int64)
+                total = n * ch
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "decode_ok": True,
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_samples": n,
+                        "duration_ms": n * 1000 // rate,
+                        "peak_pcm": int(np.abs(pcm).max()) if total else 0,
+                        "rms_pcm": int(math.isqrt(int((pcm * pcm).sum()) // total))
+                        if total
+                        else 0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return media.select("doc_id", "payload").mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
