@@ -408,13 +408,15 @@ _DRIVER_PRIORITY = [
     "resize_image",
     "multimodal_frames",
 ]
-# Queued round-10 NEW registration (the r6-r9 precedent — implement +
-# pytest-certify mid-round, register at the next window head):
-# `image_stats_png` over functions/png.py (round 9's from-scratch
-# ISO-15948 decoder, tests/test_png_codec.py). PNG is lossless, so the
-# frozen-artifact oracle derives expected channel means DIRECTLY from the
-# integer recipe rasters (artifacts_jpeg.py pattern, no freeze-time
-# decoder run needed).
+# Queued round-10 NEW registrations (the r6-r9 precedent — implement +
+# pytest-certify mid-round, register at the next window head), each with
+# a staged query + frozen oracle + dress-rehearsal pytest already in
+# place: `image_stats_png` (artifacts_png.staged_query — lossless, so
+# the oracle derives from recipe rasters with no codec in the chain),
+# `audio_stats_wav` (artifacts_wav.staged_query — integer PCM
+# statistics from integer recipe grids), and `video_frame_stats_avi`
+# (artifacts_avi.staged_query — container walk + sampled-frame JPEG
+# decode, corrupt-middle-frame pill).
 
 
 def _ordered(mapping: dict) -> dict:
