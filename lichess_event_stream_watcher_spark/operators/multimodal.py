@@ -4,14 +4,16 @@ Images/audio/video ride as ``binary`` columns with a metadata struct; the
 decode/feature steps run as Arrow-batched ``mapInPandas`` so each partition
 streams through Python once.
 
-Decode status (round 7): REAL for PPM (P6 binary / P3 ASCII, maxval <=
-255) and uncompressed 24-bit BMP — a from-scratch pure-Python decoder
-(the published netpbm / BMP file formats; the same from-scratch move as
+Decode status (rounds 7-9): REAL across the whole triad. Images: PPM
+(P6 binary / P3 ASCII, maxval <= 255), uncompressed 24-bit BMP, baseline
+JPEG (functions/jpeg.py, ITU T.81), and PNG (functions/png.py, ISO
+15948) — all from-scratch pure-Python decoders (the same move as
 ``functions/mmdb.py`` and ``functions/uap.py``), dispatched on magic
-bytes by :func:`decode_image` and wired through :func:`image_stats`'s
-``mapInPandas``. Codec-library formats (JPEG/PNG/audio/video) remain
-env-gated behind the same function — it raises ``ValueError`` naming the
-unsupported magic, and ``image_stats`` verdicts those rows
+bytes by :func:`decode_image`. Audio: WAV/RIFF PCM (functions/wav.py)
+through :func:`audio_stats`. Video: MJPEG-AVI (functions/avi.py)
+through :func:`video_manifest` / :func:`video_frames` /
+:func:`video_frame_stats`. Anything else raises ``ValueError`` naming
+the magic, and the stats operators verdict those rows
 ``decode_ok = false`` instead of failing the batch (the poison-pill
 discipline a 100 TB media scan needs: one corrupt file must cost one
 row, not one task retry storm).
@@ -578,9 +580,12 @@ def sample_frames(
     """Frame sampling: one input row -> many frame rows (a flatMap).
 
     The payload splits into fixed-size pseudo-frames and every n-th is
-    kept — the video-decode stand-in. The 1->N row expansion via
-    mapInPandas is the real shape of a frame extractor; frames stay with
-    their source partition (no shuffle)."""
+    kept — the FORMAT-AGNOSTIC stand-in (and the certified
+    multimodal_frames shape). For actual MJPEG-AVI payloads use
+    :func:`video_frames` / :func:`video_frame_stats` (round 9), which
+    walk the real container at chunk boundaries. The 1->N row expansion
+    via mapInPandas is the real shape of a frame extractor; frames stay
+    with their source partition (no shuffle)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
