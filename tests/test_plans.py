@@ -910,3 +910,15 @@ def test_ivf_cell_occupancy_plan_corpus_never_shuffles(spark, sf_dir):
     # one hash exchange (the k-group agg) + the broadcast exchange
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1, p
     assert "partial" in p.lower()
+
+
+def test_semantic_dedup_auto_plan_shape(spark, sf_dir):
+    """The production SemDeDup form keeps the regression form's plan
+    contract: cell assignment stays a map-side literal projection (no
+    cartesian/nested-loop join anywhere), and the only joins are the
+    cell-local equi self-join plus the verdict join."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    p = plan_str(qs["semantic_dedup_auto"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
