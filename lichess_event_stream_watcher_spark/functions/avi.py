@@ -76,6 +76,12 @@ def decode_avi_mjpeg(b: bytes) -> tuple[int, int, int, list[bytes]]:
     micros, _, _, _, total, _, _, _, w, h = avih
     if micros == 0 or w == 0 or h == 0:
         raise ValueError("AVI: zero frame period or dimensions")
+    if w * h > 64_000_000 or micros > 2**31 - 1:
+        # same header-bomb posture as PNG's pixel budget — and the uint32
+        # dwords must stay int32-representable, or a crafted header would
+        # decode cleanly and then fail the whole Spark task at Arrow
+        # conversion of the IntegerType manifest fields
+        raise ValueError("AVI: implausible dimensions or frame period")
     if total != len(frames):
         raise ValueError(f"AVI: avih declares {total} frames, movi has {len(frames)}")
     return int(micros), int(w), int(h), frames
@@ -88,6 +94,10 @@ def encode_avi_mjpeg(
     one vids/MJPG stream header pair + movi with one 00dc per frame."""
     if not frames:
         raise ValueError("encode_avi: no frames")
+    if not (1 <= micros_per_frame <= 2**31 - 1) or w < 1 or h < 1 or w * h > 64_000_000:
+        # the decoder twin rejects these; emitting them would break the
+        # encode->decode round-trip invariant every codec pair keeps
+        raise ValueError("encode_avi: bad frame period or dimensions")
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return ctype + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
@@ -96,8 +106,11 @@ def encode_avi_mjpeg(
         return chunk(b"LIST", kind + data)
 
     max_bytes = max(len(f) for f in frames)
+    # dwMaxBytesPerSec is informational; clamp it into the uint32 field
+    # (a 1-micro frame period would otherwise overflow struct.pack)
+    byte_rate = min(max_bytes * 10**6 // micros_per_frame, 2**32 - 1)
     avih = struct.pack(
-        "<10I", micros_per_frame, max_bytes * 10**6 // max(micros_per_frame, 1),
+        "<10I", micros_per_frame, byte_rate,
         0, 0x10, len(frames), 0, 1, max_bytes, w, h
     ) + b"\x00" * 16
     strh = (

@@ -31,10 +31,14 @@ import numpy as np
 _MAX_SAMPLES = 256_000_000
 
 
-def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
-    """WAV -> (sample_rate, float64 samples of shape (n, channels) in
-    [-1, 1)). ValueError on anything malformed or out of the supported
-    profile (RIFF/WAVE, PCM tag 1, 8- or 16-bit)."""
+def decode_wav_pcm(b: bytes) -> tuple[int, np.ndarray]:
+    """WAV -> (sample_rate, int16 PCM of shape (n, channels)) — the
+    integer fast path (8-bit input is rescaled onto the int16 grid).
+    Integer-statistic consumers (``audio_stats``) read this directly and
+    skip the float conversion; ``decode_wav`` wraps it for feature
+    extractors that want normalized floats. ValueError on anything
+    malformed or out of the supported profile (RIFF/WAVE, PCM tag 1,
+    8- or 16-bit)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("WAV: bad RIFF/WAVE header")
     pos = 12
@@ -62,6 +66,12 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
         raise ValueError(f"WAV: unsupported format tag {tag} (PCM only)")
     if channels < 1 or rate < 1:
         raise ValueError("WAV: zero channels or sample rate")
+    if rate > 2**31 - 1:
+        # the uint32 dword must stay int32-representable: a crafted
+        # 3e9 Hz header would otherwise decode cleanly and then fail the
+        # WHOLE Spark task at Arrow conversion of the IntegerType field —
+        # the task-retry storm the poison-pill contract forbids
+        raise ValueError(f"WAV: implausible sample rate {rate}")
     if bits not in (8, 16):
         raise ValueError(f"WAV: unsupported bit depth {bits}")
     width = bits // 8
@@ -73,15 +83,27 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     if n * channels > _MAX_SAMPLES:
         raise ValueError("WAV: sample budget exceeded")
     if bits == 16:
-        samples = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+        pcm = np.frombuffer(data, "<i2")
     else:
-        samples = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
-    return int(rate), samples.reshape(n, int(channels))
+        # rescale the unsigned 8-bit grid onto int16 (x - 128) * 256
+        pcm = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256).astype("<i2")
+    return int(rate), pcm.reshape(n, int(channels))
+
+
+def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
+    """WAV -> (sample_rate, float64 samples of shape (n, channels) in
+    [-1, 1)) — the normalized-float view over :func:`decode_wav_pcm`."""
+    rate, pcm = decode_wav_pcm(b)
+    return rate, pcm.astype(np.float64) / 32768.0
 
 
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:
     """(n, channels) float64 in [-1, 1) -> 16-bit PCM WAV. Lossless for
     values on the 1/32768 grid (the decoder twin's own output domain)."""
+    if not 1 <= rate <= 2**31 - 1:
+        # the decoder twin rejects these; an encoder that emitted them
+        # would freeze artifacts the staged query can never decode
+        raise ValueError(f"encode_wav: bad sample rate {rate}")
     if samples.ndim != 2 or samples.shape[0] < 1 or samples.shape[1] < 1:
         raise ValueError("encode_wav: samples must be (n, channels)")
     n, channels = samples.shape

@@ -293,14 +293,14 @@ def audio_stats(media: DataFrame) -> DataFrame:
     Decode failures yield one ``decode_ok = false`` row, never a task."""
     import math
 
-    from ..functions.wav import decode_wav
+    from ..functions.wav import decode_wav_pcm
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    rate, samples = decode_wav(
+                    rate, pcm16 = decode_wav_pcm(
                         bytes(payload) if payload is not None else b""
                     )
                 except ValueError:
@@ -317,8 +317,11 @@ def audio_stats(media: DataFrame) -> DataFrame:
                         }
                     )
                     continue
-                n, ch = samples.shape
-                pcm = np.round(samples * 32768.0).astype(np.int64)
+                n, ch = pcm16.shape
+                # ONE widening pass (int16 -> int64 for overflow-free
+                # squares); the float view would cost two extra
+                # full-array conversions per clip on this hot path
+                pcm = pcm16.astype(np.int64)
                 total = n * ch
                 rows.append(
                     {
@@ -412,6 +415,8 @@ def video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     costs container IO even when a later stage decodes only a sample.
     Undecodable containers drop out (``video_manifest`` carries their
     verdicts, the resize_image/image_stats split)."""
+    if every_n < 1:
+        raise ValueError(f"video_frames: bad every_n {every_n}")
     from ..functions.avi import decode_avi_mjpeg
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -439,6 +444,8 @@ def video_frame_stats(media: DataFrame, every_n: int = 4) -> DataFrame:
     a single mapInPandas so sampled frames never round-trip through a
     shuffle. Per-frame decode failures (a corrupt frame inside a valid
     container) cost one decode_ok=false row for THAT frame only."""
+    if every_n < 1:
+        raise ValueError(f"video_frame_stats: bad every_n {every_n}")
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.avi import decode_avi_mjpeg
@@ -586,6 +593,10 @@ def sample_frames(
     walk the real container at chunk boundaries. The 1->N row expansion
     via mapInPandas is the real shape of a frame extractor; frames stay
     with their source partition (no shuffle)."""
+    if frame_bytes < 1 or every_n < 1:
+        # driver-side, immediate: inside the UDF this would fail every
+        # task (range step 0) or silently yield nothing (negative step)
+        raise ValueError(f"sample_frames: bad frame_bytes/every_n {(frame_bytes, every_n)}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -44,3 +44,21 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+def driver_norm(df):
+    """The driver compare's normalize, shared by the staged-row dress
+    rehearsals (and mirrored in .claude/skills/verify/harness.py): sort
+    columns by name, floats to 6-decimal strings, NaN/None -> ''."""
+    import math
+
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return ""
+        if isinstance(v, float):
+            return format(round(v, 6), ".6f")
+        return str(v)
+
+    return sorted(tuple(cell(v) for v in r) for r in df.itertuples(index=False, name=None))

@@ -99,28 +99,57 @@ def test_video_frame_stats_avi_staged_row_matches_frozen_oracle(spark, duck):
     (artifacts_avi.py): container pills contribute zero rows, the
     corrupt MIDDLE frame costs exactly one decode_ok=false row with its
     neighbors green, and the full compare matches the frozen oracle."""
-    import math
+    from conftest import driver_norm
 
     from lichess_event_stream_watcher_spark import artifacts_avi as A
 
     got = A.staged_query(spark, "unused").toPandas()
     exp = duck.sql(A.expected_oracle_sql()).df()
-
-    def norm(df):
-        df = df.reindex(sorted(df.columns), axis=1)
-
-        def cell(v):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return ""
-            if isinstance(v, float):
-                return format(round(v, 6), ".6f")
-            return str(v)
-
-        return sorted(tuple(cell(v) for v in r) for r in df.itertuples(index=False, name=None))
-
     assert len(got) == len(exp) == len(A.EXPECTED_STATS)
     bad = got[~got.decode_ok]
     assert [(int(r.doc_id), int(r.frame_idx)) for r in bad.itertuples()] == [
         (A.CORRUPT_CLIP, A.CORRUPT_FRAME)
     ]
-    assert norm(got) == norm(exp)
+    assert driver_norm(got) == driver_norm(exp)
+
+
+def test_int32_overflow_and_bad_params_are_rejected(spark):
+    """Review findings: (a) uint32 avih width/height above int32 max (or
+    a 64M+ pixel budget) must ValueError instead of overflowing the
+    IntegerType manifest fields task-wide; (b) the encoder twin rejects
+    parameters its own decoder would refuse; (c) every_n < 1 errors
+    immediately driver-side, not as a per-task range() crash."""
+    good, _ = _clip(2)
+    avih_at = good.find(b"avih")
+    for patches in (
+        ((32, 3_000_000_000),),            # width > int32 max
+        ((32, 9000), (36, 9000)),          # 81M pixels > the 64M budget
+        ((0, 3_000_000_000),),             # frame period > int32 max
+    ):
+        bombed = bytearray(good)
+        for field_off, value in patches:
+            struct.pack_into("<I", bombed, avih_at + 8 + field_off, value)
+        with pytest.raises(ValueError, match="implausible"):
+            decode_avi_mjpeg(bytes(bombed))
+
+    frame = b"\xff\xd8xx"
+    with pytest.raises(ValueError, match="bad frame period"):
+        encode_avi_mjpeg([frame], 0, 2, 2)
+    with pytest.raises(ValueError, match="bad frame period"):
+        encode_avi_mjpeg([frame], 2**31, 2, 2)
+    with pytest.raises(ValueError, match="bad frame period"):
+        encode_avi_mjpeg([frame], 1000, 9000, 9000)
+
+    from lichess_event_stream_watcher_spark.operators.multimodal import (
+        sample_frames,
+        video_frame_stats,
+        video_frames,
+    )
+
+    media = spark.createDataFrame([(1, b"x")], "doc_id bigint, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        video_frames(media, every_n=0)
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_stats(media, every_n=-1)
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(media, every_n=0)

@@ -212,24 +212,11 @@ def test_image_stats_png_staged_row_matches_frozen_oracle(spark, duck):
     staged Spark query (encode_png recipes -> Arrow-batched image_stats)
     must match the frozen raster-ground-truth VALUES oracle exactly,
     pills included — the same compare the driver runs."""
-    import math
-
     from lichess_event_stream_watcher_spark import artifacts_png as A
+
+    from conftest import driver_norm
 
     got = A.staged_query(spark, "unused").toPandas()
     exp = duck.sql(A.expected_oracle_sql()).df()
-
-    def norm(df):
-        df = df.reindex(sorted(df.columns), axis=1)
-
-        def cell(v):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return ""
-            if isinstance(v, float):
-                return format(round(v, 6), ".6f")
-            return str(v)
-
-        return sorted(tuple(cell(v) for v in r) for r in df.itertuples(index=False, name=None))
-
     assert len(got) == len(exp) == len(A.PNG_CASES) + 2
-    assert norm(got) == norm(exp)
+    assert driver_norm(got) == driver_norm(exp)

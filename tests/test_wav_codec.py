@@ -98,17 +98,35 @@ def test_audio_stats_wav_staged_row_matches_frozen_oracle(spark, duck):
     """Dress rehearsal of the round-10 audio_stats_wav driver row
     (artifacts_wav.py) — the driver's own normalize-and-compare against
     the integer-recipe VALUES oracle, pills included."""
+    from conftest import driver_norm
+
     from lichess_event_stream_watcher_spark import artifacts_wav as A
 
     got = A.staged_query(spark, "unused").toPandas()
     exp = duck.sql(A.expected_oracle_sql()).df()
-
-    def norm(df):
-        df = df.reindex(sorted(df.columns), axis=1)
-        return sorted(
-            tuple("" if v is None or v != v else str(v) for v in r)
-            for r in df.astype(object).where(df.notna(), None).itertuples(index=False, name=None)
-        )
-
     assert len(got) == len(exp) == len(A.WAV_CASES) + 2
-    assert norm(got) == norm(exp)
+    assert driver_norm(got) == driver_norm(exp)
+
+
+def test_int32_overflow_headers_are_poison_pills(spark):
+    """Review finding (confirmed empirically pre-fix): a crafted uint32
+    sample rate above int32 max decoded cleanly and then killed the WHOLE
+    Spark task at Arrow conversion of the IntegerType field. It must be
+    a ValueError -> one decode_ok=false row."""
+    good = encode_wav(8000, _pcm16([0, 1000, -1000, 32767]))
+    fmt_at = good.find(b"fmt ")
+    bombed = good[: fmt_at + 12] + struct.pack("<I", 3_000_000_000) + good[fmt_at + 16 :]
+    with pytest.raises(ValueError, match="implausible"):
+        decode_wav(bombed)
+    with pytest.raises(ValueError, match="rate"):
+        encode_wav(0, _pcm16([0, 1]))
+    with pytest.raises(ValueError, match="rate"):
+        encode_wav(2**31, _pcm16([0, 1]))
+
+    from lichess_event_stream_watcher_spark.operators.multimodal import audio_stats
+
+    media = spark.createDataFrame(
+        [(1, bytearray(bombed)), (2, bytearray(good))], "doc_id bigint, payload binary"
+    )
+    got = {r.doc_id: r for r in audio_stats(media).collect()}
+    assert not got[1].decode_ok and got[2].decode_ok  # row, not task
