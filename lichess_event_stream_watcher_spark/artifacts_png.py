@@ -1,4 +1,5 @@
-"""Frozen PNG decode artifacts — the r10 driver-hash row, staged in r9.
+"""Frozen PNG + GIF decode artifacts — the r10 driver-hash row
+(``image_stats_lossless``), staged in r9.
 
 Same frozen-recipe pattern as ``artifacts_jpeg.py`` with one structural
 upgrade PNG's losslessness buys: the expected channel means are computed
@@ -11,9 +12,15 @@ codec halves. The staged query re-encodes the rasters with
 inflate bounding, unfiltering, or channel packing moves a mean and
 mismatches the hash.
 
-Registration is QUEUED for round 10 (the r6-r9 window precedent — the
-round-9 window is full at 50); ``tests/test_multimodal_decode.py`` pins
-the staged query against the frozen table every session in the interim.
+Both lossless codecs share the one staged row: PNG cases (ids 0-11)
+through ``encode_png`` and GIF cases (ids 50-56, including an animated
+clip whose FIRST composited frame is the ground truth and a
+256-distinct-color boundary case) through ``encode_gif`` — every case's
+expected means derive from the recipe rasters with no codec in the
+provenance chain. Registration is QUEUED for round 10 (the r6-r9 window
+precedent — the round-9 window is full at 50);
+``tests/test_multimodal_decode.py`` pins the staged query against the
+frozen table every session in the interim.
 """
 
 from __future__ import annotations
@@ -39,24 +46,48 @@ PNG_CASES: list[tuple[int, str, int, int, int]] = [
     (11, "noise", 16, 48, 9),
 ]
 
+# GIF cases: (img_id, kind, w, h, seed, n_frames) — dims bounded so the
+# raster stays within the encoder's 256-color exact palette (w*h <= 256,
+# or few-color kinds); the animated clip's expected stats are FRAME 0's
+# raster (image_stats sees the first composited frame)
+GIF_CASES: list[tuple[int, str, int, int, int, int]] = [
+    (50, "gradient", 16, 16, 0, 1),
+    (51, "flat", 16, 16, 3, 1),
+    (52, "checker", 16, 16, 2, 1),
+    (53, "noise", 16, 16, 0, 1),   # 256 pixels = the palette boundary
+    (54, "checker", 15, 9, 5, 1),  # odd dims
+    (55, "gradient", 12, 12, 0, 3),  # animated: 3 frames, seed varies
+    (56, "flat", 8, 4, 29, 1),
+]
+
 # poison pills appended by payloads(): 100 = one IDAT byte flipped
-# (CRC mismatch), 101 = truncated mid-IDAT — each must cost exactly one
-# decode_ok=false row
-PILL_IDS = (100, 101)
+# (CRC mismatch), 101 = truncated mid-IDAT, 102 = GIF with a corrupt
+# LZW stream — each must cost exactly one decode_ok=false row
+PILL_IDS = (100, 101, 102)
 
 
 def payloads() -> list[tuple[int, bytes]]:
+    from .functions.gif import encode_gif
     from .functions.png import encode_png
 
     out = []
     for img_id, kind, w, h, seed in PNG_CASES:
         out.append((img_id, encode_png(w, h, _raster(kind, w, h, seed))))
+    for img_id, kind, w, h, seed, n_frames in GIF_CASES:
+        frames = [_raster(kind, w, h, seed + i) for i in range(n_frames)]
+        out.append((img_id, encode_gif(w, h, frames)))
     base = out[0][1]
     idat_at = base.find(b"IDAT")
     flipped = bytearray(base)
     flipped[idat_at + 6] ^= 0xFF
     out.append((PILL_IDS[0], bytes(flipped)))
     out.append((PILL_IDS[1], base[: idat_at + 10]))
+    gif_base = bytearray(dict(out)[50])
+    # poison the LZW stream body: flip a byte inside the first image
+    # data sub-block (after descriptor + min-code + block length)
+    img_at = bytes(gif_base).find(b"\x2c", 13)
+    gif_base[img_at + 12] ^= 0xFF
+    out.append((PILL_IDS[2], bytes(gif_base)))
     return out
 
 
@@ -104,16 +135,25 @@ EXPECTED_STATS: list = [
     (9, True, 24, 24, 127.722222, 127.833333, 127.5),
     (10, True, 64, 48, 127.03125, 127.020833, 63.000325),
     (11, True, 16, 48, 127.5, 127.5, 127.5),
+    (50, True, 16, 16, 127.5, 127.5, 63.003906),
+    (51, True, 16, 16, 35.0, 171.0, 51.0),
+    (52, True, 16, 16, 125.507812, 121.5625, 124.296875),
+    (53, True, 16, 16, 127.5, 127.5, 127.5),
+    (54, True, 15, 9, 119.0, 126.666666, 122.0),
+    (55, True, 12, 12, 127.083333, 127.083333, 63.006944),
+    (56, True, 8, 4, 253.0, 117.0, 237.0),
     (100, False, None, None, None, None, None),
     (101, False, None, None, None, None, None),
+    (102, False, None, None, None, None, None),
 ]
 # fmt: on
 
 
 def staged_query(spark, sf_dir: str):
-    """The exact callable round 10 will register as ``image_stats_png``
-    (corpus fixed by design, like image_stats_jpeg — the sf-scaled PPM
-    branch carries the family's scale certification)."""
+    """The exact callable round 10 will register as
+    ``image_stats_lossless`` (PNG + GIF on one row; corpus fixed by
+    design, like image_stats_jpeg — the sf-scaled PPM branch carries the
+    family's scale certification)."""
     from .operators.multimodal import image_stats
 
     return image_stats(media_df(spark))
@@ -122,9 +162,10 @@ def staged_query(spark, sf_dir: str):
 def compute_expected_repr() -> str:
     """Fixture-build helper: integer channel means straight from the
     recipe rasters (never from decode output — losslessness makes the
-    raster the ground truth the codec must hit)."""
+    raster the ground truth the codec must hit; the animated GIF case
+    uses FRAME 0's raster)."""
     rows = []
-    for img_id, kind, w, h, seed in PNG_CASES:
+    for img_id, kind, w, h, seed in PNG_CASES + [c[:5] for c in GIF_CASES]:
         sums = (
             np.frombuffer(_raster(kind, w, h, seed), dtype=np.uint8)
             .reshape(-1, 3)

@@ -197,6 +197,10 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         from ..functions.png import decode_png
 
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(f"unsupported image magic {bytes(payload[:2])!r}")
 
 

@@ -411,8 +411,9 @@ _DRIVER_PRIORITY = [
 # Queued round-10 NEW registrations (the r6-r9 precedent — implement +
 # pytest-certify mid-round, register at the next window head), each with
 # a staged query + frozen oracle + dress-rehearsal pytest already in
-# place: `image_stats_png` (artifacts_png.staged_query — lossless, so
-# the oracle derives from recipe rasters with no codec in the chain),
+# place: `image_stats_lossless` (artifacts_png.staged_query — PNG + GIF
+# on one row; lossless, so the oracle derives from recipe rasters with
+# no codec in the chain),
 # `audio_stats_wav` (artifacts_wav.staged_query — integer PCM
 # statistics from integer recipe grids), and `video_frame_stats_avi`
 # (artifacts_avi.staged_query — container walk + sampled-frame JPEG

@@ -16,6 +16,7 @@ from lichess_event_stream_watcher_spark.functions.avi import (
     decode_avi_mjpeg,
     encode_avi_mjpeg,
 )
+from lichess_event_stream_watcher_spark.functions.gif import decode_gif, encode_gif
 from lichess_event_stream_watcher_spark.functions.jpeg import (
     decode_jpeg,
     encode_jpeg_baseline,
@@ -39,6 +40,16 @@ def _raster(draw, max_dim=24):
 def test_png_roundtrip_is_exact_on_random_rasters(r):
     w, h, rgb = r
     ww, hh, out = decode_png(encode_png(w, h, rgb))
+    assert (ww, hh, out) == (w, h, rgb)
+
+
+@given(_raster(max_dim=16))
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_is_exact_on_random_rasters(r):
+    # dims <= 16x16 bound distinct colors at w*h <= 256, inside the
+    # exact-palette encoder's profile
+    w, h, rgb = r
+    ww, hh, out = decode_gif(encode_gif(w, h, [rgb]))
     assert (ww, hh, out) == (w, h, rgb)
 
 
@@ -105,9 +116,9 @@ def test_avi_container_roundtrips_arbitrary_frame_bytes(frames, micros):
 @given(st.data())
 @settings(max_examples=120, deadline=None)
 def test_mutated_payloads_raise_valueerror_only(data):
-    """Byte-level mutation fuzz across all four codecs: flip/truncate/
+    """Byte-level mutation fuzz across all five codecs: flip/truncate/
     insert anywhere — decode either succeeds or raises ValueError."""
-    kind = data.draw(st.sampled_from(["png", "jpeg", "wav", "avi"]))
+    kind = data.draw(st.sampled_from(["png", "jpeg", "wav", "avi", "gif"]))
     rgb = bytes(range(48)) * 4  # 192 bytes = 8x8x3
     if kind == "png":
         payload, dec = encode_png(8, 8, rgb), decode_png
@@ -116,11 +127,13 @@ def test_mutated_payloads_raise_valueerror_only(data):
     elif kind == "wav":
         pcm = (np.arange(64, dtype=np.float64).reshape(-1, 2) - 32.0) / 32768.0
         payload, dec = encode_wav(8000, pcm), decode_wav
-    else:
+    elif kind == "avi":
         payload, dec = (
             encode_avi_mjpeg([encode_jpeg_baseline(8, 8, rgb)], 1000, 8, 8),
             decode_avi_mjpeg,
         )
+    else:
+        payload, dec = encode_gif(8, 8, [rgb]), decode_gif
     op = data.draw(st.sampled_from(["flip", "truncate", "insert", "garbage"]))
     b = bytearray(payload)
     if op == "flip":

@@ -218,5 +218,5 @@ def test_image_stats_png_staged_row_matches_frozen_oracle(spark, duck):
 
     got = A.staged_query(spark, "unused").toPandas()
     exp = duck.sql(A.expected_oracle_sql()).df()
-    assert len(got) == len(exp) == len(A.PNG_CASES) + 2
+    assert len(got) == len(exp) == len(A.PNG_CASES) + len(A.GIF_CASES) + 3
     assert driver_norm(got) == driver_norm(exp)
