@@ -83,9 +83,15 @@ def payloads() -> list[tuple[int, bytes]]:
     out.append((PILL_IDS[0], bytes(flipped)))
     out.append((PILL_IDS[1], base[: idat_at + 10]))
     gif_base = bytearray(dict(out)[50])
-    # poison the LZW stream body: flip a byte inside the first image
-    # data sub-block (after descriptor + min-code + block length)
-    img_at = bytes(gif_base).find(b"\x2c", 13)
+    # poison the LZW stream body: the image descriptor's offset is
+    # STRUCTURAL (header 13 + GCT + the encoder's 8-byte GCE) — a byte
+    # SEARCH for 0x2C could land inside the color table if a palette
+    # entry happens to contain 44 and flip pixels instead of breaking
+    # the stream (review finding)
+    depth = (gif_base[10] & 0x07) + 1
+    img_at = 13 + 3 * (1 << depth) + 8
+    if gif_base[img_at] != 0x2C:  # pragma: no cover - fixture invariant
+        raise ValueError("artifacts_png: GIF descriptor offset drifted")
     gif_base[img_at + 12] ^= 0xFF
     out.append((PILL_IDS[2], bytes(gif_base)))
     return out

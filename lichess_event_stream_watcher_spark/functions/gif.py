@@ -111,9 +111,14 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
     return bytes(out)
 
 
-def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]]:
+def decode_gif_frames(
+    b: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[bytes]]:
     """GIF -> (width, height, [full-canvas packed RGB, one per frame]),
-    composited per the GCE disposal semantics."""
+    composited per the GCE disposal semantics. ``max_frames`` stops the
+    decode as soon as that many frames are composited (the first-frame
+    view must not pay for a 500-frame animation); a capped decode skips
+    trailer validation for the undecoded remainder by design."""
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", b, 6)
@@ -165,6 +170,14 @@ def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]]:
             raise ValueError("GIF: frame exceeds logical screen")
         if len(frames) >= _MAX_FRAMES:
             raise ValueError("GIF: frame budget exceeded")
+        if (len(frames) + 1) * w * h > _MAX_PIXELS:
+            # JOINT bound (review finding, confirmed by a 926-byte payload
+            # demanding ~2.9 GB): each composited frame materializes a
+            # full canvas, so frames x pixels is the real allocation —
+            # cap the AGGREGATE at the pixel budget, or a tiny crafted
+            # animation OOMs the task with MemoryError, which the stats
+            # operators do not catch
+            raise ValueError("GIF: aggregate frame-pixel budget exceeded")
         lct = gct
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)
@@ -202,6 +215,8 @@ def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]]:
         else:
             region[:, :] = rgb
         frames.append(canvas.tobytes())
+        if max_frames is not None and len(frames) >= max_frames:
+            return int(w), int(h), frames
         if disposal == 2:  # restore the frame region to background
             canvas[fy : fy + fh, fx : fx + fw] = background[fy : fy + fh, fx : fx + fw]
         elif disposal == 3 and saved is not None:
@@ -217,8 +232,9 @@ def decode_gif_frames(b: bytes) -> tuple[int, int, list[bytes]]:
 
 def decode_gif(b: bytes) -> tuple[int, int, bytes]:
     """First composited frame — the static-image view ``decode_image``
-    dispatches to."""
-    w, h, frames = decode_gif_frames(b)
+    dispatches to. Stops decoding after frame 1, so an animated GIF in
+    the stats hot path costs one LZW decode, not n_frames of them."""
+    w, h, frames = decode_gif_frames(b, max_frames=1)
     return w, h, frames[0]
 
 

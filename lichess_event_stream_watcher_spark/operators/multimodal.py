@@ -179,9 +179,10 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode -> (width, height, packed RGB bytes), dispatched on
     magic bytes: PPM (P6/P3), uncompressed 24-bit BMP, baseline JPEG
-    (from-scratch T.81 — functions/jpeg.py, round 8), and PNG
-    (from-scratch ISO 15948 over stdlib zlib — functions/png.py, round
-    9); anything else raises ``ValueError`` naming the magic — the
+    (from-scratch T.81 — functions/jpeg.py, round 8), PNG (from-scratch
+    ISO 15948 over stdlib zlib — functions/png.py, round 9), and GIF
+    (from-scratch 87a/89a LZW, first composited frame — functions/gif.py,
+    round 9); anything else raises ``ValueError`` naming the magic — the
     remaining codec-library formats (audio/video) stay env-gated in this
     container. ``image_stats`` maps that error to a ``decode_ok = false``
     row, so unsupported/corrupt payloads cost one row, never a task."""

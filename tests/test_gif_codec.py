@@ -66,9 +66,6 @@ def test_animation_roundtrip_and_first_frame_view():
 
 def _hand_gif(w, h, blocks, gct_colors=4):
     """Assemble a GIF from raw block bytes over a tiny fixed GCT."""
-    pal = bytes()
-    for i in range(gct_colors):
-        pal += bytes(((i * 80) % 256 for _ in range(1))) * 0  # placeholder
     pal = b"".join(bytes((i * 60, 255 - i * 60, i * 30)) for i in range(gct_colors))
     depth = max(1, (gct_colors - 1).bit_length())
     pal += b"\x00" * (3 * ((1 << depth) - gct_colors))
@@ -184,3 +181,27 @@ def test_decode_image_dispatches_gif():
     rgb = _raster(6, 5, seed=9)
     w, h, out = decode_image(encode_gif(6, 5, [rgb]))
     assert (w, h) == (6, 5) and out == rgb
+
+
+def test_animation_memory_bomb_and_first_frame_cost():
+    """Review finding (confirmed pre-fix with a 926-byte / 2.9 GB
+    payload): frames x canvas is the REAL allocation, so the aggregate
+    frame-pixel budget must bound it; and the first-frame view must stop
+    after one composited frame instead of decoding the whole animation."""
+    import time
+
+    # many 1x1 frames on a large canvas: per-frame pixel budget passes,
+    # the aggregate must not
+    w = h = 4000
+    blocks = [_img_block(0, 0, 1, 1, [0]) for _ in range(60)]
+    bomb = _hand_gif(w, h, blocks)
+    with pytest.raises(ValueError, match="aggregate"):
+        decode_gif_frames(bomb)
+
+    # decode_gif (first-frame view) must return without paying for the
+    # remaining 59 frames — and therefore also without tripping the
+    # aggregate bound
+    t0 = time.perf_counter()
+    ww, hh, rgb = decode_gif(bomb)
+    assert (ww, hh) == (w, h) and len(rgb) == w * h * 3
+    assert time.perf_counter() - t0 < 5.0
