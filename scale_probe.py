@@ -164,6 +164,12 @@ def main() -> None:
         "knn_cosine_topk",
         "ann_lsh_topk",
         "semantic_dedup",
+        # round 9: the formerly-untested tail + the production SemDeDup
+        # form (SCALE.md round-9 table carries their current exponents)
+        "semantic_dedup_auto",
+        "ingestion_admission_counts",
+        "substring_dedup",
+        "bpe_merge_ranks",
     ]
     if args.ops:
         query_ops = [o for o in args.ops.split(",") if o]
