@@ -5,9 +5,10 @@ libraries: chunk framing, IHDR/PLTE/IDAT/IEND parsing with CRC-32
 verification, DEFLATE via the stdlib ``zlib`` module (a public,
 deterministic inflate — the one compression primitive the spec
 delegates), all five scanline filters (None/Sub/Up/Average/Paeth, spec
-§6), Adam7 deinterlacing, and 8-bit gray / gray+alpha / palette / RGB /
-RGBA color types, normalized to packed RGB like every other decoder in
-``operators/multimodal.py``. The encoder twin emits non-interlaced
+§6), Adam7 deinterlacing, and EVERY spec-valid depth/color-type
+combination — 1/2/4-bit packed gray and palette, 8-bit everything,
+16-bit gray/RGB/alpha reduced to the high byte — normalized to packed
+RGB like every other decoder in ``operators/multimodal.py``. The encoder twin emits non-interlaced
 filter-0 RGB — PNG is lossless, so ``decode(encode(x)) == x`` exactly,
 which is what makes a future frozen-artifact driver row for this branch
 fully derivable from the recipe rasters alone.
@@ -30,8 +31,11 @@ import numpy as np
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# bytes per pixel after bit-depth-8 normalization, per color type
+# channels per pixel, per color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# spec-valid bit depths per color type (ISO 15948 table 11.1)
+_VALID_DEPTHS = {0: {1, 2, 4, 8, 16}, 2: {8, 16}, 3: {1, 2, 4, 8}, 4: {8, 16}, 6: {8, 16}}
 
 # Adam7 pass grids: (x_start, y_start, x_step, y_step), spec §8.2
 _ADAM7 = (
@@ -86,8 +90,11 @@ def _paeth(a: int, bb: int, c: int) -> int:
     return bb if pb <= pc else c
 
 
-def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
-    """Reverse the per-scanline filters -> (h, w*bpp) uint8 array.
+def _unfilter(raw: bytes, stride: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters -> (h, stride) uint8 array.
+    ``stride`` is the BYTE width of a row (sub-byte depths pack pixels,
+    so it is ceil(w * depth * channels / 8)); ``bpp`` is the filter
+    distance in bytes (max(1, depth * channels // 8), spec §6).
 
     Fast paths: filters 0 (None) and 2 (Up) are whole-row numpy ops, and
     filter 1 (Sub) is a per-residue-class cumulative sum — the common
@@ -96,7 +103,6 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     per-byte loop; that cost is bounded per image and the decode runs
     inside Arrow-batched ``mapInPandas`` workers, so a pathological
     all-Paeth corpus costs CPU, not a re-architecture."""
-    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG: decompressed data does not match dimensions")
     rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -132,17 +138,39 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _to_rgb(px: np.ndarray, color_type: int, palette: bytes | None) -> np.ndarray:
+def _expand_rows(rows: np.ndarray, w: int, depth: int, channels: int) -> np.ndarray:
+    """Unfiltered (h, stride) row bytes -> (h, w, channels) 8-bit samples.
+    Depth 16 keeps the most-significant byte (the standard 16 -> 8
+    reduction); sub-byte depths unpack MSB-first packed pixels — row
+    padding bits fall away with the ``: w * depth`` slice. Scaling gray
+    samples onto 0..255 (and resolving palette indices) is _to_rgb's
+    job."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return rows[:, : w * channels * 2].reshape(h, w, channels, 2)[:, :, :, 0]
+    # depths 1/2/4: single-channel (gray or palette index), packed
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :, None]
+
+
+def _to_rgb(
+    px: np.ndarray, color_type: int, palette: bytes | None, depth: int
+) -> np.ndarray:
     """(h, w, channels) -> (h, w, 3) packed RGB (alpha dropped, palette
-    resolved, gray replicated)."""
+    resolved, gray replicated — sub-byte gray samples scale onto 0..255
+    by bit replication, exact: v * 255 // (2^depth - 1))."""
     if color_type == 2:
         return px
     if color_type == 6:
         return px[:, :, :3]
-    if color_type == 0:
-        return np.repeat(px, 3, axis=2)
-    if color_type == 4:
-        return np.repeat(px[:, :, :1], 3, axis=2)
+    if color_type in (0, 4):
+        g = px[:, :, :1]
+        if depth < 8:
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(g, 3, axis=2)
     # palette
     if palette is None or len(palette) % 3 or not palette:
         raise ValueError("PNG: palette image without a valid PLTE")
@@ -155,8 +183,10 @@ def _to_rgb(px: np.ndarray, color_type: int, palette: bytes | None) -> np.ndarra
 
 def decode_png(b: bytes) -> tuple[int, int, bytes]:
     """PNG -> (width, height, packed RGB bytes). ValueError on anything
-    malformed or out of the supported profile (bit depth 8; color types
-    0/2/3/4/6; interlace 0 or Adam7)."""
+    malformed or outside the spec profile (every ISO-15948-valid
+    depth/color-type combination decodes: 1/2/4-bit gray + palette,
+    8-bit everything, 16-bit reduced to the high byte; interlace 0 or
+    Adam7)."""
     if b[:8] != _SIGNATURE:
         raise ValueError("PNG: bad signature")
     ihdr = None
@@ -181,24 +211,30 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
         raise ValueError("PNG: zero dimension")
     if w * h > 64_000_000:
         raise ValueError("PNG: pixel budget exceeded")  # poison-pill bound
-    if depth != 8:
-        raise ValueError(f"PNG: unsupported bit depth {depth}")
     if color_type not in _CHANNELS:
         raise ValueError(f"PNG: unsupported color type {color_type}")
+    if depth not in _VALID_DEPTHS[color_type]:
+        raise ValueError(f"PNG: bit depth {depth} invalid for color type {color_type}")
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("PNG: unsupported compression/filter/interlace")
     if not idat:
         raise ValueError("PNG: no IDAT data")
-    bpp = _CHANNELS[color_type]
+    channels = _CHANNELS[color_type]
+    bits_pp = depth * channels
+    bpp = max(1, bits_pp // 8)  # the byte-wise filter distance (spec §6)
+
+    def row_bytes(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
     # the exact decompressed size is derivable from IHDR, so inflate is
     # BOUNDED to it: a decompression-bomb payload (tiny IDAT, huge
     # expansion) hits the cap and raises ValueError instead of allocating
     # multi-GB before _unfilter's length check — the poison-pill contract
     # also covers allocation, not just parsing
     if interlace == 0:
-        expected = h * (w * bpp + 1)
+        expected = h * (row_bytes(w) + 1)
     else:
-        expected = sum(ph * (pw * bpp + 1) for *_xy, pw, ph in _adam7_passes(w, h))
+        expected = sum(ph * (row_bytes(pw) + 1) for *_xy, pw, ph in _adam7_passes(w, h))
     try:
         dec = zlib.decompressobj()
         raw = dec.decompress(bytes(idat), expected + 1)
@@ -209,20 +245,23 @@ def decode_png(b: bytes) -> tuple[int, int, bytes]:
     if not dec.eof:
         raise ValueError("PNG: DEFLATE stream incomplete")
     if interlace == 0:
-        px = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+        px = _expand_rows(_unfilter(raw, row_bytes(w), h, bpp), w, depth, channels)
     else:
         # Adam7: seven independently-filtered sub-images, merged on the
         # pass grids
-        px = np.zeros((h, w, bpp), np.uint8)
+        px = np.zeros((h, w, channels), np.uint8)
         pos = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            size = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[pos : pos + size], pw, ph, bpp).reshape(ph, pw, bpp)
+            size = ph * (row_bytes(pw) + 1)
+            sub = _expand_rows(
+                _unfilter(raw[pos : pos + size], row_bytes(pw), ph, bpp),
+                pw, depth, channels,
+            )
             px[y0::dy, x0::dx] = sub
             pos += size
         if pos != len(raw):
             raise ValueError("PNG: interlaced data does not match dimensions")
-    rgb = _to_rgb(px, color_type, palette)
+    rgb = _to_rgb(px, color_type, palette, depth)
     return w, h, np.ascontiguousarray(rgb).tobytes()
 
 

@@ -252,3 +252,87 @@ def test_decompression_bomb_is_a_poison_pill():
     )
     with pytest.raises(ValueError):
         decode_png(truncated)
+
+
+def test_bit_depths_1_2_4_and_16():
+    """Round-9 depth generalization: every ISO-15948-valid depth/color
+    combination decodes — packed sub-byte gray with exact bit-replication
+    scaling, packed palette indices, 16-bit high-byte reduction, and the
+    byte-wise filters still applying at the right bpp distance."""
+    # 1-bit gray, 10 px wide: rows pack to 2 bytes with 6 padding bits
+    w, h = 10, 3
+    pattern = [(x + y) % 2 for y in range(h) for x in range(w)]
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)  # filter None
+        bits = pattern[y * w : (y + 1) * w] + [0] * 6
+        for i in range(0, 16, 8):
+            rows.append(int("".join(map(str, bits[i : i + 8])), 2))
+    ww, hh, out = decode_png(_assemble(w, h, 1, 0, bytes(rows)))
+    px = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+    assert (ww, hh) == (w, h)
+    assert all(
+        tuple(px[y, x]) == ((255, 255, 255) if pattern[y * w + x] else (0, 0, 0))
+        for y in range(h) for x in range(w)
+    )
+
+    # 2-bit gray scaling: 0,1,2,3 -> 0,85,170,255 (v * 255 // 3, exact)
+    raw = bytes([0, 0b00011011])  # one row, 4 px
+    _, _, out = decode_png(_assemble(4, 1, 2, 0, raw))
+    assert list(np.frombuffer(out, np.uint8)[::3]) == [0, 85, 170, 255]
+
+    # 4-bit palette: two indices per byte, resolved through PLTE
+    pal = bytes(range(48))  # 16 entries
+    raw = bytes([0, 0x10, 0x23, 0, 0xFF, 0x01])  # 2 rows x 4 px
+    _, _, out = decode_png(_assemble(4, 2, 4, 3, raw, palette=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(16, 3)[
+        [1, 0, 2, 3, 15, 15, 0, 1]
+    ]
+    assert out == expect.tobytes()
+
+    # 16-bit RGB: high byte survives, low byte drops; Sub filter applies
+    # at bpp=6 (verified against the independent forward filter)
+    rgb16 = np.zeros((2, 3 * 2 * 2), np.uint8)  # (h, w*ch*2) byte grid
+    hi = np.array([[10, 200, 30, 40, 250, 60], [1, 2, 3, 4, 5, 6]], np.uint8)
+    rgb16[:, 0::2] = hi
+    rgb16[:, 1::2] = 123  # low bytes, must be ignored
+    raw = _filter_rows(rgb16, 6, [1])  # Sub with the 16-bit bpp
+    ww, hh, out = decode_png(_assemble(2, 2, 16, 2, raw))
+    assert np.array_equal(np.frombuffer(out, np.uint8).reshape(2, 6), hi)
+
+    # 16-bit gray+alpha: gray high byte replicates, alpha drops
+    ga16 = np.zeros((1, 2 * 2 * 2), np.uint8)
+    ga16[0, 0::2] = [77, 9, 200, 9]  # gray hi, alpha hi per pixel
+    raw = _filter_rows(ga16, 4, [0])
+    _, _, out = decode_png(_assemble(2, 1, 16, 4, raw))
+    assert list(np.frombuffer(out, np.uint8)) == [77] * 3 + [200] * 3
+
+    # spec-invalid combinations are poison pills
+    for depth, ctype in ((2, 2), (16, 3), (4, 6), (3, 0)):
+        with pytest.raises(ValueError, match="invalid for color type|filter"):
+            decode_png(_assemble(2, 2, depth, ctype, b"\x00" * 8))
+
+
+def test_sub_byte_interlaced_gray():
+    """Adam7 with packed 1-bit rows: per-pass strides are sub-byte, so
+    the shared pass-geometry helper and the bit unpacking must agree."""
+    w = h = 5
+    pattern = np.array(
+        [[1, 0, 1, 0, 1], [0, 1, 0, 1, 0], [1, 1, 0, 0, 1], [0, 0, 1, 1, 0], [1, 0, 0, 1, 1]],
+        np.uint8,
+    )
+    passes = []
+    for x0, y0, dx, dy in (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ):
+        sub = pattern[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            passes.append(0)
+            byte_row = np.packbits(row)
+            passes.extend(byte_row.tolist())
+    ww, hh, out = decode_png(_assemble(w, h, 1, 0, bytes(passes), interlace=1))
+    px = np.frombuffer(out, np.uint8).reshape(h, w, 3)[:, :, 0]
+    assert np.array_equal(px, pattern * 255)
