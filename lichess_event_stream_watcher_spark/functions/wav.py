@@ -1,9 +1,12 @@
 """From-scratch WAV/RIFF PCM codec — stdlib struct + numpy only.
 
 The one audio container this environment can decode without codec
-libraries: RIFF/WAVE chunk framing, the ``fmt `` chunk (PCM format tag 1
-only — compressed tags stay env-gated), 8-bit unsigned / 16-bit signed
-little-endian samples, mono or multi-channel, via the ``data`` chunk.
+libraries: RIFF/WAVE chunk framing, the ``fmt `` chunk (PCM tag 1 and
+IEEE-float tag 3 — compressed tags stay env-gated), 8-bit unsigned /
+16/24/32-bit signed little-endian / float32/float64 samples, mono or
+multi-channel, via the ``data`` chunk — every profile reduced onto the
+int16 grid (high bytes / clipped quantization), the audio analog of the
+PNG 16 -> 8 reduction.
 Decoded output is a float64 (n_samples, channels) numpy array in
 [-1, 1), plus the sample rate — the canonical shape an audio feature
 extractor consumes. The encoder twin is lossless for 16-bit input, so a
@@ -37,8 +40,9 @@ def decode_wav_pcm(b: bytes) -> tuple[int, np.ndarray]:
     Integer-statistic consumers (``audio_stats``) read this directly and
     skip the float conversion; ``decode_wav`` wraps it for feature
     extractors that want normalized floats. ValueError on anything
-    malformed or out of the supported profile (RIFF/WAVE, PCM tag 1,
-    8- or 16-bit)."""
+    malformed or out of the supported profile (RIFF/WAVE; PCM tag 1 at
+    8/16/24/32 bits, IEEE-float tag 3 at 32/64 — all reduced onto the
+    int16 grid)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("WAV: bad RIFF/WAVE header")
     pos = 12
@@ -62,8 +66,8 @@ def decode_wav_pcm(b: bytes) -> tuple[int, np.ndarray]:
     tag, channels, rate, _byte_rate, block_align, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
-    if tag != 1:
-        raise ValueError(f"WAV: unsupported format tag {tag} (PCM only)")
+    if tag not in (1, 3):
+        raise ValueError(f"WAV: unsupported format tag {tag} (PCM/float only)")
     if channels < 1 or rate < 1:
         raise ValueError("WAV: zero channels or sample rate")
     if rate > 2**31 - 1:
@@ -72,8 +76,10 @@ def decode_wav_pcm(b: bytes) -> tuple[int, np.ndarray]:
         # WHOLE Spark task at Arrow conversion of the IntegerType field —
         # the task-retry storm the poison-pill contract forbids
         raise ValueError(f"WAV: implausible sample rate {rate}")
-    if bits not in (8, 16):
-        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    if tag == 1 and bits not in (8, 16, 24, 32):
+        raise ValueError(f"WAV: unsupported PCM bit depth {bits}")
+    if tag == 3 and bits not in (32, 64):
+        raise ValueError(f"WAV: unsupported float bit depth {bits}")
     width = bits // 8
     if block_align != channels * width:
         raise ValueError("WAV: block alignment does not match fmt")
@@ -82,11 +88,26 @@ def decode_wav_pcm(b: bytes) -> tuple[int, np.ndarray]:
     n = len(data) // block_align
     if n * channels > _MAX_SAMPLES:
         raise ValueError("WAV: sample budget exceeded")
-    if bits == 16:
+    # every profile reduces onto the int16 grid (the 16-bit high bytes,
+    # the same move as PNG's 16 -> 8 reduction) so downstream integer
+    # statistics are depth-portable
+    if tag == 3:
+        f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+        if not np.all(np.isfinite(f)):
+            raise ValueError("WAV: non-finite float sample")
+        pcm = np.clip(np.round(f * 32768.0), -32768, 32767).astype("<i2")
+    elif bits == 16:
         pcm = np.frombuffer(data, "<i2")
-    else:
+    elif bits == 8:
         # rescale the unsigned 8-bit grid onto int16 (x - 128) * 256
         pcm = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) * 256).astype("<i2")
+    else:
+        # 24/32-bit little-endian signed: keep the top two bytes
+        grid = np.frombuffer(data, np.uint8).reshape(-1, width)
+        pcm = (
+            grid[:, width - 2].astype(np.int16)
+            | (grid[:, width - 1].astype(np.int8).astype(np.int16) << 8)
+        ).astype("<i2")
     return int(rate), pcm.reshape(n, int(channels))
 
 

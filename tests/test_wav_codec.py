@@ -130,3 +130,49 @@ def test_int32_overflow_headers_are_poison_pills(spark):
     )
     got = {r.doc_id: r for r in audio_stats(media).collect()}
     assert not got[1].decode_ok and got[2].decode_ok  # row, not task
+
+
+def test_extended_pcm_profiles_reduce_onto_int16():
+    """24/32-bit PCM keep their top two bytes; IEEE float32/float64
+    quantize onto the int16 grid; bad float payloads (NaN) and odd
+    depths stay poison pills."""
+    from lichess_event_stream_watcher_spark.functions.wav import decode_wav_pcm
+
+    def hand_wav(tag, bits, data, channels=1, rate=8000):
+        width = bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, rate, rate * channels * width, channels * width, bits
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 24-bit: little-endian (lo, mid, hi) -> int16 of (hi, mid)
+    samples24 = b"\xff\x34\x12" + b"\x00\xcd\xab"  # 0x1234ff, 0xabcd00
+    rate, pcm = decode_wav_pcm(hand_wav(1, 24, samples24))
+    assert pcm.ravel().tolist() == [0x1234, np.int16(0xABCD)]
+
+    # 32-bit: top two bytes survive
+    samples32 = struct.pack("<ii", 0x7FFF0000, -0x80000000)
+    _, pcm = decode_wav_pcm(hand_wav(1, 32, samples32))
+    assert pcm.ravel().tolist() == [0x7FFF, -0x8000]
+
+    # float32 quantizes (0.5 -> 16384) and clips (2.0 -> 32767)
+    samplesf = struct.pack("<fff", 0.5, -1.0, 2.0)
+    _, pcm = decode_wav_pcm(hand_wav(3, 32, samplesf))
+    assert pcm.ravel().tolist() == [16384, -32768, 32767]
+
+    # float64 too
+    samplesd = struct.pack("<dd", 0.25, -0.25)
+    _, pcm = decode_wav_pcm(hand_wav(3, 64, samplesd))
+    assert pcm.ravel().tolist() == [8192, -8192]
+
+    with pytest.raises(ValueError, match="non-finite"):
+        decode_wav_pcm(hand_wav(3, 32, struct.pack("<f", float("nan"))))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_wav_pcm(hand_wav(1, 12, b"\x00\x00"))
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_wav_pcm(hand_wav(3, 16, b"\x00\x00"))
