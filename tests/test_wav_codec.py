@@ -153,7 +153,7 @@ def test_extended_pcm_profiles_reduce_onto_int16():
     # 24-bit: little-endian (lo, mid, hi) -> int16 of (hi, mid)
     samples24 = b"\xff\x34\x12" + b"\x00\xcd\xab"  # 0x1234ff, 0xabcd00
     rate, pcm = decode_wav_pcm(hand_wav(1, 24, samples24))
-    assert pcm.ravel().tolist() == [0x1234, np.int16(0xABCD)]
+    assert pcm.ravel().tolist() == [0x1234, 0xABCD - 0x10000]  # 0xabcd as int16
 
     # 32-bit: top two bytes survive
     samples32 = struct.pack("<ii", 0x7FFF0000, -0x80000000)
