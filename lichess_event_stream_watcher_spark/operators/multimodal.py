@@ -147,33 +147,38 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
 
     From-scratch Windows BITMAPINFOHEADER parsing: pixel-array offset at
     byte 10, int32 width/height at 18/22 (negative height = top-down
-    rows), bpp at 28 (24 only), compression at 30 (BI_RGB only). Rows
-    are 4-byte aligned and stored bottom-up unless top-down; pixels are
-    BGR on disk and returned as packed RGB."""
+    rows), bpp at 28 (24-bit BGR or 32-bit BGRA/BGRX, round 9), and
+    compression at 30 (BI_RGB, plus the BI_BITFIELDS tag common on
+    32-bit screenshots when its masks are the standard BGRA layout is
+    NOT parsed — unsupported tags raise). Rows are 4-byte aligned and
+    stored bottom-up unless top-down; pixels return as packed RGB with
+    any alpha/padding byte dropped."""
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError("BMP: bad magic or truncated header")
     (pix_off,) = struct.unpack_from("<I", b, 10)
     w, h_raw = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp != 24 or compression != 0:
+    if bpp not in (24, 32) or compression != 0:
         raise ValueError(f"BMP: unsupported bpp={bpp}/compression={compression}")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if w <= 0 or h <= 0:
         raise ValueError(f"BMP: bad dimensions {w}x{h_raw}")
-    stride = (w * 3 + 3) // 4 * 4
+    n_ch = bpp // 8
+    stride = (w * n_ch + 3) // 4 * 4
     if len(b) < pix_off + stride * h:
         raise ValueError("BMP: pixel array truncated")
     # vectorized unpack: (h, stride) byte grid -> strip row padding ->
-    # flip bottom-up rows -> reverse the channel axis (BGR -> RGB).
-    # A per-pixel Python loop here would be the slow path of every
-    # image batch; numpy keeps the decode at memcpy speed.
+    # flip bottom-up rows -> take B,G,R (dropping 32-bit's alpha/padding
+    # byte) -> reverse the channel axis (BGR -> RGB). A per-pixel Python
+    # loop here would be the slow path of every image batch; numpy keeps
+    # the decode at memcpy speed.
     grid = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=pix_off)
-    px = grid.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    px = grid.reshape(h, stride)[:, : w * n_ch].reshape(h, w, n_ch)[:, :, :3]
     if not top_down:
         px = px[::-1]
-    return w, h, px[:, :, ::-1].tobytes()
+    return w, h, np.ascontiguousarray(px[:, :, ::-1]).tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:

@@ -220,3 +220,32 @@ def test_image_stats_png_staged_row_matches_frozen_oracle(spark, duck):
     exp = duck.sql(A.expected_oracle_sql()).df()
     assert len(got) == len(exp) == len(A.PNG_CASES) + len(A.GIF_CASES) + 3
     assert driver_norm(got) == driver_norm(exp)
+
+
+def test_bmp_32bit_bgra():
+    """Round 9: 32-bit BI_RGB BMPs (BGRA/BGRX, the screenshot format)
+    decode with the alpha/padding byte dropped; rows have no padding at
+    32 bpp so odd widths are exact."""
+    import struct as _s
+
+    def bmp32(w, h, rgb, top_down=False):
+        pix = bytearray()
+        rows = range(h) if top_down else range(h - 1, -1, -1)
+        for row in rows:
+            for x in range(w):
+                s = (row * w + x) * 3
+                pix += bytes((rgb[s + 2], rgb[s + 1], rgb[s], 0x7F))  # BGRA
+        header = b"BM" + _s.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+        dib = _s.pack(
+            "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 32, 0, len(pix), 0, 0, 0, 0
+        )
+        return header + dib + bytes(pix)
+
+    assert decode_bmp(bmp32(2, 2, RGB_2X2)) == (2, 2, RGB_2X2)
+    assert decode_bmp(bmp32(2, 2, RGB_2X2, top_down=True)) == (2, 2, RGB_2X2)
+    rgb3 = bytes(range(3 * 1 * 3))
+    assert decode_bmp(bmp32(3, 1, rgb3)) == (3, 1, rgb3)
+    assert decode_image(bmp32(2, 2, RGB_2X2)) == (2, 2, RGB_2X2)
+    # truncated 32-bit pixel array is still a pill
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(bmp32(2, 2, RGB_2X2)[:-5])
