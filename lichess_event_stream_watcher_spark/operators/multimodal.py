@@ -143,24 +143,36 @@ def encode_ppm(w: int, h: int, rgb: bytes) -> bytes:
 
 
 def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
-    """Uncompressed 24-bit BMP decode -> (w, h, rgb).
+    """Uncompressed 24/32-bit BMP decode -> (w, h, rgb).
 
     From-scratch Windows BITMAPINFOHEADER parsing: pixel-array offset at
     byte 10, int32 width/height at 18/22 (negative height = top-down
     rows), bpp at 28 (24-bit BGR or 32-bit BGRA/BGRX, round 9), and
-    compression at 30 (BI_RGB, plus the BI_BITFIELDS tag common on
-    32-bit screenshots when its masks are the standard BGRA layout is
-    NOT parsed — unsupported tags raise). Rows are 4-byte aligned and
-    stored bottom-up unless top-down; pixels return as packed RGB with
-    any alpha/padding byte dropped."""
+    compression at 30 — BI_RGB always, and BI_BITFIELDS for 32-bit when
+    its masks are the standard identity BGRA layout (what Windows
+    screenshot tooling writes; the pixel data is then byte-identical to
+    BI_RGB). Anything else raises. Rows are 4-byte aligned and stored
+    bottom-up unless top-down; pixels return as packed RGB with any
+    alpha/padding byte dropped."""
     if b[:2] != b"BM" or len(b) < 54:
         raise ValueError("BMP: bad magic or truncated header")
     (pix_off,) = struct.unpack_from("<I", b, 10)
     w, h_raw = struct.unpack_from("<ii", b, 18)
     (bpp,) = struct.unpack_from("<H", b, 28)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if bpp not in (24, 32) or compression != 0:
-        raise ValueError(f"BMP: unsupported bpp={bpp}/compression={compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"BMP: unsupported bpp={bpp}")
+    if compression == 3 and bpp == 32:
+        # BI_BITFIELDS: both the 40-byte header + 3 appended mask dwords
+        # and the V4/V5 headers put the R/G/B masks at file offset 54;
+        # only the identity BGRA layout (pixel bytes identical to BI_RGB)
+        # is accepted
+        if len(b) < 66 or struct.unpack_from("<III", b, 54) != (
+            0x00FF0000, 0x0000FF00, 0x000000FF
+        ):
+            raise ValueError("BMP: non-standard BI_BITFIELDS masks")
+    elif compression != 0:
+        raise ValueError(f"BMP: unsupported compression={compression}")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if w <= 0 or h <= 0:
@@ -178,12 +190,12 @@ def decode_bmp(b: bytes) -> tuple[int, int, bytes]:
     px = grid.reshape(h, stride)[:, : w * n_ch].reshape(h, w, n_ch)[:, :, :3]
     if not top_down:
         px = px[::-1]
-    return w, h, np.ascontiguousarray(px[:, :, ::-1]).tobytes()
+    return w, h, px[:, :, ::-1].tobytes()
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Image decode -> (width, height, packed RGB bytes), dispatched on
-    magic bytes: PPM (P6/P3), uncompressed 24-bit BMP, baseline JPEG
+    magic bytes: PPM (P6/P3), uncompressed 24/32-bit BMP, baseline JPEG
     (from-scratch T.81 — functions/jpeg.py, round 8), PNG (from-scratch
     ISO 15948 over stdlib zlib — functions/png.py, round 9), and GIF
     (from-scratch 87a/89a LZW, first composited frame — functions/gif.py,

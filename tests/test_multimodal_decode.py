@@ -249,3 +249,31 @@ def test_bmp_32bit_bgra():
     # truncated 32-bit pixel array is still a pill
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp(bmp32(2, 2, RGB_2X2)[:-5])
+
+
+def test_bmp_32bit_bitfields_identity_masks():
+    """BI_BITFIELDS (compression=3) with the standard identity BGRA
+    masks — what Windows screenshot tooling writes — decodes identically
+    to BI_RGB; non-standard masks stay poison pills."""
+    import struct as _s
+
+    def bmp32_bf(w, h, rgb, masks=(0x00FF0000, 0x0000FF00, 0x000000FF)):
+        pix = bytearray()
+        for row in range(h - 1, -1, -1):
+            for x in range(w):
+                s = (row * w + x) * 3
+                pix += bytes((rgb[s + 2], rgb[s + 1], rgb[s], 0xFF))
+        off = 14 + 40 + 12
+        header = b"BM" + _s.pack("<IHHI", off + len(pix), 0, 0, off)
+        dib = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(pix), 0, 0, 0, 0)
+        return header + dib + _s.pack("<III", *masks) + bytes(pix)
+
+    assert decode_bmp(bmp32_bf(2, 2, RGB_2X2)) == (2, 2, RGB_2X2)
+    with pytest.raises(ValueError, match="masks"):
+        decode_bmp(bmp32_bf(2, 2, RGB_2X2, masks=(0xFF, 0xFF00, 0xFF0000)))
+    # BI_BITFIELDS on 24-bit stays unsupported
+    bad = bytearray(bmp32_bf(2, 2, RGB_2X2))
+    import struct as _s2
+    _s2.pack_into("<H", bad, 28, 24)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
