@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, normalize_text, tokens
-from .util import spread
+from .util import plan_size_bytes, small_corpus_cache_limit, spread
 
 DEFAULT_MINHASH_K = 16
 DEFAULT_BANDS = 4
@@ -196,6 +196,21 @@ def jaccard_pairs(
     # can never admit dense) — the gate's corpus pass shouldn't run when
     # its answer is predetermined.
     if dense_vocab_limit > 0 and dense_bytes_limit > 0:
+        # Small-corpus persist (round-10): the probe and the dense path's
+        # vocab+doc-rows consumers otherwise evaluate the (regex-heavy)
+        # shingle pipeline twice — the probe fills the cache here, so one
+        # evaluation serves all of them. Gated on Catalyst's INPUT size
+        # estimate (no job): a corpus past the gate keeps today's
+        # cache-free shape, because persisting a corpus-sized exploded
+        # shingle table at 100 TB is exactly the anti-pattern the sparse
+        # path exists to avoid. Lifetimes are all intra-call: the dense
+        # branch consumes eagerly (collect) and the sparse branch
+        # unpersists before building its lazy plan.
+        est_in = plan_size_bytes(df)
+        precached_sh = None
+        if est_in is not None and est_in <= small_corpus_cache_limit(df):
+            sh = sh.persist()
+            precached_sh = sh
         probe = sh.agg(
             F.approx_count_distinct("shingle").alias("v"),
             F.approx_count_distinct("id").alias("nd"),
@@ -235,7 +250,24 @@ def jaccard_pairs(
                 dense_ok = nd * nd <= 2 * sum_df2
             if dense_ok:
                 id_type = df.schema[id_col].dataType.simpleString()
-                return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
+                try:
+                    # the dense path consumes sh EAGERLY (vocab + doc-rows
+                    # collect), so the probe-filled cache can be released
+                    # as soon as it returns its (broadcast-backed) plan
+                    return _jaccard_pairs_dense(
+                        sh.drop("n_sh"),
+                        threshold,
+                        id_type,
+                        already_cached=precached_sh is not None,
+                    )
+                finally:
+                    if precached_sh is not None:
+                        precached_sh.unpersist()
+        if precached_sh is not None:
+            # sparse fallthrough: release the probe-time cache; the lazy
+            # sparse plan re-evaluates the shingle pipeline exactly once
+            # at action time — today's cache-free shape
+            precached_sh.unpersist()
     if sparse_strategy == "prefix":
         return _jaccard_pairs_prefix(
             shingle_arrays(df, n, text_col, id_col), threshold, order=prefix_order
@@ -548,19 +580,32 @@ def _jaccard_pairs_prefix(
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataFrame:
+def _jaccard_pairs_dense(
+    sh: DataFrame, threshold: float, id_type: str, already_cached: bool = False
+) -> DataFrame:
     """BLAS exact Jaccard for small (byte-gated) corpora.
 
     Vocabulary indices are assigned distributedly (distinct shingles +
     row_number — at most ``dense_vocab_limit`` rows through the tiny sort);
-    only the COMPACT per-doc int32 index lists come to the driver, bounded
-    above by the same byte gate that admitted this path. The 0/1 incidence
-    matrix (N x V float32) broadcasts; each partition computes its rows'
-    intersection counts in CHUNKED matmuls (0/1 entries make ``A @ ref.T``
-    the exact set-intersection count; float32 sums of ones are exact below
-    2^24). Rows are pre-sorted by id so the id_a < id_b constraint is an
-    index comparison — ids keep their source type (int, string, ...).
-    One distributed map, no shuffle, ~20x over bitset AND+popcount.
+    only the COMPACT per-doc int32 index lists come to the driver — via
+    ONE Arrow ``toPandas`` transfer (round-10; the old per-Row collect
+    paid py4j deserialization on every posting) — bounded above by the
+    same byte gate that admitted this path. What broadcasts is the CSR
+    form of the incidence (indptr + int32 column indices, ~p*4 bytes),
+    NOT the N x V float32 matrix (round-10: the dense matrix pickle was
+    ~10-20x the CSR bytes and dominated the driver's construction time);
+    each task scatter-builds the dense 0/1 matrix once — a single
+    vectorized assignment, amortized over its whole chunk loop — and
+    computes its rows' intersection counts in CHUNKED matmuls (0/1
+    entries make ``A @ ref.T`` the exact set-intersection count; float32
+    sums of ones are exact below 2^24). Rows are pre-sorted by id so the
+    id_a < id_b constraint is an index comparison — ids keep their source
+    type (int, string, ...). One distributed map, no shuffle, ~20x over
+    bitset AND+popcount.
+
+    ``already_cached`` tells this path its input is served by a caller-
+    owned persist (the probe pre-cache) — it then skips its own
+    cache/unpersist pair instead of stacking a second InMemoryRelation.
     """
     import numpy as np
     import pandas as pd
@@ -572,7 +617,8 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
     # its two consumers (vocab build + doc-rows collect) is bounded by the
     # same gate; unpersisted before returning — never cached on the
     # at-scale inverted path
-    sh = sh.cache()
+    if not already_cached:
+        sh = sh.cache()
     try:
         vocab = (
             sh.select("shingle")
@@ -582,26 +628,32 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
                 (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
             )
         )
-        doc_rows = (
+        doc_pdf = (
             sh.join(F.broadcast(vocab), "shingle")
             .groupBy("id")
             .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
-            .collect()
+            .toPandas()
         )
     finally:
-        sh.unpersist()
-    if not doc_rows:
+        if not already_cached:
+            sh.unpersist()
+    if len(doc_pdf) == 0:
         return spark.createDataFrame([], out_schema)
-    doc_rows.sort(key=lambda r: r["id"])
-    n_vocab = 1 + max(max(r["vs"]) for r in doc_rows)
-    ids_all = np.array([r["id"] for r in doc_rows])  # dtype inferred; object ok
-    mat = np.zeros((len(doc_rows), n_vocab), dtype=np.float32)
-    for i, r in enumerate(doc_rows):
-        mat[i, r["vs"]] = 1.0
-    sizes_all = np.array([r["nv"] for r in doc_rows], dtype=np.int64)
-    bc = spark.sparkContext.broadcast((ids_all, mat, sizes_all))
+    doc_pdf = doc_pdf.sort_values("id", kind="mergesort", ignore_index=True)
+    ids_all = doc_pdf["id"].to_numpy()  # dtype inferred; object ok for strings
+    sizes_all = doc_pdf["nv"].to_numpy(dtype=np.int64)
+    lens = np.fromiter((len(v) for v in doc_pdf["vs"]), dtype=np.int64)
+    indptr = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    cols = (
+        np.concatenate([np.asarray(v, dtype=np.int32) for v in doc_pdf["vs"]])
+        if indptr[-1]
+        else np.empty(0, dtype=np.int32)
+    )
+    n_vocab = int(cols.max()) + 1 if len(cols) else 1
+    bc = spark.sparkContext.broadcast((ids_all, indptr, cols, sizes_all, n_vocab))
     n_cpus = spark.sparkContext.defaultParallelism
-    n_docs = len(doc_rows)
+    n_docs = len(doc_pdf)
     # chunk so each task's chunk x N intermediates stay ~<=256 MB
     chunk = max(1, (1 << 25) // max(n_docs, 1))
 
@@ -611,14 +663,34 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
     # emits only exact integers (inter, na, nb); the one inexact step —
     # round(inter / union, 6) — runs in the SAME Spark expression as the
     # postings/prefix paths, so all strategies and the oracle agree on
-    # ties by construction. The in-block pre-filter sits a full rounding
-    # grid step (1e-6) below the threshold so a pair that rounds UP to
-    # the threshold is never dropped early.
-    margin = threshold - 1e-6
+    # ties by construction.
+    #
+    # The in-block pre-filter is FLOAT32 END TO END (round-10): the old
+    # form materialized N*chunk-sized int64/float64 intermediates (an
+    # int64 cast of the matmul output, a float64 division over all of
+    # it, a full-matrix triangle mask) whose elementwise allocation and
+    # f64 division cost ~10x the sgemm itself on the bench hosts.
+    # ``inter >= pre * union`` in f32 replaces the division: inter and
+    # union are exact integers below 2^24 in f32, so the only inexact
+    # step is the f32 rounding of pre*union (relative ~1.2e-7). The
+    # pre-margin therefore sits TWO rounding-grid steps (2e-6) below the
+    # threshold — strictly looser than the old 1e-6 margin plus the f32
+    # worst-case error — so a pair that rounds UP to the threshold at 6
+    # decimals is never dropped early; the exact round()-based filter
+    # downstream (the same Spark expression every strategy shares)
+    # discards the few extra candidates. ``inter > 0.5`` is the
+    # integer-valued-f32 form of inter > 0; the id_a < id_b triangle
+    # applies to the (tiny) selected pair list instead of a full mask.
+    pre_margin = np.float32(threshold - 2e-6)
     inter_schema = f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint"
 
     def block(batches):
-        ref_ids, ref, ref_sz = bc.value
+        ref_ids, r_indptr, r_cols, ref_sz, r_vocab = bc.value
+        # dense 0/1 incidence rebuilt ONCE per task from the CSR
+        # broadcast: one vectorized scatter over the nnz entries
+        ref = np.zeros((len(ref_ids), r_vocab), dtype=np.float32)
+        ref[np.repeat(np.arange(len(ref_ids)), np.diff(r_indptr)), r_cols] = 1.0
+        ref_szf = ref_sz.astype(np.float32)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -626,19 +698,20 @@ def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataF
             for s in range(0, len(rows), chunk):
                 idx = rows[s : s + chunk]
                 a, asz = ref[idx], ref_sz[idx]
-                inter = (a @ ref.T).astype(np.int64)
-                jacc = inter / (asz[:, None] + ref_sz[None, :] - inter)
-                # rows are id-sorted: index order IS id order
-                mask = (idx[:, None] < np.arange(len(ref_ids))[None, :]) & (
-                    jacc >= margin
-                ) & (inter > 0)
+                inter = a @ ref.T
+                union = (ref_szf[idx][:, None] + ref_szf[None, :]) - inter
+                mask = (inter >= pre_margin * union) & (inter > np.float32(0.5))
                 ai, bj = np.nonzero(mask)
+                if len(ai):
+                    # rows are id-sorted: index order IS id order
+                    keep = bj > idx[ai]
+                    ai, bj = ai[keep], bj[keep]
                 if len(ai):
                     yield pd.DataFrame(
                         {
                             "id_a": ref_ids[idx[ai]],
                             "id_b": ref_ids[bj],
-                            "n_inter": inter[ai, bj],
+                            "n_inter": inter[ai, bj].astype(np.int64),
                             "na": asz[ai],
                             "nb": ref_sz[bj],
                         }
@@ -671,7 +744,14 @@ def minhash_signature_arrays(
     map-side partial aggregation, so exactly one shuffle of one row per
     (partition, id) — not k exploded rows per shingle — carries the corpus.
     """
-    sh = shingles(df, n, text_col, id_col)
+    return _minhash_from_shingles(shingles(df, n, text_col, id_col), k)
+
+
+def _minhash_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    """The signature aggregation over an already-built shingle relation —
+    split out so consumers that hold a (possibly cached) shingle table
+    (``dedup_cost_census``) reuse it instead of re-running the shingle
+    pipeline."""
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"_m{i}")
         for i in range(k)
@@ -907,6 +987,17 @@ def dedup_cost_census(
     """
     t = threshold - 1e-6
     sh = shingles(df, n, text_col, id_col)
+    # Small-corpus persist (round-10): this census consumes the shingle
+    # relation FOUR ways (df table, the ranked prefix join's two sides,
+    # and the MinHash signature aggregation) — uncached, the regex-heavy
+    # shingle pipeline evaluates once per consumer. Same gate + session
+    # registration as containment_pairs; past the gate the census keeps
+    # its cache-free at-scale shape.
+    est_in = plan_size_bytes(df)
+    if est_in is not None and est_in <= small_corpus_cache_limit(df):
+        from .session_cache import register_session_cache
+
+        sh = register_session_cache(sh.persist())
     half = lambda c: F.expr(f"CAST({c} * ({c} - 1) DIV 2 AS BIGINT)")  # noqa: E731
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     postings = dfreq.agg(
@@ -934,7 +1025,7 @@ def dedup_cost_census(
         F.sum("pdf").cast("bigint").alias("index_rows"),
         F.sum(half("pdf")).cast("bigint").alias("candidate_pairs"),
     )
-    sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
+    sigs = _minhash_from_shingles(sh, k)
     bsz = _band_bucket_sizes(sigs, k, bands)
     lsh = bsz.agg(
         F.lit(f"lsh_{k}x{bands}").alias("strategy"),
@@ -1471,6 +1562,19 @@ def containment_pairs(
     """
     t = threshold - 1e-6
     arrays = shingle_arrays(df, n, text_col, id_col)
+    # Small-corpus persist (round-10): the per-doc gram arrays feed THREE
+    # plan branches (the posting explosion and both verify-join sides), so
+    # the regex-heavy shingle pipeline otherwise evaluates three times per
+    # action. Gated on Catalyst's input estimate — a corpus past the gate
+    # keeps the cache-free shape (persisting corpus-sized gram arrays at
+    # 100 TB trades a recompute for cluster-wide storage pressure). The
+    # returned plan is lazy, so the cache is session-registered for the
+    # harness's between-queries drain (the band-sweep precedent).
+    est_in = plan_size_bytes(df)
+    if est_in is not None and est_in <= small_corpus_cache_limit(df):
+        from .session_cache import register_session_cache
+
+        arrays = register_session_cache(arrays.persist())
     hashed = F.array_sort(
         F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
     )

@@ -32,6 +32,40 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a DataFrame's optimized plan, in bytes
+    (no job runs — this reads the statistics the planner itself uses, e.g.
+    file sizes times filter selectivities). ``None`` when unavailable
+    (Spark Connect, estimation failure). Operators use it to gate
+    LOCAL-ONLY persists: "cache the shared subtree when the input is
+    provably small, recompute when it is not" — at 100 TB the estimate is
+    huge and the operator keeps today's cache-free shape."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # noqa: BLE001 - connect/estimation failure
+        return None
+
+
+# Default input-size ceiling for the small-corpus persist gate above:
+# conservatively sized so the cached derived table (shingles explode the
+# text ~2x) stays a few hundred MB at worst. Override per session with
+# spark.conf "lesw.smallCorpusCacheBytes" (set to 0 to disable caching).
+SMALL_CORPUS_CACHE_BYTES = 64 * 1024 * 1024
+
+
+def small_corpus_cache_limit(df: DataFrame) -> int:
+    try:
+        return int(
+            df.sparkSession.conf.get(
+                "lesw.smallCorpusCacheBytes", str(SMALL_CORPUS_CACHE_BYTES)
+            )
+        )
+    except Exception:  # noqa: BLE001
+        return SMALL_CORPUS_CACHE_BYTES
+
+
 def persisted_rdd_ids(df_or_spark) -> set[int]:
     """Snapshot the ids of currently-persisted RDDs (classic Spark only;
     returns empty when the JVM handle is unavailable). Used by iterative

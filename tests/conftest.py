@@ -24,6 +24,24 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _drain_session_caches():
+    """The harness contract from operators/session_cache.py: loops call
+    release_session_caches BETWEEN queries. Without this drain a test
+    whose operator registers a session cache (cost census, containment,
+    band sweep, charlm) leaves its persisted plan in the CacheManager,
+    and any LATER test whose plan shares that subtree silently gets an
+    InMemoryRelation substituted — breaking plan-shape assertions
+    (Generate/Exchange counts) and accumulating storage across the
+    suite."""
+    yield
+    from lichess_event_stream_watcher_spark.operators.session_cache import (
+        release_session_caches,
+    )
+
+    release_session_caches()
+
+
 @pytest.fixture()
 def duck(sf_dir):
     # FUNCTION-scoped on purpose: duckdb 1.0.0's buffer accounting leaks
