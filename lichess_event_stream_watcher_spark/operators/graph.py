@@ -49,13 +49,19 @@ def pagerank(
     b: str = "id_b",
     iters: int = 10,
     damping: float = 0.85,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """PageRank on the undirected graph (each edge contributes both
     directions). Isolated nodes keep the teleport mass. Fixed ``iters``
     (deterministic); each round is one join (ranks onto edges) + one agg
-    (sum contributions per dst) + a localCheckpoint lineage cut. Dangling
-    mass is irrelevant here: undirected expansion gives every non-isolated
-    node out-degree >= 1.
+    (sum contributions per dst); lineage is cut with a localCheckpoint
+    every ``checkpoint_every`` rounds (round-10; per-round eager
+    checkpoints serialized ``iters`` driver-blocking jobs and
+    materialized the full rank table every round — a cadence of 3 fuses
+    3 join+agg rounds per job, so the rank table materializes ~iters/3
+    times while each round's arithmetic still runs exactly once; plan
+    depth stays bounded at 3 rounds). Dangling mass is irrelevant here:
+    undirected expansion gives every non-isolated node out-degree >= 1.
 
     Output: (id, rank), sum(rank) ~ n_nodes (teleport-normalized form).
     """
@@ -83,28 +89,26 @@ def pagerank(
     und_deg.count()
     ranks = n.select("id", F.lit(1.0).alias("rank"))
     rank_ids: set[int] = set()
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             und_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
-        before = persisted_rdd_ids(edges)
-        # eager: each round materializes, so the round it read from can be
-        # unpersisted immediately instead of all `iters` checkpoints piling
-        # up in storage until the caller's final action
-        ranks = (
-            n.join(sums, "id", "left")
-            .select(
-                "id",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        ranks = n.join(sums, "id", "left").select(
+            "id",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias(
+                "rank"
+            ),
         )
-        unpersist_rdd_ids(edges, rank_ids)
-        rank_ids = persisted_rdd_ids(edges) - before
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            before = persisted_rdd_ids(edges)
+            # eager: the checkpoint materializes, so the checkpoint it read
+            # from can be unpersisted immediately instead of all cuts
+            # piling up in storage until the caller's final action
+            ranks = ranks.localCheckpoint(eager=True)
+            unpersist_rdd_ids(edges, rank_ids)
+            rank_ids = persisted_rdd_ids(edges) - before
     und_deg.unpersist()  # final ranks are checkpointed; edges can go
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
@@ -165,6 +169,7 @@ def pagerank_quantized(
     b: str = "id_b",
     iters: int = 10,
     quant: int = 1_000_000,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Integer-quantized PageRank (damping fixed at the rational 85/100):
     ranks live in micro-units, each edge contribution is the integer
@@ -172,7 +177,9 @@ def pagerank_quantized(
     0.15*quant + the integer sum of contributions.
 
     Same distributed shape as ``pagerank`` (one join + one agg per round,
-    localCheckpoint lineage cuts, superseded rounds unpersisted). The
+    localCheckpoint lineage cuts every ``checkpoint_every`` rounds — see
+    pagerank for the round-10 cadence rationale — superseded checkpoints
+    unpersisted). The
     point of quantizing: every per-round sum is an INTEGER sum —
     order-independent, so the full 10-iteration fixpoint is bit-identical
     across engines, partitionings and shuffle orders, and the driver gets
@@ -200,7 +207,7 @@ def pagerank_quantized(
     teleport = (quant * 15) // 100
     ranks = n.select("id", F.lit(quant).cast("bigint").alias("rank_q"))
     rank_ids: set[int] = set()
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             und_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -209,18 +216,16 @@ def pagerank_quantized(
             )
         )
         sums = contrib.groupBy("id").agg(F.sum("c").alias("s"))
-        before = persisted_rdd_ids(edges)
-        ranks = (
-            n.join(sums, "id", "left")
-            .select(
-                "id",
-                (F.lit(teleport) + F.coalesce("s", F.lit(0)))
-                .cast("bigint")
-                .alias("rank_q"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = n.join(sums, "id", "left").select(
+            "id",
+            (F.lit(teleport) + F.coalesce("s", F.lit(0)))
+            .cast("bigint")
+            .alias("rank_q"),
         )
-        unpersist_rdd_ids(edges, rank_ids)
-        rank_ids = persisted_rdd_ids(edges) - before
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            before = persisted_rdd_ids(edges)
+            ranks = ranks.localCheckpoint(eager=True)
+            unpersist_rdd_ids(edges, rank_ids)
+            rank_ids = persisted_rdd_ids(edges) - before
     und_deg.unpersist()
     return ranks
