@@ -467,7 +467,15 @@ def bench_indexed_probe(spark, sf_dir: str) -> tuple[float, float]:
         D.jaccard_pairs_against_index(new, table, n=2, threshold=0.5).count()
         dt_indexed = time.perf_counter() - t0
         t0 = time.perf_counter()
-        D.jaccard_pairs_between(new, old, n=2, threshold=0.5).count()
+        # dense_vocab_limit=0 pins the sparse inverted join (round-10:
+        # jaccard_pairs_between grew the same dense-BLAS gate as
+        # jaccard_pairs, which the sf0.1 corpus admits — letting it fire
+        # here would stop this entry measuring the sort-merge shape the
+        # broadcast pin exists to time; the measured computation is
+        # byte-identical to every earlier round's)
+        D.jaccard_pairs_between(
+            new, old, n=2, threshold=0.5, dense_vocab_limit=0
+        ).count()
         dt_smj = time.perf_counter() - t0
     finally:
         for k, v in saved.items():

@@ -282,6 +282,8 @@ def jaccard_pairs_between(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    dense_vocab_limit: int = 1 << 16,
+    dense_bytes_limit: int = 1 << 30,
 ) -> DataFrame:
     """Incremental (cross-corpus) exact Jaccard: for each NEW document,
     its near-duplicates among an EXISTING corpus — the ingestion-time
@@ -289,12 +291,30 @@ def jaccard_pairs_between(
     the quadratic self-join over the full historical corpus never
     happens again.
 
-    Inverted-index join between the two shingle relations (the new
-    batch's posting lists probe the corpus's), size-compatibility filter,
-    one (new_id, old_id) groupBy for intersections. At 100 TB the corpus
-    shingle table is the big side: it shuffles by shingle once and can be
-    written bucketed-by-shingle so subsequent batches join with ZERO
-    corpus-side shuffle (see tests/test_plans.py bucketed-join pin).
+    Adaptive physical strategy (round-10, both exact, same output — the
+    same two-tier gate as the self-join ``jaccard_pairs``):
+
+    - **dense vocabulary** (the corpus's distinct-shingle count fits
+      ``dense_vocab_limit`` AND both incidence matrices fit
+      ``dense_bytes_limit``, probed distributedly — never by collecting
+      the corpus): intersections are chunked BLAS matmuls of the new
+      batch's 0/1 incidence against the corpus's, broadcast in compact
+      CSR form. On a dense vocab the inverted join degenerates to
+      ~sum(df_new x df_old) fanout through a shuffle; the matmul does
+      the same work with zero shuffle.
+    - **sparse vocabulary** (the realistic web-corpus case, and the only
+      shape at 100 TB): inverted-index join between the two shingle
+      relations (the new batch's posting lists probe the corpus's),
+      size-compatibility filter, one (new_id, old_id) groupBy for
+      intersections. The corpus shingle table shuffles by shingle once
+      and can be written bucketed-by-shingle so subsequent batches join
+      with ZERO corpus-side shuffle (see tests/test_plans.py
+      bucketed-join pin; ``jaccard_pairs_against_index`` is always this
+      shape — an index table exists precisely to serve the sparse join).
+
+    ``dense_vocab_limit=0`` (or bytes 0) pins the sparse path and skips
+    the probe — what ``bench.py``'s sort-merge probe entries do so they
+    keep timing the at-scale shape.
 
     Output: (new_id, old_id, jaccard) with jaccard >= threshold. A new
     doc with no qualifying match is absent — left-anti against this
@@ -302,7 +322,187 @@ def jaccard_pairs_between(
     """
     sh_new = shingles(new, n, text_col, id_col, with_count=True)
     sh_old = shingles(corpus, n, text_col, id_col, with_count=True)
+    if dense_vocab_limit > 0 and dense_bytes_limit > 0:
+        # small-corpus persist, same rationale and gate as jaccard_pairs:
+        # the probe and the dense path's vocab+collect consumers otherwise
+        # re-run each side's regex-heavy shingle pipeline
+        pre_old = pre_new = None
+        est_old, est_new = plan_size_bytes(corpus), plan_size_bytes(new)
+        limit = small_corpus_cache_limit(corpus)
+        if est_old is not None and est_old <= limit:
+            sh_old = sh_old.persist()
+            pre_old = sh_old
+        if est_new is not None and est_new <= limit:
+            sh_new = sh_new.persist()
+            pre_new = sh_new
+        try:
+            po = sh_old.agg(
+                F.approx_count_distinct("shingle").alias("v"),
+                F.approx_count_distinct("id").alias("nd"),
+                F.count("*").alias("p"),
+            ).first()
+            v, nd_old, p_old = int(po["v"]), int(po["nd"]), int(po["p"])
+            if v <= dense_vocab_limit:
+                pn = sh_new.agg(
+                    F.approx_count_distinct("id").alias("nd"),
+                    F.count("*").alias("p"),
+                ).first()
+                nd_new, p_new = int(pn["nd"]), int(pn["p"])
+                est_bytes = (nd_old + nd_new) * v * 4
+                if est_bytes <= dense_bytes_limit:
+                    # cost gate, the between analog of jaccard_pairs':
+                    # dense scans nd_new*nd_old cells; the inverted join
+                    # fans out sum(df_new*df_old) rows through a shuffle.
+                    # Uniform lower bound sum >= p_new*p_old/v decides
+                    # cheaply; only an inconclusive bound pays the exact
+                    # df-join aggregation (both df tables are vocab-sized
+                    # here by the feasibility gate).
+                    if nd_new * nd_old * v <= 2 * p_new * p_old:
+                        dense_ok = True
+                    else:
+                        dfn = sh_new.groupBy("shingle").agg(
+                            F.count("*").cast("double").alias("da")
+                        )
+                        dfo = sh_old.groupBy("shingle").agg(
+                            F.count("*").cast("double").alias("db")
+                        )
+                        s = (
+                            dfn.join(dfo, "shingle")
+                            .agg(F.sum(F.col("da") * F.col("db")))
+                            .first()[0]
+                            or 0.0
+                        )
+                        dense_ok = nd_new * nd_old <= 2 * float(s)
+                    if dense_ok:
+                        return _jaccard_between_dense(
+                            sh_new,
+                            sh_old,
+                            threshold,
+                            new.schema[id_col].dataType.simpleString(),
+                            corpus.schema[id_col].dataType.simpleString(),
+                        )
+        finally:
+            # the dense branch consumes both sides eagerly (vocab +
+            # toPandas) before this fires; the sparse fallthrough builds
+            # a lazy plan, so release the probe-time caches either way
+            if pre_old is not None:
+                pre_old.unpersist()
+            if pre_new is not None:
+                pre_new.unpersist()
     return _jaccard_between_shingles(sh_new, sh_old, threshold)
+
+
+def _jaccard_between_dense(
+    sh_new: DataFrame, sh_old: DataFrame, threshold: float, t_new: str, t_old: str
+) -> DataFrame:
+    """BLAS exact cross-corpus Jaccard for small (byte-gated) corpora —
+    the between twin of ``_jaccard_pairs_dense`` (same CSR broadcast,
+    same float32 multiply-compare pre-filter, same exact round()-based
+    Spark filter downstream; see that function for the numeric-soundness
+    argument). Differences: the vocabulary comes from the CORPUS side
+    only (a new-batch shingle absent from the corpus can never
+    intersect, but still counts in the new doc's set size — ``na`` is
+    therefore the map-side ``n_sh``, not the vocab-hit count), and there
+    is no id_a < id_b triangle: every (new, old) cell is a candidate."""
+    import numpy as np
+    import pandas as pd
+
+    spark = sh_new.sparkSession
+    out_schema = f"new_id {t_new}, old_id {t_old}, jaccard double"
+    vocab = (
+        sh_old.select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
+        )
+    )
+    old_pdf = (
+        sh_old.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
+        .toPandas()
+    )
+    new_pdf = (
+        sh_new.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.collect_list("v").alias("vs"), F.max("n_sh").alias("nv"))
+        .toPandas()
+    )
+    if len(old_pdf) == 0 or len(new_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+
+    def csr(pdf):
+        lens = np.fromiter((len(x) for x in pdf["vs"]), dtype=np.int64)
+        indptr = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        cols = (
+            np.concatenate([np.asarray(x, dtype=np.int32) for x in pdf["vs"]])
+            if indptr[-1]
+            else np.empty(0, dtype=np.int32)
+        )
+        return pdf["id"].to_numpy(), indptr, cols, pdf["nv"].to_numpy(dtype=np.int64)
+
+    o_ids, o_indptr, o_cols, o_sz = csr(old_pdf)
+    n_ids, n_indptr, n_cols, n_sz = csr(new_pdf)
+    n_vocab = 1 + max(
+        int(o_cols.max()) if len(o_cols) else 0,
+        int(n_cols.max()) if len(n_cols) else 0,
+    )
+    bc = spark.sparkContext.broadcast(
+        (o_ids, o_indptr, o_cols, o_sz, n_ids, n_indptr, n_cols, n_sz, n_vocab)
+    )
+    n_cpus = spark.sparkContext.defaultParallelism
+    n_new, n_old = len(new_pdf), len(old_pdf)
+    chunk = max(1, (1 << 25) // max(n_old, 1))
+    pre_margin = np.float32(threshold - 2e-6)
+    inter_schema = (
+        f"new_id {t_new}, old_id {t_old}, n_inter bigint, na bigint, nb bigint"
+    )
+
+    def block(batches):
+        o_ids, o_indptr, o_cols, o_sz, n_ids, n_indptr, n_cols, n_sz, nv = bc.value
+
+        def densify(ids, indptr, cols):
+            m = np.zeros((len(ids), nv), dtype=np.float32)
+            m[np.repeat(np.arange(len(ids)), np.diff(indptr)), cols] = 1.0
+            return m
+
+        old_m = densify(o_ids, o_indptr, o_cols)
+        new_m = densify(n_ids, n_indptr, n_cols)
+        o_szf = o_sz.astype(np.float32)
+        n_szf = n_sz.astype(np.float32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = pdf["i"].to_numpy()
+            for s in range(0, len(rows), chunk):
+                idx = rows[s : s + chunk]
+                inter = new_m[idx] @ old_m.T
+                union = (n_szf[idx][:, None] + o_szf[None, :]) - inter
+                mask = (inter >= pre_margin * union) & (inter > np.float32(0.5))
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "new_id": n_ids[idx[ai]],
+                            "old_id": o_ids[bj],
+                            "n_inter": inter[ai, bj].astype(np.int64),
+                            "na": n_sz[idx[ai]],
+                            "nb": o_sz[bj],
+                        }
+                    )
+
+    idx_df = spark.range(n_new).select(F.col("id").cast("int").alias("i"))
+    cand = idx_df.repartition(n_cpus).mapInPandas(block, inter_schema)
+    j = F.round(
+        F.col("n_inter")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return cand.select("new_id", "old_id", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def save_shingle_index(

@@ -71,6 +71,36 @@ def test_jaccard_strategies_match_brute_force(spark, strategy, texts):
     assert got == _brute_force(texts), (strategy, texts)
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_CORPUS)
+def test_jaccard_between_dense_matches_inverted(spark, texts):
+    """Round-10 pin for the cross-corpus dense-BLAS gate: the dense
+    between path (corpus-side vocabulary, no triangle constraint, f32
+    multiply-compare pre-filter) must be pair-for-pair identical to the
+    sparse inverted join on corpora that stress empty docs, novel
+    new-side shingles (absent from the corpus vocabulary — they count in
+    na but never intersect), and exact duplicates across the split."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    new = df.filter("doc_id % 2 = 1")
+    old = df.filter("doc_id % 2 = 0")
+
+    def pairs(**kw):
+        return {
+            (r.new_id, r.old_id, r.jaccard)
+            for r in D.jaccard_pairs_between(
+                new, old, n=2, threshold=0.5, **kw
+            ).collect()
+        }
+
+    assert pairs() == pairs(dense_vocab_limit=0), texts
+
+
 def test_jaccard_dense_rounds_dyadic_ties_like_spark(spark):
     """Round-6 regression pin: Jaccard values are rational, so EXACT
     decimal ties occur — jaccard 1/128 = 0.0078125 rounds to 0.007813
