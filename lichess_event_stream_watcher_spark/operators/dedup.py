@@ -929,6 +929,92 @@ def _jaccard_pairs_dense(
     )
 
 
+def _containment_dense_cand(sh: DataFrame, threshold: float, id_type: str) -> DataFrame:
+    """Unordered candidate pairs (id_a, id_b, n_inter, na, nb) for the
+    containment dense path — the ``_jaccard_pairs_dense`` machinery (one
+    Arrow collect, CSR broadcast, per-task scatter-build, chunked f32
+    matmuls) with the pre-filter adapted to the asymmetric measure:
+    ``inter >= pre_margin * min(na, nb)``. The direction with the smaller
+    denominator has the larger containment, so a pair failing this bound
+    fails BOTH directions — completeness is preserved; the few extra
+    candidates the loose f32 margin admits die in the exact
+    ``_containment_directed`` filter downstream. ``na``/``nb`` here are
+    full set sizes (the vocabulary is the corpus's own shingle space, so
+    vocab-hit counts ARE the set sizes)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = sh.sparkSession
+    out_schema = f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint"
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
+        )
+    )
+    doc_pdf = (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
+        .toPandas()
+    )
+    if len(doc_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    doc_pdf = doc_pdf.sort_values("id", kind="mergesort", ignore_index=True)
+    ids_all = doc_pdf["id"].to_numpy()
+    sizes_all = doc_pdf["nv"].to_numpy(dtype=np.int64)
+    lens = np.fromiter((len(x) for x in doc_pdf["vs"]), dtype=np.int64)
+    indptr = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    cols = (
+        np.concatenate([np.asarray(x, dtype=np.int32) for x in doc_pdf["vs"]])
+        if indptr[-1]
+        else np.empty(0, dtype=np.int32)
+    )
+    n_vocab = int(cols.max()) + 1 if len(cols) else 1
+    bc = spark.sparkContext.broadcast((ids_all, indptr, cols, sizes_all, n_vocab))
+    n_cpus = spark.sparkContext.defaultParallelism
+    n_docs = len(doc_pdf)
+    chunk = max(1, (1 << 25) // max(n_docs, 1))
+    pre_margin = np.float32(threshold - 2e-6)
+
+    def block(batches):
+        ref_ids, r_indptr, r_cols, ref_sz, r_vocab = bc.value
+        ref = np.zeros((len(ref_ids), r_vocab), dtype=np.float32)
+        ref[np.repeat(np.arange(len(ref_ids)), np.diff(r_indptr)), r_cols] = 1.0
+        ref_szf = ref_sz.astype(np.float32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = pdf["i"].to_numpy()
+            for s in range(0, len(rows), chunk):
+                idx = rows[s : s + chunk]
+                a = ref[idx]
+                inter = a @ ref.T
+                min_sz = np.minimum(ref_szf[idx][:, None], ref_szf[None, :])
+                mask = (inter >= pre_margin * min_sz) & (inter > np.float32(0.5))
+                ai, bj = np.nonzero(mask)
+                if len(ai):
+                    # rows are id-sorted: index order IS id order
+                    keep = bj > idx[ai]
+                    ai, bj = ai[keep], bj[keep]
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ref_ids[idx[ai]],
+                            "id_b": ref_ids[bj],
+                            "n_inter": inter[ai, bj].astype(np.int64),
+                            "na": ref_sz[idx[ai]],
+                            "nb": ref_sz[bj],
+                        }
+                    )
+
+    idx_df = spark.range(n_docs).select(F.col("id").cast("int").alias("i"))
+    return idx_df.repartition(n_cpus).mapInPandas(block, out_schema)
+
+
 def minhash_signature_arrays(
     df: DataFrame,
     k: int = DEFAULT_MINHASH_K,
@@ -1725,6 +1811,8 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    dense_vocab_limit: int = 1 << 16,
+    dense_bytes_limit: int = 1 << 30,
 ) -> DataFrame:
     """Asymmetric containment C(src, dst) = |src ∩ dst| / |src|: how much
     of ``src`` is inside ``dst``. Catches excerpts, quotations, and
@@ -1775,6 +1863,48 @@ def containment_pairs(
         from .session_cache import register_session_cache
 
         arrays = register_session_cache(arrays.persist())
+    # Dense-BLAS gate (round-10): on a dense vocabulary the prefix filter
+    # cannot prune (observed at sf0.1: 5.86M of 12.5M possible candidate
+    # pairs survive it — then a multi-million-row distinct and two
+    # verify joins with per-pair array_intersect). The SAME matmul the
+    # Jaccard dense path runs yields every pair's intersection count
+    # exactly, so the whole candidate/distinct/verify pipeline collapses
+    # to one broadcast map. Same two-tier probe + cost gate as
+    # jaccard_pairs; the f32 pre-filter compares inter >= pre*min(na,nb)
+    # (a pair qualifies in SOME direction iff its containment against
+    # the smaller set clears the threshold), and the exact per-direction
+    # round()/filter runs in _containment_directed — the identical
+    # expression the sparse path ends with. ONLY when max_shingle_df is
+    # None: the df cap is a candidate-generation prune with documented
+    # recall loss, so capped output differs from exact by design and
+    # must keep the sparse shape.
+    if max_shingle_df is None and dense_vocab_limit > 0 and dense_bytes_limit > 0:
+        sh = arrays.select(
+            "id", F.explode_outer("_grams").alias("shingle")
+        ).filter(F.col("shingle").isNotNull())
+        probe = sh.agg(
+            F.approx_count_distinct("shingle").alias("v"),
+            F.approx_count_distinct("id").alias("nd"),
+            F.count("*").alias("p"),
+        ).first()
+        nd, v, p = int(probe["nd"]), int(probe["v"]), int(probe["p"])
+        if v <= dense_vocab_limit and nd * v * 4 <= dense_bytes_limit:
+            if nd * nd * v <= 2 * p * p:
+                dense_ok = True
+            else:
+                sum_df2 = float(
+                    sh.groupBy("shingle")
+                    .agg(F.count("*").alias("d"))
+                    .agg(F.sum(F.col("d").cast("double") * F.col("d")))
+                    .first()[0]
+                    or 0.0
+                )
+                dense_ok = nd * nd <= 2 * sum_df2
+            if dense_ok:
+                id_type = df.schema[id_col].dataType.simpleString()
+                return _containment_directed(
+                    _containment_dense_cand(sh, threshold, id_type), threshold
+                )
     hashed = F.array_sort(
         F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
     )
@@ -1815,6 +1945,14 @@ def containment_pairs(
             F.size(F.array_intersect("_sa", "_sb")).alias("n_inter"),
         )
     )
+    return _containment_directed(verified, threshold)
+
+
+def _containment_directed(verified: DataFrame, threshold: float) -> DataFrame:
+    """Both directed containments from an unordered verified-pair table
+    (id_a, id_b, n_inter, na, nb) — ONE definition of the final rounding
+    + threshold expression, shared by the sparse verify path and the
+    dense-BLAS path so ties resolve identically by construction."""
     directed = verified.select(
         F.explode(
             F.array(

@@ -101,6 +101,32 @@ def test_jaccard_between_dense_matches_inverted(spark, texts):
     assert pairs() == pairs(dense_vocab_limit=0), texts
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=_CORPUS)
+def test_containment_dense_matches_sparse(spark, texts):
+    """Round-10 pin for the containment dense-BLAS gate: the dense path
+    (matmul intersections, min-size f32 pre-filter, shared
+    _containment_directed tail) must be row-for-row identical to the
+    prefix-filtered sparse verify path — including one-token docs, exact
+    duplicates (containment 1.0 both directions), and subset docs (the
+    asymmetric case the operator exists for)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+    def pairs(**kw):
+        return {
+            (r.src_id, r.dst_id, r.containment)
+            for r in D.containment_pairs(df, n=2, threshold=0.8, **kw).collect()
+        }
+
+    assert pairs() == pairs(dense_vocab_limit=0), texts
+
+
 def test_jaccard_dense_rounds_dyadic_ties_like_spark(spark):
     """Round-6 regression pin: Jaccard values are rational, so EXACT
     decimal ties occur — jaccard 1/128 = 0.0078125 rounds to 0.007813
