@@ -191,83 +191,121 @@ def jaccard_pairs(
         # no broadcast hint: the per-doc size table scales with the corpus,
         # so let AQE pick broadcast-vs-shuffle from runtime stats
         sh = sh.join(sizes, "id")
-    # distributed probe: one map-side-partial agg job, ~1.05x-accurate HLL.
-    # Skipped entirely when the caller pins the sparse path (a limit of 0
-    # can never admit dense) — the gate's corpus pass shouldn't run when
-    # its answer is predetermined.
+    # Strategy gates — skipped entirely when the caller pins the sparse
+    # path (a limit of 0 can never admit dense): the gate's corpus pass
+    # shouldn't run when its answer is predetermined.
     if dense_vocab_limit > 0 and dense_bytes_limit > 0:
-        # Small-corpus persist (round-10): the probe and the dense path's
-        # vocab+doc-rows consumers otherwise evaluate the (regex-heavy)
-        # shingle pipeline twice — the probe fills the cache here, so one
-        # evaluation serves all of them. Gated on Catalyst's INPUT size
-        # estimate (no job): a corpus past the gate keeps today's
-        # cache-free shape, because persisting a corpus-sized exploded
-        # shingle table at 100 TB is exactly the anti-pattern the sparse
-        # path exists to avoid. Lifetimes are all intra-call: the dense
-        # branch consumes eagerly (collect) and the sparse branch
-        # unpersists before building its lazy plan.
-        est_in = plan_size_bytes(df)
-        precached_sh = None
-        if est_in is not None and est_in <= small_corpus_cache_limit(df):
-            sh = sh.persist()
-            precached_sh = sh
-        probe = sh.agg(
-            F.approx_count_distinct("shingle").alias("v"),
-            F.approx_count_distinct("id").alias("nd"),
-            F.count("*").alias("p"),
-        ).first()
-        nd, v, p = int(probe["nd"]), int(probe["v"]), int(probe["p"])
-        est_bytes = nd * v * 4
-        if v <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
-            # COST gate on top of the FEASIBILITY gate (round-8, measured
-            # on 1x/4x/8x cipher replications of the sf0.1 corpus — see
-            # SCALE.md's scale-exponent probe): dense's unavoidable work
-            # is the nd^2 intersection-count scan of the matmul output;
-            # postings' is the sum(df^2) bucket fanout through a shuffle.
-            # Measured per-unit costs are comparable (~0.1 us/cell vs
-            # /row on local[32]), so compare the counts with a 2x margin
-            # to dense (it also saves a shuffle): 5k docs 3.7 s dense vs
-            # 6.0 s postings; 20k docs 28.7 vs 44.7; 40k docs 159 vs 40
-            # — the margin classifies all three points correctly, while
-            # the bytes limit alone kept admitting dense at 40k docs.
-            # Two tiers so the certified corpora pay nothing extra:
-            # sum(df^2) >= p^2/v (Cauchy-Schwarz), so if nd^2 clears the
-            # UNIFORM lower bound the groupBy probe is skipped; only an
-            # inconclusive bound pays the exact df^2 aggregation.
-            if nd * nd * v <= 2 * p * p:
-                dense_ok = True
-            else:
-                # double-typed sum: a web-scale stop-shingle df can put
-                # sum(df^2) past int64; the gate needs magnitude, not
-                # exactness
-                sum_df2 = float(
-                    sh.groupBy("shingle")
-                    .agg(F.count("*").alias("d"))
-                    .agg(F.sum(F.col("d").cast("double") * F.col("d")))
-                    .first()[0]
-                    or 0.0
-                )
-                dense_ok = nd * nd <= 2 * sum_df2
-            if dense_ok:
-                id_type = df.schema[id_col].dataType.simpleString()
-                try:
-                    # the dense path consumes sh EAGERLY (vocab + doc-rows
-                    # collect), so the probe-filled cache can be released
-                    # as soon as it returns its (broadcast-backed) plan
-                    return _jaccard_pairs_dense(
-                        sh.drop("n_sh"),
-                        threshold,
-                        id_type,
-                        already_cached=precached_sh is not None,
-                    )
-                finally:
-                    if precached_sh is not None:
-                        precached_sh.unpersist()
-        if precached_sh is not None:
-            # sparse fallthrough: release the probe-time cache; the lazy
-            # sparse plan re-evaluates the shingle pipeline exactly once
-            # at action time — today's cache-free shape
-            precached_sh.unpersist()
+        id_type = df.schema[id_col].dataType.simpleString()
+        # Small-corpus fast tier (round-10): when Catalyst's INPUT size
+        # estimate admits the small-corpus gate, ONE Arrow collect of the
+        # shingle rows serves the probe AND the dense build — the gates
+        # evaluate on EXACT counts (no HLL), and an admitted dense path
+        # costs zero further jobs before the candidate map. This replaced
+        # the round-10 interim persist-for-the-probe (one cache fill +
+        # three cached scans) with one transfer. A corpus past the gate
+        # keeps the distributed-probe shape below — collecting a
+        # corpus-sized shingle table is exactly the anti-pattern the
+        # sparse path exists to avoid.
+        pdf = _shingle_pdf_small(sh, df)
+        if pdf is not None:
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf):
+                pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+                codes, uniq = pd.factorize(pdf["shingle"])
+                v, nd = len(uniq), int(pdf["id"].nunique())
+                if v <= dense_vocab_limit and nd * v * 4 <= dense_bytes_limit:
+                    # exact cost gate: dense's unavoidable work is the
+                    # nd^2 intersection scan; postings' is the sum(df^2)
+                    # bucket fanout — same 2x dense margin as the probe
+                    # tier, no Cauchy-Schwarz tier needed (df counts are
+                    # a bincount away)
+                    dfreq = np.bincount(codes).astype(np.float64)
+                    if nd * nd <= 2.0 * float((dfreq * dfreq).sum()):
+                        return _jaccard_pairs_dense_pdf(
+                            df.sparkSession, pdf, codes, threshold, id_type
+                        )
+            # exact gates rejected (or empty corpus): sparse fallthrough,
+            # the collected frame is discarded
+        else:
+            return _jaccard_pairs_probe_dispatch(
+                sh,
+                df,
+                threshold,
+                id_type,
+                dense_vocab_limit,
+                dense_bytes_limit,
+                sparse_strategy,
+                prefix_order,
+                n,
+                text_col,
+                id_col,
+                max_shingle_df,
+            )
+    if sparse_strategy == "prefix":
+        return _jaccard_pairs_prefix(
+            shingle_arrays(df, n, text_col, id_col), threshold, order=prefix_order
+        )
+    return _jaccard_pairs_inverted(sh, threshold)
+
+
+def _jaccard_pairs_probe_dispatch(
+    sh: DataFrame,
+    df: DataFrame,
+    threshold: float,
+    id_type: str,
+    dense_vocab_limit: int,
+    dense_bytes_limit: int,
+    sparse_strategy: str,
+    prefix_order: str,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """The big-input strategy dispatch: distributed HLL probe (one
+    map-side-partial agg job, ~1.05x-accurate) + the two-tier cost gate,
+    then dense (compact distributed collect) or sparse."""
+    probe = sh.agg(
+        F.approx_count_distinct("shingle").alias("v"),
+        F.approx_count_distinct("id").alias("nd"),
+        F.count("*").alias("p"),
+    ).first()
+    nd, v, p = int(probe["nd"]), int(probe["v"]), int(probe["p"])
+    est_bytes = nd * v * 4
+    if v <= dense_vocab_limit and est_bytes <= dense_bytes_limit:
+        # COST gate on top of the FEASIBILITY gate (round-8, measured
+        # on 1x/4x/8x cipher replications of the sf0.1 corpus — see
+        # SCALE.md's scale-exponent probe): dense's unavoidable work
+        # is the nd^2 intersection-count scan of the matmul output;
+        # postings' is the sum(df^2) bucket fanout through a shuffle.
+        # Measured per-unit costs are comparable (~0.1 us/cell vs
+        # /row on local[32]), so compare the counts with a 2x margin
+        # to dense (it also saves a shuffle): 5k docs 3.7 s dense vs
+        # 6.0 s postings; 20k docs 28.7 vs 44.7; 40k docs 159 vs 40
+        # — the margin classifies all three points correctly, while
+        # the bytes limit alone kept admitting dense at 40k docs.
+        # Two tiers so the certified corpora pay nothing extra:
+        # sum(df^2) >= p^2/v (Cauchy-Schwarz), so if nd^2 clears the
+        # UNIFORM lower bound the groupBy probe is skipped; only an
+        # inconclusive bound pays the exact df^2 aggregation.
+        if nd * nd * v <= 2 * p * p:
+            dense_ok = True
+        else:
+            # double-typed sum: a web-scale stop-shingle df can put
+            # sum(df^2) past int64; the gate needs magnitude, not
+            # exactness
+            sum_df2 = float(
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("d"))
+                .agg(F.sum(F.col("d").cast("double") * F.col("d")))
+                .first()[0]
+                or 0.0
+            )
+            dense_ok = nd * nd <= 2 * sum_df2
+        if dense_ok:
+            return _jaccard_pairs_dense(sh.drop("n_sh"), threshold, id_type)
     if sparse_strategy == "prefix":
         return _jaccard_pairs_prefix(
             shingle_arrays(df, n, text_col, id_col), threshold, order=prefix_order
@@ -323,92 +361,132 @@ def jaccard_pairs_between(
     sh_new = shingles(new, n, text_col, id_col, with_count=True)
     sh_old = shingles(corpus, n, text_col, id_col, with_count=True)
     if dense_vocab_limit > 0 and dense_bytes_limit > 0:
-        # small-corpus persist, same rationale and gate as jaccard_pairs:
-        # the probe and the dense path's vocab+collect consumers otherwise
-        # re-run each side's regex-heavy shingle pipeline
-        pre_old = pre_new = None
+        t_new = new.schema[id_col].dataType.simpleString()
+        t_old = corpus.schema[id_col].dataType.simpleString()
         est_old, est_new = plan_size_bytes(corpus), plan_size_bytes(new)
         limit = small_corpus_cache_limit(corpus)
-        if est_old is not None and est_old <= limit:
-            sh_old = sh_old.persist()
-            pre_old = sh_old
-        if est_new is not None and est_new <= limit:
-            sh_new = sh_new.persist()
-            pre_new = sh_new
-        try:
-            po = sh_old.agg(
-                F.approx_count_distinct("shingle").alias("v"),
+        if (
+            est_old is not None
+            and est_old <= limit
+            and est_new is not None
+            and est_new <= limit
+        ):
+            # Small-corpus fast tier (round-10, the between analog of
+            # jaccard_pairs'): TWO Arrow collects replace the two HLL
+            # probes + the dense build's four distributed consumers
+            # (vocab, df join, two groupBy/collect pipelines); the gates
+            # evaluate on EXACT counts, and an admitted dense path costs
+            # zero further jobs before the candidate map. Past the gate
+            # the distributed probe below decides — a corpus-sized side
+            # is never collected.
+            import numpy as np
+            import pandas as pd
+
+            old_pdf = sh_old.select("id", "shingle").toPandas()
+            new_pdf = sh_new.select("id", "shingle", "n_sh").toPandas()
+            if len(old_pdf) and len(new_pdf):
+                old_pdf = old_pdf.sort_values(
+                    "id", kind="mergesort", ignore_index=True
+                )
+                new_pdf = new_pdf.sort_values(
+                    "id", kind="mergesort", ignore_index=True
+                )
+                codes_old, uniq = pd.factorize(old_pdf["shingle"])
+                uniq = pd.Index(uniq)
+                v = len(uniq)
+                nd_old = int(old_pdf["id"].nunique())
+                nd_new = int(new_pdf["id"].nunique())
+                if (
+                    v <= dense_vocab_limit
+                    and (nd_old + nd_new) * v * 4 <= dense_bytes_limit
+                ):
+                    # vocabulary comes from the corpus side only: a
+                    # new-side shingle absent from it can never intersect
+                    new_codes = uniq.get_indexer(new_pdf["shingle"])
+                    df_old = np.bincount(codes_old, minlength=v).astype(
+                        np.float64
+                    )
+                    df_new = np.bincount(
+                        new_codes[new_codes >= 0], minlength=v
+                    ).astype(np.float64)
+                    # exact cost gate: dense scans nd_new*nd_old cells;
+                    # the inverted join fans out sum(df_new*df_old) rows
+                    # through a shuffle — same 2x dense margin
+                    if nd_new * nd_old <= 2.0 * float((df_new * df_old).sum()):
+                        return _jaccard_between_dense_pdf(
+                            new.sparkSession,
+                            new_pdf,
+                            new_codes,
+                            old_pdf,
+                            codes_old,
+                            v,
+                            threshold,
+                            t_new,
+                            t_old,
+                        )
+            # exact gates rejected (or an empty side): sparse fallthrough
+            return _jaccard_between_shingles(sh_new, sh_old, threshold)
+        # Big-input window: distributed HLL probes decide (one map-side
+        # partial agg job per side; the corpus is never collected).
+        po = sh_old.agg(
+            F.approx_count_distinct("shingle").alias("v"),
+            F.approx_count_distinct("id").alias("nd"),
+            F.count("*").alias("p"),
+        ).first()
+        v, nd_old, p_old = int(po["v"]), int(po["nd"]), int(po["p"])
+        if v <= dense_vocab_limit:
+            pn = sh_new.agg(
                 F.approx_count_distinct("id").alias("nd"),
                 F.count("*").alias("p"),
             ).first()
-            v, nd_old, p_old = int(po["v"]), int(po["nd"]), int(po["p"])
-            if v <= dense_vocab_limit:
-                pn = sh_new.agg(
-                    F.approx_count_distinct("id").alias("nd"),
-                    F.count("*").alias("p"),
-                ).first()
-                nd_new, p_new = int(pn["nd"]), int(pn["p"])
-                est_bytes = (nd_old + nd_new) * v * 4
-                if est_bytes <= dense_bytes_limit:
-                    # cost gate, the between analog of jaccard_pairs':
-                    # dense scans nd_new*nd_old cells; the inverted join
-                    # fans out sum(df_new*df_old) rows through a shuffle.
-                    # Uniform lower bound sum >= p_new*p_old/v decides
-                    # cheaply; only an inconclusive bound pays the exact
-                    # df-join aggregation (both df tables are vocab-sized
-                    # here by the feasibility gate).
-                    if nd_new * nd_old * v <= 2 * p_new * p_old:
-                        dense_ok = True
-                    else:
-                        dfn = sh_new.groupBy("shingle").agg(
-                            F.count("*").cast("double").alias("da")
-                        )
-                        dfo = sh_old.groupBy("shingle").agg(
-                            F.count("*").cast("double").alias("db")
-                        )
-                        s = (
-                            dfn.join(dfo, "shingle")
-                            .agg(F.sum(F.col("da") * F.col("db")))
-                            .first()[0]
-                            or 0.0
-                        )
-                        dense_ok = nd_new * nd_old <= 2 * float(s)
-                    if dense_ok:
-                        return _jaccard_between_dense(
-                            sh_new,
-                            sh_old,
-                            threshold,
-                            new.schema[id_col].dataType.simpleString(),
-                            corpus.schema[id_col].dataType.simpleString(),
-                        )
-        finally:
-            # the dense branch consumes both sides eagerly (vocab +
-            # toPandas) before this fires; the sparse fallthrough builds
-            # a lazy plan, so release the probe-time caches either way
-            if pre_old is not None:
-                pre_old.unpersist()
-            if pre_new is not None:
-                pre_new.unpersist()
+            nd_new, p_new = int(pn["nd"]), int(pn["p"])
+            est_bytes = (nd_old + nd_new) * v * 4
+            if est_bytes <= dense_bytes_limit:
+                # cost gate, the between analog of jaccard_pairs':
+                # dense scans nd_new*nd_old cells; the inverted join
+                # fans out sum(df_new*df_old) rows through a shuffle.
+                # Uniform lower bound sum >= p_new*p_old/v decides
+                # cheaply; only an inconclusive bound pays the exact
+                # df-join aggregation (both df tables are vocab-sized
+                # here by the feasibility gate).
+                if nd_new * nd_old * v <= 2 * p_new * p_old:
+                    dense_ok = True
+                else:
+                    dfn = sh_new.groupBy("shingle").agg(
+                        F.count("*").cast("double").alias("da")
+                    )
+                    dfo = sh_old.groupBy("shingle").agg(
+                        F.count("*").cast("double").alias("db")
+                    )
+                    s = (
+                        dfn.join(dfo, "shingle")
+                        .agg(F.sum(F.col("da") * F.col("db")))
+                        .first()[0]
+                        or 0.0
+                    )
+                    dense_ok = nd_new * nd_old <= 2 * float(s)
+                if dense_ok:
+                    return _jaccard_between_dense(
+                        sh_new, sh_old, threshold, t_new, t_old
+                    )
     return _jaccard_between_shingles(sh_new, sh_old, threshold)
 
 
 def _jaccard_between_dense(
     sh_new: DataFrame, sh_old: DataFrame, threshold: float, t_new: str, t_old: str
 ) -> DataFrame:
-    """BLAS exact cross-corpus Jaccard for small (byte-gated) corpora —
-    the between twin of ``_jaccard_pairs_dense`` (same CSR broadcast,
-    same float32 multiply-compare pre-filter, same exact round()-based
-    Spark filter downstream; see that function for the numeric-soundness
-    argument). Differences: the vocabulary comes from the CORPUS side
-    only (a new-batch shingle absent from the corpus can never
+    """BLAS exact cross-corpus Jaccard for byte-gated corpora, distributed
+    front-end — the between twin of ``_jaccard_pairs_dense`` (same CSR
+    broadcast, same float32 multiply-compare pre-filter, same exact
+    round()-based Spark filter downstream; the shared map is
+    ``_dense_between_map``). Differences: the vocabulary comes from the
+    CORPUS side only (a new-batch shingle absent from the corpus can never
     intersect, but still counts in the new doc's set size — ``na`` is
     therefore the map-side ``n_sh``, not the vocab-hit count), and there
     is no id_a < id_b triangle: every (new, old) cell is a candidate."""
     import numpy as np
-    import pandas as pd
 
     spark = sh_new.sparkSession
-    out_schema = f"new_id {t_new}, old_id {t_old}, jaccard double"
     vocab = (
         sh_old.select("shingle")
         .distinct()
@@ -430,7 +508,9 @@ def _jaccard_between_dense(
         .toPandas()
     )
     if len(old_pdf) == 0 or len(new_pdf) == 0:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(
+            [], f"new_id {t_new}, old_id {t_old}, jaccard double"
+        )
 
     def csr(pdf):
         lens = np.fromiter((len(x) for x in pdf["vs"]), dtype=np.int64)
@@ -449,11 +529,89 @@ def _jaccard_between_dense(
         int(o_cols.max()) if len(o_cols) else 0,
         int(n_cols.max()) if len(n_cols) else 0,
     )
+    return _dense_between_map(
+        spark,
+        (o_ids, o_indptr, o_cols, o_sz),
+        (n_ids, n_indptr, n_cols, n_sz),
+        n_vocab,
+        threshold,
+        t_new,
+        t_old,
+    )
+
+
+def _jaccard_between_dense_pdf(
+    spark,
+    new_pdf,
+    new_codes,
+    old_pdf,
+    codes_old,
+    n_vocab: int,
+    threshold: float,
+    t_new: str,
+    t_old: str,
+) -> DataFrame:
+    """Between dense path, small-corpus front-end: CSR for both sides
+    straight from the gate's ALREADY-COLLECTED id-sorted frames — zero
+    Spark jobs between the gate and the candidate map. The corpus side
+    defines the vocabulary (``codes_old`` from its factorize); new-side
+    rows whose shingle is absent (``new_codes`` == -1) can never
+    intersect and are dropped, but still count in ``na`` via the
+    map-side ``n_sh``, and a new doc losing ALL its rows has no
+    candidates — the inner-join semantics of the distributed
+    front-end."""
+    import numpy as np
+
+    o_ids, _, o_indptr, o_cols = _csr_from_id_sorted(old_pdf, codes_old)
+    o_sz = np.diff(o_indptr)
+    hit = new_codes >= 0
+    kept_ids = new_pdf["id"].to_numpy()[hit]
+    if len(kept_ids) == 0 or len(o_ids) == 0:
+        return spark.createDataFrame(
+            [], f"new_id {t_new}, old_id {t_old}, jaccard double"
+        )
+    kept_codes = np.asarray(new_codes, dtype=np.int64)[hit].astype(np.int32)
+    kept_nsh = new_pdf["n_sh"].to_numpy(dtype=np.int64)[hit]
+    change = np.flatnonzero(kept_ids[1:] != kept_ids[:-1]) + 1
+    starts = np.concatenate(([0], change)).astype(np.int64)
+    ends = np.concatenate((change, [len(kept_ids)])).astype(np.int64)
+    n_ids = kept_ids[starts]
+    n_indptr = np.concatenate(([0], ends)).astype(np.int64)
+    n_sz = kept_nsh[starts]
+    return _dense_between_map(
+        spark,
+        (o_ids, o_indptr, o_cols, o_sz),
+        (n_ids, n_indptr, kept_codes, n_sz),
+        n_vocab,
+        threshold,
+        t_new,
+        t_old,
+    )
+
+
+def _dense_between_map(
+    spark,
+    old_arrays,
+    new_arrays,
+    n_vocab: int,
+    threshold: float,
+    t_new: str,
+    t_old: str,
+) -> DataFrame:
+    """The broadcast-CSR chunked-matmul candidate map shared by the two
+    between front-ends (see ``_dense_self_candidates`` for the CSR
+    broadcast and float32 numeric-soundness arguments; no triangle here —
+    every (new, old) cell is a candidate)."""
+    import numpy as np
+    import pandas as pd
+
+    o_ids, o_indptr, o_cols, o_sz = old_arrays
+    n_ids, n_indptr, n_cols, n_sz = new_arrays
     bc = spark.sparkContext.broadcast(
         (o_ids, o_indptr, o_cols, o_sz, n_ids, n_indptr, n_cols, n_sz, n_vocab)
     )
     n_cpus = spark.sparkContext.defaultParallelism
-    n_new, n_old = len(new_pdf), len(old_pdf)
+    n_new, n_old = len(n_ids), len(o_ids)
     chunk = max(1, (1 << 25) // max(n_old, 1))
     pre_margin = np.float32(threshold - 2e-6)
     inter_schema = (
@@ -780,45 +938,59 @@ def _jaccard_pairs_prefix(
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _jaccard_pairs_dense(
-    sh: DataFrame, threshold: float, id_type: str, already_cached: bool = False
-) -> DataFrame:
-    """BLAS exact Jaccard for small (byte-gated) corpora.
+def _shingle_pdf_small(sh: DataFrame, gate_df: DataFrame, cols=("id", "shingle")):
+    """ONE Arrow ``toPandas`` of the shingle relation when the source's
+    Catalyst size estimate admits the small-corpus gate; ``None`` past it.
 
-    Vocabulary indices are assigned distributedly (distinct shingles +
-    row_number — at most ``dense_vocab_limit`` rows through the tiny sort);
-    only the COMPACT per-doc int32 index lists come to the driver — via
-    ONE Arrow ``toPandas`` transfer (round-10; the old per-Row collect
-    paid py4j deserialization on every posting) — bounded above by the
-    same byte gate that admitted this path. What broadcasts is the CSR
-    form of the incidence (indptr + int32 column indices, ~p*4 bytes),
-    NOT the N x V float32 matrix (round-10: the dense matrix pickle was
-    ~10-20x the CSR bytes and dominated the driver's construction time);
-    each task scatter-builds the dense 0/1 matrix once — a single
-    vectorized assignment, amortized over its whole chunk loop — and
-    computes its rows' intersection counts in CHUNKED matmuls (0/1
-    entries make ``A @ ref.T`` the exact set-intersection count; float32
-    sums of ones are exact below 2^24). Rows are pre-sorted by id so the
-    id_a < id_b constraint is an index comparison — ids keep their source
-    type (int, string, ...). One distributed map, no shuffle, ~20x over
-    bitset AND+popcount.
+    Round-10 fast tier shared by the dense-BLAS gates: for a provably-small
+    input, the collected (id, shingle) rows replace the HLL probe job PLUS
+    the dense build's vocabulary shuffle + broadcast join +
+    groupBy/collect_list pipeline (3-5 jobs per query BUILD, paid on every
+    bench rep because strategy selection happens at plan-construction time)
+    with a single Arrow transfer — and every gate quantity (v, nd, p,
+    sum(df^2)) becomes EXACT driver arithmetic instead of an estimate.
+    Past the gate the operators keep the distributed probe + compact
+    vocabulary-index collect shape: the collected bytes here are bounded by
+    the same input estimate that gates the small-corpus persists (guide
+    §5 — the driver only ever holds provably-small data)."""
+    est = plan_size_bytes(gate_df)
+    if est is None or est > small_corpus_cache_limit(gate_df):
+        return None
+    return sh.select(*cols).toPandas()
 
-    ``already_cached`` tells this path its input is served by a caller-
-    owned persist (the probe pre-cache) — it then skips its own
-    cache/unpersist pair instead of stacking a second InMemoryRelation.
-    """
+
+def _csr_from_id_sorted(pdf, codes):
+    """CSR arrays from an id-SORTED collected shingle frame: contiguous
+    equal-id runs are the matrix rows, ``codes`` (vocabulary indices in row
+    order, factorized on the driver) the column entries. Returns
+    (ids, sizes, indptr, cols)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
 
-    spark = sh.sparkSession
-    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
-    # the dense path is byte-gated small, so caching the shingle table for
-    # its two consumers (vocab build + doc-rows collect) is bounded by the
-    # same gate; unpersisted before returning — never cached on the
-    # at-scale inverted path
-    if not already_cached:
-        sh = sh.cache()
+    ids_arr = pdf["id"].to_numpy()
+    change = np.flatnonzero(ids_arr[1:] != ids_arr[:-1]) + 1
+    starts = np.concatenate(([0], change)).astype(np.int64)
+    ends = np.concatenate((change, [len(ids_arr)])).astype(np.int64)
+    indptr = np.concatenate(([0], ends)).astype(np.int64)
+    return (
+        ids_arr[starts],
+        ends - starts,
+        indptr,
+        np.asarray(codes, dtype=np.int32),
+    )
+
+
+def _dense_self_arrays_distributed(sh: DataFrame):
+    """(ids, sizes, indptr, cols, n_vocab) for the self-join dense paths
+    via the DISTRIBUTED vocabulary join + groupBy collect — the
+    big-but-dense window's front-end. Vocabulary indices are assigned
+    distributedly (distinct shingles + row_number — at most
+    ``dense_vocab_limit`` rows through the tiny sort); only the COMPACT
+    per-doc int32 index lists come to the driver via ONE Arrow
+    ``toPandas``, bounded above by the byte gate that admitted the dense
+    path. Returns ``None`` for an empty relation."""
+    import numpy as np
+
+    sh = sh.cache()
     try:
         vocab = (
             sh.select("shingle")
@@ -835,10 +1007,9 @@ def _jaccard_pairs_dense(
             .toPandas()
         )
     finally:
-        if not already_cached:
-            sh.unpersist()
+        sh.unpersist()
     if len(doc_pdf) == 0:
-        return spark.createDataFrame([], out_schema)
+        return None
     doc_pdf = doc_pdf.sort_values("id", kind="mergesort", ignore_index=True)
     ids_all = doc_pdf["id"].to_numpy()  # dtype inferred; object ok for strings
     sizes_all = doc_pdf["nv"].to_numpy(dtype=np.int64)
@@ -851,38 +1022,71 @@ def _jaccard_pairs_dense(
         else np.empty(0, dtype=np.int32)
     )
     n_vocab = int(cols.max()) + 1 if len(cols) else 1
+    return ids_all, sizes_all, indptr, cols, n_vocab
+
+
+def _dense_self_candidates(
+    spark,
+    ids_all,
+    sizes_all,
+    indptr,
+    cols,
+    n_vocab,
+    threshold: float,
+    id_type: str,
+    containment: bool = False,
+) -> DataFrame:
+    """The broadcast-CSR chunked-matmul candidate map shared by the Jaccard
+    and containment dense paths, over pre-built driver-side CSR arrays
+    (rows MUST be id-sorted: the id_a < id_b triangle is an index compare,
+    so ids keep their source type — int, string, ...).
+
+    What broadcasts is the CSR form of the incidence (indptr + int32
+    column indices, ~p*4 bytes), NOT the N x V float32 matrix (the dense
+    matrix pickle was ~10-20x the CSR bytes and dominated driver
+    construction); each task scatter-builds the dense 0/1 matrix once — a
+    single vectorized assignment, amortized over its whole chunk loop —
+    and computes its rows' intersection counts in CHUNKED matmuls (0/1
+    entries make ``A @ ref.T`` the exact set-intersection count; float32
+    sums of ones are exact below 2^24). One distributed map, no shuffle.
+
+    Rounding parity (round 6): Jaccard/containment values are RATIONAL, so
+    exact decimal ties are reachable (1/128 = 0.0078125 -> np.round
+    half-even gives ...812, Spark/DuckDB HALF_UP give ...813). The block
+    therefore emits only exact integers (n_inter, na, nb); the one inexact
+    step — round(ratio, 6) — runs in the SAME Spark expression as the
+    sparse paths, so all strategies and the oracle agree on ties by
+    construction.
+
+    The in-block pre-filter is FLOAT32 END TO END (round-10): an
+    elementwise f64 division + i64 cast + full triangle mask over the
+    N*chunk intermediates cost ~10x the sgemm itself on the bench hosts.
+    ``inter >= pre * bound`` in f32 replaces the division: inter and bound
+    are exact integers below 2^24 in f32, so the only inexact step is the
+    f32 rounding of pre*bound (relative ~1.2e-7). The pre-margin sits TWO
+    rounding-grid steps (2e-6) below the threshold — strictly looser than
+    the old 1e-6 margin plus the f32 worst-case error — so a pair that
+    rounds UP to the threshold at 6 decimals is never dropped early; the
+    exact round()-based filter downstream discards the few extras.
+    ``inter > 0.5`` is the integer-valued-f32 form of inter > 0.
+
+    ``containment=False`` bounds with the union (symmetric Jaccard);
+    ``containment=True`` bounds with min(na, nb) — the direction with the
+    smaller denominator has the larger containment, so a pair failing
+    that bound fails BOTH directions and completeness is preserved."""
+    import numpy as np
+    import pandas as pd
+
+    n_docs = len(ids_all)
     bc = spark.sparkContext.broadcast((ids_all, indptr, cols, sizes_all, n_vocab))
     n_cpus = spark.sparkContext.defaultParallelism
-    n_docs = len(doc_pdf)
     # chunk so each task's chunk x N intermediates stay ~<=256 MB
     chunk = max(1, (1 << 25) // max(n_docs, 1))
-
-    # Rounding parity (round 6): Jaccard values are RATIONAL, so exact
-    # decimal ties are reachable (1/128 = 0.0078125 -> np.round half-even
-    # gives ...812, Spark/DuckDB HALF_UP give ...813). The block therefore
-    # emits only exact integers (inter, na, nb); the one inexact step —
-    # round(inter / union, 6) — runs in the SAME Spark expression as the
-    # postings/prefix paths, so all strategies and the oracle agree on
-    # ties by construction.
-    #
-    # The in-block pre-filter is FLOAT32 END TO END (round-10): the old
-    # form materialized N*chunk-sized int64/float64 intermediates (an
-    # int64 cast of the matmul output, a float64 division over all of
-    # it, a full-matrix triangle mask) whose elementwise allocation and
-    # f64 division cost ~10x the sgemm itself on the bench hosts.
-    # ``inter >= pre * union`` in f32 replaces the division: inter and
-    # union are exact integers below 2^24 in f32, so the only inexact
-    # step is the f32 rounding of pre*union (relative ~1.2e-7). The
-    # pre-margin therefore sits TWO rounding-grid steps (2e-6) below the
-    # threshold — strictly looser than the old 1e-6 margin plus the f32
-    # worst-case error — so a pair that rounds UP to the threshold at 6
-    # decimals is never dropped early; the exact round()-based filter
-    # downstream (the same Spark expression every strategy shares)
-    # discards the few extra candidates. ``inter > 0.5`` is the
-    # integer-valued-f32 form of inter > 0; the id_a < id_b triangle
-    # applies to the (tiny) selected pair list instead of a full mask.
     pre_margin = np.float32(threshold - 2e-6)
-    inter_schema = f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint"
+    inter_schema = (
+        f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint"
+    )
+    is_containment = bool(containment)
 
     def block(batches):
         ref_ids, r_indptr, r_cols, ref_sz, r_vocab = bc.value
@@ -897,104 +1101,12 @@ def _jaccard_pairs_dense(
             rows = pdf["i"].to_numpy(dtype=np.int64)
             for s in range(0, len(rows), chunk):
                 idx = rows[s : s + chunk]
-                a, asz = ref[idx], ref_sz[idx]
-                inter = a @ ref.T
-                union = (ref_szf[idx][:, None] + ref_szf[None, :]) - inter
-                mask = (inter >= pre_margin * union) & (inter > np.float32(0.5))
-                ai, bj = np.nonzero(mask)
-                if len(ai):
-                    # rows are id-sorted: index order IS id order
-                    keep = bj > idx[ai]
-                    ai, bj = ai[keep], bj[keep]
-                if len(ai):
-                    yield pd.DataFrame(
-                        {
-                            "id_a": ref_ids[idx[ai]],
-                            "id_b": ref_ids[bj],
-                            "n_inter": inter[ai, bj].astype(np.int64),
-                            "na": asz[ai],
-                            "nb": ref_sz[bj],
-                        }
-                    )
-
-    idx_df = spark.range(n_docs).select(F.col("id").cast("int").alias("i"))
-    cand = idx_df.repartition(n_cpus).mapInPandas(block, inter_schema)
-    j = F.round(
-        F.col("n_inter")
-        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
-        6,
-    )
-    return cand.select("id_a", "id_b", j.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
-
-
-def _containment_dense_cand(sh: DataFrame, threshold: float, id_type: str) -> DataFrame:
-    """Unordered candidate pairs (id_a, id_b, n_inter, na, nb) for the
-    containment dense path — the ``_jaccard_pairs_dense`` machinery (one
-    Arrow collect, CSR broadcast, per-task scatter-build, chunked f32
-    matmuls) with the pre-filter adapted to the asymmetric measure:
-    ``inter >= pre_margin * min(na, nb)``. The direction with the smaller
-    denominator has the larger containment, so a pair failing this bound
-    fails BOTH directions — completeness is preserved; the few extra
-    candidates the loose f32 margin admits die in the exact
-    ``_containment_directed`` filter downstream. ``na``/``nb`` here are
-    full set sizes (the vocabulary is the corpus's own shingle space, so
-    vocab-hit counts ARE the set sizes)."""
-    import numpy as np
-    import pandas as pd
-
-    spark = sh.sparkSession
-    out_schema = f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint"
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .select(
-            "shingle",
-            (F.row_number().over(Window.orderBy("shingle")) - 1).alias("v"),
-        )
-    )
-    doc_pdf = (
-        sh.join(F.broadcast(vocab), "shingle")
-        .groupBy("id")
-        .agg(F.collect_list("v").alias("vs"), F.count("*").alias("nv"))
-        .toPandas()
-    )
-    if len(doc_pdf) == 0:
-        return spark.createDataFrame([], out_schema)
-    doc_pdf = doc_pdf.sort_values("id", kind="mergesort", ignore_index=True)
-    ids_all = doc_pdf["id"].to_numpy()
-    sizes_all = doc_pdf["nv"].to_numpy(dtype=np.int64)
-    lens = np.fromiter((len(x) for x in doc_pdf["vs"]), dtype=np.int64)
-    indptr = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=indptr[1:])
-    cols = (
-        np.concatenate([np.asarray(x, dtype=np.int32) for x in doc_pdf["vs"]])
-        if indptr[-1]
-        else np.empty(0, dtype=np.int32)
-    )
-    n_vocab = int(cols.max()) + 1 if len(cols) else 1
-    bc = spark.sparkContext.broadcast((ids_all, indptr, cols, sizes_all, n_vocab))
-    n_cpus = spark.sparkContext.defaultParallelism
-    n_docs = len(doc_pdf)
-    chunk = max(1, (1 << 25) // max(n_docs, 1))
-    pre_margin = np.float32(threshold - 2e-6)
-
-    def block(batches):
-        ref_ids, r_indptr, r_cols, ref_sz, r_vocab = bc.value
-        ref = np.zeros((len(ref_ids), r_vocab), dtype=np.float32)
-        ref[np.repeat(np.arange(len(ref_ids)), np.diff(r_indptr)), r_cols] = 1.0
-        ref_szf = ref_sz.astype(np.float32)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            rows = pdf["i"].to_numpy()
-            for s in range(0, len(rows), chunk):
-                idx = rows[s : s + chunk]
-                a = ref[idx]
-                inter = a @ ref.T
-                min_sz = np.minimum(ref_szf[idx][:, None], ref_szf[None, :])
-                mask = (inter >= pre_margin * min_sz) & (inter > np.float32(0.5))
+                inter = ref[idx] @ ref.T
+                if is_containment:
+                    bound = np.minimum(ref_szf[idx][:, None], ref_szf[None, :])
+                else:
+                    bound = (ref_szf[idx][:, None] + ref_szf[None, :]) - inter
+                mask = (inter >= pre_margin * bound) & (inter > np.float32(0.5))
                 ai, bj = np.nonzero(mask)
                 if len(ai):
                     # rows are id-sorted: index order IS id order
@@ -1012,7 +1124,90 @@ def _containment_dense_cand(sh: DataFrame, threshold: float, id_type: str) -> Da
                     )
 
     idx_df = spark.range(n_docs).select(F.col("id").cast("int").alias("i"))
-    return idx_df.repartition(n_cpus).mapInPandas(block, out_schema)
+    return idx_df.repartition(n_cpus).mapInPandas(block, inter_schema)
+
+
+def _jaccard_dense_tail(cand: DataFrame, threshold: float) -> DataFrame:
+    """The exact round()-based Jaccard filter every strategy shares — ties
+    resolve identically across dense/postings/prefix and the oracle."""
+    j = F.round(
+        F.col("n_inter")
+        / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return cand.select("id_a", "id_b", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_pairs_dense(sh: DataFrame, threshold: float, id_type: str) -> DataFrame:
+    """BLAS exact Jaccard for byte-gated corpora, distributed front-end:
+    the big-but-dense window where the (id, shingle) rows are NOT provably
+    small enough to collect raw, so the vocabulary is indexed distributedly
+    and only compact int32 lists reach the driver. The candidate map and
+    numeric-soundness argument live in ``_dense_self_candidates``."""
+    spark = sh.sparkSession
+    arrays = _dense_self_arrays_distributed(sh)
+    if arrays is None:
+        return spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double"
+        )
+    cand = _dense_self_candidates(spark, *arrays, threshold, id_type)
+    return _jaccard_dense_tail(cand, threshold)
+
+
+def _jaccard_pairs_dense_pdf(
+    spark, pdf, codes, threshold: float, id_type: str
+) -> DataFrame:
+    """BLAS exact Jaccard, small-corpus front-end: CSR straight from the
+    gate's ALREADY-COLLECTED id-sorted shingle frame and its factorize
+    codes — zero Spark jobs between the gate and the candidate map."""
+    ids_all, sizes_all, indptr, cols = _csr_from_id_sorted(pdf, codes)
+    n_vocab = int(cols.max()) + 1 if len(cols) else 1
+    cand = _dense_self_candidates(
+        spark, ids_all, sizes_all, indptr, cols, n_vocab, threshold, id_type
+    )
+    return _jaccard_dense_tail(cand, threshold)
+
+
+def _containment_dense_cand(sh: DataFrame, threshold: float, id_type: str) -> DataFrame:
+    """Unordered candidate pairs (id_a, id_b, n_inter, na, nb) for the
+    containment dense path, distributed front-end — the
+    ``_dense_self_candidates`` machinery with the asymmetric
+    ``min(na, nb)`` pre-filter; the few extra candidates the loose f32
+    margin admits die in the exact ``_containment_directed`` filter
+    downstream. ``na``/``nb`` are full set sizes (the vocabulary is the
+    corpus's own shingle space, so vocab-hit counts ARE the set sizes)."""
+    spark = sh.sparkSession
+    arrays = _dense_self_arrays_distributed(sh)
+    if arrays is None:
+        return spark.createDataFrame(
+            [],
+            f"id_a {id_type}, id_b {id_type}, n_inter bigint, na bigint, nb bigint",
+        )
+    return _dense_self_candidates(
+        spark, *arrays, threshold, id_type, containment=True
+    )
+
+
+def _containment_dense_cand_pdf(
+    spark, pdf, codes, threshold: float, id_type: str
+) -> DataFrame:
+    """Containment dense candidates, small-corpus front-end (see
+    ``_jaccard_pairs_dense_pdf``)."""
+    ids_all, sizes_all, indptr, cols = _csr_from_id_sorted(pdf, codes)
+    n_vocab = int(cols.max()) + 1 if len(cols) else 1
+    return _dense_self_candidates(
+        spark,
+        ids_all,
+        sizes_all,
+        indptr,
+        cols,
+        n_vocab,
+        threshold,
+        id_type,
+        containment=True,
+    )
 
 
 def minhash_signature_arrays(
@@ -1882,29 +2077,55 @@ def containment_pairs(
         sh = arrays.select(
             "id", F.explode_outer("_grams").alias("shingle")
         ).filter(F.col("shingle").isNotNull())
-        probe = sh.agg(
-            F.approx_count_distinct("shingle").alias("v"),
-            F.approx_count_distinct("id").alias("nd"),
-            F.count("*").alias("p"),
-        ).first()
-        nd, v, p = int(probe["nd"]), int(probe["v"]), int(probe["p"])
-        if v <= dense_vocab_limit and nd * v * 4 <= dense_bytes_limit:
-            if nd * nd * v <= 2 * p * p:
-                dense_ok = True
-            else:
-                sum_df2 = float(
-                    sh.groupBy("shingle")
-                    .agg(F.count("*").alias("d"))
-                    .agg(F.sum(F.col("d").cast("double") * F.col("d")))
-                    .first()[0]
-                    or 0.0
-                )
-                dense_ok = nd * nd <= 2 * sum_df2
-            if dense_ok:
-                id_type = df.schema[id_col].dataType.simpleString()
-                return _containment_directed(
-                    _containment_dense_cand(sh, threshold, id_type), threshold
-                )
+        id_type = df.schema[id_col].dataType.simpleString()
+        # Small-corpus fast tier (round-10, same as jaccard_pairs'): ONE
+        # Arrow collect serves the probe and the dense build, with exact
+        # gate counts; the collect reads through (and fills) the arrays
+        # persist above, so the sparse fallthrough's three consumers
+        # still hit the cache. Past the input gate the distributed HLL
+        # probe below decides.
+        pdf = _shingle_pdf_small(sh, df)
+        if pdf is not None:
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf):
+                pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+                codes, uniq = pd.factorize(pdf["shingle"])
+                v, nd = len(uniq), int(pdf["id"].nunique())
+                if v <= dense_vocab_limit and nd * v * 4 <= dense_bytes_limit:
+                    dfreq = np.bincount(codes).astype(np.float64)
+                    if nd * nd <= 2.0 * float((dfreq * dfreq).sum()):
+                        return _containment_directed(
+                            _containment_dense_cand_pdf(
+                                df.sparkSession, pdf, codes, threshold, id_type
+                            ),
+                            threshold,
+                        )
+            # exact gates rejected (or empty corpus): sparse fallthrough
+        else:
+            probe = sh.agg(
+                F.approx_count_distinct("shingle").alias("v"),
+                F.approx_count_distinct("id").alias("nd"),
+                F.count("*").alias("p"),
+            ).first()
+            nd, v, p = int(probe["nd"]), int(probe["v"]), int(probe["p"])
+            if v <= dense_vocab_limit and nd * v * 4 <= dense_bytes_limit:
+                if nd * nd * v <= 2 * p * p:
+                    dense_ok = True
+                else:
+                    sum_df2 = float(
+                        sh.groupBy("shingle")
+                        .agg(F.count("*").alias("d"))
+                        .agg(F.sum(F.col("d").cast("double") * F.col("d")))
+                        .first()[0]
+                        or 0.0
+                    )
+                    dense_ok = nd * nd <= 2 * sum_df2
+                if dense_ok:
+                    return _containment_directed(
+                        _containment_dense_cand(sh, threshold, id_type), threshold
+                    )
     hashed = F.array_sort(
         F.transform("_grams", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
     )

@@ -328,3 +328,36 @@ def test_band_sweep_matches_hashlib_brute_force(spark, texts):
         got.setdefault(row.n_bands, set()).add((row.id_a, row.id_b))
     for b in (2, 4, 8):
         assert got.get(b, set()) == want[b], (b, texts)
+
+
+def test_dense_distributed_frontend_matches_pdf_tier(spark, sf_dir):
+    """Round-10 pin for the small-corpus fast tier: the three dense-gated
+    operators must produce identical rows through the pdf tier (one Arrow
+    collect + driver factorize, what every test-sized corpus takes) and
+    the big-input distributed front-end (HLL probe + vocabulary-indexed
+    collect), which only arms past the `lesw.smallCorpusCacheBytes`
+    estimate gate — the conf toggle is how the at-scale shape stays
+    covered."""
+    from lichess_event_stream_watcher_spark import testdata
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    new = docs.filter("doc_id % 2 = 1")
+    old = docs.filter("doc_id % 2 = 0")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    runs = {
+        "self": lambda: D.jaccard_pairs(docs, n=2, threshold=0.5),
+        "containment": lambda: D.containment_pairs(docs, n=2, threshold=0.8),
+        "between": lambda: D.jaccard_pairs_between(new, old, n=2, threshold=0.5),
+    }
+    got_pdf = {k: rows(f()) for k, f in runs.items()}
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        got_dist = {k: rows(f()) for k, f in runs.items()}
+    finally:
+        spark.conf.unset("lesw.smallCorpusCacheBytes")
+    for k in runs:
+        assert got_pdf[k] == got_dist[k], k
+    assert got_pdf["self"], "fixture produced no pairs — the pin is vacuous"
