@@ -80,7 +80,18 @@ def shingles(
     out = shingle_arrays(df, n, text_col, id_col)
     cols = [F.col("id"), F.explode_outer("_grams").alias("shingle")]
     if with_count:
-        cols.append(F.size("_grams").alias("n_sh"))
+        # coalesce makes n_sh NON-NULLABLE (value-identical: size() is null
+        # only for a null _grams, whose explode_outer row dies in the
+        # shingle filter below). Round-10: a nullable n_sh lets any
+        # downstream null-intolerant join/filter condition (the Jaccard
+        # length filter) INFER isnotnull(n_sh), which constraint pushdown
+        # rewrites through the alias into isnotnull(size(<the full
+        # regex+transform shingle expression>)) and pushes INTO THE SCAN
+        # STAGE — re-evaluating the whole shingle pipeline serially on the
+        # pre-``spread`` single task and discarding it (measured 3.8-4.7 s
+        # of 1-task stage time per join side at sf0.1, vs 0.3 s without).
+        # A non-nullable column constant-folds the inferred filter away.
+        cols.append(F.coalesce(F.size("_grams"), F.lit(-1)).alias("n_sh"))
     return out.select(*cols).filter(F.col("shingle").isNotNull()).drop("_grams")
 
 
@@ -1414,7 +1425,12 @@ def lsh_candidate_pairs(
     # carried into the bucket rows, so no re-join against the (expensively
     # aggregated) signature table, and the whole pipeline computes
     # signatures exactly once: agg shuffle -> band projection -> ONE bucket
-    # shuffle -> in-bucket pair explode -> distinct
+    # shuffle -> in-bucket pair explode -> distinct. (Round-10 negative
+    # result, kept so it is not retried: carrying unhex(sig) as a binary
+    # payload and unrolling the equal-seed count into k static comparisons
+    # measured ~10% SLOWER than this zip_with form in a 5-draw interleaved
+    # A/B at both b=4 and b=8 — the pair stage's executor time is the
+    # explosion machinery, not the estimate expression.)
     est_col = (
         F.aggregate(
             F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
