@@ -1686,20 +1686,25 @@ def simhash_near_dup_pairs(
     ).withColumn(
         "band_val", F.expr(f"substr(simhash, band * {band_len} + 1, {band_len})")
     )
-    cand = (
+    # Hamming-verify BEFORE the cross-band distinct (round-10): hamming is
+    # a function of the pair, so filter-then-distinct is row-identical to
+    # distinct-then-filter — but the distinct's shuffle now carries only
+    # the few surviving (id_a, id_b, hamming) rows instead of every
+    # multi-bucket candidate occurrence with two 16-char signatures (a
+    # degenerate bucket alone contributed 1.34M candidate rows at sf0.1).
+    # The verify expression evaluates once per candidate occurrence
+    # (<= bands copies) instead of once per distinct pair; it is a cheap
+    # codegen'd XOR-popcount, the shuffle rows were the cost.
+    ham = F.expr(hamming_hex_sql("a.simhash", "b.simhash"))
+    return (
         _bucket_local_pairs(banded, ["band", "band_val"], ["simhash"])
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            ham.alias("hamming"),
         )
-        .distinct()
-    )
-    ham = F.expr(hamming_hex_sql("sim_a", "sim_b"))
-    return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
