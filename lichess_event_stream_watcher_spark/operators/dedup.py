@@ -1399,6 +1399,165 @@ def _bucket_local_pairs(
     )
 
 
+def _lsh_sig_rows_small(
+    df: DataFrame,
+    k: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_docs: int = 200_000,
+    vocab_cap: int = 1 << 16,
+):
+    """(ids, sig_rows) for the small-corpus LSH tier, or ``None`` past the
+    gates. For an input whose Catalyst estimate admits the
+    ``lesw.smallCorpusCacheBytes`` gate, ONE Arrow collect of the
+    (id, shingle) relation feeds a DRIVER-side MinHash build: the k md5
+    digests are computed once per DISTINCT shingle (v*k hashes instead of
+    the aggregation's p*k — document frequency collapses for free), the
+    per-seed lexicographic minima come from rank arrays +
+    ``np.minimum.reduceat`` over the id-sorted CSR, and the hex VALUES are
+    read back off the sorted digests, so every signature string is
+    byte-identical to ``minhash_signature_arrays``'s. Past ``vocab_cap``
+    (bounds the Python md5 loop) the signature aggregation stays
+    distributed — its map-side-partial shuffle is the at-scale shape —
+    and only the k-per-doc digests cross via one Arrow collect. Docs with
+    zero shingles produce no CSR row and no signature, exactly like the
+    distributed groupBy."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    est = plan_size_bytes(df)
+    if est is None or est > small_corpus_cache_limit(df):
+        return None
+    sh = shingles(df, n, text_col, id_col)
+    pdf = sh.select("id", "shingle").toPandas()
+    if len(pdf) == 0:
+        return np.empty(0, object), []
+    pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+    codes, uniq = pd.factorize(pdf["shingle"])
+    ids_all, _sizes, indptr, cols = _csr_from_id_sorted(pdf, codes)
+    nd = len(ids_all)
+    if nd > max_docs:
+        return None
+    if len(uniq) <= vocab_cap:
+        sig_cols = []
+        for j in range(k):
+            hexes = np.array(
+                [hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in uniq]
+            )
+            o = np.argsort(hexes, kind="mergesort")
+            rank = np.empty(len(hexes), np.int64)
+            rank[o] = np.arange(len(hexes))
+            minr = np.minimum.reduceat(rank[cols], indptr[:-1])
+            sig_cols.append(hexes[o][minr])
+        sig_rows = [[str(c[i]) for c in sig_cols] for i in range(nd)]
+        return ids_all, sig_rows
+    spdf = _minhash_from_shingles(sh, k).toPandas()
+    if len(spdf) > max_docs:
+        return None
+    spdf = spdf.sort_values("id", kind="mergesort", ignore_index=True)
+    return spdf["id"].to_numpy(), spdf["sig"].to_list()
+
+
+def _lsh_pairs_pdf(
+    ids,
+    sig_rows,
+    k: int,
+    band_counts: tuple[int, ...],
+    max_pairs: int = 1 << 24,
+):
+    """Small-corpus LSH candidate tier: banding, bucket grouping, in-bucket
+    pair explosion and the cross-band distinct as driver-side numpy over
+    collected signatures — the ``_shingle_pdf_small`` design applied to
+    the LSH stage (guide §1.2/§5: for a provably-small corpus the
+    distributed shape's band explosion, bucket shuffle, chunked pair
+    explosion, width-`shuffle.partitions` re-spread and distinct shuffle
+    are 5 jobs of pure fixed cost).
+
+    Returns ``{n_bands: (a_idx, b_idx)}`` over id-SORTED doc indices (so
+    ``a < b`` index-wise IS ``id_a < id_b``), or ``None`` when a config's
+    pre-distinct bucket pair volume exceeds ``max_pairs`` (a degenerate
+    all-dups corpus must keep the chunked distributed explosion). Bucket
+    keys are the SAME md5 band signatures as the distributed path and the
+    oracle, so even hash-collision merges agree by construction."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    nd = len(ids)
+    if nd == 0:
+        empty = np.empty(0, np.int64)
+        return {b: (empty, empty) for b in band_counts}
+    out: dict[int, tuple] = {}
+    for b in band_counts:
+        r = k // b
+        widths = [r] * (b - 1) + [k - (b - 1) * r]
+        # pass 1: bucket structure + exact pre-distinct pair volume
+        band_groups = []
+        total_pairs = 0
+        for bi, w in enumerate(widths):
+            lo = bi * r
+            keys = pd.array(
+                [
+                    hashlib.md5(",".join(s[lo : lo + w]).encode()).hexdigest()
+                    for s in sig_rows
+                ]
+            )
+            codes = pd.factorize(keys)[0]
+            order = np.argsort(codes, kind="stable")
+            sc = codes[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            sizes = np.diff(np.r_[starts, nd])
+            total_pairs += int((sizes * (sizes - 1) // 2).sum())
+            band_groups.append((order, starts, sizes))
+        if total_pairs > max_pairs:
+            return None
+        # pass 2: in-bucket pairs, vectorized per bucket-size class
+        pa, pb = [], []
+        for order, starts, sizes in band_groups:
+            big = sizes >= 2
+            for m in np.unique(sizes[big]):
+                sel = starts[(sizes == m)]
+                members = order[sel[:, None] + np.arange(int(m))[None, :]]
+                # stable argsort preserved id order inside each bucket,
+                # so sorting each row makes a < b index-wise
+                members = np.sort(members, axis=1)
+                iu, ju = np.triu_indices(int(m), 1)
+                pa.append(members[:, iu].ravel())
+                pb.append(members[:, ju].ravel())
+        if pa:
+            a = np.concatenate(pa).astype(np.int64)
+            bq = np.concatenate(pb).astype(np.int64)
+            key = np.unique(a * np.int64(nd) + bq)  # cross-band distinct
+            a, bq = key // nd, key % nd
+        else:
+            a = bq = np.empty(0, np.int64)
+        out[b] = (a, bq)
+    return out
+
+
+def _lsh_est_counts(sig_rows, a, b, k: int):
+    """Per-pair equal-seed counts over collected signatures: per-seed
+    ``pd.factorize`` ranks (equal rank <=> equal minhash hex), compared in
+    bounded chunks so the gather never materializes pairs x k x 8 bytes."""
+    import numpy as np
+    import pandas as pd
+
+    nd = len(sig_rows)
+    ranks = np.empty((nd, k), dtype=np.int32)
+    for j in range(k):
+        ranks[:, j] = pd.factorize(pd.array([s[j] for s in sig_rows]))[0]
+    n_eq = np.empty(len(a), np.int64)
+    step = 1 << 20
+    for s in range(0, len(a), step):
+        sl = slice(s, s + step)
+        n_eq[sl] = (ranks[a[sl]] == ranks[b[sl]]).sum(axis=1)
+    return n_eq
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     k: int = DEFAULT_MINHASH_K,
@@ -1418,6 +1577,38 @@ def lsh_candidate_pairs(
     in-bucket, and a final distinct dedupes multi-band collisions. No
     joins, no cache, no recomputation of the signature aggregation.
     """
+    # Small-corpus tier (round-10): for a provably-small input the whole
+    # signature + banding + bucket-grouping + pair-explosion + distinct
+    # pipeline runs as driver numpy over ONE Arrow collect of the shingle
+    # relation; n_eq crosses back as an exact integer and the estimate is
+    # computed by the SAME Spark round() expression as below, so ties and
+    # values are identical by construction. Past any gate (input estimate,
+    # doc count, vocab, pair volume) the distributed bucket-local shape
+    # below is unchanged — the 100 TB path.
+    id_type = df.schema[id_col].dataType.simpleString()
+    small = _lsh_sig_rows_small(df, k, n, text_col, id_col)
+    if small is not None:
+        ids, sig_rows = small
+        by_cfg = _lsh_pairs_pdf(ids, sig_rows, k, (bands,))
+        if by_cfg is not None:
+            import numpy as np
+            import pandas as pd
+
+            a, b = by_cfg[bands]
+            n_eq = (
+                _lsh_est_counts(sig_rows, a, b, k)
+                if len(a)
+                else np.empty(0, "int64")
+            )
+            cand = df.sparkSession.createDataFrame(
+                pd.DataFrame({"id_a": ids[a], "id_b": ids[b], "n_eq": n_eq}),
+                schema=f"id_a {id_type}, id_b {id_type}, n_eq bigint",
+            )
+            return cand.select(
+                "id_a",
+                "id_b",
+                F.round(F.col("n_eq") / F.lit(float(k)), 6).alias("est_jaccard"),
+            )
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
     bnd = lsh_bands(sigs, k, bands, keep=("sig",))
     pairs = _bucket_local_pairs(bnd, ["band", "band_sig"], ["sig"])
@@ -1610,6 +1801,35 @@ def lsh_band_sweep(
             f"band_counts {bad} do not divide k={k}; the sweep's oracle "
             f"assumes uniform band widths (k % b == 0, b > 0)"
         )
+    # Small-corpus tier (round-10): same driver-numpy signature+candidate
+    # build as ``lsh_candidate_pairs``, all configs from the one collected
+    # shingle relation; any gate rejection keeps the distributed
+    # one-projection explosion below.
+    id_type = df.schema[id_col].dataType.simpleString()
+    small = _lsh_sig_rows_small(df, k, n, text_col, id_col)
+    if small is not None:
+        ids, sig_rows = small
+        by_cfg = _lsh_pairs_pdf(ids, sig_rows, k, tuple(band_counts))
+        if by_cfg is not None:
+            import numpy as np
+            import pandas as pd
+
+            frames = []
+            for cfg in band_counts:
+                a, b = by_cfg[cfg]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "n_bands": np.full(len(a), cfg, dtype=np.int32),
+                            "id_a": ids[a],
+                            "id_b": ids[b],
+                        }
+                    )
+                )
+            return df.sparkSession.createDataFrame(
+                pd.concat(frames, ignore_index=True),
+                schema=f"n_bands int, id_a {id_type}, id_b {id_type}",
+            )
     sigs = minhash_signature_arrays(df, k, n, text_col, id_col)
     structs = [
         s
@@ -1775,6 +1995,75 @@ def simhash64(
     return sums.select("id", F.concat(*nib_chars).alias("simhash"))
 
 
+def _components_pdf(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_nodes: int = 2_000_000,
+    max_pairs: int = 8_000_000,
+) -> DataFrame | None:
+    """Small-graph connected-components tier: the min-label fixpoint as
+    driver-side numpy over TWO Arrow collects (node ids and pair
+    endpoints) when both inputs' Catalyst estimates admit the
+    ``lesw.smallCorpusCacheBytes`` gate — guide §1.2: on a test-scale
+    graph the distributed fixpoint is 4-8 rounds of join+agg+checkpoint
+    jobs whose cost is pure per-round fixed overhead, and every consumer
+    (clusters, keep-best, leakage split, the curation near-dup stage)
+    pays it. The label array propagates mins over the edge list with
+    pointer-doubling (same O(log diameter) behavior as the star rounds);
+    labels are ranks in id-sorted order, so the converged min-rank IS the
+    min reachable id — ``comp`` identical to the distributed fixpoints by
+    construction. ``None`` past any gate (estimate missing/large, or the
+    collected graph exceeds the row caps): the distributed rounds below
+    stay the 100 TB shape."""
+    import numpy as np
+    import pandas as pd
+
+    lim = small_corpus_cache_limit(nodes)
+    est_n = plan_size_bytes(nodes)
+    est_p = plan_size_bytes(pairs)
+    if est_n is None or est_p is None or est_n > lim or est_p > lim:
+        return None
+    ids_pdf = nodes.select(F.col(id_col).alias("id")).toPandas()
+    pairs_pdf = pairs.select("id_a", "id_b").toPandas()
+    if len(ids_pdf) > max_nodes or len(pairs_pdf) > max_pairs:
+        return None
+    all_ids = pd.concat(
+        [ids_pdf["id"], pairs_pdf["id_a"], pairs_pdf["id_b"]],
+        ignore_index=True,
+    )
+    codes, uniq = pd.factorize(all_ids)
+    n = len(uniq)
+    spark = nodes.sparkSession
+    id_type = nodes.schema[id_col].dataType.simpleString()
+    if n == 0:
+        return spark.createDataFrame([], f"id {id_type}, comp {id_type}")
+    # rank codes by id order so min-rank == min-id
+    uniq_arr = np.asarray(uniq)
+    order = np.argsort(uniq_arr, kind="mergesort")
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64)
+    ranked = rank[codes]
+    nn = len(ids_pdf)
+    a = ranked[nn : nn + len(pairs_pdf)]
+    b = ranked[nn + len(pairs_pdf) :]
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(64):
+        prev = label
+        m = np.minimum(label[a], label[b])
+        label = label.copy()
+        np.minimum.at(label, a, m)
+        np.minimum.at(label, b, m)
+        label = np.minimum(label, label[label])  # pointer-double
+        if np.array_equal(label, prev):
+            break
+    else:  # pragma: no cover - log-diameter always converges in 64
+        return None
+    sorted_ids = uniq_arr[order]
+    out = pd.DataFrame({"id": sorted_ids, "comp": sorted_ids[label]})
+    return spark.createDataFrame(out, schema=f"id {id_type}, comp {id_type}")
+
+
 def dup_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -1799,6 +2088,9 @@ def dup_components(
     Non-SQL-expressible as ONE query in Spark, but DuckDB's recursive CTE
     computes the same fixpoint — the driver query uses it as the oracle.
     """
+    small = _components_pdf(nodes, pairs, id_col)
+    if small is not None:
+        return small
     # seed from nodes UNION pair endpoints: an endpoint missing from nodes
     # would otherwise never carry its own label, skewing minima AND hiding
     # its first appearance from the convergence join (premature break)
@@ -1878,6 +2170,9 @@ def dup_components_star(
     (quote chains, boilerplate gradients) where diameter, and therefore
     propagation rounds, grows unbounded.
     """
+    small = _components_pdf(nodes, pairs, id_col)
+    if small is not None:
+        return small
     from .util import persisted_rdd_ids, unpersist_rdd_ids
 
     base = persisted_rdd_ids(pairs)

@@ -407,6 +407,38 @@ _DRIVER_PRIORITY = [
     "image_stats",
     "resize_image",
     "multimodal_frames",
+    # (D) rows preempted by round 10's OPTIMIZATION changes — the
+    # small-corpus driver tiers and build-cost work on operators/dedup.py
+    # (+ its util.py/session_cache.py closure), the PageRank checkpoint
+    # cadence (operators/graph.py), and the quantized power-iteration
+    # explode-agg (operators/pca.py). Physical-plan-only changes:
+    # every query below re-verified green at sf0.01 by this session's
+    # driver-sim sweeps on the changed code; declared so the committed
+    # paper trail rotates them through upcoming windows. Name order:
+    "ann_ivfpq_adc",
+    "ann_kmeans_cells_q",
+    "ann_lsh_multiprobe",
+    "bloom_admission",
+    "bm25_lucene_topk",
+    "bm25_rsj_topk",
+    "bpe_merge_ranks",
+    "chunk_documents",
+    "cross_source_dups",
+    "curation_pipeline_counts",
+    "dataset_split_counts",
+    "dedup_corpus",
+    "dsir_importance_q",
+    "dup_graph_pagerank_q",
+    "dup_span_profile",
+    "embedding_feature_stats",
+    "embedding_robust_stats",
+    "epoch_shuffle",
+    "pack_sequences_bins",
+    "pii_scrub",
+    "salted_event_type_counts",
+    "source_quota_sample",
+    "substring_dedup",
+    "username_fuzzy_pairs",
 ]
 # Queued round-10 NEW registrations (the r6-r9 precedent — implement +
 # pytest-certify mid-round, register at the next window head), each with

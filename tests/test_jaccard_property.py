@@ -361,3 +361,37 @@ def test_dense_distributed_frontend_matches_pdf_tier(spark, sf_dir):
     for k in runs:
         assert got_pdf[k] == got_dist[k], k
     assert got_pdf["self"], "fixture produced no pairs — the pin is vacuous"
+
+
+def test_lsh_and_components_distributed_match_pdf_tier(spark, sf_dir):
+    """Round-10 pin for the LSH + connected-components small-corpus tiers:
+    driver-numpy signatures/banding/bucket pairs (what every test-sized
+    corpus takes) and the distributed bucket-local explosion / min-label
+    fixpoints (armed by the `lesw.smallCorpusCacheBytes` toggle) must
+    produce identical rows — the conf toggle is how the at-scale shape
+    stays covered."""
+    from lichess_event_stream_watcher_spark import testdata
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=2, threshold=0.5)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    runs = {
+        "lsh_b4": lambda: D.lsh_candidate_pairs(docs, k=16, bands=4, n=2),
+        "lsh_b8": lambda: D.lsh_candidate_pairs(docs, k=16, bands=8, n=2),
+        "sweep": lambda: D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2),
+        "components": lambda: D.dup_components(docs, pairs),
+        "components_star": lambda: D.dup_components_star(docs, pairs),
+    }
+    got_pdf = {k: rows(f()) for k, f in runs.items()}
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        got_dist = {k: rows(f()) for k, f in runs.items()}
+    finally:
+        spark.conf.unset("lesw.smallCorpusCacheBytes")
+    for k in runs:
+        assert got_pdf[k] == got_dist[k], k
+    assert got_pdf["lsh_b8"], "fixture produced no candidates — vacuous pin"
+    assert any(i != c for i, c in got_pdf["components"]), "no clusters — vacuous"
