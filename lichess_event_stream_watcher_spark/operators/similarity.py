@@ -1010,29 +1010,83 @@ def semantic_dedup(
 
     Output: one row PER INPUT VECTOR — (id, cell, keep); keep=false marks
     vectors to drop."""
-    # self-norms are computed ONCE per vector in the pre-join projection
-    # (they are join-input attributes, so they cannot collapse past the
-    # join): the per-pair expression is then a single cross dot product
-    # instead of three — the same left-fold doubles in the same order, so
-    # the rounded cosine is bit-identical to the inline form
+    # Round-10 (guide §4.2, §2.3): the cell-local pair scoring used to be a
+    # cell-keyed self-JOIN evaluating the zip_with/aggregate dot per pair —
+    # an interpreted (CodegenFallback) 64-element fold on every one of the
+    # ~n^2/k candidate pairs, plus a second corpus shuffle for the join's
+    # other side. It is now ONE groupBy(cell).applyInPandas block per cell:
+    # the same left-fold order runs VECTORIZED across all pairs at once
+    # (accumulate v[:, j] outer products in ascending j — per pair that is
+    # the identical IEEE multiply/add sequence, so every cosine is
+    # bit-equal to the join form's), and each member ships back only its
+    # BEST lower-id cosine. round() is monotone non-decreasing, so
+    # round(max cos) >= t iff some pair has round(cos) >= t — the exact
+    # Spark round()-based filter below is unchanged and decides ties
+    # identically. NaN cosines (zero-norm / null-element vectors, whose
+    # pairs the join form dropped via null/NaN comparisons) are ignored by
+    # the in-block nanmax, and vectors of differing lengths never pair
+    # (zip_with's null padding nulled those cosines) — per-length classes
+    # reproduce that. One corpus shuffle (the group-by), no pair-sized
+    # rows ever shuffled; cell size is bounded by the operator's sizing
+    # rule (the same bound the join's per-cell fanout relied on).
+    import numpy as np
+    import pandas as pd
+
     cells = nearest_cells(emb, centroids, 1, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("_v"), F.col("cent_id").alias("cell")
-    ).withColumn("_n", dot(F.col("_v"), F.col("_v")))
-    a = cells.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "cell"
     )
-    b = cells.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "cell"
-    )
-    pair_cos = dot(F.col("_va"), F.col("_vb")) / F.sqrt(F.col("_na") * F.col("_nb"))
-    dup_pairs = (
-        a.join(b, ["cell"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(pair_cos, 6) >= threshold)
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def _best_lower_cos(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        vecs = [
+            None if v is None else np.asarray(v, dtype=np.float64)
+            for v in pdf["_v"]
+        ]
+        lens = np.array([-1 if v is None else len(v) for v in vecs])
+        out_ids, out_best = [], []
+        for d in np.unique(lens):
+            if d < 0:
+                continue  # null vectors: every pair cosine is null -> dropped
+            idx = np.flatnonzero(lens == d)
+            m = len(idx)
+            if m < 2:
+                continue
+            v_mat = np.empty((m, int(d)), dtype=np.float64)
+            for r, i in enumerate(idx):
+                v_mat[r] = vecs[i]
+            nrm = np.zeros(m)
+            inter = np.zeros((m, m))
+            tmp = np.empty((m, m))
+            for j in range(int(d)):
+                col = v_mat[:, j]
+                nrm += col * col
+                np.outer(col, col, out=tmp)
+                inter += tmp
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = inter / np.sqrt(np.outer(nrm, nrm))
+            # i < j (id order): mask out the diagonal, lower triangle and
+            # NaN cosines (dropped pairs) as -inf, then the best lower-id
+            # partner per member is a plain column max
+            cos[np.isnan(cos)] = -np.inf
+            cos[np.tril_indices(m)] = -np.inf
+            best = cos.max(axis=0)
+            ok = np.isfinite(best)
+            if ok.any():
+                out_ids.append(pdf[id_col].to_numpy()[idx[ok]])
+                out_best.append(best[ok])
+        if not out_ids:
+            return pd.DataFrame({id_col: [], "_best": []})
+        return pd.DataFrame(
+            {id_col: np.concatenate(out_ids), "_best": np.concatenate(out_best)}
+        )
+
+    best_cos = cells.groupBy("cell").applyInPandas(
+        lambda pdf: _best_lower_cos(pdf), f"{id_col} {id_type}, _best double"
     )
     dups = (
-        dup_pairs.select(F.col("id_b").alias(id_col))
-        .distinct()
+        best_cos.filter(F.round(F.col("_best"), 6) >= threshold)
+        .select(id_col)
         .withColumn("_dup", F.lit(True))
     )
     return (

@@ -543,6 +543,38 @@ def tf_cosine_pairs(
     if sparse_strategy is None:
         sparse_strategy = "postings" if max_token_df is not None else "prefix"
     tok = _tf_tokens(df, text_col, id_col)
+    if max_token_df is None and dense_vocab_limit > 0:
+        # Small-corpus fast tier (round-10, the _jaccard_pairs_dense_pdf
+        # recipe weighted): when Catalyst's INPUT estimate admits the
+        # small-corpus gate, ONE Arrow collect of the (id, tok, tf) rows
+        # serves both the vocabulary gate (exact count, no HLL probe job)
+        # and the dense build — an admitted dense path reaches the
+        # candidate map with zero further jobs (the distributed tier
+        # below pays probe + vocab distinct/count + entries agg + count:
+        # 4-5 build jobs per bench rep). Past the gate, the distributed
+        # window below is unchanged.
+        from .dedup import _csr_from_id_sorted, _shingle_pdf_small
+
+        pdf = _shingle_pdf_small(tok, df, cols=("id", "tok", "tf"))
+        if pdf is not None and len(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+            codes, uniq = pd.factorize(pdf["tok"])
+            if len(uniq) <= dense_vocab_limit:
+                id_t = tok.schema["id"].dataType.simpleString()
+                return _tf_cosine_dense_pdf(
+                    df.sparkSession, pdf, codes, len(uniq), threshold, id_t
+                )
+            # vocab past the dense gate: sparse fallthrough (probe skipped
+            # — the exact count already answered it)
+            if sparse_strategy == "prefix":
+                return _tf_cosine_pairs_prefix(tok, threshold)
+        elif pdf is not None:
+            id_t = tok.schema["id"].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, cos_sim double"
+            )
     if max_token_df is not None:
         keep = tok.groupBy("tok").agg(F.count("*").alias("df_"))
         tok = tok.join(
@@ -910,6 +942,76 @@ def _tf_cosine_pairs_prefix(tok: DataFrame, threshold: float) -> DataFrame:
         .join(db, cands["id_b"] == db["_ib"])
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _tf_cosine_dense_pdf(
+    spark, pdf, codes, v_size: int, threshold: float, id_type: str
+) -> DataFrame:
+    """Small-corpus tf-cosine dense tier: weighted CSR straight from the
+    gate's ALREADY-COLLECTED id-sorted (id, tok, tf) frame — zero Spark
+    jobs between the gate and the candidate map (the
+    ``_jaccard_pairs_dense_pdf`` recipe with tf weights). What broadcasts
+    is the CSR (indptr + int32 cols + f64 weights, O(nnz)); each task
+    scatter-builds the dense matrix once and computes chunked matmuls —
+    exact integer dots/norms in float64, the one inexact step
+    (round(dot / sqrt(na2 * nb2), 6)) runs in the SAME Spark expression
+    as every other strategy, so boundary pairs resolve identically."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _csr_from_id_sorted
+
+    ids_all, _sz, indptr, cols = _csr_from_id_sorted(pdf, codes)
+    weights = pdf["tf"].to_numpy(dtype=np.float64)
+    n_docs = len(ids_all)
+    bc = spark.sparkContext.broadcast((ids_all, indptr, cols, weights, v_size))
+    n_cpus = spark.sparkContext.defaultParallelism
+    chunk = max(1, (1 << 25) // max(n_docs, 1))
+    margin = threshold - 1e-6  # same pre-filter slack as _tf_cosine_dense
+    out_schema = (
+        f"id_a {id_type}, id_b {id_type}, dot bigint, na2 bigint, nb2 bigint"
+    )
+
+    def block(batches):
+        r_ids, r_indptr, r_cols, r_w, nv = bc.value
+        ref = np.zeros((len(r_ids), nv), dtype=np.float64)
+        ref[np.repeat(np.arange(len(r_ids)), np.diff(r_indptr)), r_cols] = r_w
+        rn2 = (ref * ref).sum(axis=1)  # exact integer self-sums in f64
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                rows = b["i"].to_numpy(dtype=np.int64)
+                for s in range(0, len(rows), chunk):
+                    idx = rows[s : s + chunk]
+                    dots = ref[idx] @ ref.T  # exact integer dots in f64
+                    sims = dots / np.sqrt(rn2[idx][:, None] * rn2[None, :])
+                    mask = sims >= margin
+                    ai, bj = np.nonzero(mask)
+                    if len(ai):
+                        keep = bj > idx[ai]  # id-sorted rows: index IS id order
+                        ai, bj = ai[keep], bj[keep]
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": r_ids[idx[ai]],
+                                "id_b": r_ids[bj],
+                                "dot": dots[ai, bj].astype(np.int64),
+                                "na2": rn2[idx[ai]].astype(np.int64),
+                                "nb2": rn2[bj].astype(np.int64),
+                            }
+                        )
+
+    idx_df = spark.range(n_docs).select(F.col("id").cast("int").alias("i"))
+    cand = idx_df.repartition(n_cpus).mapInPandas(block, out_schema)
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+        6,
+    )
+    return cand.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
     )
 
 

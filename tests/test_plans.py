@@ -865,11 +865,18 @@ def test_lsh_band_sweep_computes_signatures_once(spark, sf_dir):
     aggregation: exactly one shingle-exploding Generate in the plan (a
     per-config recomputation would show three), and the full pipeline is
     the lsh_candidate_pairs exchange budget plus nothing — shingle
-    spread, signature agg, bucket groupBy, chunk respread, distinct."""
+    spread, signature agg, bucket groupBy, chunk respread, distinct.
+    This pins the DISTRIBUTED (at-scale) shape, so the round-10
+    small-corpus driver tier is disarmed via the conf toggle (test-sized
+    corpora otherwise take the LocalTableScan tier)."""
     from lichess_event_stream_watcher_spark.operators import dedup as D
 
     docs = testdata.load(spark, sf_dir, "documents")
-    p = plan_str(D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2))
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        p = plan_str(D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2))
+    finally:
+        spark.conf.unset("lesw.smallCorpusCacheBytes")
     assert len(re.findall(r"Generate explode.*shingle", p)) == 1, p
     assert p.count("Exchange") == 5, p
     assert "Join" not in p
