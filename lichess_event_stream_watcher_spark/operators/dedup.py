@@ -1899,6 +1899,14 @@ def simhash_near_dup_pairs(
     """
     if max_hamming > bands - 1:
         raise ValueError("banding is only exact for max_hamming <= bands - 1")
+    # (Round-10 negative result, kept so it is not retried: a driver pair
+    # tier — collect the distributed signatures, band/bucket/XOR-popcount
+    # in numpy, createDataFrame the surviving pairs — measured med 3.6 ->
+    # 5.0 s in a 5-draw interleaved A/B at sf0.1. Unlike the LSH
+    # candidates, this operator's OUTPUT is large (~166K pairs at sf0.1),
+    # so the local-relation round-trip out of the driver costs more than
+    # the bucket machinery it removed; the filter-before-distinct shape
+    # below is already lean.)
     sigs = simhash64(df, text_col, id_col)
     band_len = 16 // bands
     banded = sigs.withColumn(
@@ -1942,6 +1950,14 @@ def simhash64(
     64-column row per (partition, id)) — not a 64x row explosion through a
     (id, bit) shuffle. Hex assembly from the 64 sums is a pure projection.
     """
+    # (Round-10 negative result, kept so it is not retried: a driver tier
+    # collecting the (id, distinct-token) relation and building signatures
+    # in numpy measured 2.7 -> 4.8 s med in a 5-draw interleaved A/B at
+    # sf0.1 — the per-occurrence Arrow transfer plus the p x 64 bit-sum
+    # materialization cost more than the one map-side-partial aggregation
+    # it replaced. The aggregation below IS the efficient shape; only the
+    # downstream PAIR machinery was worth a driver tier — see
+    # simhash_near_dup_pairs.)
     # token projection below the spread exchange + explode_outer: same plan
     # rationale as shingles() — keep InferFiltersFromGenerate from pushing
     # the tokenizer expression into the (possibly single-task) scan stage

@@ -378,12 +378,17 @@ def test_lsh_and_components_distributed_match_pdf_tier(spark, sf_dir):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
+    from lichess_event_stream_watcher_spark import testdata as _td
+    from lichess_event_stream_watcher_spark.operators import fuzzy as FZ
+
+    signups = _td.signups_df(spark, sf_dir)
     runs = {
         "lsh_b4": lambda: D.lsh_candidate_pairs(docs, k=16, bands=4, n=2),
         "lsh_b8": lambda: D.lsh_candidate_pairs(docs, k=16, bands=8, n=2),
         "sweep": lambda: D.lsh_band_sweep(docs, band_counts=(2, 4, 8), k=16, n=2),
         "components": lambda: D.dup_components(docs, pairs),
         "components_star": lambda: D.dup_components_star(docs, pairs),
+        "fuzzy": lambda: FZ.edit_distance_pairs(signups, "username"),
     }
     got_pdf = {k: rows(f()) for k, f in runs.items()}
     spark.conf.set("lesw.smallCorpusCacheBytes", "0")
@@ -395,3 +400,4 @@ def test_lsh_and_components_distributed_match_pdf_tier(spark, sf_dir):
         assert got_pdf[k] == got_dist[k], k
     assert got_pdf["lsh_b8"], "fixture produced no candidates — vacuous pin"
     assert any(i != c for i, c in got_pdf["components"]), "no clusters — vacuous"
+    assert got_pdf["fuzzy"], "no distance-1 username pairs — vacuous pin"
