@@ -260,6 +260,14 @@ def repetition_profile(
     )
     grams = F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, 2), " "))
     keys = ["doc_id", "n_tokens", "mean_tok_len", "frac_dup_tokens"]
+    # (Round-10 negative result, kept so it is not retried: computing the
+    # top-bigram count MAP-SIDE as the longest equal-run of the sorted
+    # per-doc bigram array — zero shuffle — measured 1.7 -> 7.8 s med in
+    # a 5-draw interleaved A/B at sf0.1: the struct-state aggregate() HOF
+    # is CodegenFallback-interpreted and re-evaluates the run expression
+    # per element, while the exploded double aggregation below is
+    # whole-stage-codegen'd with map-side partials on doc-scoped keys —
+    # the shuffles it pays are small and scale-safe.)
     exploded = (
         base.select(
             "doc_id",
@@ -327,6 +335,13 @@ def lexicon_coverage(
         .select("id", F.explode_outer("_tk").alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
+    # (Round-10 negative result, kept so it is not retried: a stats-gated
+    # persist of ``tok`` — it feeds the frequency and coverage branches —
+    # measured 1.00 -> 1.32 s med standalone and neutral inside
+    # curation_gate in 5-draw interleaved A/Bs at sf0.1: the unigram
+    # explode is cheap enough that the cache fill + scan costs more than
+    # the second tokenizer evaluation it saves, unlike the n-gram shingle
+    # relations where the same persist paid off.)
     freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     lex = freq.orderBy(F.desc("cnt"), F.asc("tok")).limit(lexicon_size).select("tok")
     cov = (

@@ -4810,6 +4810,34 @@ def robust_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sketch import grouped_exact_quantiles
 
     docs = testdata.load(spark, sf_dir, "documents")
+    # Small-corpus tier (round-10, guide §1.2): the composition is FIVE
+    # corpus scans (2 per two-pass quantile + the flag pass) over a
+    # two-column integer table; when the input estimate admits the gate,
+    # ONE Arrow collect + numpy sorts compute the same type-1 medians,
+    # MAD and the integer outlier test — every quantity an exact integer,
+    # rows identical by construction. Past the gate the bounded
+    # histogram-primitive shape below is unchanged — the 100 TB path.
+    from .operators.util import plan_size_bytes, small_corpus_cache_limit
+
+    est = plan_size_bytes(docs)
+    if est is not None and est <= small_corpus_cache_limit(docs):
+        import numpy as np
+
+        pdf = docs.select("source", "n_chars").toPandas()
+        rows = []
+        for src, vals in pdf.groupby("source", sort=False)["n_chars"]:
+            v = np.sort(vals.to_numpy(np.int64))
+            n = len(v)
+            med_v = int(v[(n + 1) // 2 - 1])
+            dv = np.abs(v - med_v)
+            mad_v = int(np.sort(dv)[(n + 1) // 2 - 1])
+            n_out = int((dv * 10000 > _ROBUST_Z3_Q * mad_v).sum())
+            rows.append((src, n, med_v, mad_v, n_out))
+        return spark.createDataFrame(
+            rows,
+            "source string, n_docs bigint, median_chars bigint, "
+            "mad_chars bigint, n_outliers bigint",
+        )
     med = (
         grouped_exact_quantiles(
             docs.select("source", "n_chars"), "source", "n_chars", [("p50", 1, 2)]
