@@ -147,6 +147,28 @@ HEADLINE = [
     "resize_image",
     "sketch_error_bounds",
 ]
+# Forced-distributed sweep (round 11, VERDICT r10 task #2): the entries
+# whose sf0.1 computation is served by a small-corpus driver tier (or whose
+# dense gate's front-end is a single driver collect) are re-timed with
+# lesw.smallCorpusCacheBytes=0 so the DISTRIBUTED shapes — the only shapes
+# that exist at 100 TB — stay regression-visible in the bench artifact.
+# Published as "<name>_dist" under "queries_dist" in BENCH_DETAIL*.json,
+# additions-only: the headline "queries"/"value" numbers are untouched, so
+# totals stay comparable round over round.
+DIST_SWEEP = [
+    "dedup_jaccard_pairs",
+    "dedup_containment",
+    "dedup_incremental",
+    "ingestion_admission_counts",
+    "dedup_minhash_lsh",
+    "dedup_minhash_calibration",
+    "dedup_lsh_band_sweep",
+    "dedup_threshold_sensitivity",
+    "dedup_cost_census",
+    "tf_cosine_pairs",
+    "username_fuzzy_pairs",
+    "robust_length_outliers",
+]
 # curation_pipeline_counts (the composed end-to-end DAG) is benched once,
 # not min-of-3: one full run is itself several pipeline stages of work and
 # the stage operators are all min-of-3'd individually above.
@@ -374,13 +396,38 @@ def _run_isolated(names: list[str], sf_dir: str) -> dict[str, float] | None:
 
 def run_isolated_mode(names_csv: str) -> None:
     """--isolated entrypoint: fresh-JVM min-of-3 measurement of the named
-    registry queries, one JSON line on stdout."""
+    registry queries, one JSON line on stdout.
+
+    Round 11 (VERDICT r10 task #8): the two custom-harness eps metrics are
+    addressable here too, as the sentinel names ``engine_batch_eps`` /
+    ``streaming_eps`` — measured with the SAME protocol as the main run
+    (engine: min-of-5 batch passes; streaming: 4 draws, first discarded)
+    so an in-run eps drop can be adjudicated against a clean-JVM profile."""
+    import tempfile
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("lesw-bench-isolated")
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.all_queries()
-    names = [n for n in names_csv.split(",") if n in registry]
+    requested = [n for n in names_csv.split(",") if n]
     out: dict[str, float] = {}
+    eps_names = [n for n in requested if n in ("engine_batch_eps", "streaming_eps")]
+    if eps_names:
+        # one untimed warmup pass so the eps draws measure the hot path,
+        # not first-touch codegen (mirrors the main run, which measures
+        # these metrics ~1 warm query into the session)
+        bench_engine_batch(spark, sf_dir)
+        n_events = testdata.signups_df(spark, sf_dir).count()
+    if "engine_batch_eps" in eps_names:
+        draws = [bench_engine_batch(spark, sf_dir) for _ in range(5)]
+        out["engine_batch_eps"] = round(n_events / min(draws), 1)
+    if "streaming_eps" in eps_names:
+        s_draws = []
+        for _ in range(4):
+            sec_i, s_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
+            s_draws.append(sec_i)
+        out["streaming_eps"] = round(s_n / min(s_draws[1:]), 1)
+    names = [n for n in requested if n in registry]
     for i, name in enumerate(names):
         best = float("inf")
         for draw in range(4 if i == 0 else 3):
@@ -772,6 +819,30 @@ def main() -> None:
     timings["curation_pipeline_counts"] = round(min(curation_draws), 3)
     timings["engine_batch"] = engine_sec
     full_gc()
+    # Forced-distributed sweep (see DIST_SWEEP above): min-of-2 per entry —
+    # these are regression tripwires for the 100 TB plan shapes, not
+    # headline numbers, so two draws bound the added wall-clock while still
+    # absorbing first-touch codegen. Runs AFTER every headline measurement
+    # so its JVM debt cannot land inside a published number.
+    dist_timings: dict[str, float] = {}
+    saved_gate = spark.conf.get("lesw.smallCorpusCacheBytes", None)
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        for name in DIST_SWEEP:
+            if name not in registry:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                evaluate(registry[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            dist_timings[name + "_dist"] = round(best, 3)
+            full_gc()
+    finally:
+        if saved_gate is None:
+            spark.conf.unset("lesw.smallCorpusCacheBytes")
+        else:
+            spark.conf.set("lesw.smallCorpusCacheBytes", saved_gate)
     # wall-time at small SF is dominated by fixed per-batch overhead;
     # events/sec is the quantity that scales, so report it alongside
     n_events = testdata.signups_df(spark, sf_dir).count()
@@ -793,6 +864,7 @@ def main() -> None:
         "action": "noop-write",
         "n_queries": len(timings),
         "queries": timings,
+        "queries_dist": dist_timings,
         "curation_stage_seconds": _publish_phases(
             curation_stages, timings["curation_pipeline_counts"]
         ),
@@ -842,7 +914,24 @@ def main() -> None:
     suspects = _position_debt_suspects(
         timings, prev_queries, median_ratio, eligible=set(names)
     )
-    if suspects:
+    # Round 11 (VERDICT r10 task #8): the two eps metrics get the same
+    # position-debt adjudication as the registry queries. A ratio-vs-prev
+    # BELOW 0.75 against a flat query median means THIS metric slowed while
+    # the boot did not — re-measure it in a fresh JVM and publish
+    # max(in_run, isolated) eps (the throughput mirror of the per-query
+    # min-of-N: debt only ever depresses eps, so the larger of two real
+    # measurements is the better estimate; both raw values stay in the
+    # artifact). A uniformly slow boot (median moved too) flags nothing,
+    # same as the query rule.
+    eps_suspects: list[str] = []
+    if median_ratio is not None and median_ratio <= 1.3:
+        er = detail["engine_eps_ratio_vs_prev"]
+        sr = detail["streaming_eps_ratio_vs_prev"]
+        if isinstance(er, (int, float)) and er < 0.75:
+            eps_suspects.append("engine_batch_eps")
+        if isinstance(sr, (int, float)) and sr < 0.75:
+            eps_suspects.append("streaming_eps")
+    if suspects or eps_suspects:
         # the parent JVM is done measuring (everything below is file IO)
         # — TERMINATE it before the isolation subprocess boots, so the
         # child's min-of-3 really runs in clean memory instead of beside
@@ -861,8 +950,31 @@ def main() -> None:
                 gw.proc.wait(timeout=30)
         except Exception:  # noqa: BLE001 - best effort; child still runs
             pass
-        iso = _run_isolated(suspects, sf_dir)
+        iso = _run_isolated(suspects + eps_suspects, sf_dir)
         isolation: dict[str, dict] = {}
+        for name in eps_suspects:
+            in_run = engine_eps if name == "engine_batch_eps" else stream_eps
+            rec_eps: dict = {"in_run_eps": in_run}
+            rec_eps["isolated_eps"] = iso.get(name) if iso else None
+            if rec_eps["isolated_eps"] is not None:
+                best_eps = max(in_run, rec_eps["isolated_eps"])
+                key = (
+                    "engine_events_per_sec"
+                    if name == "engine_batch_eps"
+                    else "streaming_engine_events_per_sec"
+                )
+                detail[key] = best_eps
+                if name == "engine_batch_eps":
+                    engine_eps = best_eps
+                    detail["engine_eps_ratio_vs_prev"] = _eps_ratio(
+                        engine_eps, prev_detail, "engine_events_per_sec"
+                    )
+                else:
+                    stream_eps = best_eps
+                    detail["streaming_eps_ratio_vs_prev"] = _eps_ratio(
+                        stream_eps, prev_detail, "streaming_engine_events_per_sec"
+                    )
+            isolation[name] = rec_eps
         for name in suspects:
             rec: dict = {"in_run": timings[name]}
             rec["isolated"] = iso.get(name) if iso else None
@@ -883,10 +995,24 @@ def main() -> None:
         detail["isolation_remeasured"] = isolation
         total = round(sum(timings.values()), 3)
         detail["value"] = total
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail["cpus"] = cpus
     with open(os.path.join(repo_dir, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
         f.write("\n")
+    # Round 11 (VERDICT r10 task #1): a per-core-count copy, so the driver's
+    # low-core scaling run no longer clobbers the 32-core per-query detail
+    # (PERF_r10.scaling.per_query came back empty because one file served
+    # both runs).
+    with open(os.path.join(repo_dir, f"BENCH_DETAIL_{cpus}.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
     sys.stdout.flush()
+    # Round 11 (VERDICT r10 task #1): the printed one-line JSON carries the
+    # full per-query timings dict again — the driver's per-query
+    # round-over-round and scaling tables read THIS line, and the detail
+    # file alone proved insufficient (overwritten by the scaling run).
+    # Compact separators keep the line as small as the dict allows.
     print(
         json.dumps(
             {
@@ -895,6 +1021,7 @@ def main() -> None:
                 "unit": "sec",
                 "action": "noop-write",
                 "n_queries": len(timings),
+                "queries": timings,
                 "engine_events_per_sec": engine_eps,
                 "streaming_engine_events_per_sec": stream_eps,
                 "engine_eps_ratio_vs_prev": detail["engine_eps_ratio_vs_prev"],
@@ -902,9 +1029,11 @@ def main() -> None:
                     "streaming_eps_ratio_vs_prev"
                 ],
                 "sf": sf,
+                "cpus": cpus,
                 "median_ratio_vs_prev_detail": median_ratio,
                 "detail": "BENCH_DETAIL.json",
-            }
+            },
+            separators=(",", ":"),
         ),
         flush=True,
     )
