@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _SESSION_CACHES: list[DataFrame] = []
+_SESSION_BROADCASTS: list = []
 
 
 def register_session_cache(df: DataFrame) -> DataFrame:
@@ -34,6 +35,19 @@ def register_session_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def register_session_broadcast(bc):
+    """Track a Python ``Broadcast`` variable the same way (round-11,
+    r10 ADVICE): the dense driver tiers broadcast CSR arrays that their
+    LAZY returned plans read at action time, so the operator cannot
+    destroy them before returning — without tracking, every invocation
+    leaks one executor-resident broadcast for the session's lifetime.
+    The drain calls ``unpersist()`` (not ``destroy()``): an already-run
+    plan re-evaluated later lazily re-ships the blocks from the driver,
+    so releasing between queries is always safe."""
+    _SESSION_BROADCASTS.append(bc)
+    return bc
+
+
 def release_session_caches() -> None:
     """Unpersist and forget every cache registered since the last release
     (idempotent; safe when the backing SparkSession is already gone)."""
@@ -41,5 +55,11 @@ def release_session_caches() -> None:
         df = _SESSION_CACHES.pop()
         try:
             df.unpersist()
+        except Exception:  # noqa: BLE001 - session torn down mid-drain
+            pass
+    while _SESSION_BROADCASTS:
+        bc = _SESSION_BROADCASTS.pop()
+        try:
+            bc.unpersist()
         except Exception:  # noqa: BLE001 - session torn down mid-drain
             pass

@@ -165,6 +165,8 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    from .session_cache import register_session_broadcast
+
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     n = emb.count()
@@ -185,7 +187,9 @@ def cosine_near_dup_pairs(
         ref_ids = np.array([r[0] for r in rows], dtype=np.int64)
         ref = np.array([list(r[1]) for r in rows], dtype=np.float64)
         ref /= np.linalg.norm(ref, axis=1, keepdims=True)
-        bc = spark.sparkContext.broadcast((ref_ids, ref))
+        bc = register_session_broadcast(
+            spark.sparkContext.broadcast((ref_ids, ref))
+        )
 
         def block(batches):
             rids, rmat = bc.value
@@ -1056,21 +1060,44 @@ def semantic_dedup(
             for r, i in enumerate(idx):
                 v_mat[r] = vecs[i]
             nrm = np.zeros(m)
-            inter = np.zeros((m, m))
-            tmp = np.empty((m, m))
             for j in range(int(d)):
                 col = v_mat[:, j]
                 nrm += col * col
-                np.outer(col, col, out=tmp)
-                inter += tmp
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = inter / np.sqrt(np.outer(nrm, nrm))
-            # i < j (id order): mask out the diagonal, lower triangle and
-            # NaN cosines (dropped pairs) as -inf, then the best lower-id
-            # partner per member is a plain column max
-            cos[np.isnan(cos)] = -np.inf
-            cos[np.tril_indices(m)] = -np.inf
-            best = cos.max(axis=0)
+            # Bounded-memory pair scoring (round-11, r10 ADVICE): the
+            # full m x m cosine matrix is O(m^2) floats — ~80 GB at the
+            # docstring's 1e5 cell ceiling, where the pre-r10 join form
+            # streamed pairs. Score in COLUMN BLOCKS instead: for each
+            # block of "partner" members, accumulate the m x B
+            # intersection by ascending-j outer products — per PAIR that
+            # is the identical IEEE multiply/add sequence the full-matrix
+            # form (and the original join's zip_with/aggregate left fold)
+            # executes, so every cosine stays bit-equal — and fold the
+            # per-member best into a running max. Peak extra memory is
+            # O(m * B) (~3 x 64 MB at the default block), independent of
+            # cell size.
+            best = np.full(m, -np.inf)
+            blk = max(1, min(m, (1 << 23) // max(m, 1)))
+            row_idx = np.arange(m)
+            tmp = np.empty((m, blk))
+            for c0 in range(0, m, blk):
+                c1 = min(c0 + blk, m)
+                w = c1 - c0
+                inter = np.zeros((m, w))
+                t = tmp[:, :w]
+                for j in range(int(d)):
+                    col = v_mat[:, j]
+                    np.multiply(col[:, None], col[None, c0:c1], out=t)
+                    inter += t
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = inter / np.sqrt(
+                        np.outer(nrm, nrm[c0:c1])
+                    )
+                # partner column j (global c0+jj) takes the max over rows
+                # i < j only (id order); NaN cosines (dropped pairs) mask
+                # to -inf exactly as before
+                cos[np.isnan(cos)] = -np.inf
+                cos[row_idx[:, None] >= np.arange(c0, c1)[None, :]] = -np.inf
+                np.maximum(best[c0:c1], cos.max(axis=0), out=best[c0:c1])
             ok = np.isfinite(best)
             if ok.any():
                 out_ids.append(pdf[id_col].to_numpy()[idx[ok]])
