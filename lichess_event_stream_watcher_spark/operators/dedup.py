@@ -395,6 +395,13 @@ def jaccard_pairs_between(
 
             old_pdf = sh_old.select("id", "shingle").toPandas()
             new_pdf = sh_new.select("id", "shingle", "n_sh").toPandas()
+            if (len(old_pdf) and old_pdf["id"].isna().any()) or (
+                len(new_pdf) and new_pdf["id"].isna().any()
+            ):
+                # null ids split CSR rows (NaN != NaN) where the
+                # distributed groupBy merges them — sparse fallthrough,
+                # same as a gate reject (round-10 ADVICE)
+                return _jaccard_between_shingles(sh_new, sh_old, threshold)
             if len(old_pdf) and len(new_pdf):
                 old_pdf = old_pdf.sort_values(
                     "id", kind="mergesort", ignore_index=True
@@ -618,8 +625,12 @@ def _dense_between_map(
 
     o_ids, o_indptr, o_cols, o_sz = old_arrays
     n_ids, n_indptr, n_cols, n_sz = new_arrays
-    bc = spark.sparkContext.broadcast(
-        (o_ids, o_indptr, o_cols, o_sz, n_ids, n_indptr, n_cols, n_sz, n_vocab)
+    from .session_cache import register_session_broadcast
+
+    bc = register_session_broadcast(
+        spark.sparkContext.broadcast(
+            (o_ids, o_indptr, o_cols, o_sz, n_ids, n_indptr, n_cols, n_sz, n_vocab)
+        )
     )
     n_cpus = spark.sparkContext.defaultParallelism
     n_new, n_old = len(n_ids), len(o_ids)
@@ -967,7 +978,14 @@ def _shingle_pdf_small(sh: DataFrame, gate_df: DataFrame, cols=("id", "shingle")
     est = plan_size_bytes(gate_df)
     if est is None or est > small_corpus_cache_limit(gate_df):
         return None
-    return sh.select(*cols).toPandas()
+    pdf = sh.select(*cols).toPandas()
+    # Null ids -> distributed path: the driver tiers group rows into CSR
+    # docs by sort-adjacency, and NaN != NaN would split equal null ids
+    # into separate rows where the distributed groupBy('id') merges them
+    # (round-10 ADVICE on _csr_from_id_sorted).
+    if len(pdf) and pdf["id"].isna().any():
+        return None
+    return pdf
 
 
 def _csr_from_id_sorted(pdf, codes):
@@ -1089,7 +1107,11 @@ def _dense_self_candidates(
     import pandas as pd
 
     n_docs = len(ids_all)
-    bc = spark.sparkContext.broadcast((ids_all, indptr, cols, sizes_all, n_vocab))
+    from .session_cache import register_session_broadcast
+
+    bc = register_session_broadcast(
+        spark.sparkContext.broadcast((ids_all, indptr, cols, sizes_all, n_vocab))
+    )
     n_cpus = spark.sparkContext.defaultParallelism
     # chunk so each task's chunk x N intermediates stay ~<=256 MB
     chunk = max(1, (1 << 25) // max(n_docs, 1))
@@ -1435,6 +1457,13 @@ def _lsh_sig_rows_small(
     pdf = sh.select("id", "shingle").toPandas()
     if len(pdf) == 0:
         return np.empty(0, object), []
+    if pdf["id"].isna().any():
+        # NaN != NaN, so _csr_from_id_sorted would split equal null ids
+        # into separate CSR rows while the distributed groupBy('id')
+        # merges them into one signature group (round-10 ADVICE) — bail
+        # to the distributed shape, matching the other tiers' gate-reject
+        # behavior.
+        return None
     pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
     codes, uniq = pd.factorize(pdf["shingle"])
     ids_all, _sizes, indptr, cols = _csr_from_id_sorted(pdf, codes)
@@ -1442,16 +1471,7 @@ def _lsh_sig_rows_small(
     if nd > max_docs:
         return None
     if len(uniq) <= vocab_cap:
-        sig_cols = []
-        for j in range(k):
-            hexes = np.array(
-                [hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in uniq]
-            )
-            o = np.argsort(hexes, kind="mergesort")
-            rank = np.empty(len(hexes), np.int64)
-            rank[o] = np.arange(len(hexes))
-            minr = np.minimum.reduceat(rank[cols], indptr[:-1])
-            sig_cols.append(hexes[o][minr])
+        sig_cols = _sig_cols_from_csr(uniq, indptr, cols, k)
         sig_rows = [[str(c[i]) for c in sig_cols] for i in range(nd)]
         return ids_all, sig_rows
     spdf = _minhash_from_shingles(sh, k).toPandas()
@@ -1459,6 +1479,122 @@ def _lsh_sig_rows_small(
         return None
     spdf = spdf.sort_values("id", kind="mergesort", ignore_index=True)
     return spdf["id"].to_numpy(), spdf["sig"].to_list()
+
+
+def _sig_cols_from_csr(uniq, indptr, cols, k: int):
+    """Per-seed MinHash columns over an id-sorted CSR: k arrays of hex
+    digests (one per doc), byte-identical to ``minhash_signature_arrays``'s
+    aggregation — md5 once per DISTINCT shingle per seed, per-doc minima
+    via rank arrays + ``np.minimum.reduceat``. The ONE definition of the
+    driver-side signature build, shared by ``_lsh_sig_rows_small`` and
+    ``_cost_census_pdf``."""
+    import hashlib
+
+    import numpy as np
+
+    sig_cols = []
+    for j in range(k):
+        hexes = np.array(
+            [hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in uniq]
+        )
+        o = np.argsort(hexes, kind="mergesort")
+        rank = np.empty(len(hexes), np.int64)
+        rank[o] = np.arange(len(hexes))
+        minr = np.minimum.reduceat(rank[cols], indptr[:-1])
+        sig_cols.append(hexes[o][minr])
+    return sig_cols
+
+
+def _cost_census_pdf(
+    df: DataFrame,
+    threshold: float,
+    k: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_docs: int = 200_000,
+    vocab_cap: int = 1 << 16,
+):
+    """Small-corpus tier of ``dedup_cost_census`` (round 11, VERDICT r10
+    task #9): the census is pure integer arithmetic over the collected
+    (id, shingle) relation, three rows out — so for a gate-admitted input
+    ONE Arrow collect replaces three shingle-table aggregations, the
+    ranked-prefix join + two windows and the signature aggregation
+    (~10 jobs of fixed cost at bench scale). Exactness per strategy:
+
+    - postings: df per shingle is ``bincount`` over the factorized
+      shingle codes; sum(df) and sum(df*(df-1) DIV 2) are exact int64.
+    - prefix_df: the (df asc, shingle asc) rank within each doc replays
+      the distributed window's total order (pandas string sort is code
+      point order == Spark's binary UTF8 order), and the prefix length
+      ``n_sh - ceil(t*n_sh) + 1`` replays the identical double
+      multiply/ceil.
+    - lsh: the SAME ``_sig_cols_from_csr`` signature build as the LSH
+      candidate tier (byte-identical to the distributed aggregation) and
+      the same md5 band keys, so bucket sizes agree even under hash
+      collisions.
+
+    ``None`` past any gate (input estimate, null ids, doc count, vocab
+    cap) keeps the distributed census — the 100 TB shape — unchanged."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    sh = shingles(df, n, text_col, id_col)
+    pdf = _shingle_pdf_small(sh, df)
+    if pdf is None or len(pdf) == 0:
+        return None
+    pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
+    codes, uniq = pd.factorize(pdf["shingle"])
+    ids_all, _sizes, indptr, cols = _csr_from_id_sorted(pdf, codes)
+    if len(ids_all) > max_docs or len(uniq) > vocab_cap:
+        return None
+    t = threshold - 1e-6
+    dfreq = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    post_idx = int(dfreq.sum())
+    post_pairs = int((dfreq * (dfreq - 1) // 2).sum())
+    # prefix census: rank entries within each doc by (df asc, shingle asc)
+    ent = pd.DataFrame(
+        {"id": pdf["id"], "df": dfreq[codes], "sh": pdf["shingle"], "code": codes}
+    ).sort_values(["id", "df", "sh"], kind="mergesort", ignore_index=True)
+    idv = ent["id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, idv[1:] != idv[:-1]])
+    gsize = np.diff(np.r_[starts, len(idv)])
+    rk = np.arange(len(idv)) - np.repeat(starts, gsize) + 1
+    n_sh = np.repeat(gsize, gsize).astype(np.int64)
+    plen = (n_sh - np.ceil(t * n_sh) + 1).astype(np.int64)
+    pdfr = np.bincount(
+        ent["code"].to_numpy()[rk <= plen], minlength=len(uniq)
+    ).astype(np.int64)
+    pre_idx = int(pdfr.sum())
+    pre_pairs = int((pdfr * (pdfr - 1) // 2).sum())
+    # lsh census: same band widths + md5 band keys as _lsh_pairs_pdf
+    sig_cols = _sig_cols_from_csr(uniq, indptr, cols, k)
+    r = k // bands
+    widths = [r] * (bands - 1) + [k - (bands - 1) * r]
+    lsh_idx = 0
+    lsh_pairs = 0
+    for bi, w in enumerate(widths):
+        lo = bi * r
+        keys = pd.array(
+            [
+                hashlib.md5(",".join(row).encode()).hexdigest()
+                for row in zip(*(sig_cols[j] for j in range(lo, lo + w)))
+            ]
+        )
+        m = np.bincount(pd.factorize(keys)[0]).astype(np.int64)
+        lsh_idx += int(m.sum())
+        lsh_pairs += int((m * (m - 1) // 2).sum())
+    return df.sparkSession.createDataFrame(
+        [
+            ("postings", post_idx, post_pairs),
+            ("prefix_df", pre_idx, pre_pairs),
+            (f"lsh_{k}x{bands}", lsh_idx, lsh_pairs),
+        ],
+        "strategy string, index_rows bigint, candidate_pairs bigint",
+    )
 
 
 def _lsh_pairs_pdf(
@@ -1673,6 +1809,12 @@ def dedup_cost_census(
     corpus text never moves, and no strategy's actual pair explosion
     runs. Three shingle-table aggregations + one signature pass.
     """
+    # Small-corpus tier (round 11): the whole census from ONE Arrow
+    # collect — see _cost_census_pdf for the per-strategy exactness
+    # argument. Any gate rejection keeps the distributed shape below.
+    small = _cost_census_pdf(df, threshold, k, bands, n, text_col, id_col)
+    if small is not None:
+        return small
     t = threshold - 1e-6
     sh = shingles(df, n, text_col, id_col)
     # Small-corpus persist (round-10): this census consumes the shingle
@@ -2040,9 +2182,29 @@ def _components_pdf(
     est_p = plan_size_bytes(pairs)
     if est_n is None or est_p is None or est_n > lim or est_p > lim:
         return None
-    ids_pdf = nodes.select(F.col(id_col).alias("id")).toPandas()
-    pairs_pdf = pairs.select("id_a", "id_b").toPandas()
+    # Round-11 (VERDICT r10 task #7): the row caps now bound the COLLECT
+    # itself, not just the arrays built after it. ``pairs`` is a
+    # join-derived relation whose Catalyst size estimate can UNDER-read
+    # (selectivity guesswork), so the old "collect, then check len" order
+    # let a bad estimate pull an unbounded frame onto the driver before
+    # the cap could fire. limit(cap + 1) keeps the transfer bounded by
+    # construction: a full result under the cap is unaffected (limit of a
+    # smaller set is the set), and cap + 1 collected rows means "over the
+    # cap" -> fall back to the distributed fixpoint.
+    ids_pdf = nodes.select(F.col(id_col).alias("id")).limit(max_nodes + 1).toPandas()
+    pairs_pdf = pairs.select("id_a", "id_b").limit(max_pairs + 1).toPandas()
     if len(ids_pdf) > max_nodes or len(pairs_pdf) > max_pairs:
+        return None
+    # Null endpoints poison the factorize-based labeling: pd.factorize
+    # encodes NaN/None as code -1, so rank[codes] would WRAP to the last
+    # rank and silently merge null nodes into an arbitrary id's component,
+    # where the distributed fixpoint keeps null as its own label row
+    # (round-10 ADVICE). Nulls -> distributed rounds.
+    if (
+        ids_pdf["id"].isna().any()
+        or pairs_pdf["id_a"].isna().any()
+        or pairs_pdf["id_b"].isna().any()
+    ):
         return None
     all_ids = pd.concat(
         [ids_pdf["id"], pairs_pdf["id_a"], pairs_pdf["id_b"]],
