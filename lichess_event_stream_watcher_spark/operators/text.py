@@ -369,6 +369,125 @@ def lexicon_coverage(
     )
 
 
+def quality_gate_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    short_doc_tokens: int = 50,
+    top_bigram_frac: float = 0.08,
+    dup_token_frac: float = 0.8,
+    lexicon_size: int = 1000,
+    min_ratio: float = 0.8,
+) -> DataFrame:
+    """FUSED quality gate: the rows of ``df`` whose documents pass
+    repetition AND lexicon-coverage AND language identification — by
+    construction the exact rows ``pipeline.curate_corpus``'s gate stage
+    previously kept via three independent signal operators (round 11,
+    guide §1.2; VERDICT r10 task #5).
+
+    Equivalence argument, signal by signal (the three standalone
+    operators — ``repetition_profile``, ``lexicon_coverage``,
+    ``lang_known`` — are untouched and keep their own oracled queries):
+
+    - **tokens**: both passes here project the IDENTICAL Spark
+      expression ``tokens(normalize_text(text))`` the standalone
+      operators evaluate, so the per-doc token array is the same array.
+    - **repetition keep** = ``n >= short_doc_tokens AND
+      floor(top/nb*1e6)/1e6 <= top_bigram_frac AND
+      floor((n-nd)/n*1e4)/1e4 <= dup_token_frac``. The standalone form
+      computes top/nb via a doc-scoped double aggregation — a per-doc
+      quantity (the most frequent ADJACENT bigram within the doc), so a
+      doc-local count is the same integer; the float steps replay the
+      identical cast/divide/multiply/floor sequence in float64, bit for
+      bit. Docs with < 2 tokens produce no bigram rows in the standalone
+      form, drop out of its output, and gate to keep=false through the
+      pipeline's ``coalesce(_keep_rep, false)`` — here they verdict
+      false directly.
+    - **lexicon keep**: the lexicon is built by the same frequency
+      aggregation + (cnt DESC, tok ASC) top-k over the same token
+      relation, so it is the same deterministic token set; per-doc
+      coverage counts the same occurrences, and the ratio replays the
+      identical floor arithmetic. Zero-token docs verdict false exactly
+      like the standalone n_tokens=0 convention.
+    - **language**: the SAME ``lang_known`` Spark column, evaluated once
+      in the base projection.
+
+    Physical shape: TWO corpus scans (the lexicon frequency pass and the
+    verdict pass), ZERO shuffles and ZERO joins, instead of the previous
+    three tokenizations plus the repetition double-shuffle, the coverage
+    shuffle and two id-keyed joins back to the corpus. The verdict is a
+    pure function of (doc tokens, lexicon, lang flag) — the lexicon is
+    the only corpus-level dependency and is ``lexicon_size`` rows by
+    construction at any corpus size, so it collects to the driver exactly
+    like the standalone broadcast — which is why the gate can be a
+    MAP-SIDE FILTER (one Arrow block per partition, guide §4.2): the
+    kept rows stream straight out with no id-keyed join back, the shape
+    that at 100 TB replaces a corpus-sized shuffle with nothing. The
+    per-doc bigram top-count is doc-LOCAL here, so nothing doc-keyed
+    ever shuffles.
+
+    Output: the kept rows of ``df``, original schema and values (the
+    non-verdict columns pass through the Arrow block untouched).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .util import spread
+
+    orig_cols = [f.name for f in df.schema.fields]
+    base = spread(
+        df.select(
+            "*",
+            tokens(normalize_text(F.col(text_col))).alias("_tk"),
+            lang_known(F.col(text_col)).alias("_lang_ok"),
+        )
+    )
+    lex_rows = (
+        base.select(F.explode_outer("_tk").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(lexicon_size)
+        .collect()
+    )
+    lex_set = frozenset(r["tok"] for r in lex_rows)
+
+    def _keep(batches):
+        for pdf in batches:
+            mask = np.zeros(len(pdf), dtype=bool)
+            for row, (tk, lang_ok) in enumerate(zip(pdf["_tk"], pdf["_lang_ok"])):
+                if tk is None or not lang_ok:
+                    continue
+                toks = list(tk)
+                n = len(toks)
+                if n < max(short_doc_tokens, 1) or n < 2:
+                    continue
+                nd = len(set(toks))
+                # identical float64 op order as repetition_profile
+                frac_dup = np.floor((n - nd) / n * 10000.0) / 10000.0
+                if not frac_dup <= dup_token_frac:
+                    continue
+                counts: dict[str, int] = {}
+                prev = toks[0]
+                for t in toks[1:]:
+                    bg = prev + " " + t
+                    counts[bg] = counts.get(bg, 0) + 1
+                    prev = t
+                nb = n - 1
+                top = max(counts.values())
+                frac_top = np.floor(top / nb * 1000000.0) / 1000000.0
+                if not frac_top <= top_bigram_frac:
+                    continue
+                n_in_lex = sum(1 for t in toks if t in lex_set)
+                ratio = np.floor(n_in_lex / n * 1000000.0) / 1000000.0
+                if ratio >= min_ratio:
+                    mask[row] = True
+            yield pd.DataFrame(pdf.loc[mask, orig_cols])
+
+    return base.mapInPandas(_keep, df.schema)
+
+
 def char_bigrams(col: Column) -> Column:
     """All overlapping character bigrams of the normalized text, in order.
 
@@ -415,69 +534,160 @@ def charlm_score(
     mean quantized bigram probability (higher = more corpus-like) and
     ppl_proxy = quant / avg_prob_q (rounded down; an inverse-likelihood
     stand-in for perplexity)."""
+    # Round-11 rewrite (guide §4.2; VERDICT r10 task #4). The previous
+    # form exploded bigrams through an interpreted transform() HOF
+    # (HigherOrderFunctions are CodegenFallback) and consumed the
+    # (id, bg, n) relation twice — model branch and scoring branch each
+    # re-ran the explode + a (id, bg) shuffle, then paid a broadcast
+    # model join, an id-keyed aggregation and an ids left-join: 4
+    # exchanges, 2 interpreted bigram passes. Now TWO Arrow passes:
+    #
+    # 1. model pass — mapInPandas counts bigrams per BATCH in numpy
+    #    (codepoint arrays via utf-32, one uint64 key per bigram,
+    #    np.unique) and emits pre-aggregated (bg, cnt) rows, so the one
+    #    remaining shuffle carries <= charset^2 rows per partition; the
+    #    bounded model (charset^2 rows — the documented contract that
+    #    makes char-level LMs the first-pass web filter) collects to the
+    #    driver, where prob_q reproduces the prior Spark arithmetic
+    #    EXACTLY: floor((cnt+1 as double) * quant / (ctx_total+v as
+    #    double)) is one int->double conversion, one correctly-rounded
+    #    multiply, one correctly-rounded divide and an exact floor on
+    #    both engines, so every prob_q is bit-identical to the old
+    #    broadcast-join column.
+    # 2. scoring pass — mapInPandas over (id, _t) with the sorted-key
+    #    model broadcast: per-doc n_bigrams and sum(n * prob_q) are sums
+    #    of exact int64s (accumulated in int64 — order-free), and the
+    #    avg/ppl steps replay the identical double casts and floors.
+    #    Every input row emits exactly one output row (zero-bigram docs
+    #    get the explicit n=0 row), so the old ids LEFT JOIN scaffold is
+    #    gone too.
+    #
+    # Bigram parity: Spark's substring()/length() count code points, as
+    # do Python/utf-32 arrays, so s[i:i+2] enumerates the identical
+    # bigram strings the transform(sequence...) form produced (every
+    # slice has length 2 by construction; the old length==2 filter was
+    # defensive only).
+    import numpy as np
+    import pandas as pd
+
+    from .session_cache import register_session_broadcast
     from .util import spread
 
     # materialize the normalized text ONCE per row behind spread()'s
-    # exchange (a projection-collapse barrier): char_bigrams' inline form
-    # re-evaluates the normalize regex inside the per-position transform
-    # lambda — O(len^2) regex work per document (measured 25x on sf0.1)
+    # exchange (a projection-collapse barrier), exactly as before
     base = spread(
         df.select(
             F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
         )
     )
-    t = F.col("_t")
-    idx = F.when(
-        F.length(t) >= 2, F.sequence(F.lit(1), F.length(t) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bg = (
-        base.select(
-            "id", F.explode(F.transform(idx, lambda i: F.substring(t, i, 2))).alias("bg")
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _doc_pairs(texts):
+        """(cp, idx, doc_of_pair, npair): concatenated codepoint array,
+        pair start positions, and each pair's doc index — ragged-range
+        construction, no cross-doc pairs, no separator hazard."""
+        cps = [
+            np.frombuffer(
+                (t if isinstance(t, str) else "").encode("utf-32-le"),
+                dtype=np.uint32,
+            )
+            for t in texts
+        ]
+        lens = np.fromiter((len(c) for c in cps), dtype=np.int64, count=len(cps))
+        cp = np.concatenate(cps) if cps else np.empty(0, np.uint32)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        npair = np.maximum(lens - 1, 0)
+        total = int(npair.sum())
+        if total == 0:
+            return cp, np.empty(0, np.int64), np.empty(0, np.int64), npair
+        cumex = np.concatenate(([0], np.cumsum(npair)[:-1]))
+        idx = np.repeat(starts - cumex, npair) + np.arange(total)
+        doc_of_pair = np.repeat(np.arange(len(cps)), npair)
+        return cp, idx, doc_of_pair, npair
+
+    def _model_counts(batches):
+        for pdf in batches:
+            cp, idx, _, _ = _doc_pairs(pdf["_t"])
+            if len(idx) == 0:
+                continue
+            keys = (cp[idx].astype(np.uint64) << np.uint64(32)) | cp[idx + 1]
+            uniq, cnt = np.unique(keys, return_counts=True)
+            yield pd.DataFrame(
+                {
+                    "bg": [
+                        chr(int(k >> np.uint64(32))) + chr(int(k & np.uint64(0xFFFFFFFF)))
+                        for k in uniq
+                    ],
+                    "cnt": cnt.astype(np.int64),
+                }
+            )
+
+    model_pdf = (
+        base.select("_t")
+        .mapInPandas(_model_counts, "bg string, cnt long")
+        .groupBy("bg")
+        .agg(F.sum("cnt").alias("cnt"))
+        .toPandas()
+    )
+    if len(model_pdf):
+        mkeys = np.fromiter(
+            (
+                (np.uint64(ord(b[0])) << np.uint64(32)) | np.uint64(ord(b[1]))
+                for b in model_pdf["bg"]
+            ),
+            dtype=np.uint64,
+            count=len(model_pdf),
         )
-        .filter(F.length("bg") == 2)
-        .groupBy("id", "bg")
-        .agg(F.count("*").alias("n"))
-    )
-    model = bg.groupBy("bg").agg(F.sum("n").alias("cnt"))
-    ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.sum("cnt").alias("ctx_total")
-    )
-    vocab = model.select(F.countDistinct(F.substring("bg", 1, 1)).alias("v"))
-    scored_model = (
-        model.join(F.broadcast(ctx), F.substring(model.bg, 1, 1) == ctx.c1)
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "bg",
-            F.floor(
-                (F.col("cnt") + 1).cast("double")
-                * F.lit(float(quant))
-                / (F.col("ctx_total") + F.col("v")).cast("double")
-            ).cast("bigint")
-            .alias("prob_q"),
-        )
-    )
-    per_doc = (
-        bg.join(F.broadcast(scored_model), "bg")
-        .groupBy("id")
-        .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("prob_q")).alias("sum_prob_q"),
-        )
-    )
-    ids = df.select(F.col(id_col).alias("id"))
-    full = ids.join(per_doc, "id", "left")
-    n = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
-    avg = F.when(n == 0, F.lit(0)).otherwise(
-        F.floor(F.col("sum_prob_q").cast("double") / n.cast("double")).cast("bigint")
-    )
-    return full.select(
-        "id",
-        n.alias("n_bigrams"),
-        avg.alias("avg_prob_q"),
-        F.when(avg == 0, F.lit(0))
-        .otherwise(F.floor(F.lit(float(quant)) / avg.cast("double")))
-        .cast("bigint")
-        .alias("ppl_proxy"),
+        mcnt = model_pdf["cnt"].to_numpy(dtype=np.int64)
+        c1 = (mkeys >> np.uint64(32)).astype(np.int64)
+        uniq_c1, inv = np.unique(c1, return_inverse=True)
+        ctx_total = np.zeros(len(uniq_c1), dtype=np.int64)
+        np.add.at(ctx_total, inv, mcnt)
+        v = len(uniq_c1)
+        prob = np.floor(
+            (mcnt + 1).astype(np.float64)
+            * float(quant)
+            / (ctx_total[inv] + v).astype(np.float64)
+        ).astype(np.int64)
+        order = np.argsort(mkeys, kind="mergesort")
+        bc_model = (mkeys[order], prob[order])
+    else:
+        bc_model = (np.empty(0, np.uint64), np.empty(0, np.int64))
+    bc = register_session_broadcast(spark.sparkContext.broadcast(bc_model))
+
+    def _score(batches):
+        skeys, sprob = bc.value
+        for pdf in batches:
+            cp, idx, doc_of_pair, npair = _doc_pairs(pdf["_t"])
+            n = npair  # every bigram joins the corpus-built model
+            sums = np.zeros(len(pdf), dtype=np.int64)
+            if len(idx):
+                keys = (cp[idx].astype(np.uint64) << np.uint64(32)) | cp[idx + 1]
+                pos = np.searchsorted(skeys, keys)
+                np.add.at(sums, doc_of_pair, sprob[pos])
+            nf = n.astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                avg = np.where(
+                    n == 0, 0, np.floor(sums.astype(np.float64) / nf)
+                ).astype(np.int64)
+                ppl = np.where(
+                    avg == 0,
+                    0,
+                    np.floor(float(quant) / avg.astype(np.float64)),
+                ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bigrams": n,
+                    "avg_prob_q": avg,
+                    "ppl_proxy": ppl,
+                }
+            )
+
+    return base.mapInPandas(
+        _score,
+        f"id {id_type}, n_bigrams bigint, avg_prob_q bigint, ppl_proxy bigint",
     )
 
 
@@ -576,11 +786,27 @@ def tf_cosine_pairs(
 
             pdf = pdf.sort_values("id", kind="mergesort", ignore_index=True)
             codes, uniq = pd.factorize(pdf["tok"])
-            if len(uniq) <= dense_vocab_limit:
+            # dense-matrix byte cap (round-11, r10 ADVICE): the pdf tier
+            # scatter-builds ONE n_docs x v_size float64 matrix per task,
+            # so it honors the same 256 MB bound _tf_cosine_dense's
+            # sharding enforces — a session raising the input-estimate
+            # gate can no longer admit matrices that spike every
+            # executor's memory at once. Past the cap the distributed
+            # (sharded) dense tier below serves the same result.
+            n_docs_pdf = int(pdf["id"].nunique())
+            if (
+                len(uniq) <= dense_vocab_limit
+                and n_docs_pdf * len(uniq) * 8 <= 256 << 20
+            ):
                 id_t = tok.schema["id"].dataType.simpleString()
                 return _tf_cosine_dense_pdf(
                     df.sparkSession, pdf, codes, len(uniq), threshold, id_t
                 )
+            if len(uniq) <= dense_vocab_limit:
+                # dense vocab but matrix past the byte cap: the sharded
+                # distributed dense tier (256 MB reference shards) is the
+                # right shape — prefix degenerates on dense vocabularies
+                return _tf_cosine_dense(tok, threshold)
             # vocab past the dense gate: sparse fallthrough (probe skipped
             # — the exact count already answered it)
             if sparse_strategy == "prefix":
@@ -980,7 +1206,11 @@ def _tf_cosine_dense_pdf(
     ids_all, _sz, indptr, cols = _csr_from_id_sorted(pdf, codes)
     weights = pdf["tf"].to_numpy(dtype=np.float64)
     n_docs = len(ids_all)
-    bc = spark.sparkContext.broadcast((ids_all, indptr, cols, weights, v_size))
+    from .session_cache import register_session_broadcast
+
+    bc = register_session_broadcast(
+        spark.sparkContext.broadcast((ids_all, indptr, cols, weights, v_size))
+    )
     n_cpus = spark.sparkContext.defaultParallelism
     chunk = max(1, (1 << 25) // max(n_docs, 1))
     margin = threshold - 1e-6  # same pre-filter slack as _tf_cosine_dense
@@ -1053,6 +1283,7 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
     import pandas as pd
     from pyspark.sql.window import Window
 
+    from .session_cache import register_session_broadcast
     from .util import spread
 
     spark = tok.sparkSession
@@ -1114,7 +1345,9 @@ def _tf_cosine_dense(tok: DataFrame, threshold: float) -> DataFrame:
         ref_ids = np.array([r["id"] for r in rows], dtype=np.int64)
         ref = densify([r["_ix"] for r in rows], [r["_tv"] for r in rows])
         ref_n2 = (ref * ref).sum(axis=1)  # exact integer self-sums
-        bc = spark.sparkContext.broadcast((ref_ids, ref, ref_n2))
+        bc = register_session_broadcast(
+            spark.sparkContext.broadcast((ref_ids, ref, ref_n2))
+        )
 
         def block(batches):
             rids, rmat, rn2 = bc.value

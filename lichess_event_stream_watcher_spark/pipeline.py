@@ -120,32 +120,16 @@ def curate_corpus(
     docs1.unpersist()
 
     # 3. quality gate: repetition + lexicon + language signals, every doc
-    #    verdicted; keep only keep=true
-    rep = X.repetition_profile(docs2).select(
-        "doc_id", F.col("keep").alias("_keep_rep")
-    )
-    lex = X.lexicon_coverage(docs2).select(
-        F.col("id").alias("doc_id"), F.col("keep").alias("_keep_lex")
-    )
-    # lang_id is map-side, so it gates as a COLUMN on docs2 — never a
-    # docs2-derived frame joined back to docs2 (a corpus-sized self-join
-    # that shuffles the full text column twice at any scale where the
-    # corpus doesn't broadcast). Only the two aggregated signals (rep,
-    # lex) genuinely need a join back. The gate never needs the language
-    # LABEL, only "is any language identified" — lang_known is that
-    # predicate as one flat marker-occurrence sum, fully codegen-able
-    # inside the fused filter (no when-chain to blow janino's 64 KB, no
-    # CodegenFallback HOF; see lang_id's form-discipline docstring).
-    gated = (
-        docs2.join(rep, "doc_id", "left")
-        .join(lex, "doc_id")
-        .filter(
-            F.coalesce("_keep_rep", F.lit(False))
-            & F.col("_keep_lex")
-            & X.lang_known(F.col("text"))
-        )
-        .drop("_keep_rep", "_keep_lex")
-    ).persist()
+    #    verdicted; keep only keep=true. Round 11 (guide §1.2): the three
+    #    standalone signal operators tokenized the survivor corpus THREE
+    #    times and paid repetition's doc-keyed double shuffle, coverage's
+    #    id shuffle and two id-keyed joins back — quality_gate_filter
+    #    fuses them into two scans (lexicon frequency + one Arrow verdict
+    #    pass) with zero shuffles and zero joins, and its docstring
+    #    carries the signal-by-signal proof that the kept set is
+    #    identical. The standalone operators keep their own oracled
+    #    queries (curation_gate et al.) untouched.
+    gated = X.quality_gate_filter(docs2).persist()
     counts["quality_gate"] = gated.count()
     _stamp("quality_gate")
     docs2.unpersist()

@@ -219,80 +219,18 @@ def rule_expiry_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries (all with >= 1 green row, most with 2-3) keep coverage every
 # session through tests/test_oracle_parity.py.
 _DRIVER_PRIORITY = [
-    # ---- the round-9 50-row driver window -------------------------------
-    # Head allocation, in priority order:
-    # -- (1) round-9 new registrations (VERDICT r8 tasks #1 and #3):
-    #    semantic_dedup_auto — the corpus-scaled cell-count SemDeDup form
-    #    whose k lever the round-8 scale probe measured (clears the
-    #    round's one perf-weak component; now also the benched form), and
-    #    image_stats_jpeg — the from-scratch T.81 codec on a committed
-    #    driver hash via fixture-frozen recipe artifacts
-    #    (artifacts_jpeg.py), covering 4:4:4/4:2:0/4:2:2/1x2 sampling,
-    #    restart markers, and both poison pills:
-    "semantic_dedup_auto",
-    "image_stats_jpeg",
-    # -- (2) queue-head drain: changed-in-r7 entry holding an r6 green
-    #    that round 10's staleness horizon will demand anyway — taking it
-    #    now trims next round's mandatory block to the 47 declared below:
-    "gopher_rule_failures",
-    # -- (3) the staleness block: all 47 r5-vintage rows (mechanized
-    #    rule, STALE_ROUNDS=4 — when CORRECTNESS_r09 lands the horizon
-    #    reaches round 5, so every one of these must re-certify THIS
-    #    round), name order — fills the 50 slots exactly
-    "ann_ivf_topk",
-    "ann_ivf_trained",
-    "ann_ivf_trained_q",
-    "ann_ivfpq_topk",
-    "ann_pq_topk",
-    "benford_first_digit",
-    "boilerplate_ngrams",
-    "bpe_encode_pieces",
-    "bpe_source_token_counts",
-    "ccnet_quality_buckets",
-    "collocation_lift_topk",
-    "corpus_snapshot_diff",
-    "corpus_token_accounting",
-    "cusum_hourly_changepoint",
-    "dedup_exact",
-    "distinctive_terms_by_source",
-    "dsir_importance_log",
-    "dup_graph_pagerank",
-    "embedding_pca_projection_q",
-    "embedding_random_projection",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "hard_negative_mining",
-    "histogram_drift_tv",
-    "hourly_corr_pairs",
-    "hybrid_retrieval_rrf",
-    "ingestion_admission_counts",
-    "join_key_profile",
-    "k_anonymity_audit",
-    "label_centroid_confusion",
-    "label_centroid_dispersion",
-    "last3_caught",
-    "ngram_novelty_profile",
-    "ols_trend_by_type",
-    "quality_lr_source_scores",
-    "regex_token_counts",
-    "retrieval_eval",
-    "robust_length_outliers",
-    "rule_scan",
-    "source_label_gini",
-    "source_lang_cramers_v",
-    "source_overlap_matrix",
-    "token_budget_sample",
-    "weighted_priority_sample",
-    "winnowing_dup_pairs",
-    "zipf_octave_profile",
-    "zorder_key_events",
-    # ---- position 51+: the declared rotation queue -----------------------
-    # (A) the round-10 staleness pre-declaration: the 47 remaining
-    # r6-vintage rows that next round's horizon will demand, name order.
-    # This list also subsumes the former changed-since-green groups
-    # (a)/(b) members whose newest greens are r6 (ann_lsh_buckets,
-    # unimax_allocation, dedup_cost_census, the band sweep, ...) — their
-    # declaration obligation continues here unchanged.
+    # ---- the round-11 50-row driver window ------------------------------
+    # Mechanized rotation (tests/test_registry_policy.py): with
+    # CORRECTNESS_r10 committed, the staleness horizon reaches round 6,
+    # so the 47 r6-vintage rows pre-declared by round 10's group (A)
+    # rotate into the window NOW. The other 3 slots go to the queries
+    # whose backing code round 11's optimization work changed most — the
+    # charlm two-Arrow-pass rewrite, the fused curation quality gate,
+    # and semantic_dedup's bounded-block cell scoring — so their r10
+    # greens are re-earned on the changed code:
+    "charlm_quality",
+    "curation_pipeline_counts",
+    "semantic_dedup",
     "ann_cost_census",
     "ann_lsh_buckets",
     "ann_pq_distortion",
@@ -340,25 +278,72 @@ _DRIVER_PRIORITY = [
     "unimax_allocation",
     "unpivot_measures",
     "window_suite",
-    # (B) changed-since-green r7 rows (mechanized:
-    # tests/registry_freshness.py + the policy test). Carried forward
-    # from the round-8 declaration: the rule-engine sandbox path (r8
-    # lua/ip fixes), the operator-closure groups preempted by round 8's
-    # dense-vs-postings cost gate and baseline-JPEG dispatch, the
-    # factory-made criterion queries, and the similarity.py closure —
-    # plus the round-9 preemptions layered on the same files
-    # (register_session_cache in the band-sweep/ccnet registrations,
-    # the _unstuff fill-byte fix and asymmetric-sampling encoder in
-    # functions/jpeg.py, the semantic_dedup docstring/closure updates).
-    # All re-verified green at sf0.01 by this session's full driver-sim
-    # sweeps on the changed code; declared so the committed paper trail
-    # rotates them through upcoming windows (their r7 greens stay valid
-    # through round 11).
+    # ---- position 51+: the declared rotation queue -----------------------
+    # (A) the round-9/10 window, rotated out whole at the round-11
+    # rotation — every row is r10-green (CORRECTNESS_r10: 50/50), valid
+    # through round 14. Round 11's operator work (operators/dedup.py,
+    # text.py, similarity.py, session_cache.py, pipeline.py and the two
+    # queries_pipeline.py explode_outer fixes) preempts many of their
+    # closures; all re-verified green at sf0.01 by this session's full
+    # driver-sim sweep on the changed code, and declared here so the
+    # committed paper trail rotates them through upcoming windows:
+    "semantic_dedup_auto",
+    "image_stats_jpeg",
+    "gopher_rule_failures",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_ivf_trained_q",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "benford_first_digit",
+    "boilerplate_ngrams",
+    "bpe_encode_pieces",
+    "bpe_source_token_counts",
+    "ccnet_quality_buckets",
+    "collocation_lift_topk",
+    "corpus_snapshot_diff",
+    "corpus_token_accounting",
+    "cusum_hourly_changepoint",
+    "dedup_exact",
+    "distinctive_terms_by_source",
+    "dsir_importance_log",
+    "dup_graph_pagerank",
+    "embedding_pca_projection_q",
+    "embedding_random_projection",
+    "event_transition_matrix",
+    "funnel_conversion",
+    "hard_negative_mining",
+    "histogram_drift_tv",
+    "hourly_corr_pairs",
+    "hybrid_retrieval_rrf",
+    "ingestion_admission_counts",
+    "join_key_profile",
+    "k_anonymity_audit",
+    "label_centroid_confusion",
+    "label_centroid_dispersion",
+    "last3_caught",
+    "ngram_novelty_profile",
+    "ols_trend_by_type",
+    "quality_lr_source_scores",
+    "regex_token_counts",
+    "retrieval_eval",
+    "robust_length_outliers",
+    "rule_scan",
+    "source_label_gini",
+    "source_lang_cramers_v",
+    "source_overlap_matrix",
+    "token_budget_sample",
+    "weighted_priority_sample",
+    "winnowing_dup_pairs",
+    "zipf_octave_profile",
+    "zorder_key_events",
+    # (B) the carried-forward changed-since-green declarations from
+    # rounds 7-10 (see git history for the per-group narratives), minus
+    # the three rows promoted into this round's window head:
     "action_schedule",
     "rule_expiry_sweep",
     "rule_scan_actions",
     "would_fire_counts",
-    "charlm_quality",
     "contamination_check",
     "curation_gate",
     "dedup_clusters",
@@ -397,24 +382,9 @@ _DRIVER_PRIORITY = [
     "embedding_quantize_int8",
     "ivf_cell_occupancy",
     "knn_cosine_topk",
-    "semantic_dedup",
-    # (C) r8 rows preempted by round 9's OWN changes — the decode_image
-    # closure (functions/jpeg.py fill-byte fix + sampling generalization;
-    # operators/multimodal.py untouched but its import closure reaches
-    # jpeg.py) flags the image family. Re-verified green at sf0.01 by
-    # this session's full driver-sim sweeps; their r8 greens stay valid
-    # through round 12:
     "image_stats",
     "resize_image",
     "multimodal_frames",
-    # (D) rows preempted by round 10's OPTIMIZATION changes — the
-    # small-corpus driver tiers and build-cost work on operators/dedup.py
-    # (+ its util.py/session_cache.py closure), the PageRank checkpoint
-    # cadence (operators/graph.py), and the quantized power-iteration
-    # explode-agg (operators/pca.py). Physical-plan-only changes:
-    # every query below re-verified green at sf0.01 by this session's
-    # driver-sim sweeps on the changed code; declared so the committed
-    # paper trail rotates them through upcoming windows. Name order:
     "ann_ivfpq_adc",
     "ann_kmeans_cells_q",
     "ann_lsh_multiprobe",
@@ -424,7 +394,6 @@ _DRIVER_PRIORITY = [
     "bpe_merge_ranks",
     "chunk_documents",
     "cross_source_dups",
-    "curation_pipeline_counts",
     "dataset_split_counts",
     "dedup_corpus",
     "dsir_importance_q",

@@ -2463,9 +2463,19 @@ def embedding_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that extreme; the fixture's |x| <= ~3 gives ~1e13 headroom (documented
     bound, same contract style as value_outliers_3sigma)."""
     emb = testdata.load(spark, sf_dir, "embeddings")
-    vq = emb.select(
-        S._quantize_vec("embedding", 1_000_000).alias("v")
-    ).select(F.posexplode("v").alias("i", "x"))
+    # posexplode_OUTER (round 11): the plain posexplode lets
+    # InferFiltersFromGenerate push `size(v) > 0 AND isnotnull(v)` into
+    # the scan stage, re-evaluating the full quantize transform() TWICE
+    # more per row (3 evaluations total — plan-verified). The outer
+    # variant infers nothing; its one extra (null, null) row per
+    # null/empty vector dies in the unpushable post-generate filter on
+    # the generated ordinal (i is never null for a real element), so the
+    # aggregated rows are identical. Same pattern as dedup.shingles.
+    vq = (
+        emb.select(S._quantize_vec("embedding", 1_000_000).alias("v"))
+        .select(F.posexplode_outer("v").alias("i", "x"))
+        .filter(F.col("i").isNotNull())
+    )
     sx = F.sum("x")
     sxx = F.sum(F.col("x") * F.col("x"))
     n = F.count("*")
@@ -5078,14 +5088,23 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     state)."""
     docs = testdata.load(spark, sf_dir, "documents")
     toks = docs.select(F.split(X.normalize_text(F.col("text")), " ").alias("tk"))
+    # explode_OUTER on both branches (round 11): plain explode lets
+    # InferFiltersFromGenerate push `size(<expr>) > 0 AND isnotnull(<expr>)`
+    # into the scan stage, re-evaluating the normalize regex (and for the
+    # pair branch the whole transform/slice chain) per row before the
+    # projection evaluates it again — 5 regexp_replace evaluations in the
+    # r10 plan. The outer variant infers nothing, and the one null
+    # row it adds per null text dies in the existing `!= ''` filters
+    # (NULL != '' is NULL -> dropped), so every count is identical. Same
+    # pattern as dedup.shingles.
     uni = (
-        toks.select(F.explode("tk").alias("term"))
+        toks.select(F.explode_outer("tk").alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     pairs = toks.select(
-        F.explode(
+        F.explode_outer(
             F.expr("transform(slice(tk, 1, size(tk) - 1), (x, i) -> struct(x as a, tk[i + 1] as b))")
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
