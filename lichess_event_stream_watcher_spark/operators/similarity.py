@@ -299,6 +299,114 @@ def _bucket_expr(avecs, vec_col: str) -> Column:
     return F.expr(f"concat({bits})")
 
 
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(double, 6)``: BigDecimal(Double.toString(x))
+    .setScale(6, HALF_UP).toDouble, replayed exactly. Fast path: away
+    from a .5 boundary at the 7th decimal, floor(|x|*1e6 + 0.5) (with
+    the sign restored — HALF_UP rounds away from zero) is the HALF_UP
+    of EVERY faithful decimal representation of x, because all of them
+    live within float arithmetic error (~1e-10 at |x| <= ~1e3) of
+    x*1e6, far inside the 1e-4 guard band. Inside the band, python's
+    Decimal(repr(x)) replays the decimal-string construction — repr and
+    Double.toString both emit a shortest decimal that round-trips to x,
+    so both lie in the half-ulp interval around x and round identically
+    unless the .5 boundary itself splits that interval (an interval of
+    width ~1e-16 around a number that is never exactly representable —
+    not reachable from the fixture's rounded inputs; the conf-toggle pin
+    test in tests/test_r11_equivalence.py covers the live corpus)."""
+    import math
+
+    v = abs(x) * 1e6
+    f = math.floor(v)
+    if abs(v - f - 0.5) > 1e-4:
+        r = math.floor(v + 0.5) / 1e6
+    else:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        r = float(
+            Decimal(repr(abs(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+    return -r if x < 0 else r
+
+
+def _nearest_cells_pdf(emb: DataFrame, cvecs, n: int, id_col: str, vec_col: str):
+    """Small-corpus tier of ``nearest_cells`` (round 11, VERDICT r10 task
+    #10): the centroid ranking is a pure per-row function of (vector,
+    centroid literals), so for a gate-admitted input ONE Arrow collect +
+    numpy replaces the k-struct scoring expression — whose k x dim raw
+    SQL dot products cost seconds of ANALYSIS/codegen per call before a
+    single row is scored, then evaluate as interpreted aggregate/zip_with
+    folds per row.
+
+    Bit-parity, step by step: the left-fold dot and self-dot replay in
+    ascending-j vectorized accumulation (per row the identical IEEE
+    multiply/add sequence as the SQL fold); centroid self-dots reuse
+    ``_self_dot_py`` (the same constant the SQL constant-folds);
+    ``sqrt``/division are single correctly-rounded ops in both engines;
+    ``round(.,6)`` replays via ``_round6_half_up``; and the descending
+    (sim, asc cent_id) ranking is an exact lexsort on the rounded
+    doubles. Bails to the expression path on: inestimable/large inputs,
+    null/NaN ids, null vectors, NaN elements, mixed or centroid-mismatched
+    vector lengths (zip_with null-padding semantics), and non-finite
+    cosines (Spark's NaN ordering semantics) — the expression path is
+    the unchanged 100 TB shape."""
+    import numpy as np
+    import pandas as pd
+
+    from .util import plan_size_bytes, small_corpus_cache_limit
+
+    est = plan_size_bytes(emb)
+    if est is None or est > small_corpus_cache_limit(emb):
+        return None
+    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) == 0 or pdf["id"].isna().any():
+        return None
+    vs = pdf["v"].to_list()
+    if any(v is None for v in vs):
+        return None
+    lens = {len(v) for v in vs}
+    d = len(cvecs[0][1])
+    if lens != {d} or any(len(r[1]) != d for r in cvecs):
+        return None
+    mat = np.empty((len(vs), d), dtype=np.float64)
+    for i, v in enumerate(vs):
+        mat[i] = np.asarray(v, dtype=np.float64)
+    if np.isnan(mat).any():
+        return None
+    k = len(cvecs)
+    cmat = np.array([[float(x) for x in r[1]] for r in cvecs], dtype=np.float64)
+    na = np.zeros(len(vs))
+    dots = np.zeros((len(vs), k))
+    for j in range(d):
+        col = mat[:, j]
+        na += col * col
+        dots += col[:, None] * cmat[None, :, j]
+    nb = np.array([_self_dot_py(r[1]) for r in cvecs])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        raw = dots / np.sqrt(na[:, None] * nb[None, :])
+    if not np.isfinite(raw).all():
+        return None
+    rq = np.vectorize(_round6_half_up, otypes=[np.float64])(raw)
+    cids = np.array([int(r[0]) for r in cvecs], dtype=np.int64)
+    order = np.lexsort(
+        (np.broadcast_to(cids, rq.shape), -rq), axis=-1
+    )[:, : min(n, k)]
+    reps = order.shape[1]
+    id_t = emb.schema[id_col].dataType.simpleString()
+    vec_t = emb.schema[vec_col].dataType.simpleString()
+    out = pd.DataFrame(
+        {
+            id_col: pdf["id"].to_numpy().repeat(reps),
+            vec_col: pdf["v"].to_numpy().repeat(reps),
+            "cent_id": cids[order].ravel(),
+            "cell_rank": np.tile(np.arange(1, reps + 1, dtype=np.int64), len(vs)),
+        }
+    )
+    return emb.sparkSession.createDataFrame(
+        out, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, cent_id bigint, cell_rank bigint"
+    )
+
+
 def nearest_cells(
     emb: DataFrame,
     centroids: DataFrame,
@@ -320,6 +428,9 @@ def nearest_cells(
     cvecs = sorted(centroids.collect(), key=lambda r: r[0])
     if not cvecs:
         raise ValueError("nearest_cells needs >=1 centroid vector")
+    small = _nearest_cells_pdf(emb, cvecs, n, id_col, vec_col)
+    if small is not None:
+        return small
     # the row's self-dot is shared by every centroid comparison; centroid
     # self-dots constant-fold driver-side (same left-fold order -> same bits)
     norm_a = F.expr(_self_dot_sql(vec_col)).alias("_na")
@@ -1243,6 +1354,71 @@ def _nearest_quantized_cell(vq, cents_q: list[list[int]]):
     return F.array_sort(structs)[0]["cid"]
 
 
+def _kmeans_q_collect(
+    emb: DataFrame, quant: int, id_col: str, vec_col: str, dim: int | None
+):
+    """(ids, vq) for the small-corpus quantized-kmeans tier, or ``None``
+    past the gates. One Arrow collect of (id, vector); quantization is
+    ``np.floor(float64(v) * quant)`` — the identical correctly-rounded
+    double product + exact floor the Spark ``_quantize_vec`` expression
+    computes (float->double widening is exact), so ``vq`` is bit-equal.
+    Bails (None) on: inestimable/large inputs, null/NaN ids, null
+    vectors, NaN elements (Arrow encodes null floats as NaN — either way
+    the Spark expression path's null/NaN fold semantics apply and the
+    tier must not guess them), or mixed vector lengths (zip_with's null
+    padding, same reason)."""
+    import numpy as np
+
+    from .util import plan_size_bytes, small_corpus_cache_limit
+
+    est = plan_size_bytes(emb)
+    if est is None or est > small_corpus_cache_limit(emb):
+        return None
+    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if len(pdf) == 0 or pdf["id"].isna().any():
+        return None
+    vs = pdf["v"].to_list()
+    if any(v is None for v in vs):
+        return None
+    lens = {len(v) for v in vs}
+    if len(lens) != 1 or (dim is not None and lens != {int(dim)}):
+        return None
+    mat = np.empty((len(vs), lens.pop()), dtype=np.float64)
+    for i, v in enumerate(vs):
+        mat[i] = np.asarray(v, dtype=np.float64)
+    if np.isnan(mat).any():
+        return None
+    vq = np.floor(mat * float(quant)).astype(np.int64)
+    return pdf["id"], vq
+
+
+def _kmeans_seed_order(ids):
+    """Indices of ``ids`` in the distributed seed order: (md5 of the id's
+    decimal string, id) ascending — ``orderBy(md5(cast(id as string)),
+    id)`` replayed exactly (hex-digest strings compare like Spark's
+    binary UTF8 ordering)."""
+    import hashlib
+
+    def key(i):
+        x = ids.iloc[i]
+        s = str(int(x)) if not isinstance(x, str) else x
+        return (hashlib.md5(s.encode()).hexdigest(), x)
+
+    return sorted(range(len(ids)), key=key)
+
+
+def _kmeans_assign_q(vq, cents):
+    """Integer argmin-L2 assignment: distances are exact int64 (no
+    overflow at micro-unit magnitudes: 64 * (2 * 3e8)^2 << 2^63) and
+    ``np.argmin``'s first-minimum tie-break IS the lexicographic
+    (distance, cent_id) sort's head — bit-identical to
+    ``_nearest_quantized_cell``."""
+    import numpy as np
+
+    d = ((vq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d, axis=1)
+
+
 def kmeans_fit_quantized(
     emb: DataFrame,
     k: int = 8,
@@ -1272,6 +1448,35 @@ def kmeans_fit_quantized(
     previous centroid. Returns the k centroid lists in micro-units.
     """
     import math
+
+    # Small-corpus tier (round 11, VERDICT r10 tasks #3/#10): the whole
+    # Lloyd trajectory from ONE Arrow collect — seeds, per-iteration
+    # integer argmin assignment, exact int64 cell sums and the identical
+    # floor(sum/count) update, all driver-side numpy. Replaces the dim
+    # probe, the seed job and iters x (interpreted HOF assignment +
+    # posexplode aggregation + collect) — 5 jobs of per-round plan-build
+    # and CodegenFallback evaluation at bench scale. Every quantity is
+    # an exact integer (or one correctly-rounded double step replayed in
+    # the same order), so the trajectory is bit-identical; any gate
+    # rejection keeps the distributed shape below — the 100 TB path.
+    small = _kmeans_q_collect(emb, quant, id_col, vec_col, dim)
+    if small is not None:
+        import numpy as np
+
+        ids_s, vq_s = small
+        order = _kmeans_seed_order(ids_s)
+        cents_np = vq_s[np.asarray(order[:k], dtype=np.int64)].copy()
+        for _ in range(iters):
+            cid = _kmeans_assign_q(vq_s, cents_np)
+            for c in range(len(cents_np)):
+                sel = vq_s[cid == c]
+                if len(sel):
+                    s = sel.sum(axis=0, dtype=np.int64)
+                    # int64 -> float64 is exact below 2^53 (micro-unit
+                    # sums are far below), so s/n is the same correctly
+                    # rounded double math.floor(r.s / r.n) sees
+                    cents_np[c] = np.floor(s / len(sel)).astype(np.int64)
+        return [[int(x) for x in c] for c in cents_np]
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
@@ -1308,7 +1513,25 @@ def kmeans_cells_quantized(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Final cell assignment against quantized centroids: (id, cell),
-    map-side only."""
+    map-side only. Small-corpus tier (round 11): the same one-collect
+    integer argmin as the trainer tier — quantize/distance/tie-break all
+    exact (see _kmeans_assign_q) — replacing the interpreted HOF
+    projection; gate rejections keep the map-side expression, the
+    100 TB shape."""
+    small = _kmeans_q_collect(emb, quant, id_col, vec_col, None)
+    if small is not None and len(cents_q):
+        import numpy as np
+        import pandas as pd
+
+        ids_s, vq_s = small
+        cents_np = np.asarray([[int(x) for x in c] for c in cents_q], dtype=np.int64)
+        if cents_np.shape[1] == vq_s.shape[1]:
+            cid = _kmeans_assign_q(vq_s, cents_np)
+            id_type = emb.schema[id_col].dataType.simpleString()
+            return emb.sparkSession.createDataFrame(
+                pd.DataFrame({id_col: ids_s, "cell": cid.astype(np.int64)}),
+                schema=f"{id_col} {id_type}, cell bigint",
+            )
     return emb.select(
         F.col(id_col),
         _nearest_quantized_cell(_quantize_vec(vec_col, quant), cents_q).alias("cell"),

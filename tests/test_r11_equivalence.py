@@ -264,3 +264,74 @@ def test_jaccard_between_rejects_null_ids(spark, threshold, tmp_path):
         D.jaccard_pairs_between(new, old, threshold=threshold, dense_vocab_limit=0)
     )
     assert got == want
+
+
+def test_nearest_cells_tier_matches_expression(spark, sf_dir):
+    """The float nearest_cells driver tier must reproduce the scoring
+    expression's (id, cent_id, cell_rank) EXACTLY — including round-6
+    tie-breaks — on the live corpus against real trained centroids, for
+    n=1 and n=2 probes (conf toggle forces the expression path)."""
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, k=8, iters=2)
+    for n in (1, 2):
+        tier = _rows(S.nearest_cells(emb, cents, n).select("vec_id", "cent_id", "cell_rank"))
+        spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+        try:
+            expr = _rows(
+                S.nearest_cells(emb, cents, n).select("vec_id", "cent_id", "cell_rank")
+            )
+        finally:
+            spark.conf.unset("lesw.smallCorpusCacheBytes")
+        assert tier == expr
+    # vectors must round-trip bit-exactly through the tier's Arrow path
+    got = {r[0]: list(r[1]) for r in S.nearest_cells(emb, cents, 1).select("vec_id", "embedding").collect()}
+    want = {r[0]: list(r[1]) for r in emb.select("vec_id", "embedding").collect()}
+    assert got == want
+
+
+def test_round6_half_up_matches_spark_round():
+    """_round6_half_up vs Spark's round(double, 6) on adversarial values:
+    exact .5 boundaries representable in binary, near-boundary values a
+    float ulp away, negatives, and a dense random sweep."""
+    import numpy as np
+    from lichess_event_stream_watcher_spark.operators.similarity import _round6_half_up
+
+    rng = np.random.RandomState(7)
+    vals = list(rng.uniform(-1, 1, 20000))
+    # exactly-representable 7th-decimal .5 boundaries (x.xxxxxx5 with a
+    # finite binary expansion), and ulp-neighbours of decimal boundaries
+    vals += [0.1234375, -0.1234375, 0.0000005, -0.0000005, 1.0000005]
+    for b in [0.1234565, 0.9999995, 0.0000015]:
+        vals += [np.nextafter(b, -2.0), b, np.nextafter(b, 2.0)]
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for x in vals:
+        x = float(x)
+        want = float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert _round6_half_up(x) == want, x
+
+
+def test_kmeans_quantized_tier_matches_distributed(spark, sf_dir):
+    """The one-collect quantized Lloyd tier must reproduce the distributed
+    trajectory bit-for-bit: centroids after every iteration count and the
+    final cell assignment (conf toggle forces the distributed shape)."""
+    from lichess_event_stream_watcher_spark.operators import similarity as S
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    for iters in (1, 3):
+        tier_c = S.kmeans_fit_quantized(emb, k=8, iters=iters)
+        spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+        try:
+            dist_c = S.kmeans_fit_quantized(emb, k=8, iters=iters)
+        finally:
+            spark.conf.unset("lesw.smallCorpusCacheBytes")
+        assert tier_c == dist_c
+    tier_a = _rows(S.kmeans_cells_quantized(emb, tier_c))
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        dist_a = _rows(S.kmeans_cells_quantized(emb, tier_c))
+    finally:
+        spark.conf.unset("lesw.smallCorpusCacheBytes")
+    assert tier_a == dist_a
