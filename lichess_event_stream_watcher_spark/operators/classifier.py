@@ -85,6 +85,27 @@ def _score_q(xs: list[Column], weights: list[int]) -> Column:
     return F.least(F.greatest(p, F.lit(0).cast("bigint")), F.lit(PROB_Q).cast("bigint"))
 
 
+def _lr_feats_pdf(feats: DataFrame, label_col: str, feat_cols: tuple[str, ...]):
+    """(y, X) int64 arrays for the small-corpus GD tier, or ``None`` past
+    the gates. Bails on null labels/features (the distributed aggregation
+    SKIPS null product terms while count(*) still counts the row — a
+    semantics the dense matmul must not guess) and on empty frames (the
+    distributed path owns the no-rows error)."""
+    import numpy as np
+
+    from .util import plan_size_bytes, small_corpus_cache_limit
+
+    est = plan_size_bytes(feats)
+    if est is None or est > small_corpus_cache_limit(feats):
+        return None
+    pdf = feats.select(label_col, *feat_cols).toPandas()
+    if len(pdf) == 0 or pdf.isna().any().any():
+        return None
+    y = pdf[label_col].to_numpy(dtype=np.int64)
+    xmat = pdf[list(feat_cols)].to_numpy(dtype=np.int64)
+    return y, xmat
+
+
 def lr_fit_quantized(
     feats: DataFrame,
     iters: int = 6,
@@ -102,6 +123,36 @@ def lr_fit_quantized(
     text) runs once, not once per round; spilled to local disk at scale
     instead of re-reading the source."""
     from pyspark import StorageLevel
+
+    # Small-corpus tier (round 11): the whole GD trajectory from ONE
+    # Arrow collect — every per-iteration quantity is an exact int64
+    # (dot, residual, gradient sums; same two's-complement wrap as
+    # BIGINT) or a floored correctly-rounded double quotient with both
+    # operands exactly representable (|grad| <= n * 1e9 << 2^53 at any
+    # gate-admitted n), so the weight trajectory is bit-identical to the
+    # distributed rounds. Replaces the persist + iters x (interpreted
+    # fold scoring + aggregation job). Gate rejections keep the
+    # distributed shape below — the 100 TB path.
+    small = _lr_feats_pdf(feats, label_col, feat_cols)
+    if small is not None:
+        import numpy as np
+
+        y, xmat = small
+        n = len(y)
+        w = np.zeros(len(feat_cols), dtype=np.int64)
+        for _ in range(iters):
+            dot = xmat @ w  # int64 exact
+            z = np.floor(dot.astype(np.float64) / float(FEAT_Q)).astype(np.int64)
+            p = np.floor(z.astype(np.float64) / float(SIG_SLOPE_DEN)).astype(
+                np.int64
+            ) + HALF_Q
+            p = np.clip(p, 0, PROB_Q)
+            r = y * PROB_Q - p
+            g = r @ xmat  # int64 exact
+            w = w + np.floor(
+                g.astype(np.float64) / float(n * FEAT_Q * LR_DEN)
+            ).astype(np.int64)
+        return [int(x) for x in w]
 
     xs = [F.col(c) for c in feat_cols]
     weights = [0] * len(feat_cols)

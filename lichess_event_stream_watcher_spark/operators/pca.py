@@ -80,6 +80,52 @@ def _renormalize(u: list[int], quant: int = VEC_Q) -> list[int]:
     return [math.floor(float(uj) * float(quant) / nrm) for uj in u]
 
 
+def _power_q_pdf(emb: DataFrame, iters: int, dim: int | None, vec_col: str):
+    """Small-corpus tier of the quantized power iteration (round 11): the
+    whole trajectory from ONE Arrow collect, or ``None`` past the gates.
+    Bit-parity: quantization is the same correctly-rounded double product
+    + exact floor; per-round projections floor the same exactly-
+    representable int64->double quotient (|dot| <= d * 1e6 * |x_q| <<
+    2^53 at gate-admitted magnitudes); the update sums are exact int64
+    (same wrap as BIGINT, order-free); re-normalization reuses
+    ``_renormalize`` verbatim. Bails on NaN elements inside the first
+    ``dim`` components (Arrow encodes null floats as NaN and the
+    expression path's null-fold semantics must not be guessed); vectors
+    shorter than ``dim`` are excluded exactly like the distributed
+    filter, and longer ones project on their first ``dim`` components
+    (the slice semantics)."""
+    import numpy as np
+
+    from .util import plan_size_bytes, small_corpus_cache_limit
+
+    est = plan_size_bytes(emb)
+    if est is None or est > small_corpus_cache_limit(emb):
+        return None
+    pdf = emb.select(F.col(vec_col).alias("v")).toPandas()
+    vs = [v for v in pdf["v"].to_list() if v is not None]
+    if dim is None:
+        if not vs:
+            return None
+        # first() on a local file scan reads the first row in file order,
+        # which toPandas preserves — same probe result
+        dim = len(vs[0])
+    vs = [v for v in vs if len(v) >= dim]
+    if not vs:
+        return None  # the distributed path owns the no-vectors error
+    mat = np.empty((len(vs), dim), dtype=np.float64)
+    for i, v in enumerate(vs):
+        mat[i] = np.asarray(v[:dim], dtype=np.float64)
+    if np.isnan(mat).any():
+        return None
+    vq = np.floor(mat * float(VEC_Q)).astype(np.int64)
+    w = np.array([math.floor(VEC_Q / math.sqrt(dim))] * dim, dtype=np.int64)
+    for _ in range(iters):
+        s = np.floor((vq @ w).astype(np.float64) / PROJ_DIV).astype(np.int64)
+        u = s @ vq
+        w = np.array(_renormalize([int(x) for x in u]), dtype=np.int64)
+    return [int(x) for x in w]
+
+
 def power_iteration_quantized(
     emb: DataFrame,
     iters: int = 4,
@@ -88,7 +134,14 @@ def power_iteration_quantized(
 ) -> list[int]:
     """Top-PC direction in micro-units after ``iters`` quantized power
     rounds from the deterministic all-equal start (floor(1e6/sqrt(d)) per
-    coordinate). Per round: map-side milli projections + one d-sum agg."""
+    coordinate). Per round: map-side milli projections + one d-sum agg.
+    Small-corpus tier (round 11): see ``_power_q_pdf`` — one Arrow
+    collect replaces the dim probe, the quantize+persist and iters x
+    (interpreted projection + explode aggregation + collect); gate
+    rejections keep the distributed shape, the 100 TB path."""
+    small = _power_q_pdf(emb, iters, dim, vec_col)
+    if small is not None:
+        return small
     if dim is None:
         first = emb.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None:

@@ -580,6 +580,20 @@ def charlm_score(
             F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t")
         )
     )
+    # Small-corpus persist (round 11): the model pass and the scoring
+    # pass each scan + regex-normalize + Arrow-transfer the corpus; for
+    # a gate-admitted input one materialization serves both (measured
+    # the model job at ~1.5 s/rep at sf0.1 without it — the cost that
+    # made ccnet_quality_buckets regress when scoring went two-pass).
+    # Same gate + session registration as dedup_cost_census; past the
+    # gate both passes keep the cache-free at-scale shape.
+    from .util import plan_size_bytes, small_corpus_cache_limit
+
+    est_in = plan_size_bytes(df)
+    if est_in is not None and est_in <= small_corpus_cache_limit(df):
+        from .session_cache import register_session_cache
+
+        base = register_session_cache(base.persist())
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
 

@@ -335,3 +335,41 @@ def test_kmeans_quantized_tier_matches_distributed(spark, sf_dir):
     finally:
         spark.conf.unset("lesw.smallCorpusCacheBytes")
     assert tier_a == dist_a
+
+
+def test_lr_fit_tier_matches_distributed(spark, sf_dir):
+    """The one-collect quantized-GD tier must reproduce the distributed
+    weight trajectory exactly, at 1 and 6 iterations."""
+    from lichess_event_stream_watcher_spark.operators import classifier as C
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    xs = C.doc_features(F.col("text"), F.col("n_chars"))
+    feats = docs.select(
+        "source",
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+        *[x.alias(f"x{j}") for j, x in enumerate(xs)],
+    )
+    for iters in (1, 6):
+        tier_w = C.lr_fit_quantized(feats, iters=iters)
+        spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+        try:
+            dist_w = C.lr_fit_quantized(feats, iters=iters)
+        finally:
+            spark.conf.unset("lesw.smallCorpusCacheBytes")
+        assert tier_w == dist_w
+
+
+def test_power_iteration_tier_matches_distributed(spark, sf_dir):
+    """The one-collect quantized power-iteration tier must reproduce the
+    distributed direction trajectory exactly, at 1 and 4 rounds."""
+    from lichess_event_stream_watcher_spark.operators import pca as P
+
+    emb = testdata.load(spark, sf_dir, "embeddings")
+    for iters in (1, 4):
+        tier_w = P.power_iteration_quantized(emb, iters=iters, dim=64)
+        spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+        try:
+            dist_w = P.power_iteration_quantized(emb, iters=iters, dim=64)
+        finally:
+            spark.conf.unset("lesw.smallCorpusCacheBytes")
+        assert tier_w == dist_w
