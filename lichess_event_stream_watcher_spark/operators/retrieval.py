@@ -41,6 +41,121 @@ B = 0.75
 SCALE = 1_000_000
 
 
+def _bm25_pdf(docs: DataFrame, queries: dict, k: int, id_col: str, text_col: str):
+    """Small-corpus tier of ``bm25_topk`` (rsj_sqrt mode only), or ``None``
+    past the gates. ONE Arrow collect of the SPARK-tokenized corpus (the
+    tokenizer expressions evaluate in the JVM — java and python regex
+    ``\\s`` classes differ, so tokenization is never re-implemented
+    driver-side) replaces the two tokenizer scans, the postings/df/stats
+    aggregations, the four-way join and the threshold-pruned top-k.
+
+    Bit-parity: tf/df/dl/N/sum_dl are exact integers off the same token
+    arrays; the float chain replays the expression tree's exact
+    association element-wise in float64 — odds=(N-df+0.5)/(df+0.5),
+    idf=sqrt(odds), satur=(tf*(K1+1))/(tf+K1*((1-B)+B*(dl/avgdl))) with
+    avgdl=sum_dl/n_docs — every operand exactly representable, every op
+    correctly rounded, NO reassociation; per-(query, doc) scores are
+    order-free int64 sums of floor(contrib*SCALE); ranking sorts the
+    identical total (-score, id) key with row_number semantics."""
+    if not queries:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    from .util import plan_size_bytes, small_corpus_cache_limit
+
+    est = plan_size_bytes(docs)
+    if est is None or est > small_corpus_cache_limit(docs):
+        return None
+    pdf = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(normalize_text(F.col(text_col))).alias("tk"),
+    ).toPandas()
+    if len(pdf) == 0 or pdf["id"].isna().any():
+        return None
+    if not pd.api.types.is_integer_dtype(pdf["id"]):
+        return None  # the (-score, id) lexsort tie-break assumes int keys
+    qterms = [
+        (qid, t)
+        for qid, qs in sorted(queries.items())
+        for t in dict.fromkeys(qs.lower().split())
+    ]
+    all_terms = sorted({t for _, t in qterms})
+    t_ix = {t: j for j, t in enumerate(all_terms)}
+    nt = len(all_terms)
+    tks = pdf["tk"].to_list()
+    n_docs = len(tks)
+    dl = np.array([-1 if t is None else len(t) for t in tks], dtype=np.int64)
+    sum_dl = int(dl[dl >= 0].sum())  # sum() skips the null-dl docs
+    tf_rows, doc_rows, term_rows = [], [], []
+    for i, tk in enumerate(tks):
+        if tk is None:
+            continue
+        counts: dict[int, int] = {}
+        for tok in tk:
+            j = t_ix.get(tok)
+            if j is not None:
+                counts[j] = counts.get(j, 0) + 1
+        for j, c in counts.items():
+            doc_rows.append(i)
+            term_rows.append(j)
+            tf_rows.append(c)
+    if not tf_rows:
+        empty = pd.DataFrame(
+            {"query_id": [], id_col: [], "score_q": [], "rank": []}
+        )
+        id_t = docs.schema[id_col].dataType.simpleString()
+        return docs.sparkSession.createDataFrame(
+            empty, schema=f"query_id bigint, {id_col} {id_t}, score_q bigint, rank bigint"
+        )
+    doc_i = np.array(doc_rows, dtype=np.int64)
+    term_i = np.array(term_rows, dtype=np.int64)
+    tf = np.array(tf_rows, dtype=np.int64)
+    df_t = np.bincount(term_i, minlength=nt).astype(np.int64)
+    odds = (float(n_docs) - df_t + 0.5) / (df_t + 0.5)
+    idf = np.sqrt(odds)
+    avgdl = float(sum_dl) / float(n_docs)
+    satur = (tf * (K1 + 1)) / (tf + K1 * ((1.0 - B) + B * (dl[doc_i] / avgdl)))
+    contrib_q = np.floor(idf[term_i] * satur * SCALE).astype(np.int64)
+    ids = pdf["id"].to_numpy()
+    out_frames = []
+    qids = sorted(queries)
+    for qid in qids:
+        sel_terms = np.array(
+            [t_ix[t] for t in dict.fromkeys(queries[qid].lower().split())],
+            dtype=np.int64,
+        )
+        mask = np.isin(term_i, sel_terms)
+        if not mask.any():
+            continue
+        docs_m = doc_i[mask]
+        # per-doc integer score: sum of this query's term contributions
+        uniq_docs, inv = np.unique(docs_m, return_inverse=True)
+        scores = np.zeros(len(uniq_docs), dtype=np.int64)
+        np.add.at(scores, inv, contrib_q[mask])
+        key_ids = ids[uniq_docs]
+        order = np.lexsort((key_ids, -scores))[:k]
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.full(len(order), qid, dtype=np.int64),
+                    id_col: key_ids[order],
+                    "score_q": scores[order],
+                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                }
+            )
+        )
+    id_t = docs.schema[id_col].dataType.simpleString()
+    out = (
+        pd.concat(out_frames, ignore_index=True)
+        if out_frames
+        else pd.DataFrame({"query_id": [], id_col: [], "score_q": [], "rank": []})
+    )
+    return docs.sparkSession.createDataFrame(
+        out, schema=f"query_id bigint, {id_col} {id_t}, score_q bigint, rank bigint"
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: dict[int, str],
@@ -59,6 +174,16 @@ def bm25_topk(
     """
     if idf_mode not in ("ln", "rsj_sqrt"):
         raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    if idf_mode == "rsj_sqrt":
+        # Small-corpus tier (round 11): one Arrow collect of the
+        # Spark-tokenized corpus replaces the whole postings/stats/join
+        # machinery — see _bm25_pdf for the bit-parity argument. The ln
+        # mode stays distributed (its float SUM order is engine-defined
+        # there and must not be re-derived). Gate rejections keep the
+        # distributed shape below — the 100 TB path.
+        small = _bm25_pdf(docs, queries, k, id_col, text_col)
+        if small is not None:
+            return small
     qterms = [
         (qid, t)
         for qid, qs in sorted(queries.items())

@@ -373,3 +373,21 @@ def test_power_iteration_tier_matches_distributed(spark, sf_dir):
         finally:
             spark.conf.unset("lesw.smallCorpusCacheBytes")
         assert tier_w == dist_w
+
+
+def test_bm25_tier_matches_distributed(spark, sf_dir):
+    """The one-collect bm25 rsj_sqrt tier must reproduce the distributed
+    postings/join/topk chain exactly (scores are order-free int64 sums of
+    identically-associated float64 contributions)."""
+    from lichess_event_stream_watcher_spark.operators.retrieval import bm25_topk
+
+    docs = testdata.load(spark, sf_dir, "documents")
+    qrows = docs.filter(F.col("doc_id").isin([0, 1, 2])).select("doc_id", "text").collect()
+    queries = {int(r.doc_id): " ".join((r.text or "").strip().lower().split()[:8]) for r in qrows}
+    tier = _rows(bm25_topk(docs, queries, k=20, idf_mode="rsj_sqrt"))
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        dist = _rows(bm25_topk(docs, queries, k=20, idf_mode="rsj_sqrt"))
+    finally:
+        spark.conf.unset("lesw.smallCorpusCacheBytes")
+    assert tier == dist
