@@ -593,7 +593,15 @@ def test_bpe_and_bm25_plan_shapes(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "Join" not in p
 
-    p = plan_str(entry.queries()["bm25_rsj_topk"](spark, sf_dir))
+    # the rsj form serves sf-test inputs from the round-11 one-collect
+    # tier (LocalTableScan); pin the DISTRIBUTED shape — the 100 TB plan
+    # — by disabling the small-corpus gate (same conf-toggle discipline
+    # as the jaccard pins)
+    spark.conf.set("lesw.smallCorpusCacheBytes", "0")
+    try:
+        p = plan_str(entry.queries()["bm25_rsj_topk"](spark, sf_dir))
+    finally:
+        spark.conf.unset("lesw.smallCorpusCacheBytes")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
