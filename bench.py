@@ -386,12 +386,32 @@ def _run_isolated(names: list[str], sf_dir: str) -> dict[str, float] | None:
         out = json.loads(r.stdout.strip().splitlines()[-1])
         if not isinstance(out, dict) or not isinstance(out.get("isolated"), dict):
             return None
-        return {k: float(v) for k, v in out["isolated"].items()}
+        # "<name>__phases" entries are dicts (composed-entry phase splits);
+        # everything else is a scalar timing
+        return {
+            k: (v if isinstance(v, dict) else float(v))
+            for k, v in out["isolated"].items()
+        }
     except (ValueError, KeyError, IndexError, TypeError):
         # a crash here would land AFTER the multi-minute bench run and
         # BEFORE the detail write — any malformed subprocess output must
         # degrade to "publish in-run, flagged unconfirmed"
         return None
+
+
+def _isolated_gc(spark) -> None:
+    """Between-draws hygiene for the isolation subprocess: drain
+    query-registered caches and force a synchronous full GC (the
+    same discipline as the main run's full_gc closure)."""
+    from lichess_event_stream_watcher_spark.operators.session_cache import (
+        release_session_caches,
+    )
+
+    release_session_caches()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - best effort
+        pass
 
 
 def run_isolated_mode(names_csv: str) -> None:
@@ -427,7 +447,44 @@ def run_isolated_mode(names_csv: str) -> None:
             sec_i, s_n = bench_streaming_engine(spark, sf_dir, tempfile.gettempdir())
             s_draws.append(sec_i)
         out["streaming_eps"] = round(s_n / min(s_draws[1:]), 1)
-    names = [n for n in requested if n in registry]
+    # Round 11: the two COMPOSED entries (min-of-2 + phase split in the
+    # main run) re-measure with the same protocol, emitting the winning
+    # draw's raw phase split under "<name>__phases" so the publisher can
+    # keep phases summing to whichever total it publishes. Motivated by a
+    # measured incident: a host-noise window put dedup_pipeline_shared at
+    # 49.9 s in-run (its stable value is 7-10 s) with no recourse because
+    # only the registry min-of-3 loop was isolation-eligible.
+    if "dedup_pipeline_shared" in requested:
+        draws, phases = [], {}
+        for _ in range(2):
+            dp: dict[str, float] = {}
+            draws.append(bench_dedup_pipeline_shared(spark, sf_dir, phase_seconds=dp))
+            if draws[-1] == min(draws):
+                phases = dp
+            _isolated_gc(spark)
+        out["dedup_pipeline_shared"] = round(min(draws), 3)
+        out["dedup_pipeline_shared__phases"] = {k: round(v, 4) for k, v in phases.items()}
+    if "curation_pipeline_counts" in requested:
+        from lichess_event_stream_watcher_spark.pipeline import curate_corpus
+
+        draws, stages = [], {}
+        for _ in range(2):
+            ds: dict[str, float] = {}
+            t0 = time.perf_counter()
+            chunks, _counts = curate_corpus(
+                testdata.load(spark, sf_dir, "documents"), stage_seconds=ds
+            )
+            chunks.unpersist()
+            draws.append(time.perf_counter() - t0)
+            if draws[-1] == min(draws):
+                stages = ds
+            _isolated_gc(spark)
+        out["curation_pipeline_counts"] = round(min(draws), 3)
+        out["curation_pipeline_counts__phases"] = {
+            k: round(v, 4) for k, v in stages.items()
+        }
+    composed = {"dedup_pipeline_shared", "curation_pipeline_counts"}
+    names = [n for n in requested if n in registry and n not in composed]
     for i, name in enumerate(names):
         best = float("inf")
         for draw in range(4 if i == 0 else 3):
@@ -912,7 +969,14 @@ def main() -> None:
     # contradicted). The in-run number stays in the artifact for audit;
     # a failed isolation run publishes in-run flagged unconfirmed.
     suspects = _position_debt_suspects(
-        timings, prev_queries, median_ratio, eligible=set(names)
+        timings,
+        prev_queries,
+        median_ratio,
+        # Round 11: the two COMPOSED entries are isolation-eligible too —
+        # a host-noise window once put dedup_pipeline_shared at 49.9 s
+        # in-run (stable value 7-10 s) with no recourse because only the
+        # registry min-of-3 loop could be re-measured.
+        eligible=set(names) | {"dedup_pipeline_shared", "curation_pipeline_counts"},
     )
     # Round 11 (VERDICT r10 task #8): the two eps metrics get the same
     # position-debt adjudication as the registry queries. A ratio-vs-prev
@@ -991,6 +1055,25 @@ def main() -> None:
                 # estimator the per-query min-of-3 already applies; both
                 # raw values stay in the artifact for audit.
                 timings[name] = min(rec["in_run"], rec["isolated"])
+                # composed entries: keep the published phase split summing
+                # to the published total — if the isolated draw wins, its
+                # own split replaces the in-run one (raw in-run split
+                # remains in this record for audit)
+                phase_key = {
+                    "dedup_pipeline_shared": "shared_pipeline_phase_seconds",
+                    "curation_pipeline_counts": "curation_stage_seconds",
+                }.get(name)
+                if phase_key is not None:
+                    rec["in_run_phases"] = detail.get(phase_key)
+                    iso_phases = iso.get(name + "__phases") if iso else None
+                    if (
+                        timings[name] == rec["isolated"]
+                        and isinstance(iso_phases, dict)
+                        and iso_phases
+                    ):
+                        detail[phase_key] = _publish_phases(
+                            dict(iso_phases), timings[name]
+                        )
             isolation[name] = rec
         detail["isolation_remeasured"] = isolation
         total = round(sum(timings.values()), 3)
